@@ -1,0 +1,186 @@
+"""Text query patterns over the ``documents`` table.
+
+Covers the reference's shipped query (word count, test/user_tasks.cc:12-35)
+and the OSDI'04 catalog entries that are text-shaped (distributed grep,
+inverted index), plus the north-star text-analysis operators: n-grams,
+TF-IDF, language ID, quality scoring, token counting, fingerprinting.
+
+Every function takes (spark, sf_dir) and returns a DataFrame whose column
+names match the DuckDB oracle in __spark_entry__.oracle_sql().
+
+Scale notes (100 TB design point):
+- All token pipelines are explode + hash-agg — map-side partial
+  aggregation halves shuffle volume automatically; no Python UDFs.
+- Word/ngram keys follow a Zipf distribution → skewed reducers; AQE
+  skew handling is on in session.py, and the aggregations are algebraic
+  (partial sums), so skew only affects the final merge, not correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import bigrams_expr, tokens_expr
+from ..sources.tables import load_table
+
+# Tiny embedded English stopword list used by the language-ID heuristic
+# and quality scorer.  Must stay in sync with the inline list in the
+# DuckDB oracle SQL.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "from", "that", "this",
+)
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokens_expr("text").alias("tokens"))
+
+
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's shipped word-count query.
+
+    map = tokenize on the strtok delimiter class " ,.\"'" and emit
+    (word, 1) (test/user_tasks.cc:12-23); reduce = sum
+    (test/user_tasks.cc:30-35).  Here: explode + groupBy.count —
+    Catalyst plans a partial count before the shuffle (the combiner the
+    reference lacks) and a final count after it.
+    """
+    toks = _docs_tokens(spark, sf_dir)
+    return (
+        toks.select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep (OSDI §2.1): map emits the line if it matches;
+    no reduce.  Pure filter — no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike("fast join")).select("doc_id", "text")
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (OSDI §2.1): word -> sorted distinct doc list.
+
+    Doc list is emitted as a comma-joined string so the value hash is
+    representation-stable across Spark and DuckDB.
+    """
+    toks = _docs_tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_set("doc_id")), lambda x: x.cast("string")),
+                ",",
+            ).alias("doc_ids"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def bigram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token bigram frequencies (n-gram text analysis)."""
+    toks = _docs_tokens(spark, sf_dir)
+    return (
+        toks.select(F.explode(bigrams_expr(F.col("tokens"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TF-IDF: tf(d,w) * ln(N / df(w)).
+
+    Two hash-aggs + one broadcast-ish join on word.  N is a scalar
+    computed Spark-side (count of documents) — a driver-side literal,
+    not a collect over data rows.
+    """
+    toks = _docs_tokens(spark, sf_dir)
+    pairs = toks.select("doc_id", F.explode("tokens").alias("word"))
+    tf = pairs.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = pairs.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return (
+        tf.join(df_, "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: per-doc token count, distinct count, avg token length."""
+    toks = _docs_tokens(spark, sf_dir)
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct"),
+        F.round(
+            F.aggregate(
+                F.col("tokens"), F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+            )
+            / F.greatest(F.size("tokens"), F.lit(1)).cast("double"),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio over tokens.
+
+    predicted = 'en' if >= 8% of tokens are English stopwords else 'other'.
+    (A real system would use char-ngram models; the heuristic keeps the
+    operator oracle-checkable and UDF-free.)
+    """
+    toks = _docs_tokens(spark, sf_dir)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    hits = F.size(F.array_intersect(F.col("tokens"), sw))
+    # ratio over *distinct* tokens so Spark and SQL count identically
+    distinct_n = F.greatest(F.size(F.array_distinct(F.col("tokens"))), F.lit(1))
+    ratio = hits.cast("double") / distinct_n.cast("double")
+    return toks.select(
+        "doc_id",
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("predicted_lang"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, punctuation ratio, mean token
+    length — a linear score clamped to [0, 1].
+
+    score = min(1, n_tokens/100) * 0.5 + (1 - punct_ratio) * 0.3
+            + min(1, avg_len/8) * 0.2
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    n_tokens = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0.0), lambda a, x: a + F.length(x).cast("double"))
+    avg_len = total_len / F.greatest(n_tokens, F.lit(1)).cast("double")
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[^,.]", ""))
+    punct_ratio = n_punct.cast("double") / F.greatest(F.length("text"), F.lit(1)).cast("double")
+    score = (
+        F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(F.lit(1.0), avg_len / 8.0) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized, lowercased
+    text — the exact-dedup key for content-identical docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Maps the reference's cluster knobs (src/mapreduce_spec.h:12-20) onto Spark
+runtime configuration:
+
+    n_workers / worker addresses  -> executor cores (local[N] here)
+    map_kilobytes (shard size)    -> spark.sql.files.maxPartitionBytes
+    n_output_files (R)            -> spark.sql.shuffle.partitions / repartition(R)
+
+Robustness parity (SURVEY.md §2.1 rows 13-15) is configuration, not code:
+task retry subsumes worker-failure requeue (src/master.h:246-249),
+speculation subsumes the 10s straggler deadline (src/master.h:19,82-84).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "mapreduceinfrastructure_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Local mode mirrors the driver's harness; on a real cluster the same
+    conf applies minus ``master``.  AQE handles runtime partition
+    coalescing and skew-join splitting — the scale path for 100 TB runs.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # R reducers ~ shuffle partitions; AQE coalesces small ones at runtime.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # shard size knob (reference map_kilobytes, description.md:18) — 128 MB
+        # newline-aligned splits, exactly the reference's shard_files contract.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # straggler/failure parity: retries + speculation instead of the
+        # reference's 10 s deadline + requeue loop (src/master.h:217-256).
+        .config("spark.task.maxFailures", "4")
+        .config("spark.speculation", "true")
+        # Arrow for the pandas-UDF slow path (vectorized batches).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # deterministic timestamp semantics vs the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

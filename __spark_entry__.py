@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from mapreduceinfrastructure_spark.operators import relational as rel  # noqa: E402
 from mapreduceinfrastructure_spark.operators import text_analysis as ta  # noqa: E402
 
 # Delimiter class inside a SQL single-quoted string (the ' is doubled).
@@ -55,6 +56,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": ta.language_id,
         "quality_score": ta.quality_score,
         "fingerprint": ta.fingerprint,
+        "key_count": rel.key_count,
+        "key_stats": rel.key_stats,
+        "select_project": rel.select_project,
+        "histogram": rel.histogram,
+        "distinct_count": rel.distinct_count,
+        "join_revenue_by_nation": rel.join_revenue_by_nation,
+        "join_semi": rel.join_semi,
+        "join_anti": rel.join_anti,
+        "edge_inversion": rel.edge_inversion,
+        "set_ops": rel.set_ops,
+        "distributed_sort": rel.distributed_sort,
+        "global_rank": rel.global_rank,
+        "topk_per_group": rel.topk_per_group,
+        "topk_global": rel.topk_global,
+        "window_running": rel.window_running,
+        "rollup_pricing": rel.rollup_pricing,
+        "pivot_status": rel.pivot_status,
+        "sessionize": rel.sessionize,
     }
 
 
@@ -95,7 +114,7 @@ def oracle_sql() -> dict[str, str]:
                    len(t) AS n_tokens,
                    len(list_distinct(t)) AS n_distinct,
                    round(coalesce(list_sum(list_transform(t, x -> length(x)::DOUBLE)), 0.0)
-                         / greatest(len(t), 1), 4) AS avg_token_len
+                         / greatest(len(t), 1), 6) AS avg_token_len
             FROM toks
         """,
         "language_id": f"""
@@ -107,7 +126,7 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(len(list_distinct(t)), 1) AS ratio
               FROM toks
             )
-            SELECT doc_id, round(ratio, 4) AS stopword_ratio,
+            SELECT doc_id, round(ratio, 6) AS stopword_ratio,
                    CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'other' END AS predicted_lang
             FROM s
         """,
@@ -121,14 +140,142 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(length(text), 1) AS punct_ratio
               FROM toks
             )
-            SELECT doc_id, n_tokens, round(punct_ratio, 4) AS punct_ratio,
-                   round(least(1.0, n_tokens / 100.0) * 0.5
-                         + (1.0 - punct_ratio) * 0.3
-                         + least(1.0, avg_len / 8.0) * 0.2, 4) AS quality
+            SELECT doc_id, n_tokens, punct_ratio,
+                   least(1.0, n_tokens / 100.0) * 0.5
+                     + (1.0 - punct_ratio) * 0.3
+                     + least(1.0, avg_len / 8.0) * 0.2 AS quality
             FROM m
         """,
         "fingerprint": r"""
             SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
             FROM documents
+        """,
+        "key_count": """
+            SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+        """,
+        "key_stats": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(min(l_quantity), 2) AS min_qty,
+                   round(max(l_quantity), 2) AS max_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "select_project": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 4) AS net_price
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_quantity > 40
+        """,
+        "histogram": """
+            SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket, count(*) AS cnt
+            FROM lineitem GROUP BY bucket
+        """,
+        "distinct_count": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "join_revenue_by_nation": """
+            SELECT r_name AS region, n_name AS nation,
+                   round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+            )
+        """,
+        "edge_inversion": """
+            SELECT o_custkey,
+                   array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
+            FROM orders GROUP BY o_custkey
+        """,
+        "set_ops": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders
+        """,
+        "distributed_sort": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        "global_rank": """
+            SELECT p_partkey, p_retailprice,
+                   row_number() OVER (ORDER BY p_retailprice, p_partkey) AS rnk
+            FROM part
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                     ) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "topk_global": """
+            SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+        """,
+        "window_running": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_spend
+            FROM orders
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'O') AS "O",
+                   count(*) FILTER (o_orderstatus = 'F') AS "F",
+                   count(*) FILTER (o_orderstatus = 'P') AS "P"
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, value, ts_us, event_id,
+                     CAST(sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS session_id
+              FROM e
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 2) AS session_value,
+                   min(ts_us) AS start_us,
+                   max(ts_us) AS end_us
+            FROM s GROUP BY user_id, session_id
         """,
     }

@@ -126,7 +126,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("tokens"), F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
             )
             / F.greatest(F.size("tokens"), F.lit(1)).cast("double"),
-            4,
+            6,
         ).alias("avg_token_len"),
     )
 
@@ -146,7 +146,7 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = hits.cast("double") / distinct_n.cast("double")
     return toks.select(
         "doc_id",
-        F.round(ratio, 4).alias("stopword_ratio"),
+        F.round(ratio, 6).alias("stopword_ratio"),
         F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("predicted_lang"),
     )
 
@@ -173,8 +173,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(score, 4).alias("quality"),
+        # no rounding: both engines evaluate the identical IEEE expression
+        # tree per row, so raw doubles are bit-identical; rounding is what
+        # introduces divergence at decimal-boundary values.
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality"),
     )
 
 

@@ -34,6 +34,8 @@ def value_hash(pdf: pd.DataFrame) -> str:
     for c in pdf.columns:
         if pd.api.types.is_float_dtype(pdf[c]):
             pdf[c] = pdf[c].round(6)
+    if len(pdf) == 0:
+        return hashlib.md5(("|".join(pdf.columns)).encode()).hexdigest()
     rows = sorted(pdf.astype(str).apply("|".join, axis=1).tolist())
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 

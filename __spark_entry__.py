@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from mapreduceinfrastructure_spark.operators import dedup as dd  # noqa: E402
 from mapreduceinfrastructure_spark.operators import relational as rel  # noqa: E402
+from mapreduceinfrastructure_spark.operators import similarity as sim  # noqa: E402
 from mapreduceinfrastructure_spark.operators import text_analysis as ta  # noqa: E402
 
 # Delimiter class inside a SQL single-quoted string (the ' is doubled).
@@ -74,6 +76,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": rel.rollup_pricing,
         "pivot_status": rel.pivot_status,
         "sessionize": rel.sessionize,
+        "dedup_exact": dd.dedup_exact,
+        "ngram_jaccard_neardup": dd.ngram_jaccard_neardup,
+        "minhash_lsh_neardup": dd.minhash_lsh_neardup,
+        "simhash": dd.simhash,
+        "cosine_topk": sim.cosine_topk,
+        "embedding_neardup": sim.embedding_neardup,
+        "ann_lsh": sim.ann_lsh,
     }
 
 
@@ -277,5 +286,50 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_us) AS start_us,
                    max(ts_us) AS end_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "dedup_exact": r"""
+            SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+                   min(doc_id) AS keep_id, count(*) AS dup_cnt
+            FROM documents GROUP BY fp
+        """,
+        "ngram_jaccard_neardup": f"""
+            {_SQL_TOKS},
+            sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+              FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT da, db, i::DOUBLE / (ca.n + cb.n - i) AS jaccard
+            FROM inter
+            JOIN cnt ca ON da = ca.doc_id
+            JOIN cnt cb ON db = cb.doc_id
+            WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.1
+        """,
+        "cosine_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+            pairs AS (
+              SELECT qid, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS sim
+              FROM q, e WHERE vec_id <> qid
+            ),
+            r AS (
+              SELECT qid, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rn
+              FROM pairs
+            )
+            SELECT qid, neighbor_id, round(sim, 6) AS cosine, rn
+            FROM r WHERE rn <= 5
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS da, b.vec_id AS db,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         """,
     }

@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full execution, no
+collect-to-driver cost skewing the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduceinfrastructure_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family — text flatMap+agg, hash agg,
+# multi-join, window sessionization, two-agg join (tf-idf), range-
+# partitioned sort, per-group top-k.
+HEADLINE = [
+    "word_count",
+    "key_stats",
+    "join_revenue_by_nation",
+    "tf_idf",
+    "distributed_sort",
+    "topk_per_group",
+    "sessionize",
+    "dedup_exact",
+    "minhash_lsh_neardup",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark(app_name="mri-spark-bench")
+    # warm up the JVM / parquet footer cache with a trivial action
+    spark.range(1).count()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

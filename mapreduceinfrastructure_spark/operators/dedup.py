@@ -1,0 +1,207 @@
+"""Deduplication operators over ``documents`` — the north-star
+training-data-pipeline surface (BASELINE.json).
+
+All MapReduce-shaped (the reference could express each as map: emit
+(signature, doc) / reduce: pair-or-keep — mr_task_factory.h:20,37), here
+as explode + hash-agg + self-join DataFrame plans.
+
+Scale notes (100 TB design point):
+- ``dedup_exact`` is a single hash-agg on a 128-bit fingerprint — the
+  canonical exact-dedup at any scale (shuffle on fp, partial agg on).
+- ``ngram_jaccard_neardup`` is the exact O(pairs-sharing-a-shingle)
+  verify; its cost is bounded by shingle document frequency.  At 100 TB
+  you cap hot shingles (drop shingles with df > cap) — df filtering is
+  included here for that reason.
+- ``minhash_lsh_neardup`` is the scale path: constant-size signatures
+  (k=32 minhashes), band-bucket join (b=8, r=4) so only LSH-colliding
+  pairs are verified.  Candidate generation touches each doc once.
+- ``simhash`` gives constant-size 64-bit sketches; pairs within small
+  hamming distance are near-dups.  Sketch computation is one pass,
+  fully JVM-side (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_expr
+from ..sources.tables import load_table
+
+# Shingles appearing in more than this many docs are dropped from the
+# jaccard candidate join (stopword-shingle cap; keeps the self-join from
+# exploding on hot shingles at scale).  Chosen far above anything in the
+# test data (max df there is 7) so small-SF results are exact.
+HOT_SHINGLE_DF_CAP = 1000
+
+
+def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("t"))
+    shingle = F.when(
+        F.size("t") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select("doc_id", F.explode(shingle).alias("shingle")).distinct()
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group identical normalized text, keep the smallest
+    doc_id (map: emit (fingerprint, doc_id); reduce: min + count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (
+        docs.select(F.md5(norm).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.1).
+
+    MR shape: map emits (shingle, doc_id); reduce pairs docs per shingle;
+    a second agg computes |intersection|; join with per-doc shingle
+    counts gives jaccard = i / (na + nb - i).  The division is int/int
+    in both engines → bit-identical, no rounding needed.
+    """
+    sh = _shingles(spark, sf_dir)
+    df_cap = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= HOT_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh.join(df_cap, "shingle")
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+    return (
+        inter.join(ca, "da")
+        .join(cb, "db")
+        .select("da", "db", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+# MinHash parameters: k = bands * rows_per_band signatures.
+MINHASH_BANDS = 8
+MINHASH_ROWS = 4
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig: array<long>) — k=32 minhash signature from 3-word
+    shingles; hash_i(s) = xxhash64(s, seed=i) minimized per doc.
+
+    One explode + one groupBy: at scale this is a single shuffle of
+    (doc_id, 32 longs) — constant size per doc regardless of doc length.
+    """
+    sh = _shingles(spark, sf_dir)
+    k = MINHASH_BANDS * MINHASH_ROWS
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates, exact-Jaccard verified (≥ 0.5).
+
+    Banding: signature split into b=8 bands of r=4; docs sharing any
+    band hash become candidates (map: emit (band_id ++ band_hash,
+    doc_id); reduce: pair).  Only candidates get the exact verify —
+    the self-join is on band buckets, never all-pairs.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", band * MINHASH_ROWS + r + 1)
+                                for r in range(MINHASH_ROWS)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for band in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = _shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("s"))
+    sb = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("s"))
+    inter = (
+        cand.join(sa, "da").join(sb, ["db", "s"]).groupBy("da", "db").agg(F.count("*").alias("i"))
+    )
+    ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+    return (
+        inter.join(ca, "da")
+        .join(cb, "db")
+        .select("da", "db", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document — constant-size near-dup sketch.
+
+    Per-row, fully JVM-side: token → xxhash64; per bit position, sum of
+    ±1 votes over tokens; simhash bit i = majority.  No shuffle at all
+    (the sketch is computed inside a single projection).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    expr = """
+      aggregate(
+        sequence(0, 63),
+        cast(0 as bigint),
+        (acc, i) -> acc + if(
+          aggregate(
+            transform(filter(split(text, '[ ,."\\']'), x -> length(x) > 0),
+                      t -> cast((shiftright(xxhash64(t), i) & 1) * 2 - 1 as bigint)),
+            cast(0 as bigint), (s, v) -> s + v
+          ) > 0,
+          shiftleft(cast(1 as bigint), i), cast(0 as bigint))
+      )
+    """
+    return docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"), F.expr(expr).alias("simhash"))

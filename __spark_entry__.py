@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreduceinfrastructure_spark.operators import dedup as dd  # noqa: E402
+from mapreduceinfrastructure_spark.operators import mapreduce as mr  # noqa: E402
 from mapreduceinfrastructure_spark.operators import relational as rel  # noqa: E402
 from mapreduceinfrastructure_spark.operators import similarity as sim  # noqa: E402
 from mapreduceinfrastructure_spark.operators import text_analysis as ta  # noqa: E402
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": sim.cosine_topk,
         "embedding_neardup": sim.embedding_neardup,
         "ann_lsh": sim.ann_lsh,
+        "word_count_mr": mr.word_count_mr,
     }
 
 
@@ -90,6 +92,11 @@ def oracle_sql() -> dict[str, str]:
     sw = ",".join(f"'{w}'" for w in ta.EN_STOPWORDS)
     return {
         "word_count": f"""
+            {_SQL_PAIRS}
+            SELECT word, count(*) AS cnt FROM pairs GROUP BY word
+        """,
+        # the generic-engine parity query shares word_count's oracle
+        "word_count_mr": f"""
             {_SQL_PAIRS}
             SELECT word, count(*) AS cnt FROM pairs GROUP BY word
         """,

@@ -1,0 +1,228 @@
+"""The reference's actual programming model, Spark-native.
+
+The reference's entire query API is: register a ``map(line) -> emit(k,v)*``
+and a ``reduce(key, [values]) -> emit(k,v)*`` under a ``user_id``
+(external/include/mr_task_factory.h:20,37,47-48; registry
+src/mr_task_factory.cc:30-88), then run the two-phase dataflow over
+newline-delimited text.  This module reproduces that surface:
+
+    register_tasks(user_id, map_fn, reduce_fn)   — the UDF registry
+    map_reduce(df, map_fn, reduce_fn, R)         — the dataflow
+    run_job(spark, spec)                         — MapReduce::run(config)
+
+Execution maps onto Spark primitives:
+    map + emit        -> mapInPandas (Arrow-batched; 1 line -> N pairs)
+    hash(key) % R     -> repartition(R, "key")  (shuffle; reference:
+                         src/mr_tasks.h:48)
+    phase barrier     -> the shuffle stage boundary (reference:
+                         src/master.h:259-268)
+    group + sort +    -> groupBy("key").applyInPandas (reference holds
+    reduce               each reducer's groups in a std::map,
+                         src/worker.h:92-106; applyInPandas likewise
+                         materializes one group per call — prefer the
+                         algebraic operators in ``relational``/
+                         ``text_analysis`` when the reduce is expressible)
+    scheduling, RPC,  -> Spark DAG scheduler / task retry / speculation
+    stragglers           (configured in session.py; reference:
+                         src/master.h:217-256)
+
+Scale note: arbitrary Python reduce is the slow path by design (the
+reference has the same property — reduce sees all values of a key in
+memory).  The engine's algebraic operators cover every OSDI'04 pattern
+without Python; this layer exists for API parity and for genuinely
+custom reduce logic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MapFn = Callable[[str], Iterable[tuple[str, str]]]
+ReduceFn = Callable[[str, list[str]], Iterable[tuple[str, str]]]
+
+_KV_SCHEMA = "key string, value string"
+
+
+# ---------------------------------------------------------------- registry
+
+_TASK_FACTORY: dict[str, tuple[MapFn, ReduceFn]] = {}
+
+
+def register_tasks(user_id: str, map_fn: MapFn, reduce_fn: ReduceFn) -> bool:
+    """Mirror of ``register_tasks`` (mr_task_factory.cc:74-79): map a
+    user id to its mapper/reducer pair.  Returns False if already
+    registered (the reference refuses duplicates, mr_task_factory.cc:44)."""
+    if user_id in _TASK_FACTORY:
+        return False
+    _TASK_FACTORY[user_id] = (map_fn, reduce_fn)
+    return True
+
+
+def get_tasks(user_id: str) -> tuple[MapFn, ReduceFn]:
+    return _TASK_FACTORY[user_id]
+
+
+# ---------------------------------------------------------------- dataflow
+
+def map_reduce(
+    df: DataFrame,
+    map_fn: MapFn,
+    reduce_fn: ReduceFn,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Two-phase MapReduce over a single-string-column DataFrame.
+
+    ``df``'s first column is the record (the reference's newline-
+    delimited line, description.md:44).  Returns DataFrame[key, value]
+    hash-partitioned into ``num_partitions`` (the reference's R /
+    ``n_output_files``).
+    """
+    record_col = df.columns[0]
+
+    def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys: list[str] = []
+            vals: list[str] = []
+            for line in pdf[record_col]:
+                for k, v in map_fn(line):
+                    keys.append(k)
+                    vals.append(v)
+            yield pd.DataFrame({"key": keys, "value": vals})
+
+    mapped = df.mapInPandas(_map_batches, schema=_KV_SCHEMA)
+    # hash(key) % R — the reference's mr_tasks.h:48 partitioner.  The
+    # shuffle boundary this creates IS the map/reduce phase barrier.
+    partitioned = mapped.repartition(num_partitions, F.col("key"))
+
+    def _reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["key"].iloc[0]
+        keys: list[str] = []
+        vals: list[str] = []
+        for k, v in reduce_fn(key, pdf["value"].tolist()):
+            keys.append(k)
+            vals.append(v)
+        return pd.DataFrame({"key": keys, "value": vals})
+
+    return partitioned.groupBy("key").applyInPandas(_reduce_group, schema=_KV_SCHEMA)
+
+
+# ---------------------------------------------------------------- job spec
+
+@dataclass
+class JobSpec:
+    """The reference's ``MapReduceSpec`` (src/mapreduce_spec.h:12-20).
+
+    ``n_workers``/``worker_ipaddr_ports`` are accepted for config parity
+    but not used: Spark's scheduler owns worker placement.
+    ``map_kilobytes`` -> input split size; ``n_output_files`` -> R.
+    """
+
+    user_id: str
+    input_files: list[str] = field(default_factory=list)
+    output_dir: str = "."
+    n_output_files: int = 8
+    map_kilobytes: int = 500
+    n_workers: int = 0
+    worker_ipaddr_ports: list[str] = field(default_factory=list)
+
+
+def read_spec_from_config_file(path: str) -> JobSpec:
+    """Parse the reference's ``key=value`` config format
+    (src/mapreduce_spec.h:23-47; sample test/config.ini)."""
+    kv: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            k, _, v = line.partition("=")
+            kv[k.strip()] = v.strip()
+    return JobSpec(
+        user_id=kv.get("user_id", ""),
+        input_files=[p for p in kv.get("input_files", "").split(",") if p],
+        output_dir=kv.get("output_dir", "."),
+        n_output_files=int(kv.get("n_output_files", "8")),
+        map_kilobytes=int(kv.get("map_kilobytes", "500")),
+        n_workers=int(kv.get("n_workers", "0")),
+        worker_ipaddr_ports=[p for p in kv.get("worker_ipaddr_ports", "").split(",") if p],
+    )
+
+
+def validate_spec(spec: JobSpec) -> bool:
+    """Fail-fast checks mirroring validate_mr_spec
+    (src/mapreduce_spec.h:51-64)."""
+    import os
+
+    return bool(
+        spec.user_id
+        and spec.n_output_files > 0
+        and spec.map_kilobytes > 0
+        and spec.input_files
+        and all(os.path.isfile(p) for p in spec.input_files)
+    )
+
+
+def run_job(spark: SparkSession, spec: JobSpec) -> DataFrame:
+    """``MapReduce::run(config)`` equivalent (external/include/
+    mapreduce.h:8-20): read + validate spec, scan inputs, run the
+    registered map/reduce, write sorted partitioned text output.
+
+    Returns the result DataFrame (also materialized to
+    ``spec.output_dir``)."""
+    from ..sinks.textsink import write_sorted_kv_text
+    from ..sources.text import read_text_lines
+
+    if not validate_spec(spec):
+        raise ValueError(f"invalid job spec: {spec}")
+    map_fn, reduce_fn = get_tasks(spec.user_id)
+    lines = read_text_lines(spark, spec.input_files, shard_kilobytes=spec.map_kilobytes)
+    result = map_reduce(lines, map_fn, reduce_fn, num_partitions=spec.n_output_files)
+    write_sorted_kv_text(
+        result, spec.output_dir, spec.n_output_files, user_id=spec.user_id
+    )
+    return result
+
+
+# ----------------------------------------------------- shipped example UDFs
+
+# The reference's one registered query: word count under "cs6210"
+# (test/user_tasks.cc:9-59) — tokenize on the strtok delimiter class
+# " ,.\"'" (line 15), emit (token, "1"); reduce sums atoi'd values.
+_STRTOK_DELIMS = ' ,."\''
+
+
+def wordcount_map(line: str) -> Iterable[tuple[str, str]]:
+    token = []
+    for ch in line:
+        if ch in _STRTOK_DELIMS:
+            if token:
+                yield "".join(token), "1"
+                token = []
+        else:
+            token.append(ch)
+    if token:
+        yield "".join(token), "1"
+
+
+def wordcount_reduce(key: str, values: list[str]) -> Iterable[tuple[str, str]]:
+    yield key, str(sum(int(v) for v in values))
+
+
+register_tasks("wordcount", wordcount_map, wordcount_reduce)
+
+
+def word_count_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through the generic MapReduce engine — parity query
+    proving map_reduce() reproduces the built-in word_count exactly.
+    (Same DuckDB oracle as ``word_count``.)"""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text"))
+    map_fn, reduce_fn = get_tasks("wordcount")
+    kv = map_reduce(docs, map_fn, reduce_fn, num_partitions=8)
+    return kv.select(F.col("key").alias("word"), F.col("value").cast("long").alias("cnt"))

@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreduceinfrastructure_spark.operators import dedup as dd  # noqa: E402
 from mapreduceinfrastructure_spark.operators import mapreduce as mr  # noqa: E402
+from mapreduceinfrastructure_spark.operators import multimodal as mm  # noqa: E402
 from mapreduceinfrastructure_spark.operators import relational as rel  # noqa: E402
 from mapreduceinfrastructure_spark.operators import similarity as sim  # noqa: E402
 from mapreduceinfrastructure_spark.operators import text_analysis as ta  # noqa: E402
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": sim.embedding_neardup,
         "ann_lsh": sim.ann_lsh,
         "word_count_mr": mr.word_count_mr,
+        "multimodal_features": mm.multimodal_features,
     }
 
 
@@ -338,5 +340,11 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   hex(encode(text))[1:16] AS head_hex
+            FROM documents
         """,
     }

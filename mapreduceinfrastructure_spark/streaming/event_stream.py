@@ -1,0 +1,102 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference is strictly batch (hard map→reduce barrier,
+src/master.h:259-268); streaming is a capability extension per the
+north star.  The same event-session semantics as the batch
+``relational.sessionize`` operator, expressed as an unbounded query:
+watermark for late data, tumbling windows for rate aggregation,
+``session_window`` for gap-based sessions.
+
+Scale notes: both aggregations are keyed by (window/user) so state is
+sharded across executors by the state-store partitioner; the watermark
+bounds state size (late events beyond 1 hour are dropped rather than
+held forever).  For custom stateful logic beyond session_window,
+``applyInPandasWithState`` is the escape hatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet physical schema under nanosAsLong (ts: int64 nanos)
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (parquet file source discovers the
+    file(s); in production this is Kafka/queue — same downstream plan).
+
+    ts arrives as int64 nanoseconds (nanos-as-long read of the ns
+    parquet column) and is converted to a proper timestamp via
+    microsecond truncation, matching the batch path.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source wants a directory; select just events.parquet
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_windowed_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event type with a 1-hour watermark:
+    count + total value.  Append-mode compatible (watermarked)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def streaming_session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions via the built-in session_window — the
+    streaming twin of batch ``relational.sessionize``."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming query over the available (finite) input to
+    completion and return the materialized result — the local smoke
+    path; production uses a real sink + trigger."""
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,47 @@
+"""Multimodal binary-column plumbing: schema, Arrow batch shape, stubbed
+decode, frame-sample explode."""
+
+from __future__ import annotations
+
+from mapreduceinfrastructure_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample,
+    make_media_table,
+)
+
+
+def test_media_table_schema(spark, sf_dir):
+    media = make_media_table(spark, sf_dir)
+    types = dict(media.dtypes)
+    assert types["media"] == "binary"
+    assert types["media_type"] == "string"
+    assert types["meta"].startswith("struct")
+
+
+def test_extract_features_deterministic(spark, sf_dir):
+    media = make_media_table(spark, sf_dir)
+    feats = extract_features(media)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    n_docs = media.count()
+    assert len(rows) == n_docs
+    again = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert rows == again  # fake decode is deterministic
+    r0 = next(iter(rows.values()))
+    assert r0["n_bytes"] > 0 and len(r0["head_hex"]) == 16
+    assert r0["width"] >= 1 and r0["height"] >= 1
+    assert 0.0 <= r0["byte_mean"] <= 255.0
+
+
+def test_decode_stub_contract():
+    w, h = decode_image(b"x" * 1000)
+    assert w >= 1 and h >= 1
+    assert decode_image(b"x" * 1000) == (w, h)
+
+
+def test_frame_sample_explodes(spark, sf_dir):
+    media = make_media_table(spark, sf_dir).limit(10)
+    frames = frame_sample(media, every_n_bytes=50)
+    pdf = frames.toPandas()
+    assert (pdf.frame_offset % 50 == 0).all()
+    assert pdf.groupby("doc_id").size().min() >= 1

@@ -1,0 +1,60 @@
+"""Structured Streaming smoke: drive finite parquet input through the
+streaming plans to completion via the memory sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduceinfrastructure_spark.streaming.event_stream import (
+    read_events_stream,
+    run_stream_to_memory,
+    streaming_session_agg,
+    streaming_windowed_counts,
+)
+
+
+def test_streaming_windowed_counts(spark, sf_dir):
+    events = read_events_stream(spark, sf_dir)
+    assert events.isStreaming
+    out = run_stream_to_memory(
+        spark, streaming_windowed_counts(events), "win_counts", output_mode="complete"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # total events across windows == table row count
+    batch_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n"] for r in rows) == batch_n
+    assert {r["event_type"] for r in rows} <= {"click", "view", "purchase", "signup", "error"}
+
+
+def test_streaming_sessions_match_batch_total(spark, sf_dir):
+    """Session row totals must cover every event exactly once."""
+    events = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        spark, streaming_session_agg(events), "sess", output_mode="complete"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    batch_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == batch_n
+    # sessions are per-user and non-overlapping per user
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["session_start"])
+    for starts in per_user.values():
+        assert len(starts) == len(set(starts))
+
+
+def test_streaming_session_count_close_to_batch(spark, sf_dir):
+    """session_window(30m) should produce the same session count as the
+    batch lag/cumsum sessionizer (both split at >30-min gaps)."""
+    from mapreduceinfrastructure_spark.operators.relational import sessionize
+
+    batch_sessions = sessionize(spark, sf_dir).count()
+    events = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        spark, streaming_session_agg(events), "sess2", output_mode="complete"
+    )
+    stream_sessions = out.count()
+    # boundary semantics differ only when a gap is exactly 30:00.000000
+    assert abs(stream_sessions - batch_sessions) <= 2

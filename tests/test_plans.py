@@ -1,0 +1,84 @@
+"""Physical-plan invariants — the scale contract.
+
+These assert what makes the operators viable at 100 TB: filters reach
+the parquet scan, scans read only needed columns, dimension joins
+broadcast instead of shuffling the fact side, and shuffle counts don't
+regress.  A change that silently breaks one of these passes correctness
+tests but dies at scale; this file is where it fails instead.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from mapreduceinfrastructure_spark.plans.explain import (
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+
+QUERIES = entrymod.queries()
+
+
+def test_filter_pushdown_key_stats(spark, sf_dir):
+    df = QUERIES["key_stats"](spark, sf_dir)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # column pruning: only the 6 needed of lineitem's 11 columns
+    (cols,) = read_schema_columns(df)
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate",
+    }
+    assert shuffle_count(df) == 1  # one hash-agg exchange, partials map-side
+
+
+def test_filter_pushdown_select_project(spark, sf_dir):
+    df = QUERIES["select_project"](spark, sf_dir)
+    fs = pushed_filters(df)
+    assert any("l_discount" in f for f in fs) and any("l_quantity" in f for f in fs)
+    assert shuffle_count(df) == 0  # pure scan→project, no exchange
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    df = QUERIES["join_revenue_by_nation"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    # only the customer⋈orders equi-join may shuffle; dims ride broadcast
+    assert shuffle_count(df) <= 2
+    scans = read_schema_columns(df)
+    assert {"o_custkey", "o_totalprice"} in scans  # orders scan pruned to 2 cols
+
+
+def test_semi_anti_broadcast_no_shuffle(spark, sf_dir):
+    for name in ("join_semi", "join_anti"):
+        df = QUERIES[name](spark, sf_dir)
+        assert has_broadcast_join(df), name
+        assert shuffle_count(df) == 0, name
+
+
+def test_single_shuffle_aggregations(spark, sf_dir):
+    """One shuffle each: partial agg runs map-side (the combiner the
+    reference lacks), and sessionize reuses one user_id exchange for
+    both window passes and the final agg."""
+    for name in ("word_count", "key_count", "histogram", "sessionize", "topk_per_group"):
+        df = QUERIES[name](spark, sf_dir)
+        assert shuffle_count(df) == 1, name
+
+
+def test_global_topk_no_shuffle(spark, sf_dir):
+    # orderBy+limit must compile to TakeOrderedAndProject, not a sort
+    df = QUERIES["topk_global"](spark, sf_dir)
+    assert shuffle_count(df) == 0
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_similarity_broadcasts_queries(spark, sf_dir):
+    for name in ("cosine_topk", "ann_lsh", "embedding_neardup"):
+        df = QUERIES[name](spark, sf_dir)
+        assert has_broadcast_join(df), name
+
+
+def test_word_count_reads_only_text(spark, sf_dir):
+    (cols,) = read_schema_columns(QUERIES["word_count"](spark, sf_dir))
+    assert cols == {"text"}

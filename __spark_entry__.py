@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from mapreduceinfrastructure_spark.operators import advanced as adv  # noqa: E402
 from mapreduceinfrastructure_spark.operators import dedup as dd  # noqa: E402
 from mapreduceinfrastructure_spark.operators import mapreduce as mr  # noqa: E402
 from mapreduceinfrastructure_spark.operators import multimodal as mm  # noqa: E402
@@ -87,6 +88,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": sim.ann_lsh,
         "word_count_mr": mr.word_count_mr,
         "multimodal_features": mm.multimodal_features,
+        "except_op": adv.except_op,
+        "cube_pricing": adv.cube_pricing,
+        "unpivot_measures": adv.unpivot_measures,
+        "percentile_by_brand": adv.percentile_by_brand,
+        "approx_distinct_users": adv.approx_distinct_users,
+        "json_extract_agg": adv.json_extract_agg,
+        "scalar_funcs": adv.scalar_funcs,
+        "prior_order": adv.prior_order,
+        "asof_join": adv.asof_join,
+        "range_join_events": adv.range_join_events,
     }
 
 
@@ -346,5 +357,77 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    hex(encode(text))[1:16] AS head_hex
             FROM documents
+        """,
+        "except_op": """
+            SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "cube_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "unpivot_measures": """
+            SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        """,
+        "percentile_by_brand": """
+            SELECT p_brand,
+                   round(quantile_cont(p_retailprice, 0.25), 6) AS p25,
+                   round(quantile_cont(p_retailprice, 0.5), 6) AS p50,
+                   round(quantile_cont(p_retailprice, 0.75), 6) AS p75,
+                   count(*) AS cnt
+            FROM part GROUP BY p_brand
+        """,
+        "json_extract_agg": """
+            WITH e AS (
+              SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+            )
+            SELECT event_type,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k, count(k) AS n
+            FROM e GROUP BY event_type
+        """,
+        "scalar_funcs": """
+            SELECT o_orderkey,
+                   year(o_orderdate) AS yr,
+                   month(o_orderdate) AS mo,
+                   upper(substring(o_orderpriority, 3, 20)) AS prio,
+                   length(o_orderstatus) AS status_len,
+                   round(abs(o_totalprice - 1000.0), 2) AS abs_delta,
+                   o_orderkey % 7 AS key_mod,
+                   concat_ws('-', o_orderstatus, o_orderpriority) AS tag
+            FROM orders
+        """,
+        "prior_order": """
+            SELECT o_custkey, o_orderkey,
+                   lag(o_orderkey) OVER w AS prev_orderkey,
+                   date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "asof_join": """
+            WITH j AS (
+              SELECT e.event_id, e.user_id, o.o_orderkey,
+                     epoch_us(o.o_orderdate) AS order_us,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                     ) AS rn
+              FROM events e
+              JOIN orders o ON o.o_custkey = e.user_id
+                           AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+            )
+            SELECT event_id, user_id, o_orderkey, order_us FROM j WHERE rn = 1
+        """,
+        "range_join_events": """
+            WITH ev AS (SELECT event_id, user_id AS u, epoch_us(ts) AS t FROM events)
+            SELECT a.u, a.event_id AS ea, b.event_id AS eb, b.t - a.t AS gap_us
+            FROM ev a JOIN ev b
+              ON a.u = b.u AND b.t > a.t AND b.t - a.t <= 300000000
         """,
     }

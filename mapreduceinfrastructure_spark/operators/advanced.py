@@ -1,0 +1,203 @@
+"""Advanced relational patterns beyond the reference's own catalog —
+operators Spark lacks as single primitives (as-of join, banded range
+join) plus the remaining §2.3 categories (EXCEPT, cube, unpivot, exact
+percentiles, JSON extraction, scalar-function catalog).
+
+Scale notes (100 TB design point):
+- ``asof_join`` is equi-key join + per-left-row row_number — shuffles
+  on the equi key only; never a cross product.  For keyless as-of use
+  range bucketing first.
+- ``range_join_events`` implements the banded-join pattern: bucketize
+  the range key, equi-join on (key, bucket) ∪ (key, bucket+1), then
+  filter the exact range — turns an O(n²) interval join into a few
+  equi-shuffles.  This is what keeps self range joins feasible at scale.
+- ``percentile_by_brand`` uses exact percentile (sort-based per group);
+  at 100 TB switch to percentile_approx (t-digest, mergeable sketch) —
+  both are shown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+RANGE_BAND_US = 300_000_000  # 5 minutes in microseconds
+
+
+def except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): positive-balance customers that never ordered
+    with urgent priority."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = customer.filter(F.col("c_acctbal") > 1000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return rich.exceptAll(urgent.distinct()).distinct()
+
+
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): lineitem measures as (measure, value) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+            "'discount', l_discount) AS (measure, val)"
+        ),
+    )
+
+
+def percentile_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of retail price per brand (linear interpolation,
+    identical definition to DuckDB's quantile_cont)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.round(F.expr("percentile(p_retailprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(p_retailprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(p_retailprice, 0.75)"), 6).alias("p75"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HLL++) per event type — the mergeable-sketch
+    path for 100 TB cardinality work.  HLL implementations differ across
+    engines, so this is a rows-only check; the exact twin is
+    ``relational.distinct_count``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.round(F.expr("percentile_approx(value, 0.5, 1000)"), 2).alias("approx_median_value"),
+    )
+
+
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation over events.props
+    (semi-structured column → typed value, the ETL staple)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n"),
+        )
+    )
+
+
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function catalog sampler: date parts, string ops, math —
+    each must match ANSI semantics in DuckDB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.upper(F.substring("o_orderpriority", 3, 20)).alias("prio"),
+        F.length("o_orderstatus").cast("long").alias("status_len"),
+        F.round(F.abs(F.col("o_totalprice") - 1000.0), 2).alias("abs_delta"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+    )
+
+
+def prior_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer previous order (lag) and gap in days — the self
+    as-of pattern every SCD/timeline pipeline needs."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_key = F.lag("o_orderkey").over(w)
+    prev_date = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        prev_key.alias("prev_orderkey"),
+        F.datediff(F.col("o_orderdate"), prev_date).cast("long").alias("gap_days"),
+    )
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the customer's most recent
+    order at event time (equi-join on key, backward-nearest on time).
+
+    Spark has no native as-of; the scalable composition is equi-join on
+    the key (one shuffle), then row_number per left row ordered by the
+    time delta.  Events are 2024, orders ≤2001, so every order
+    qualifies and the match is each customer's latest order — the
+    degenerate case exercises exactly the same plan.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    j = events.join(orders, events.user_id == orders.o_custkey).filter(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")) <= F.col("ts_us")
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_us"))
+    )
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded self range join: pairs of same-user events within 5 min.
+
+    The naive form is an O(n²) interval join; the scale pattern
+    bucketizes time into 5-min bands and equi-joins on (user, band) and
+    (user, band+1), then applies the exact range filter — candidate
+    pairs are bounded by band occupancy, not table size.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    band = F.expr(f"ts_us div {RANGE_BAND_US}")
+    a = ev.select(
+        F.col("event_id").alias("ea"),
+        F.col("user_id").alias("u"),
+        F.col("ts_us").alias("ta"),
+        band.alias("band"),
+    )
+    # right side appears in its own band and the next (events later than
+    # a by < one band can only live there)
+    b_base = ev.select(
+        F.col("event_id").alias("eb"),
+        F.col("user_id").alias("u"),
+        F.col("ts_us").alias("tb"),
+        band.alias("band0"),
+    )
+    b = b_base.select("eb", "u", "tb", F.col("band0").alias("band")).union(
+        b_base.select("eb", "u", "tb", (F.col("band0") - 1).alias("band"))
+    )
+    pairs = a.join(b, ["u", "band"]).filter(
+        (F.col("tb") > F.col("ta")) & (F.col("tb") - F.col("ta") <= RANGE_BAND_US)
+    )
+    # no dedup needed: b rides in exactly one of (band0, band0-1) per match
+    return pairs.select("u", "ea", "eb", (F.col("tb") - F.col("ta")).alias("gap_us"))

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_expr
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 
 # Shingles appearing in more than this many docs are dropped from the
 # jaccard candidate join (stopword-shingle cap; keeps the self-join from
@@ -37,7 +37,7 @@ HOT_SHINGLE_DF_CAP = 1000
 
 def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     toks = docs.select("doc_id", tokens_expr("text").alias("t"))
     shingle = F.when(
         F.size("t") >= n,
@@ -105,14 +105,16 @@ MINHASH_BANDS = 8
 MINHASH_ROWS = 4
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig: array<long>) — k=32 minhash signature from 3-word
     shingles; hash_i(s) = xxhash64(s, seed=i) minimized per doc.
 
     One explode + one groupBy: at scale this is a single shuffle of
     (doc_id, 32 longs) — constant size per doc regardless of doc length.
     """
-    sh = _shingles(spark, sf_dir)
+    sh = shingles if shingles is not None else _shingles(spark, sf_dir)
     k = MINHASH_BANDS * MINHASH_ROWS
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)
@@ -130,8 +132,14 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band hash become candidates (map: emit (band_id ++ band_hash,
     doc_id); reduce: pair).  Only candidates get the exact verify —
     the self-join is on band buckets, never all-pairs.
+
+    The shingle table feeds signature generation AND the verify joins.
+    Locally the re-scan is cheaper than persisting (measured); at 100 TB
+    persist()/checkpoint the (doc_id, shingle) projection here instead —
+    the shared lineage below makes that a one-line change.
     """
-    sigs = minhash_signatures(spark, sf_dir)
+    sh_cached = _shingles(spark, sf_dir)
+    sigs = minhash_signatures(spark, sf_dir, shingles=sh_cached)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -163,8 +171,8 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    # exact verify on candidates only
-    sh = _shingles(spark, sf_dir)
+    # exact verify on candidates only (reuses the cached shingle table)
+    sh = sh_cached
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("s"))
     sb = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("s"))
@@ -189,7 +197,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±1 votes over tokens; simhash bit i = majority.  No shuffle at all
     (the sketch is computed inside a single projection).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     toks = tokens_expr("text")
     expr = """
       aggregate(

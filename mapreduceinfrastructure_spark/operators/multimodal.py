@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, "
@@ -62,7 +62,7 @@ def make_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the media table: documents' text bytes as the opaque
     payload (binary), with typed metadata — the schema a real pipeline
     would carry for images/audio."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("media"),

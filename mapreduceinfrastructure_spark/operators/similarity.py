@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from ..functions.vector import cosine_similarity_expr
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 
 EMBED_DIM = 64
 N_PLANES = 16
@@ -33,7 +33,7 @@ N_QUERIES = 50
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    return fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import bigrams_expr, tokens_expr
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 
 # Tiny embedded English stopword list used by the language-ID heuristic
 # and quality scorer.  Must stay in sync with the inline list in the
@@ -34,6 +34,9 @@ EN_STOPWORDS = (
 
 
 def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no fan_out: tokenize+explode is cheap relative to an extra shuffle
+    # of the raw text (measured at sf0.1); the agg after explode already
+    # parallelizes the expensive part.
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", tokens_expr("text").alias("tokens"))
 

@@ -44,3 +44,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so operators can use spark.sql."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out(df: DataFrame, spark: SparkSession, min_ratio: float = 0.5) -> DataFrame:
+    """Ensure CPU-heavy narrow pipelines (tokenize/explode/vector math)
+    get full parallelism when the source has too few input splits.
+
+    Small/single-row-group parquet files scan as one task, serializing
+    everything up to the first shuffle.  If the scan parallelism is
+    below ``min_ratio × defaultParallelism``, round-robin repartition to
+    the core count — a cheap shuffle of the narrow projection.  With
+    properly sized inputs (any real multi-row-group dataset, e.g. at
+    100 TB) the condition is false and this is a no-op, so the scale
+    plan never pays the extra exchange.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
+        return df.repartition(target)
+    return df

@@ -26,6 +26,7 @@ from mapreduceinfrastructure_spark.operators import multimodal as mm  # noqa: E4
 from mapreduceinfrastructure_spark.operators import relational as rel  # noqa: E402
 from mapreduceinfrastructure_spark.operators import similarity as sim  # noqa: E402
 from mapreduceinfrastructure_spark.operators import text_analysis as ta  # noqa: E402
+from mapreduceinfrastructure_spark.operators import tpch  # noqa: E402
 
 # Delimiter class inside a SQL single-quoted string (the ' is doubled).
 _D = "'[ ,.\"'']'"
@@ -98,6 +99,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prior_order": adv.prior_order,
         "asof_join": adv.asof_join,
         "range_join_events": adv.range_join_events,
+        "union_all_op": adv.union_all_op,
+        "window_funcs_catalog": adv.window_funcs_catalog,
+        "scalar_subquery": adv.scalar_subquery,
+        "skew_safe_distinct": adv.skew_safe_distinct,
+        "token_positions": adv.token_positions,
+        "tpch_q3": tpch.tpch_q3,
+        "tpch_q5": tpch.tpch_q5,
+        "tpch_q6": tpch.tpch_q6,
     }
 
 
@@ -429,5 +438,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.u, a.event_id AS ea, b.event_id AS eb, b.t - a.t AS gap_us
             FROM ev a JOIN ev b
               ON a.u = b.u AND b.t > a.t AND b.t - a.t <= 300000000
+        """,
+        "union_all_op": """
+            WITH t AS (
+              SELECT 'order' AS src, o_totalprice AS amount FROM orders
+              UNION ALL
+              SELECT 'lineitem', l_extendedprice FROM lineitem
+            )
+            SELECT src, round(sum(amount), 2) AS total, count(*) AS n
+            FROM t GROUP BY src
+        """,
+        "window_funcs_catalog": """
+            SELECT o_custkey, o_orderkey,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   ntile(4) OVER w AS quartile,
+                   lead(o_orderkey) OVER w AS next_orderkey,
+                   percent_rank() OVER w AS pct_rank,
+                   first_value(o_orderkey) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS first_orderkey
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "scalar_subquery": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """,
+        "skew_safe_distinct": """
+            WITH p AS (
+              SELECT event_type, user_id, count(*) AS n
+              FROM events GROUP BY event_type, user_id
+            )
+            SELECT event_type, count(*) AS n_users,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM p GROUP BY event_type
+        """,
+        "token_positions": f"""
+            {_SQL_TOKS}
+            SELECT doc_id, i AS pos, t[i] AS token
+            FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1996-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        """,
+        "tpch_q5": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
     }

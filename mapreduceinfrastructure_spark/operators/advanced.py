@@ -201,3 +201,82 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # no dedup needed: b rides in exactly one of (band0, band0-1) per match
     return pairs.select("u", "ea", "eb", (F.col("tb") - F.col("ta")).alias("gap_us"))
+
+
+def union_all_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (the reference's multi-file input concat,
+    file_shard.h:23): orders and lineitem as one tall transactions table,
+    aggregated per source."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit("order").alias("src"), F.col("o_totalprice").alias("amount")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("src"), F.col("l_extendedprice").alias("amount")
+    )
+    return (
+        orders.unionAll(li)
+        .groupBy("src")
+        .agg(F.round(F.sum("amount"), 2).alias("total"), F.count("*").alias("n"))
+    )
+
+
+def window_funcs_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function catalog: rank/dense_rank/ntile/lead/percent_rank/
+    first_value over a deterministic per-customer order timeline."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.first_value("o_orderkey").over(wf).alias("first_orderkey"),
+    )
+
+
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: customers with above-average balance.
+    The scalar aggregate rides a broadcast cross join (one row)."""
+    customer = load_table(spark, sf_dir, "customer")
+    avg_bal = customer.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct count: two-phase aggregation.
+
+    event_type has ~5 hot values — a direct countDistinct shuffles every
+    row to 5 reducers.  Phase 1 groups by (key, value) — cardinality
+    spreads over all partitions — phase 2 counts per key.  This is the
+    salting pattern for the case where the salt is the value itself;
+    Spark's partial aggregation makes phase 1 map-side-combined too.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = load_table(spark, sf_dir, "events")
+    pairs = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token with its 1-based position per document (the
+    UDTF shape — one input row to N indexed output rows)."""
+    from ..functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.posexplode(tokens_expr("text")).alias("pos", "token"))
+        .select("doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "token")
+    )

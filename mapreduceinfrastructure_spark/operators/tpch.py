@@ -1,0 +1,90 @@
+"""Recognizable TPC-H-shaped benchmark queries over the driver tables.
+
+The reference has no benchmark suite (BASELINE.md: none published);
+these standard shapes make throughput comparable against any engine.
+Q1 lives in ``relational.key_stats``; here: Q3 (shipping priority),
+Q5 (local supplier volume), Q6 (forecast revenue).  Columns the driver
+tables lack (mktsegment filter dates, regions) are adapted to the
+synthetic schema; shapes and join graphs are faithful.
+
+Scale notes: Q3/Q5 shuffle facts only on join keys, dims broadcast;
+Q6 is scan+filter+agg — pushdown leaves nothing but the sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: top unshipped-revenue orders for a segment."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: revenue by nation where the supplier and
+    customer share the nation (the 6-way TPC-H join graph)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue change: scan + pushed filters + one sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )

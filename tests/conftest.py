@@ -18,7 +18,14 @@ TEST_CPUS = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="mri-spark-tests", cpus=TEST_CPUS, shuffle_partitions=TEST_CPUS)
+    import tempfile
+
+    s = get_spark(
+        app_name="mri-spark-tests",
+        cpus=TEST_CPUS,
+        shuffle_partitions=TEST_CPUS,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="mri_wh_")},
+    )
     yield s
     s.stop()
 

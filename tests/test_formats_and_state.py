@@ -1,0 +1,102 @@
+"""Format round-trips, partitioned/bucketed sinks, stateful streaming,
+and robustness-parity session conf."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from mapreduceinfrastructure_spark.sinks.formats import (
+    read_csv,
+    read_json,
+    write_bucketed_table,
+    write_csv,
+    write_json,
+    write_partitioned_parquet,
+)
+from mapreduceinfrastructure_spark.sources.tables import load_table
+
+
+def _nation(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation")
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    nation = _nation(spark, sf_dir)
+    path = str(tmp_path / "nation_csv")
+    write_csv(nation, path)
+    back = read_csv(spark, path, "n_nationkey int, n_name string, n_regionkey int")
+    assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_json_round_trip(spark, sf_dir, tmp_path):
+    nation = _nation(spark, sf_dir)
+    path = str(tmp_path / "nation_json")
+    write_json(nation, path)
+    back = read_json(spark, path, "n_nationkey int, n_name string, n_regionkey int")
+    assert sorted(back.select("n_nationkey", "n_name", "n_regionkey").collect()) == sorted(
+        nation.collect()
+    )
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    write_partitioned_parquet(orders.withColumn("yr", F.year("o_orderdate")), path, "yr")
+    # hive layout exists
+    assert glob.glob(f"{path}/yr=*"), "no partition dirs"
+    back = spark.read.parquet(path).filter(F.col("yr") == 1997)
+    # partition pruning: only the yr=1997 dir is scanned
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    assert back.count() == orders.filter(F.year("o_orderdate") == 1997).count()
+    assert "PartitionFilters: [isnotnull(yr#" in formatted_plan(back) or "yr=1997" in formatted_plan(back)
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    from mapreduceinfrastructure_spark.plans.explain import shuffle_count
+
+    orders = load_table(spark, sf_dir, "orders").limit(1000)
+    write_bucketed_table(orders, "orders_b", "o_custkey", 4)
+    t = spark.table("orders_b")
+    joined = t.alias("a").join(t.alias("b"), "o_custkey")
+    # bucketed-on-key self join: no exchange needed on either side
+    assert shuffle_count(joined) == 0
+    assert joined.count() > 0
+
+
+def test_stateful_streaming_profiles(spark, sf_dir):
+    from mapreduceinfrastructure_spark.streaming.event_stream import (
+        _EVENTS_SCHEMA,
+        run_stream_to_memory,
+    )
+    from mapreduceinfrastructure_spark.streaming.stateful import streaming_user_profiles
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = run_stream_to_memory(
+        spark, streaming_user_profiles(raw), "profiles", output_mode="update"
+    )
+    rows = {r["user_id"]: r for r in out.collect()}
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+    )
+    for b in batch.collect():
+        assert rows[b["user_id"]]["n_events"] == b["n"]
+        assert abs(rows[b["user_id"]]["total_value"] - b["tv"]) < 0.02
+
+
+def test_robustness_parity_conf(spark):
+    """The reference's straggler/failure machinery (master.h:217-256) as
+    Spark conf — assert the session actually carries it."""
+    assert spark.conf.get("spark.task.maxFailures") == "4"
+    assert spark.conf.get("spark.speculation") == "true"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

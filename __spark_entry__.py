@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery": adv.scalar_subquery,
         "skew_safe_distinct": adv.skew_safe_distinct,
         "token_positions": adv.token_positions,
+        "dedup_clusters": dd.dedup_clusters,
         "tpch_q3": tpch.tpch_q3,
         "tpch_q5": tpch.tpch_q5,
         "tpch_q6": tpch.tpch_q6,
@@ -500,6 +501,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY n_name
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, {_D}), x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+              FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT da, db
+              FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+              WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5
+            ),
+            edges AS (
+              SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs
+            ),
+            walk(node, label) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM walk GROUP BY node
         """,
         "tpch_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,

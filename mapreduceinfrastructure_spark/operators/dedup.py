@@ -213,3 +213,55 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     """
     return docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"), F.expr(expr).alias("simhash"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the exact-Jaccard
+    pair graph (threshold 0.5), labeled by the minimum doc_id.
+
+    The iterative algorithm class: min-label propagation to fixpoint —
+    each round, every node takes the min label among itself and its
+    neighbors; a driver loop re-joins until no label changes.  Rounds
+    needed = graph diameter (near-dup graphs are shallow); each round is
+    one shuffle on node id.  At 100 TB scale swap in the large-star/
+    small-star variant (same join shape, fewer rounds on long chains).
+    """
+    pairs = ngram_jaccard_neardup(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    edges = (
+        pairs.select(F.col("da").alias("a"), F.col("db").alias("b"))
+        .union(pairs.select(F.col("db").alias("a"), F.col("da").alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    edges = edges.persist()
+    labels = labels.persist()
+    for _ in range(20):  # diameter bound; near-dup graphs are shallow
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

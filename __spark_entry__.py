@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_safe_distinct": adv.skew_safe_distinct,
         "token_positions": adv.token_positions,
         "dedup_clusters": dd.dedup_clusters,
+        "join_outer": adv.join_outer,
+        "map_explode": adv.map_explode,
+        "time_rollup": adv.time_rollup,
         "tpch_q3": tpch.tpch_q3,
         "tpch_q5": tpch.tpch_q5,
         "tpch_q6": tpch.tpch_q6,
@@ -439,6 +442,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.u, a.event_id AS ea, b.event_id AS eb, b.t - a.t AS gap_us
             FROM ev a JOIN ev b
               ON a.u = b.u AND b.t > a.t AND b.t - a.t <= 300000000
+        """,
+        "join_outer": """
+            SELECT c_custkey,
+                   coalesce(u.n_urgent, 0) AS n_urgent,
+                   coalesce(u.urgent_total, 0.0) AS urgent_total
+            FROM customer
+            LEFT JOIN (
+              SELECT o_custkey, count(*) AS n_urgent,
+                     round(sum(o_totalprice), 2) AS urgent_total
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+              GROUP BY o_custkey
+            ) u ON c_custkey = u.o_custkey
+        """,
+        "map_explode": """
+            WITH kv AS (
+              SELECT u.k AS k, CAST(json_extract(props, '$.' || u.k) AS BIGINT) AS v
+              FROM events, unnest(json_keys(props)) AS u(k)
+            )
+            SELECT k, count(*) AS n,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   min(v) AS min_v, max(v) AS max_v
+            FROM kv GROUP BY k
+        """,
+        "time_rollup": """
+            SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS total_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY bucket_us, event_type
         """,
         "union_all_op": """
             WITH t AS (

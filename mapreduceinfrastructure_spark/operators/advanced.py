@@ -280,3 +280,59 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.posexplode(tokens_expr("text")).alias("pos", "token"))
         .select("doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "token")
     )
+
+
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join flavors: per-customer order stats with left-join null
+    semantics (customers keep a row even with no urgent orders)."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_urgent"), F.round(F.sum("o_totalprice"), 2).alias("urgent_total"))
+    )
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n_urgent"), F.lit(0)).alias("n_urgent"),
+            F.coalesce(F.col("urgent_total"), F.lit(0.0)).alias("urgent_total"),
+        )
+    )
+
+
+def map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType column path: parse events.props JSON into map<string,long>,
+    explode to (key, value) rows, aggregate per key — the
+    semi-structured → typed-map → relational round trip."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    kv = events.select(F.explode(m).alias("k", "v"))
+    return kv.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: 1-hour time buckets per
+    event type (date_trunc + hash agg; at scale this materializes
+    incrementally via the streaming twin in streaming/event_stream.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = load_table(spark, sf_dir, "events")
+    bucket_us = (F.expr("ts div 1000") - (F.expr("ts div 1000") % F.lit(3_600_000_000))).alias(
+        "bucket_us"
+    )
+    return (
+        events.select(bucket_us, "event_type", "value")
+        .groupBy("bucket_us", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": sim.cosine_topk,
         "embedding_neardup": sim.embedding_neardup,
         "ann_lsh": sim.ann_lsh,
+        "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
         "multimodal_features": mm.multimodal_features,
         "except_op": adv.except_op,

@@ -82,18 +82,23 @@ def _hyperplanes() -> list[list[float]]:
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: 16-bit signature buckets, then
-    exact cosine within buckets, top-5 per query.
+    """ANN via banded random-hyperplane LSH: 8 tables of 4-bit signatures.
 
-    The scale path for similarity search: the corpus self-join becomes
-    a bucket-equality join (shuffle on bucket id), and each bucket is
-    small.  Recall < 1 by construction (rows-only check; the exact
-    baseline is ``cosine_topk``).
+    A single long signature has vanishing recall (all bits must agree);
+    the standard multi-table banding trades one bucket join for L=8
+    smaller ones: P(candidate) = 1-(1-p^4)^8 with p = 1 - angle/pi,
+    ~0.8 for cosine≈0.5 neighbors.  Each vector emits 8 (table, bucket)
+    keys; candidates join on them, are deduped, then exact-cosine
+    ranked top-5 per query.  Recall < 1 by construction (rows-only
+    check; exact baseline is ``cosine_topk``).
     """
+    BITS_PER_TABLE = 4
+    N_TABLES = 8
     emb = _embeddings(spark, sf_dir)
-    planes = _hyperplanes()
-    sig_bits = [
-        F.when(
+    planes = _hyperplanes()  # 16 planes; tables reuse 4 at a time cyclically
+
+    def bit(plane):
+        return F.when(
             F.aggregate(
                 F.zip_with(
                     F.col("v"),
@@ -106,16 +111,111 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 0,
             F.lit(1),
         ).otherwise(F.lit(0))
-        for plane in planes
-    ]
-    bucket = sum(
-        (bit * (2**i) for i, bit in enumerate(sig_bits)), start=F.lit(0)
+
+    bits = [bit(p) for p in planes]
+    tables = []
+    for t in range(N_TABLES):
+        idx = [(t * BITS_PER_TABLE + j) % len(bits) for j in range(BITS_PER_TABLE)]
+        bucket = sum((bits[i] * (2 ** j) for j, i in enumerate(idx)), start=F.lit(0))
+        tables.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+    keyed = emb.select(
+        "vec_id", "v", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "v", "tb.tbl", "tb.bucket")
+    q = keyed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "tbl", "bucket"
     )
-    sig = emb.withColumn("bucket", bucket)
-    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
+    cand = (
+        keyed.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", "vec_id", "v")
+        .distinct()
     )
-    cand = sig.join(F.broadcast(q), ["bucket"]).filter(F.col("vec_id") != F.col("qid"))
+    sim = cosine_similarity_expr(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("qid", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id", F.round("sim", 6).alias("cosine"), "rn")
+    )
+
+
+N_CLUSTERS_MOD = 40  # deterministic seed centroids: vec_id % 40 == 0
+LLOYD_ITERATIONS = 2
+NPROBE = 2
+
+
+def _sq_dist(a, b):
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str):
+    """IVF index build: deterministic seed centroids (every 40th vector)
+    refined by 2 Lloyd iterations, then nearest-centroid assignment.
+
+    All DataFrame ops: assignment is a broadcast cross join + window
+    argmin (one pass over the corpus per iteration); the centroid update
+    is posexplode → per-(cluster, dim) mean → re-collect, i.e. two
+    shuffles of (k × dim) rows — independent of corpus size.
+    Returns (assign_df, centroids_df).
+    """
+    emb = _embeddings(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % N_CLUSTERS_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(LLOYD_ITERATIONS):
+        pairs = emb.crossJoin(F.broadcast(cents)).withColumn(
+            "d2", _sq_dist(F.col("v"), F.col("cv"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+        assign = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+        # centroid update: element-wise mean per cluster
+        dims = assign.select("cid", F.posexplode("v").alias("pos", "x"))
+        means = dims.groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+        cents = (
+            means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform(F.col("pm"), lambda s: s["m"]).alias("cv"))
+        )
+    pairs = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _sq_dist(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    return assign, cents
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF: search only the nprobe=2 nearest clusters per query.
+
+    The other scale path next to ``ann_lsh``: corpus is bucketed by
+    nearest centroid; each query scans ~nprobe/k of the corpus.  Recall
+    < 1 by construction (rows-only check; exact baseline cosine_topk).
+    """
+    assign, cents = ivf_assignments(spark, sf_dir)
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    # nprobe nearest centroids per query
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _sq_dist(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select("qid", "qv", "cid")
+    )
+    cand = probes.join(assign, "cid").filter(F.col("vec_id") != F.col("qid"))
     sim = cosine_similarity_expr(F.col("qv"), F.col("v"))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

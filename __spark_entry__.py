@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": ta.language_id,
         "quality_score": ta.quality_score,
         "fingerprint": ta.fingerprint,
+        "bpe_token_count": ta.bpe_token_count,
+        "rolling_fingerprint": ta.rolling_fingerprint,
         "key_count": rel.key_count,
         "key_stats": rel.key_stats,
         "select_project": rel.select_project,
@@ -191,6 +193,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": r"""
             SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                       x -> length(x) > 0)) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "rolling_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                     (h, c) -> (h * 31 + c) % 1000000007) AS rk_hash
             FROM documents
         """,
         "key_count": """

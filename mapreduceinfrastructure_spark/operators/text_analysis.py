@@ -190,3 +190,29 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways the brief names: whitespace tokens and a
+    BPE-ish regex tokenization (\\w+ runs | single non-space symbols) —
+    the pre-tokenizer shape GPT-style BPE vocabularies assume."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", r"\s+"), lambda x: F.length(x) > 0)
+    bpe = F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash (Rabin-Karp, base 31 mod 1e9+7) over the
+    document characters — the incremental fingerprint the brief names,
+    computed entirely JVM-side with one fold, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "aggregate(split(text, ''), cast(0 as bigint), "
+        "(h, c) -> (h * 31 + ascii(c)) % 1000000007)"
+    )
+    return docs.select("doc_id", h.alias("rk_hash"))

@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_outer": adv.join_outer,
         "map_explode": adv.map_explode,
         "time_rollup": adv.time_rollup,
+        "deterministic_sample": adv.deterministic_sample,
+        "merge_upsert": adv.merge_upsert,
         "tpch_q3": tpch.tpch_q3,
         "tpch_q5": tpch.tpch_q5,
         "tpch_q6": tpch.tpch_q6,
@@ -531,6 +533,25 @@ def oracle_sql() -> dict[str, str]:
             {_SQL_TOKS}
             SELECT doc_id, i AS pos, t[i] AS token
             FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+        """,
+        "deterministic_sample": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE ('0x' || substring(
+                    md5(concat_ws('_', l_orderkey, l_linenumber)), 1, 4
+                  ))::INTEGER % 100 < 10
+        """,
+        "merge_upsert": """
+            WITH changes AS (
+              SELECT o_custkey AS c_custkey, round(max(o_totalprice), 2) AS new_bal
+              FROM orders GROUP BY o_custkey HAVING count(*) > 8
+            )
+            SELECT c.c_custkey, ch.new_bal AS c_acctbal, TRUE AS restated
+            FROM customer c JOIN changes ch USING (c_custkey)
+            UNION ALL
+            SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, FALSE AS restated
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM changes ch WHERE ch.c_custkey = c.c_custkey)
         """,
         "tpch_q3": """
             SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,

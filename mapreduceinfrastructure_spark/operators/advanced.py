@@ -336,3 +336,44 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample via content hashing (md5 of the row key),
+    not RNG — the sampling primitive a 100 TB pipeline needs: stable
+    across runs, engines, partitionings, and re-executions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("_", "l_orderkey", "l_linenumber")), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return (
+        li.withColumn("_b", bucket % 100)
+        .filter(F.col("_b") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation (no Delta in this environment): apply a
+    change set to a dimension with anti-join + union — the CDC staple.
+
+    Change set: customers with >8 orders get their balance restated to
+    their max order price.  Output = restated rows ∪ untouched rows.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    changes = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"), F.round(F.max("o_totalprice"), 2).alias("new_bal"))
+        .filter(F.col("n") > 8)
+        .select(F.col("o_custkey").alias("c_custkey"), "new_bal")
+    )
+    updated = customer.join(changes, "c_custkey").select(
+        "c_custkey", F.col("new_bal").alias("c_acctbal"), F.lit(True).alias("restated")
+    )
+    untouched = customer.join(changes, "c_custkey", "left_anti").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), F.lit(False).alias("restated")
+    )
+    return updated.unionByName(untouched)

@@ -161,8 +161,12 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
     a = bands.alias("a")
     b = bands.alias("b")
+    # band signatures are (doc_id, band, bucket) — 8 rows/doc of 24 bytes,
+    # always tiny relative to the corpus: broadcast one side so candidate
+    # generation streams the other without a shuffle.
     cand = (
-        a.join(
+        F.broadcast(a)
+        .join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
@@ -171,13 +175,20 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    # exact verify on candidates only (reuses the cached shingle table)
+    # exact verify on candidates only.  The candidate set is small by LSH
+    # construction (high-threshold near-dups are rare), so it broadcasts
+    # through both shingle joins — the big (doc, shingle) table is
+    # streamed, never shuffled.  If candidates ever blow past the
+    # broadcast threshold, drop the hints and AQE plans the shuffles.
     sh = sh_cached
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("s"))
     sb = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("s"))
+    cand_sh = sa.join(F.broadcast(cand), "da")  # shingles of left candidates
     inter = (
-        cand.join(sa, "da").join(sb, ["db", "s"]).groupBy("da", "db").agg(F.count("*").alias("i"))
+        sb.join(F.broadcast(cand_sh), ["db", "s"])
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
     )
     ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))

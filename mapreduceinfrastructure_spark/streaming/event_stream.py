@@ -100,3 +100,23 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def stream_to_parquet_foreachBatch(streaming_df: DataFrame, path: str):
+    """Exactly-once-style file sink via foreachBatch: each micro-batch
+    lands in its own ``batch_id=N`` partition directory with overwrite,
+    so replays of a failed batch are idempotent (the rewrite replaces,
+    never appends — unlike the reference's append-mode output files,
+    src/mr_tasks.h:25,69, which corrupt on re-run).
+
+    Returns the StreamingQuery; caller drives it (processAllAvailable)
+    and reads ``path`` back as normal parquet.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .parquet(f"{path}/batch_id={batch_id}")
+        )
+
+    return streaming_df.writeStream.outputMode("append").foreachBatch(write_batch).start()

@@ -2,6 +2,7 @@
 the grading driver does: entry() smoke at sf0.001, then each queries()[name]
 vs oracle_sql()[name] at sf0.01 with order-insensitive value hashing."""
 import hashlib
+import os
 import sys
 import time
 
@@ -13,7 +14,7 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as e
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 
 spark = (
     SparkSession.builder.master("local[8]")

@@ -58,3 +58,25 @@ def test_streaming_session_count_close_to_batch(spark, sf_dir):
     stream_sessions = out.count()
     # boundary semantics differ only when a gap is exactly 30:00.000000
     assert abs(stream_sessions - batch_sessions) <= 2
+
+
+def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch idempotent file sink: all input rows land exactly
+    once and the output re-reads as plain parquet."""
+    from mapreduceinfrastructure_spark.streaming.event_stream import (
+        stream_to_parquet_foreachBatch,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    out_dir = str(tmp_path / "sink")
+    q = stream_to_parquet_foreachBatch(
+        events.select("event_id", "user_id", "value"), out_dir
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(out_dir)
+    n_in = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert back.count() == n_in
+    assert back.select("event_id").distinct().count() == n_in

@@ -246,7 +246,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    edges = edges.persist()
+    # partition edges on the join key ONCE and keep them resident: every
+    # propagation round reuses the in-memory partitioning, so only the
+    # (much smaller) label table moves per iteration.
+    edges = edges.repartition("b").persist()
     labels = labels.persist()
     for _ in range(20):  # diameter bound; near-dup graphs are shallow
         neighbor_min = (

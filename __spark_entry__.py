@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreduceinfrastructure_spark.operators import advanced as adv  # noqa: E402
 from mapreduceinfrastructure_spark.operators import dedup as dd  # noqa: E402
+from mapreduceinfrastructure_spark.operators import graph as gr  # noqa: E402
 from mapreduceinfrastructure_spark.operators import mapreduce as mr  # noqa: E402
 from mapreduceinfrastructure_spark.operators import multimodal as mm  # noqa: E402
 from mapreduceinfrastructure_spark.operators import relational as rel  # noqa: E402
@@ -108,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_safe_distinct": adv.skew_safe_distinct,
         "token_positions": adv.token_positions,
         "dedup_clusters": dd.dedup_clusters,
+        "pagerank_nations": gr.pagerank_nations,
+        "trade_edges": gr.trade_edges,
         "join_outer": adv.join_outer,
         "map_explode": adv.map_explode,
         "time_rollup": adv.time_rollup,
@@ -552,6 +555,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, FALSE AS restated
             FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM changes ch WHERE ch.c_custkey = c.c_custkey)
+        """,
+        "trade_edges": """
+            SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey, c_nationkey
         """,
         "tpch_q3": """
             SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,

@@ -1,0 +1,103 @@
+"""Graph analytics over derived relational graphs — the iterative
+MapReduce workload family (PageRank is the canonical example the
+MapReduce paper's ecosystem was built for; the reference could express
+one iteration as map: emit (dst, rank/deg) / reduce: sum).
+
+Graph here: the international trade network — a weighted directed edge
+supplier_nation → customer_nation for every lineitem, weight = line
+count.  25 nodes, realistic asymmetric weights.
+
+Scale notes: each PageRank iteration is one join (ranks ⋈ edges on src)
++ one hash-agg on dst — the edge table is partitioned+persisted once on
+the join key, so per-iteration shuffle volume is only the rank vector
+(|V| rows).  Convergence is fixed-iteration (10), the standard batch
+choice; dangling mass is redistributed uniformly each round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+DAMPING = 0.85
+ITERATIONS = 10
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_nation, dst_nation, weight): supplier nation → customer
+    nation, weighted by lineitem count."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (10 iterations,
+    d=0.85).  Rows-only check: float iteration order makes cross-engine
+    hashing unreasonable; invariants are pytest-pinned instead
+    (sum(rank)=1, positivity, determinism)."""
+    edges = trade_edges(spark, sf_dir)
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # transition probability per edge, partitioned once on the join key
+    trans = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(ITERATIONS):
+        # each iteration references `ranks` twice (contribs + dangling);
+        # without truncation the lazy plan doubles per round (2^k nodes).
+        # localCheckpoint materializes the tiny rank vector and cuts the
+        # lineage — the standard move for iterative dataflows.
+        ranks = ranks.localCheckpoint(eager=True)
+        contribs = (
+            trans.join(ranks, trans.src == ranks.node)
+            .select("dst", (F.col("p") * F.col("rank")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling (no-out-edge) mass, kept lazy as a 1-row broadcast —
+        # a driver-side action here would re-execute the whole growing
+        # lineage once per iteration
+        dangling = (
+            ranks.join(out_w, ranks.node == out_w.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - DAMPING) / n_nodes)
+                    + F.lit(DAMPING) * F.col("dm") / F.lit(float(n_nodes))
+                    + F.lit(DAMPING) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
+        .select("node", "n_name", F.round("rank", 6).alias("rank"))
+    )

@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dd.dedup_clusters,
         "pagerank_nations": gr.pagerank_nations,
         "trade_edges": gr.trade_edges,
+        "grouping_sets_pricing": adv.grouping_sets_pricing,
+        "udtf_chunk_text": adv.udtf_chunk_text,
         "join_outer": adv.join_outer,
         "map_explode": adv.map_explode,
         "time_rollup": adv.time_rollup,
@@ -563,6 +565,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_nationkey, c_nationkey
+        """,
+        "grouping_sets_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """,
+        "udtf_chunk_text": f"""
+            {_SQL_TOKS}
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(t[(i - 1) * 10 + 1 : i * 10], ' ') AS chunk,
+                   CAST(least(i * 10, len(t)) - (i - 1) * 10 AS BIGINT) AS n_tokens
+            FROM toks, unnest(range(1, CAST(ceil(len(t) / 10.0) AS BIGINT) + 1)) AS u(i)
         """,
         "tpch_q3": """
             SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,

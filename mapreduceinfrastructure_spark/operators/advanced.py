@@ -377,3 +377,69 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), F.lit(False).alias("restated")
     )
     return updated.unionByName(untouched)
+
+
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general multi-grouping form (CUBE and ROLLUP
+    are special cases; reference analog: several reduce jobs over the
+    same map output, here one scan).  Spark plans this as a single
+    Expand + hash-agg: one pass over lineitem, one shuffle, regardless
+    of how many grouping sets are requested."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+
+
+CHUNK_TOKENS = 10
+
+
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one document → N fixed-size token
+    chunks via a lateral join — the genuine UDTF surface (the
+    reference's map() is exactly this shape: one record in, many rows
+    out via emit(), external/include/mr_task_factory.h:20), doing the
+    LLM-pipeline staple of context chunking.
+
+    Arrow-optimized when available; row-path fallback otherwise.  This
+    is the slow Python path by design (API-surface fidelity) — the
+    equivalent hot-path operator is the JVM-side explode pipelines in
+    text_analysis.  Defined as a nested class so it pickles by value
+    (driver processes may not have this package importable on
+    executors)."""
+    from pyspark.sql.functions import udtf
+
+    size = CHUNK_TOKENS
+
+    def build():
+        class ChunkText:
+            def eval(self, text):
+                import re
+
+                if text is None:
+                    return
+                toks = [t for t in re.split(r"[ ,.\"']", text) if t]
+                for i in range(0, len(toks), size):
+                    chunk = toks[i : i + size]
+                    yield (i // size + 1, " ".join(chunk), len(chunk))
+
+        return ChunkText
+
+    rt = "chunk_idx: bigint, chunk: string, n_tokens: bigint"
+    try:
+        fn = udtf(build(), returnType=rt, useArrow=True)
+    except Exception:
+        fn = udtf(build(), returnType=rt)
+    spark.udtf.register("chunk_text", fn)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM _udtf_docs d, LATERAL chunk_text(d.text) c
+        """
+    )

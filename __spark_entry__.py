@@ -93,6 +93,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
         "multimodal_features": mm.multimodal_features,
+        "frame_offsets": lambda spark, sf_dir: mm.frame_sample(
+            mm.make_media_table(spark, sf_dir)
+        ).selectExpr("doc_id", "cast(frame_offset as long) AS frame_offset"),
         "except_op": adv.except_op,
         "cube_pricing": adv.cube_pricing,
         "unpivot_measures": adv.unpivot_measures,
@@ -565,6 +568,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_nationkey, c_nationkey
+        """,
+        "frame_offsets": """
+            SELECT doc_id, CAST(o AS BIGINT) AS frame_offset
+            FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents) t,
+                 unnest(range(0, greatest(n - 1, 0) + 1, 100)) AS u(o)
         """,
         "grouping_sets_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -110,6 +110,43 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "head_hex")
 
 
+RESIZED_SCHEMA = "doc_id long, media binary, width int, height int"
+
+
+def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Resize pass over binary media — the bytes-in/bytes-out transform
+    shape (same plumbing a real thumbnailer would use).
+
+    Arrow-batched mapInPandas: payloads stay in Arrow buffers, one batch
+    per call, no shuffle (embarrassingly parallel like all per-media
+    transforms).  STUB resample: real pixel resampling needs PIL/ffmpeg
+    (absent here; see ``decode_image``) — the deterministic fake strides
+    the payload down to ``3 * target_w * target_h`` bytes so output
+    sizes, schema, and batch shape are real and testable.
+    """
+    n_out = 3 * target_w * target_h
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["media"]:
+                if len(b) <= n_out:
+                    out.append(bytes(b))
+                else:
+                    step = len(b) // n_out
+                    out.append(bytes(b[:: step])[:n_out])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": out,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:
     """Frame-sampling stand-in: emit one row per sampled offset of each
     media payload (1→N, the video-frame explode shape), entirely via

@@ -45,3 +45,22 @@ def test_frame_sample_explodes(spark, sf_dir):
     pdf = frames.toPandas()
     assert (pdf.frame_offset % 50 == 0).all()
     assert pdf.groupby("doc_id").size().min() >= 1
+
+
+def test_resize_media_shapes(spark, sf_dir):
+    from mapreduceinfrastructure_spark.operators.multimodal import (
+        make_media_table,
+        resize_media,
+    )
+
+    media = make_media_table(spark, sf_dir)
+    out = resize_media(media, target_w=8, target_h=8)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "media", "width", "height"]
+    rows = out.collect()
+    assert len(rows) == media.count()
+    cap = 3 * 8 * 8
+    assert all(len(r["media"]) <= cap for r in rows)
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+    # deterministic: same input -> same bytes
+    again = {r["doc_id"]: bytes(r["media"]) for r in resize_media(media, 8, 8).collect()}
+    assert all(bytes(r["media"]) == again[r["doc_id"]] for r in rows)

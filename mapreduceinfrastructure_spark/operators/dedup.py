@@ -251,6 +251,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (much smaller) label table moves per iteration.
     edges = edges.repartition("b").persist()
     labels = labels.persist()
+    # convergence probe: min-propagation only ever LOWERS labels, so
+    # sum(label) strictly decreases until the fixpoint — one cheap agg
+    # over the already-materialized label table replaces a join-based
+    # old-vs-new comparison (halves the per-round job count).
+    prev_sum = None
     for _ in range(20):  # diameter bound; near-dup graphs are shallow
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -267,15 +272,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

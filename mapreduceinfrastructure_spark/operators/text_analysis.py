@@ -105,7 +105,10 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs_tokens(spark, sf_dir)
     pairs = toks.select("doc_id", F.explode("tokens").alias("word"))
     tf = pairs.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df_ = pairs.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # df(w) re-aggregates tf (one row per (doc, word) already) instead of
+    # a countDistinct over the raw token stream: the second shuffle moves
+    # |tf| rows, not |tokens|, and the tf exchange is reused for both.
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = load_table(spark, sf_dir, "documents").count()
     return (
         tf.join(df_, "word")

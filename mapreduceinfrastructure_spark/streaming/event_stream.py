@@ -120,3 +120,20 @@ def stream_to_parquet_foreachBatch(streaming_df: DataFrame, path: str):
         )
 
     return streaming_df.writeStream.outputMode("append").foreachBatch(write_batch).start()
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id — the stateful twin of batch
+    ``dedup.dedup_exact`` and the first stage of any streamed
+    training-data ingest.
+
+    ``dropDuplicatesWithinWatermark`` keys the dedup state on event_id
+    but lets the watermark expire entries once no duplicate can still
+    arrive — state is bounded by (arrival rate x watermark horizon)
+    instead of growing with the full stream history, which is what makes
+    exactly-once dedup feasible on an unbounded 100 TB/day feed.  State
+    shards across executors on the dedup key like any keyed state.
+    """
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

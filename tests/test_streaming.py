@@ -80,3 +80,25 @@ def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
     n_in = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert back.count() == n_in
     assert back.select("event_id").distinct().count() == n_in
+
+
+def test_streaming_dedup_drops_replayed_events(spark, sf_dir):
+    from mapreduceinfrastructure_spark.streaming.event_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_dedup,
+    )
+
+    base = read_events_stream(spark, sf_dir)
+    # replay the feed: every event arrives twice (union of the stream
+    # with itself) — the dedup state must collapse them back to one
+    doubled = base.union(base)
+    out = run_stream_to_memory(spark, streaming_dedup(doubled), "dedup_stream")
+    n_distinct = out.select("event_id").distinct().count()
+    assert out.count() == n_distinct  # no duplicate survived
+    # and nothing was lost: distinct ids match the batch source
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_ids = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id").distinct().count()
+    )
+    assert n_distinct == batch_ids

@@ -48,13 +48,22 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d=0.85).  Rows-only check: float iteration order makes cross-engine
     hashing unreasonable; invariants are pytest-pinned instead
     (sum(rank)=1, positivity, determinism)."""
-    edges = trade_edges(spark, sf_dir)
+    # the edge table feeds trans, out_w, nodes AND the dangling-set prep
+    # — persist it once so the 4-table join pipeline runs a single time.
+    edges = trade_edges(spark, sf_dir).persist()
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # transition probability per edge, partitioned once on the join key
+    # transition probability per edge, partitioned once on the join key.
+    # Partition count scales with the edge table (~100k edges/partition,
+    # capped at the session default): a 625-edge graph iterates in
+    # 1-task stages instead of shuffle_partitions-task stages, while a
+    # billion-edge graph still shards across the cluster.
+    n_parts = max(
+        1, min(spark.sparkContext.defaultParallelism, edges.count() // 100_000 + 1)
+    )
     trans = (
         edges.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
-        .repartition("src")
+        .repartition(n_parts, "src")
         .persist()
     )
     nodes = (
@@ -64,13 +73,21 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n_nodes = nodes.count()
+    # the dangling-node SET is static — resolve and persist it once;
+    # otherwise the per-iteration dangling-mass join re-derives the
+    # whole edge pipeline every round (out_w has no persisted lineage).
+    dangling_nodes = nodes.join(out_w, nodes.node == out_w.src, "left_anti").persist()
+    dangling_nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(ITERATIONS):
         # each iteration references `ranks` twice (contribs + dangling);
         # without truncation the lazy plan doubles per round (2^k nodes).
         # localCheckpoint materializes the tiny rank vector and cuts the
-        # lineage — the standard move for iterative dataflows.
-        ranks = ranks.localCheckpoint(eager=True)
+        # lineage — the standard move for iterative dataflows.  The rank
+        # vector is |V| rows: coalesce(1) first so each checkpoint job
+        # runs 1 task, not shuffle_partitions tasks (at billion-node
+        # scale drop the coalesce — the vector is then worth sharding).
+        ranks = ranks.coalesce(1).localCheckpoint(eager=True)
         contribs = (
             trans.join(ranks, trans.src == ranks.node)
             .select("dst", (F.col("p") * F.col("rank")).alias("c"))
@@ -78,10 +95,10 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("inflow"))
         )
         # dangling (no-out-edge) mass, kept lazy as a 1-row broadcast —
-        # a driver-side action here would re-execute the whole growing
-        # lineage once per iteration
+        # a driver-side action here would re-execute the rank lineage an
+        # extra time per iteration.  Joins the precomputed static set.
         dangling = (
-            ranks.join(out_w, ranks.node == out_w.src, "left_anti")
+            ranks.join(F.broadcast(dangling_nodes), "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         ranks = (

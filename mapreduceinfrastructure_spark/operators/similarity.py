@@ -164,16 +164,23 @@ def ivf_assignments(spark: SparkSession, sf_dir: str):
     cents = emb.filter(F.col("vec_id") % N_CLUSTERS_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    for _ in range(LLOYD_ITERATIONS):
-        pairs = emb.crossJoin(F.broadcast(cents)).withColumn(
+
+    def nearest(centroids: DataFrame) -> DataFrame:
+        # argmin via min_by hash-agg: map-side partial aggregation, no
+        # sort-shuffle of the corpus × k pair table (the window-argmin
+        # formulation sorts every pair group; min_by only keeps one
+        # running winner per vector).  Tie-break (d2, cid) matches the
+        # lexicographic orderBy it replaces.
+        pairs = emb.crossJoin(F.broadcast(centroids)).withColumn(
             "d2", _sq_dist(F.col("v"), F.col("cv"))
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
-        assign = (
-            pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cid")
-        )
+        return pairs.groupBy("vec_id").agg(
+            F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+            F.first("v").alias("v"),  # identical across the group
+        ).select("vec_id", "v", "cid")
+
+    for _ in range(LLOYD_ITERATIONS):
+        assign = nearest(cents)
         # centroid update: element-wise mean per cluster
         dims = assign.select("cid", F.posexplode("v").alias("pos", "x"))
         means = dims.groupBy("cid", "pos").agg(F.avg("x").alias("m"))
@@ -182,16 +189,7 @@ def ivf_assignments(spark: SparkSession, sf_dir: str):
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.transform(F.col("pm"), lambda s: s["m"]).alias("cv"))
         )
-    pairs = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "d2", _sq_dist(F.col("v"), F.col("cv"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
-    assign = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
-    )
-    return assign, cents
+    return nearest(cents), cents
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

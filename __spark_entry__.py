@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": adv.merge_upsert,
         "tpch_q3": tpch.tpch_q3,
         "tpch_q5": tpch.tpch_q5,
+        "tpch_q1": tpch.tpch_q1,
         "tpch_q6": tpch.tpch_q6,
     }
 
@@ -648,5 +649,19 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
         """,
     }

@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_neardup",
     "cosine_topk",
+    "tpch_q1",
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",

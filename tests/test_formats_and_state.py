@@ -100,3 +100,20 @@ def test_robustness_parity_conf(spark):
     assert spark.conf.get("spark.speculation") == "true"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    import os
+
+    from mapreduceinfrastructure_spark.sinks.formats import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(src)  # 64 tiny files
+    n = compact_parquet(spark, src, out, target_mb=128)
+    assert n == 1  # sf0.01 orders ≪ 128 MB
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == n
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()

@@ -73,6 +73,12 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty graph: empty result, stable schema
+        nation = load_table(spark, sf_dir, "nation")
+        return (
+            nodes.join(nation, nodes.node == nation.n_nationkey)
+            .select("node", "n_name", F.lit(0.0).alias("rank"))
+        )
     # the dangling-node SET is static — resolve and persist it once;
     # otherwise the per-iteration dangling-mass join re-derives the
     # whole edge pipeline every round (out_w has no persisted lineage).

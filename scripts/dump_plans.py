@@ -1,0 +1,54 @@
+"""Regenerate PLANS.md: formatted physical plans for the headline
+queries at sf0.01, annotated with the invariants each plan shows
+(pushed filters, pruned read schemas, broadcast joins, codegen spans).
+
+Run: python scripts/dump_plans.py > PLANS.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapreduceinfrastructure_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+NOTES = {
+    "word_count": "only `text` in ReadSchema (column pruning); partial_count before the exchange (map-side combine)",
+    "key_stats": "PushedFilters on the scan; single exchange; partial+final hash-agg",
+    "join_revenue_by_nation": "dims arrive via BroadcastExchange/BroadcastHashJoin — the fact table never shuffles for them",
+    "tpch_q1": "date filter pushed to the parquet scan; 8 measures in one hash-agg pass",
+    "tpch_q3": "broadcast dims + one shuffle per fact join key; AQE re-plans at runtime",
+    "cosine_topk": "query vectors broadcast; corpus streamed once; top-k window on the small score table",
+    "minhash_lsh_neardup": "ReusedExchange for the shared shingle table; band self-join and verify joins broadcast the small candidate side",
+}
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark(app_name="mri-plan-dump")
+    print("# PLANS — formatted physical plans (headline queries, sf0.01)")
+    print()
+    print("Regenerate with `python scripts/dump_plans.py > PLANS.md`.")
+    print("What to look for in each plan is noted above it; the plan text")
+    print("is Spark's `explain('formatted')` output, verbatim.")
+    for name, note in NOTES.items():
+        df = qs[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"  # noqa: SLF001
+        )
+        print(f"\n## {name}\n")
+        print(f"*{note}*\n")
+        print("```")
+        print(plan.strip())
+        print("```")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ NOTES = {
     "tpch_q1": "date filter pushed to the parquet scan; 8 measures in one hash-agg pass",
     "tpch_q3": "broadcast dims + one shuffle per fact join key; AQE re-plans at runtime",
     "cosine_topk": "query vectors broadcast; corpus streamed once; top-k window on the small score table",
-    "minhash_lsh_neardup": "ReusedExchange for the shared shingle table; band self-join and verify joins broadcast the small candidate side",
+    "minhash_lsh_neardup": "band self-join and both verify joins broadcast the small candidate side; the big (doc, shingle) table is streamed, never shuffled, in the verify stages",
 }
 
 

@@ -82,6 +82,12 @@ def map_reduce(
     hash-partitioned into ``num_partitions`` (the reference's R /
     ``n_output_files``).
     """
+    from ..session import ensure_package_on_executors
+
+    # user map/reduce fns may be module-level (pickled by reference) —
+    # ship the package so executor workers can resolve them regardless
+    # of the driver process's cwd/PYTHONPATH.
+    ensure_package_on_executors(df.sparkSession)
     record_col = df.columns[0]
 
     def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -80,6 +80,11 @@ def extract_features(media: DataFrame) -> DataFrame:
     One mapInPandas pass: per batch, vectorized byte stats + (stubbed)
     decode.  Output is a narrow typed feature table.
     """
+    from ..session import ensure_package_on_executors
+
+    # the closure references module-level decode_image (pickled by
+    # reference) — ship the package for foreign-cwd driver processes.
+    ensure_package_on_executors(media.sparkSession)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,6 +129,9 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
     the payload down to ``3 * target_w * target_h`` bytes so output
     sizes, schema, and batch shape are real and testable.
     """
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
     n_out = 3 * target_w * target_h
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -62,3 +62,35 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (``addPyFile`` of a
+    package zip — the programmatic twin of ``spark-submit --py-files``).
+
+    Any closure handed to Spark that references a module-level name in
+    this package gets cloudpickled BY REFERENCE to the module; executor
+    workers then must be able to import it, which fails whenever the
+    driver process was launched from a cwd without this repo on
+    PYTHONPATH.  Operators that execute Python on executors call this
+    once per session before building their plan.
+    """
+    import shutil
+    import tempfile
+
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), f"mri_spark_pkg_{os.getpid()}"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zip_path)
+    _SHIPPED_APPS.add(app)

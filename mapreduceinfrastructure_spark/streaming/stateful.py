@@ -50,7 +50,11 @@ def streaming_user_profiles(events_raw: DataFrame) -> DataFrame:
     nested functions are cloudpickled by value, so executors never need
     this package importable on their own sys.path — a module-level
     function here breaks any driver that runs from a different cwd.
+    ``ensure_package_on_executors`` is belt-and-braces on top.
     """
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(events_raw.sparkSession)
 
     def update_profile(
         key: tuple[Any, ...],

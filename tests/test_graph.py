@@ -26,3 +26,21 @@ def test_pagerank_deterministic(spark, sf_dir):
     a = {(r["node"], r["rank"]) for r in pagerank_nations(spark, sf_dir).collect()}
     b = {(r["node"], r["rank"]) for r in pagerank_nations(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_connected_components_deep_chain(spark):
+    """A 200-node path graph (diameter 199) must fully converge within
+    the 20-round bound — only possible via the pointer-jumping path
+    (plain propagation moves the min label one hop per round)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.operators.dedup import connected_components
+
+    n = 200
+    fwd = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    edges = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = connected_components(edges).collect()
+    assert len(labels) == n
+    assert {r["label"] for r in labels} == {0}  # one component, min label

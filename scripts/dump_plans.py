@@ -22,7 +22,9 @@ NOTES = {
     "join_revenue_by_nation": "dims arrive via BroadcastExchange/BroadcastHashJoin — the fact table never shuffles for them",
     "tpch_q1": "date filter pushed to the parquet scan; 8 measures in one hash-agg pass",
     "tpch_q3": "broadcast dims + one shuffle per fact join key; AQE re-plans at runtime",
-    "cosine_topk": "query vectors broadcast; corpus streamed once; top-k window on the small score table",
+    "tf_idf": "df(w) re-aggregates the tf table (second shuffle moves |distinct pairs|, not |tokens|); both aggs partial+final",
+    "grouping_sets_pricing": "one Expand + one shuffle for all three grouping sets — n sets cost one scan",
+    "cosine_topk": "query vectors broadcast (BroadcastNestedLoopJoin BuildRight); corpus streamed once; WindowGroupLimit prunes per-partition before the exchange",
     "minhash_lsh_neardup": "band self-join and both verify joins broadcast the small candidate side; the big (doc, shingle) table is streamed, never shuffled, in the verify stages",
 }
 

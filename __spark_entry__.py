@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": tpch.tpch_q5,
         "tpch_q1": tpch.tpch_q1,
         "tpch_q6": tpch.tpch_q6,
+        "tpch_q10": tpch.tpch_q10,
     }
 
 
@@ -663,5 +664,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
         """,
     }

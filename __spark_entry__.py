@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": tpch.tpch_q1,
         "tpch_q6": tpch.tpch_q6,
         "tpch_q10": tpch.tpch_q10,
+        "tpch_q18": tpch.tpch_q18,
     }
 
 
@@ -676,5 +677,18 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1996-04-01'
             GROUP BY c_custkey, c_name, c_acctbal, n_name
+        """,
+        "tpch_q18": """
+            SELECT c_custkey, c_name, o_orderkey AS orderkey,
+                   round(o_totalprice, 2) AS totalprice,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey HAVING sum(l_quantity) > 260
+            )
+            GROUP BY c_custkey, c_name, o_orderkey, round(o_totalprice, 2)
         """,
     }

@@ -140,3 +140,33 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds 260, with customer detail.  Exercises the aggregated-
+    IN-subquery shape: the HAVING-filtered order list is tiny by
+    construction, so it broadcasts into a semi join against orders —
+    lineitem is scanned twice (subquery + detail) but shuffled only on
+    l_orderkey, and AQE turns the detail join into a broadcast too."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 260)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )

@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_nations": gr.pagerank_nations,
         "trade_edges": gr.trade_edges,
         "grouping_sets_pricing": adv.grouping_sets_pricing,
+        "pandas_udaf_geomean": adv.pandas_udaf_geomean,
         "udtf_chunk_text": adv.udtf_chunk_text,
         "join_outer": adv.join_outer,
         "map_explode": adv.map_explode,
@@ -576,6 +577,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(o AS BIGINT) AS frame_offset
             FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents) t,
                  unnest(range(0, greatest(n - 1, 0) + 1, 100)) AS u(o)
+        """,
+        "pandas_udaf_geomean": """
+            SELECT l_returnflag,
+                   round(exp(avg(ln(l_quantity))), 6) AS geo_qty
+            FROM lineitem
+            WHERE l_quantity > 0
+            GROUP BY l_returnflag
         """,
         "grouping_sets_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -443,3 +443,36 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL chunk_text(d.text) c
         """
     )
+
+
+def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True vectorized UDAF surface: a GROUPED_AGG pandas_udf computing
+    the geometric mean of lineitem quantity per return flag — the
+    Arrow-batched custom-aggregate path (each group's column arrives as
+    one pandas Series; partial aggregation does NOT apply, unlike
+    built-ins, which is exactly the trade-off this query documents).
+    Nested + shipped so foreign-cwd drivers unpickle it (see
+    session.ensure_package_on_executors)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    # explicit GROUPED_AGG: this module uses postponed annotations
+    # (PEP 563), which breaks pandas_udf's type-hint inference
+    from pyspark.sql.functions import PandasUDFType
+
+    def _geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    geomean = pandas_udf(_geomean, "double", PandasUDFType.GROUPED_AGG)
+
+    # NB: a GROUPED_AGG pandas UDF cannot be mixed with built-in
+    # aggregates in the same agg() (Spark limitation) — single measure.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(geomean("l_quantity"), 6).alias("geo_qty")
+    )

@@ -128,6 +128,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": tpch.tpch_q6,
         "tpch_q10": tpch.tpch_q10,
         "tpch_q18": tpch.tpch_q18,
+        "tpch_q4": tpch.tpch_q4,
+        "tpch_q7": tpch.tpch_q7,
+        "tpch_q8": tpch.tpch_q8,
+        "tpch_q9": tpch.tpch_q9,
+        "tpch_q12": tpch.tpch_q12,
+        "tpch_q13": tpch.tpch_q13,
+        "tpch_q14": tpch.tpch_q14,
+        "tpch_q15": tpch.tpch_q15,
+        "tpch_q16": tpch.tpch_q16,
+        "tpch_q17": tpch.tpch_q17,
+        "tpch_q19": tpch.tpch_q19,
+        "tpch_q21": tpch.tpch_q21,
+        "tpch_q22": tpch.tpch_q22,
     }
 
 
@@ -685,6 +698,188 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1996-04-01'
             GROUP BY c_custkey, c_name, c_acctbal, n_name
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+              )
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE s_nationkey IN (1, 2) AND c_nationkey IN (1, 2)
+              AND s_nationkey <> c_nationkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q8": """
+            WITH v AS (
+              SELECT year(o_orderdate) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n2.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+                AND o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+            )
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume ELSE 0 END) / sum(volume),
+                         6) AS mkt_share
+            FROM v GROUP BY o_year
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity), 4) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+        """,
+        "tpch_q13": """
+            WITH c_orders AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                              AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            )
+            SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY c_count
+        """,
+        "tpch_q14": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "tpch_q17": """
+            WITH brand_li AS (
+              SELECT l.* FROM lineitem l
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#3'
+            ), th AS (
+              SELECT l_partkey AS t_partkey,
+                     0.2 * avg(l_quantity) AS qty_threshold
+              FROM brand_li GROUP BY l_partkey
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+                   count(*) AS n_rows
+            FROM brand_li JOIN th ON l_partkey = t_partkey
+            WHERE l_quantity < qty_threshold
+        """,
+        "tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q21": """
+            WITH l1 AS (
+              SELECT DISTINCT l_orderkey, l_suppkey
+              FROM lineitem WHERE l_returnflag = 'R'
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE s_nationkey = 1
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_returnflag = 'R'
+              )
+              AND EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+              )
+            GROUP BY s_name
+        """,
+        "tpch_q22": """
+            WITH cc AS (
+              SELECT c_custkey, c_acctbal, c_custkey % 7 AS cntrycode
+              FROM customer WHERE c_custkey % 7 IN (0, 1, 2, 3)
+            )
+            SELECT cntrycode, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM cc
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cc WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = cc.c_custkey
+              )
+            GROUP BY cntrycode
         """,
         "tpch_q18": """
             SELECT c_custkey, c_name, o_orderkey AS orderkey,

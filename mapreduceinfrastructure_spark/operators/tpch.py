@@ -170,3 +170,406 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
     )
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking, adapted: the reference schema
+    lacks l_commitdate/l_receiptdate, so "late" is proxied by a returned
+    lineitem (l_returnflag='R').  Shape faithful: date-windowed orders,
+    EXISTS decorrelated to a left-semi join on l_orderkey, count by
+    priority.  Scale: the returned-lineitem side projects to a single
+    column before the shuffle; orders date filter is pushed to parquet."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations, by year.  The
+    nation-pair predicate is applied as key filters on supplier and
+    customer BEFORE the fact joins (Catalyst pushes them to the scans),
+    then the two-orientation pair filter runs on the slim joined rows.
+    Both dimension sides broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 2)
+    )
+    supplier = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(1, 2)
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_3's share of AMERICA-region
+    ECONOMY-part order volume, per year.  Eight-way join; every dimension
+    (part, customer-nation, region, supplier, supplier-nation) broadcasts;
+    the only shuffles are fact-fact on l_orderkey/o_custkey.  Share is a
+    ratio of two conditional sums -> round 6 per the rounding policy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cnation = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    snation = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cnation), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(snation), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit, adapted: no partsupp table, so
+    supply cost is proxied by p_retailprice * l_quantity (both 2-dec ->
+    the profit expression stays on the 1e-4 grid; sum rounds at 4).
+    Parts filtered by name substring ('widget'); profit grouped by
+    supplier nation and order year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority classes, adapted: no l_shipmode /
+    commit/receipt dates, so the group key is l_linestatus and the
+    shipped-in-window filter stands in for the receipt window.  The
+    CASE-sum pair over o_orderpriority is the faithful part of the shape;
+    one shuffle on l_orderkey, priority counts map-side partialed."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join so
+    zero-order customers land in the c_count=0 bucket, then a second
+    aggregation over the counts.  Two shuffles (custkey, then c_count);
+    the first agg keys on the join key so AQE coalesces; counts cast to
+    long to match the oracle's BIGINT."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: share of one month's revenue from
+    PROMO-type parts.  part broadcasts; single-row ratio output rounds
+    at 6 per the ratio policy."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly revenue per supplier, keep the
+    supplier(s) at the max.  The revenue aggregate is computed once and
+    self-compared via a broadcast scalar max — no second scan of
+    lineitem.  Revenue rounds at 4 BEFORE the max comparison so engine
+    and oracle compare identical grids."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.max_revenue)
+        .join(F.broadcast(supplier), rev.supplier_no == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship, adapted: lineitem stands in
+    for the missing partsupp as the part-supplier relation, and negative
+    s_acctbal stands in for the complaints predicate.  Distinct-supplier
+    counts per (brand, type, size) with an anti-joined supplier
+    exclusion list (tiny -> broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: lineitems of one brand
+    below 20% of their part's average quantity.  The correlated AVG
+    subquery decorrelates to a per-partkey aggregate joined back to the
+    brand-filtered fact — the agg is computed only over the ~80 surviving
+    parts' rows (semi-join first), then broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    thresholds = brand_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue, adapted (no container/shipmode):
+    three OR'd brand/size/quantity bands.  The disjunction references
+    both sides, so it cannot be pushed below the join — but the
+    per-branch brand+size implications are OR-folded into a part scan
+    filter and the quantity range into the lineitem scan, keeping the
+    broadcast-hash join input slim."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size") >= 1) & (F.col("p_size") <= 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size") >= 1) & (F.col("p_size") <= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & (F.col("p_size") >= 1) & (F.col("p_size") <= 15)
+        )
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting, adapted: "late" is
+    proxied by l_returnflag='R' (no receipt/commit dates).  The faithful
+    part is the double-correlated EXISTS / NOT EXISTS over other
+    suppliers in the same order, decorrelated to a left-semi plus a
+    left-anti join on (orderkey, other-supplier) pairs.  Both
+    probe sides are distinct (orderkey, suppkey) projections — the
+    narrowest possible shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 1
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    all_pairs = li.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    ).distinct()
+    ret_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk"))
+        .distinct()
+    )
+    waiting = (
+        l1.join(
+            all_pairs,
+            (l1.l_orderkey == all_pairs.o_ok) & (l1.l_suppkey != all_pairs.o_sk),
+            "left_semi",
+        )
+        .join(
+            ret_pairs,
+            (l1.l_orderkey == ret_pairs.r_ok) & (l1.l_suppkey != ret_pairs.r_sk),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(orders, waiting.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(F.broadcast(supplier), waiting.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity, adapted: the country code is
+    c_custkey % 7 (no c_phone column).  Shape faithful: scalar-subquery
+    average over positive-balance customers in the code set, anti join
+    against orders, per-code count + balance sum.  The scalar avg
+    broadcasts; the anti join shuffles only (custkey)."""
+    customer = load_table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", (F.col("c_custkey") % 7).cast("long")
+    )
+    in_set = customer.filter(F.col("cntrycode").isin(0, 1, 2, 3))
+    avg_bal = in_set.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        in_set.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, in_set.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

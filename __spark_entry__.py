@@ -27,6 +27,7 @@ from mapreduceinfrastructure_spark.operators import multimodal as mm  # noqa: E4
 from mapreduceinfrastructure_spark.operators import relational as rel  # noqa: E402
 from mapreduceinfrastructure_spark.operators import similarity as sim  # noqa: E402
 from mapreduceinfrastructure_spark.operators import text_analysis as ta  # noqa: E402
+from mapreduceinfrastructure_spark.operators import timeseries as ts  # noqa: E402
 from mapreduceinfrastructure_spark.operators import tpch  # noqa: E402
 
 # Delimiter class inside a SQL single-quoted string (the ' is doubled).
@@ -141,6 +142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": tpch.tpch_q19,
         "tpch_q21": tpch.tpch_q21,
         "tpch_q22": tpch.tpch_q22,
+        "gap_fill": ts.gap_fill,
+        "rolling_time_window": ts.rolling_time_window,
+        "pii_scrub": ta.pii_scrub,
+        "stratified_sample": ta.stratified_sample,
+        "fuzzy_blocked_join": dd.fuzzy_blocked_join,
+        "embedding_stats": sim.embedding_stats,
     }
 
 
@@ -880,6 +887,68 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM orders WHERE o_custkey = cc.c_custkey
               )
             GROUP BY cntrycode
+        """,
+        "gap_fill": """
+            WITH hourly AS (
+              SELECT user_id,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+                     round(avg(value), 6) AS hv
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT user_id, min(bucket_us) AS mn, max(bucket_us) AS mx
+              FROM hourly GROUP BY user_id
+            ), grid AS (
+              SELECT user_id, unnest(range(mn, mx + 1, 3600000000)) AS bucket_us
+              FROM bounds
+            )
+            SELECT g.user_id, g.bucket_us,
+                   last_value(hv IGNORE NULLS) OVER (
+                     PARTITION BY g.user_id ORDER BY g.bucket_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value,
+                   CAST(hv IS NOT NULL AS BIGINT) AS is_observed
+            FROM grid g LEFT JOIN hourly h USING (user_id, bucket_us)
+        """,
+        "rolling_time_window": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   count(*) OVER w AS n_1h,
+                   round(avg(value) OVER w, 6) AS avg_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "pii_scrub": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                                    '<EMAIL>', 'g'),
+                     '[0-9]{3,}', '<NUM>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(
+                     text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(
+                     text, '[0-9]{3,}')) AS BIGINT) AS n_longnums
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100
+                  < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        """,
+        "fuzzy_blocked_join": """
+            WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+            FROM names a JOIN names b
+              ON substring(a.name, 1, 1) = substring(b.name, 1, 1)
+             AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 2
+        """,
+        "embedding_stats": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
+                   round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm,
+                   round(list_sum(v) / len(v), 6) AS mean_component
+            FROM e
         """,
         "tpch_q18": """
             SELECT c_custkey, c_name, o_orderkey AS orderkey,

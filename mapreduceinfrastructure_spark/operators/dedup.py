@@ -329,3 +329,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution near-match: part-name vocabulary pairs within
+    edit distance 2, using first-character blocking.
+
+    The classic ER pattern: block (first char) -> pair within block ->
+    verify (levenshtein).  Blocking turns the O(n^2) all-pairs compare
+    into per-block quadratic work; at 100 TB the block key would be a
+    cheap canopy (first token, soundex, length band) and the self-join
+    shuffles on it instead of broadcasting.  Names are deduplicated
+    before pairing, so the join input is the vocabulary, not the rows.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("blk", F.substring("name", 1, 1))
+    )
+    a = names.select(F.col("name").alias("name_a"), "blk")
+    b = names.select(F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist")
+    )

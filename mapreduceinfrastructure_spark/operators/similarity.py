@@ -222,3 +222,23 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOPK)
         .select("qid", "neighbor_id", F.round("sim", 6).alias("cosine"), "rn")
     )
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector summary stats via JVM higher-order functions: dim,
+    L2 norm, component mean.  The fold runs in array order in both
+    engines, and rounding at 6 absorbs float->double promotion noise.
+    Scale: narrow map-only pass, no shuffle, whole-stage codegen."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    sq_sum = F.aggregate(
+        "v", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    s = F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size("v").cast("long").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(s / F.size("v"), 6).alias("mean_component"),
+    )

@@ -219,3 +219,42 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(h, c) -> (h * 31 + ascii(c)) % 1000000007)"
     )
     return docs.select("doc_id", h.alias("rk_hash"))
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene pass: mask email-shaped tokens and long
+    digit runs in document text, reporting per-doc match counts.
+
+    All regex work is JVM-side ``regexp_replace``/``regexp_count`` —
+    the patterns are kept to the RE2-compatible subset so the DuckDB
+    oracle runs the identical expressions.  Scale: narrow map-only
+    pipeline, no shuffle, streams with the parquet scan.
+    """
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    longnum = r"[0-9]{3,}"
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), longnum, "<NUM>"
+        ).alias("clean_text"),
+        F.regexp_count("text", F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(longnum)).cast("long").alias("n_longnums"),
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep 50% of English docs and
+    10% of every other language, selected by content hash (md5 of the
+    doc id) — reproducible across engines and runs, unlike seeded
+    ``sampleBy``.  Scale: map-only filter; the hash predicate pushes
+    into the scan's data filters, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    return docs.filter(bucket < rate).select("doc_id", "lang")

@@ -1,0 +1,97 @@
+"""Time-series operators over the ``events`` table (hypertable-style).
+
+Extends the reference's per-key aggregation surface (SURVEY.md §2.2
+"per-key statistics", `description.md:43` mean-max temperature) with
+the two shapes a metrics/sensor pipeline always needs and plain
+MapReduce cannot express without a stateful sorted reduce: regular-grid
+resampling with forward fill, and time-range (not row-count) rolling
+windows.
+
+Scale notes (100 TB design point):
+- Both operators shuffle once on ``user_id`` and do all window math
+  within the partition — the same single-shuffle profile as
+  ``sessionize``.  Skewed users would be the bottleneck; the grid size
+  is bounded per user (hours between first and last event), so the
+  gap-fill explode cannot amplify a hot key by more than the time span.
+- All timestamp math is integer microseconds (``ts div 1000``), which
+  matches DuckDB's ns->us truncation and avoids tz/rounding drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+HOUR_US = 3_600_000_000
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS); Spark 4 reads it via the
+    # nanos-as-long escape hatch (see relational.sessionize).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+
+
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event stream to an hourly grid and
+    forward-fill gaps with the last observed hourly average.
+
+    Plan shape: hourly pre-aggregate (one shuffle on user_id+bucket),
+    per-user min/max bounds, ``sequence``+``explode`` to materialize the
+    grid, left join the observations back, then ``last(ignorenulls)``
+    over the user-partitioned window.  The hourly average is rounded
+    BEFORE the fill so carried-forward values equal their source row
+    exactly.
+    """
+    hourly = (
+        _events_us(spark, sf_dir)
+        .withColumn("bucket_us", F.col("ts_us") - F.col("ts_us") % HOUR_US)
+        .groupBy("user_id", "bucket_us")
+        .agg(F.round(F.avg("value"), 6).alias("hv"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket_us").alias("mn"), F.max("bucket_us").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.lit(HOUR_US))).alias("bucket_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "bucket_us"], "left")
+        .select(
+            "user_id",
+            "bucket_us",
+            F.last("hv", ignorenulls=True).over(w).alias("value"),
+            F.col("hv").isNotNull().cast("long").alias("is_observed"),
+        )
+    )
+
+
+def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour count and average by time RANGE (not
+    row count): every event sees exactly the events of the same user in
+    ``[ts - 1h, ts]``.  ``rangeBetween`` on integer microseconds makes
+    the frame tie-stable — rows with equal ts always see each other
+    regardless of shuffle order."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-HOUR_US, 0)
+    )
+    return _events_us(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )

@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": ta.stratified_sample,
         "fuzzy_blocked_join": dd.fuzzy_blocked_join,
         "embedding_stats": sim.embedding_stats,
+        "stats_aggregates": adv.stats_aggregates,
+        "not_in_null_aware": adv.not_in_null_aware,
+        "argmax_order": adv.argmax_order,
     }
 
 
@@ -949,6 +952,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm,
                    round(list_sum(v) / len(v), 6) AS mean_component
             FROM e
+        """,
+        "stats_aggregates": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_quantity), 6) AS sd_qty,
+                   round(var_samp(l_quantity), 6) AS var_qty,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "not_in_null_aware": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE c_nationkey NOT IN (
+              SELECT s_nationkey FROM supplier WHERE s_acctbal < 0
+            )
+        """,
+        "argmax_order": """
+            SELECT o_custkey,
+                   max(struct_pack(p := o_totalprice, k := o_orderkey)).k
+                     AS best_orderkey,
+                   round(max(struct_pack(p := o_totalprice, k := o_orderkey)).p, 2)
+                     AS best_price
+            FROM orders GROUP BY o_custkey
         """,
         "tpch_q18": """
             SELECT c_custkey, c_name, o_orderkey AS orderkey,

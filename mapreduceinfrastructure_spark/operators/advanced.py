@@ -476,3 +476,62 @@ def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(geomean("l_quantity"), 6).alias("geo_qty")
     )
+
+
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate catalog: sample stddev/variance, covariance
+    and Pearson correlation per group — the moments-based aggregates the
+    reference's reduce() could only hand-roll.  All are algebraic
+    (single-pass partial+final via co-moments), so they partial map-side
+    like sum/count and survive any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+def not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with correct three-valued-logic semantics: customers whose
+    nation is not among the negative-balance suppliers' nations.  The
+    anti-join condition carries the ``IS NULL`` disjunct — the exact
+    null-aware-anti-join (NAAJ) encoding Catalyst produces for NOT IN —
+    so a NULL ever appearing in the subquery collapses the result to
+    empty, matching SQL, instead of silently behaving like <> ALL."""
+    customer = load_table(spark, sf_dir, "customer")
+    # no distinct: anti join semantics ignore build-side duplicates, and
+    # dropping it saves the build-side pre-broadcast shuffle
+    bad_nations = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_nationkey")
+    )
+    cond = (F.col("c_nationkey") == F.col("s_nationkey")) | F.col(
+        "s_nationkey"
+    ).isNull()
+    return customer.join(F.broadcast(bad_nations), cond, "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+def argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer arg-max: the orderkey of the highest-priced order,
+    by single-pass struct-max aggregation instead of a window sort —
+    one map-side-partialed hash agg, no per-group sort at all.  The
+    (price, orderkey) struct compares lexicographically in both engines,
+    making ties deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    best = F.max(
+        F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    )
+    return orders.groupBy("o_custkey").agg(
+        best.getField("k").alias("best_orderkey"),
+        F.round(best.getField("p"), 2).alias("best_price"),
+    )

@@ -137,3 +137,38 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def streaming_interval_join(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
+    """Stream-stream interval join: pair each event with the same user's
+    events landing within the following 5 minutes.
+
+    Both sides are watermarked so Spark can bound the join state: a
+    left-side row can be evicted once the right watermark passes its
+    ts + 5 min, and vice versa — without the time-range condition the
+    state store would grow forever.  Equi-key (user_id) keeps the join
+    hash-partitioned; the range predicate is evaluated within the
+    matched bucket.
+    """
+    a = (
+        events_a.withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("u_a"),
+            F.col("event_id").alias("ea"),
+            F.col("ts").alias("ts_a"),
+        )
+    )
+    b = (
+        events_b.withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("u_b"),
+            F.col("event_id").alias("eb"),
+            F.col("ts").alias("ts_b"),
+        )
+    )
+    return a.join(
+        b,
+        (F.col("u_a") == F.col("u_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("u_a", "ea", "eb", F.col("ts_a"), F.col("ts_b"))

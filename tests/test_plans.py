@@ -82,3 +82,35 @@ def test_similarity_broadcasts_queries(spark, sf_dir):
 def test_word_count_reads_only_text(spark, sf_dir):
     (cols,) = read_schema_columns(QUERIES["word_count"](spark, sf_dir))
     assert cols == {"text"}
+
+
+def test_argmax_single_hash_agg_no_window(spark, sf_dir):
+    """argmax_order must stay a one-shuffle struct-max hash agg — if it
+    regresses to a window row_number it gains a per-group sort."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["argmax_order"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert shuffle_count(df) == 1
+
+
+def test_gap_fill_two_shuffles(spark, sf_dir):
+    """gap_fill: hourly agg + user window — the grid explode and fill
+    must not introduce extra exchanges beyond the two keyed ones."""
+    df = QUERIES["gap_fill"](spark, sf_dir)
+    assert shuffle_count(df) <= 3  # (user,bucket) agg, user bounds agg, window
+
+
+def test_tpch_q8_all_dims_broadcast(spark, sf_dir):
+    """Q8's eight-way join: every dimension side broadcasts; the only
+    exchanges are fact-side joins plus the final agg."""
+    df = QUERIES["tpch_q8"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 3
+
+
+def test_not_in_null_aware_broadcasts(spark, sf_dir):
+    df = QUERIES["not_in_null_aware"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) == 0

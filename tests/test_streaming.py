@@ -102,3 +102,43 @@ def test_streaming_dedup_drops_replayed_events(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id").distinct().count()
     )
     assert n_distinct == batch_ids
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join produces exactly the pairs the batch
+    range join finds (same 5-minute forward window, same user key)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.streaming.event_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_interval_join,
+    )
+
+    joined = streaming_interval_join(
+        read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
+    )
+    got = run_stream_to_memory(spark, joined, "interval_join_test")
+    n_stream = got.count()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_id", F.expr("ts div 1000").alias("ts_us"))
+    )
+    a = ev.select(
+        F.col("user_id").alias("u_a"), F.col("event_id").alias("ea"),
+        F.col("ts_us").alias("t_a"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("u_b"), F.col("event_id").alias("eb"),
+        F.col("ts_us").alias("t_b"),
+    )
+    n_batch = a.join(
+        b,
+        (F.col("u_a") == F.col("u_b"))
+        & (F.col("t_b") > F.col("t_a"))
+        & (F.col("t_b") <= F.col("t_a") + 300_000_000),
+    ).count()
+    assert n_stream == n_batch
+    assert n_stream > 0

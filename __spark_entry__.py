@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_aggregates": adv.stats_aggregates,
         "not_in_null_aware": adv.not_in_null_aware,
         "argmax_order": adv.argmax_order,
+        "salted_join": adv.salted_join,
     }
 
 
@@ -975,6 +976,12 @@ def oracle_sql() -> dict[str, str]:
                    round(max(struct_pack(p := o_totalprice, k := o_orderkey)).p, 2)
                      AS best_price
             FROM orders GROUP BY o_custkey
+        """,
+        "salted_join": """
+            SELECT c_nationkey, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_nationkey
         """,
         "tpch_q18": """
             SELECT c_custkey, c_name, o_orderkey AS orderkey,

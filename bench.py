@@ -38,6 +38,13 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    # round-1 additions: broadcast star join, outer-join distribution,
+    # grid resample + fill, RANGE rolling window, salted skew join
+    "tpch_q8",
+    "tpch_q13",
+    "gap_fill",
+    "rolling_time_window",
+    "salted_join",
 ]
 
 

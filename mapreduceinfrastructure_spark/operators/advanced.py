@@ -535,3 +535,42 @@ def argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("k").alias("best_orderkey"),
         F.round(best.getField("p"), 2).alias("best_price"),
     )
+
+
+def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dim join: events (150 hot user keys) against
+    customer, salted.  The fact side gets a deterministic salt
+    (event_id % 8); the dim side is replicated 8x with an exploded salt
+    column; the join keys on (custkey, salt), splitting each hot key's
+    rows across 8 buckets.  Result is provably identical to the unsalted
+    join (every fact row matches exactly one replica).  SHUFFLE_HASH
+    hint keeps the demo on the shuffle path — at real scale the dim side
+    would not fit a broadcast and this is the plan you'd get anyway;
+    AQE's skew-join split is the runtime alternative when salting isn't
+    baked into the pipeline."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    n_salt = 8
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    ).withColumn("salt", F.col("event_id") % n_salt)
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>")),
+        )
+    )
+    return (
+        events.hint("SHUFFLE_HASH")
+        .join(
+            customer,
+            (events.user_id == customer.c_custkey)
+            & (events.salt == customer.salt),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

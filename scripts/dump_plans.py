@@ -26,6 +26,11 @@ NOTES = {
     "grouping_sets_pricing": "one Expand + one shuffle for all three grouping sets — n sets cost one scan",
     "cosine_topk": "query vectors broadcast (BroadcastNestedLoopJoin BuildRight); corpus streamed once; WindowGroupLimit prunes per-partition before the exchange",
     "minhash_lsh_neardup": "band self-join and both verify joins broadcast the small candidate side; the big (doc, shingle) table is streamed, never shuffled, in the verify stages",
+    "tpch_q8": "eight-way star join: every dimension rides a BroadcastExchange; no shuffle until the final 1-row-per-year agg",
+    "tpch_q21": "double-correlated EXISTS/NOT EXISTS as left-semi + left-anti over distinct (orderkey, suppkey) projections — the narrowest possible shuffles",
+    "gap_fill": "sequence+explode grid bounded per user; last(ignorenulls) window shares the user-key exchange with the left join",
+    "salted_join": "ShuffledHashJoin on (custkey, salt): the hot fact key is split across 8 buckets; the replicated dim side is 8x small-table rows",
+    "argmax_order": "single hash agg, no Window/Sort: struct-max carries (price, key) through map-side partials",
 }
 
 

@@ -114,3 +114,13 @@ def test_not_in_null_aware_broadcasts(spark, sf_dir):
     df = QUERIES["not_in_null_aware"](spark, sf_dir)
     assert has_broadcast_join(df)
     assert shuffle_count(df) == 0
+
+
+def test_salted_join_stays_on_shuffle_path(spark, sf_dir):
+    """The salted demo must exercise the shuffle-hash join it teaches —
+    if Spark silently broadcasts the replicated dim the salt is dead
+    code."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["salted_join"](spark, sf_dir)
+    assert "ShuffledHashJoin" in formatted_plan(df)

@@ -332,8 +332,10 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_us", "event_type")
         .agg(
             F.count("*").alias("n"),
+            # no avg column: avg = total/n can land EXACTLY on a rounding
+            # half-boundary (e.g. 1391.13/32 = 43.4728125), where Spark and
+            # DuckDB tie-break differently; total+n carry the same info
             F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
 
@@ -573,4 +575,30 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
+    )
+
+
+def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type round trip: build array<struct> per order
+    (sort_array(collect_list(struct))), then explode back to rows.
+
+    Proves the nested build/flatten path is lossless — the result is
+    bit-identical to the source projection.  sort_array makes the
+    collected order deterministic (collect_list order is not).  At
+    scale this is the document/chunks or order/lines modeling pattern;
+    one shuffle to nest, narrow explode to flatten."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey", F.explode("lines").alias("ln")
+    ).select(
+        "l_orderkey",
+        F.col("ln.l_linenumber").alias("l_linenumber"),
+        F.col("ln.l_quantity").alias("l_quantity"),
     )

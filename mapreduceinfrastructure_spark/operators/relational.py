@@ -43,7 +43,7 @@ def key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.min("l_quantity"), 2).alias("min_qty"),

@@ -61,3 +61,18 @@ def test_explode_count_equals_multiset(spark, lines):
     )
     want = Counter(t for line in lines for t in py_tokens(line))
     assert {r["w"]: r["c"] for r in rows} == dict(want)
+
+
+def test_rows_only_queries_are_deterministic(spark, sf_dir):
+    """The six rows-only queries (no DuckDB oracle pins them) must still
+    be run-to-run deterministic — seeded LSH planes, fixed IVF init,
+    fixed PageRank iteration count.  Two runs, identical sorted rows."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    rows_only = sorted(set(qs) - set(entrymod.oracle_sql()))
+    for name in rows_only:
+        a = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
+        b = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
+        assert a == b, f"{name} not deterministic across runs"
+        assert a, f"{name} returned no rows at sf0.01"

@@ -34,6 +34,17 @@ from mapreduceinfrastructure_spark.operators import tpch  # noqa: E402
 # Delimiter class inside a SQL single-quoted string (the ' is doubled).
 _D = "'[ ,.\"'']'"
 
+# Derived part-supplier relation for q2/q11/q20 (no partsupp table in
+# the driver data): min/sum over exact doubles, deterministic.
+_SQL_PS = """
+  ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(l_extendedprice / l_quantity) AS ps_supplycost,
+           sum(l_quantity) AS ps_availqty
+    FROM lineitem GROUP BY 1, 2
+  )
+"""
+
 # Shared CTE fragments for the DuckDB oracles (token pipelines).
 _SQL_PAIRS = f"""
   WITH raw AS (
@@ -155,6 +166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": adv.salted_join,
         "sql_segment_spend": sqlapi.sql_segment_spend,
         "nested_roundtrip": adv.nested_roundtrip,
+        "tpch_q2": tpch.tpch_q2,
+        "tpch_q11": tpch.tpch_q11,
+        "tpch_q20": tpch.tpch_q20,
     }
 
 
@@ -989,6 +1003,58 @@ def oracle_sql() -> dict[str, str]:
         "sql_segment_spend": sqlapi.ANSI_SEGMENT_SPEND,
         "nested_roundtrip": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        """,
+        "tpch_q2": f"""
+            WITH {_SQL_PS},
+            cost AS (
+              SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+              FROM ps
+              JOIN supplier ON ps_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+                AND ps_partkey IN (
+                  SELECT p_partkey FROM part
+                  WHERE p_size = 15 AND p_type = 'SMALL'
+                )
+            )
+            SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+                   ps_supplycost
+            FROM cost c
+            WHERE ps_supplycost = (
+              SELECT min(ps_supplycost) FROM cost c2
+              WHERE c2.ps_partkey = c.ps_partkey
+            )
+        """,
+        "tpch_q11": f"""
+            WITH {_SQL_PS},
+            v AS (
+              SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS val
+              FROM ps
+              JOIN supplier ON ps_suppkey = s_suppkey
+              WHERE s_nationkey = 5
+              GROUP BY ps_partkey
+            )
+            SELECT ps_partkey, round(val, 2) AS val
+            FROM v WHERE val > (SELECT sum(val) * 0.001 FROM v)
+        """,
+        "tpch_q20": f"""
+            WITH {_SQL_PS},
+            q96 AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty96
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2
+            )
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_nationkey = 2 AND s_suppkey IN (
+              SELECT ps_suppkey FROM ps
+              JOIN q96 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+              WHERE ps_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+              ) AND ps_availqty > 0.5 * qty96
+            )
         """,
         "tpch_q18": """
             SELECT c_custkey, c_name, o_orderkey AS orderkey,

@@ -575,3 +575,123 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver data has no partsupp table; q2/q11/q20 run over a
+    DERIVED part-supplier relation rebuilt identically in the oracle:
+    one row per observed (partkey, suppkey) pair, supply cost = min unit
+    price, availqty = total shipped quantity.  min/sum over exact
+    doubles — deterministic across engines, no rounding needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (derived partsupp): for each
+    size-15 SMALL part, the EUROPE supplier(s) at the minimum supply
+    cost.  The correlated MIN subquery decorrelates to a per-part min
+    joined back on (part, exact-min-cost) — cost values are identical
+    doubles in both engines, so the equality is deterministic.  All
+    dims broadcast; ps shuffles once on (part, supp)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    cost = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey, "left_semi")
+        .join(F.broadcast(supplier), ps.ps_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    min_cost = cost.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "ps_supplycost",
+        )
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (derived partsupp): per-part inventory
+    value held by NATION_5 suppliers, keeping parts above 0.1% of the
+    nation's total — the HAVING-against-global-scalar shape.  The
+    threshold is a 1-row broadcast; value sums round at 2 only in the
+    final projection (intermediates stay exact)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 5
+    )
+    v = (
+        ps.join(F.broadcast(supplier), ps.ps_suppkey == supplier.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("val")
+        )
+    )
+    threshold = v.agg((F.sum("val") * 0.001).alias("thr"))
+    return (
+        v.join(F.broadcast(threshold))
+        .filter(F.col("val") > F.col("thr"))
+        .select("ps_partkey", F.round("val", 2).alias("val"))
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion (derived partsupp): NATION_2
+    suppliers holding more than half their 1996 shipped quantity of any
+    red part.  Both quantity sums are exact integer-valued doubles, so
+    the 0.5x comparison is deterministic.  The nested IN chain
+    decorrelates to semi joins end-to-end."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    ).select("p_partkey")
+    q96 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("q_partkey"),
+            F.col("l_suppkey").alias("q_suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("qty96"))
+    )
+    cand = (
+        ps.join(F.broadcast(red), ps.ps_partkey == red.p_partkey, "left_semi")
+        .join(
+            q96,
+            (F.col("ps_partkey") == F.col("q_partkey"))
+            & (F.col("ps_suppkey") == F.col("q_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty96"))
+        .select("ps_suppkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 2
+    )
+    return supplier.join(
+        cand, supplier.s_suppkey == cand.ps_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")

@@ -31,6 +31,7 @@ NOTES = {
     "gap_fill": "sequence+explode grid bounded per user; last(ignorenulls) window shares the user-key exchange with the left join",
     "salted_join": "ShuffledHashJoin on (custkey, salt): the hot fact key is split across 8 buckets; the replicated dim side is 8x small-table rows",
     "argmax_order": "single hash agg, no Window/Sort: struct-max carries (price, key) through map-side partials",
+    "tpch_q2": "derived partsupp + correlated-MIN decorrelated to a broadcast per-part min; the 5-part semi join prunes ps before any dim join",
 }
 
 

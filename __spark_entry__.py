@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": adv.salted_join,
         "sql_segment_spend": sqlapi.sql_segment_spend,
         "nested_roundtrip": adv.nested_roundtrip,
+        "bag_except": adv.bag_except,
+        "date_funcs": adv.date_funcs,
+        "window_frames": adv.window_frames,
         "tpch_q2": tpch.tpch_q2,
         "tpch_q11": tpch.tpch_q11,
         "tpch_q20": tpch.tpch_q20,
@@ -1055,6 +1058,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
               ) AND ps_availqty > 0.5 * qty96
             )
+        """,
+        "bag_except": """
+            WITH r AS (
+              SELECT o_custkey FROM orders
+              EXCEPT ALL
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+            SELECT o_custkey, count(*) AS cnt FROM r GROUP BY o_custkey
+        """,
+        "date_funcs": """
+            SELECT o_orderkey,
+                   epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+                   epoch_us(last_day(o_orderdate)::TIMESTAMP) AS eom_us,
+                   isodow(o_orderdate) AS isodow,
+                   epoch_us(o_orderdate + INTERVAL 30 DAY) AS plus30_us
+            FROM orders
+        """,
+        "window_frames": """
+            SELECT o_custkey, o_orderkey,
+                   round(avg(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ), 6) AS sliding_avg3,
+                   cume_dist() OVER w AS cd,
+                   nth_value(o_orderkey, 3) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS third_orderkey
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
         "tpch_q18": """
             SELECT c_custkey, c_name, o_orderkey AS orderkey,

@@ -602,3 +602,53 @@ def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ln.l_linenumber").alias("l_linenumber"),
         F.col("ln.l_quantity").alias("l_quantity"),
     )
+
+
+def bag_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: each customer's order rows minus
+    their urgent-order rows, multiplicity preserved (a customer with 5
+    orders, 2 urgent, keeps 3 rows).  Aggregated to counts so the
+    result is deterministic and hashable."""
+    orders = load_table(spark, sf_dir, "orders")
+    rest = orders.select("o_custkey").exceptAll(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    )
+    return rest.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval catalog: month truncation, end-of-month, ISO
+    weekday, +30-day arithmetic — emitted as epoch micros / longs so the
+    DuckDB comparison is timezone-proof (session TZ pinned UTC)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return orders.select(
+        "o_orderkey",
+        F.unix_micros(F.date_trunc("month", ts)).alias("month_us"),
+        F.unix_micros(F.last_day(ts).cast("timestamp")).alias("eom_us"),
+        (F.weekday(ts) + 1).cast("long").alias("isodow"),
+        F.unix_micros(F.date_add(ts.cast("date"), 30).cast("timestamp")).alias(
+            "plus30_us"
+        ),
+    )
+
+
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame catalog: 3-row sliding average, cumulative
+    distribution, 3rd value in the running frame.  cume_dist is emitted
+    UNROUNDED — it is a ratio of identical integers in both engines, so
+    the doubles are bit-identical (rounding could only introduce a tie).
+    The sliding avg divides by 1/2/3 rows — terminating decimals, no
+    rounding boundary."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6).alias(
+            "sliding_avg3"
+        ),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(run).alias("third_orderkey"),
+    )

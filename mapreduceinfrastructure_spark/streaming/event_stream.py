@@ -172,3 +172,16 @@ def streaming_interval_join(events_a: DataFrame, events_b: DataFrame) -> DataFra
         & (F.col("ts_b") > F.col("ts_a"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
     ).select("u_a", "ea", "eb", F.col("ts_a"), F.col("ts_b"))
+
+
+def streaming_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each event decorated with its
+    user's static dimension attributes.  The static side is planned as
+    a broadcast per micro-batch — no state store involved (unlike
+    stream-stream joins), so it is watermark-free and scales with the
+    dimension snapshot, re-resolved every batch (picks up dim updates
+    between batches)."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey", "c_mktsegment"
+    )
+    return events.select("event_id", "user_id", "value").join(dim, "user_id")

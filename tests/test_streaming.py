@@ -142,3 +142,30 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
     ).count()
     assert n_stream == n_batch
     assert n_stream > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+    from mapreduceinfrastructure_spark.streaming.event_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_enrich,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    got = run_stream_to_memory(
+        spark,
+        streaming_enrich(read_events_stream(spark, sf_dir), customer),
+        "enrich_test",
+    )
+    n_stream = got.count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_batch = ev.join(
+        customer, ev.user_id == customer.c_custkey, "inner"
+    ).count()
+    assert n_stream == n_batch > 0
+    # enrichment carried the dim columns
+    assert {"c_nationkey", "c_mktsegment"} <= set(got.columns)

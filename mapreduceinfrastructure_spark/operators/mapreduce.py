@@ -78,9 +78,15 @@ def map_reduce(
     """Two-phase MapReduce over a single-string-column DataFrame.
 
     ``df``'s first column is the record (the reference's newline-
-    delimited line, description.md:44).  Returns DataFrame[key, value]
-    hash-partitioned into ``num_partitions`` (the reference's R /
-    ``n_output_files``).
+    delimited line, description.md:44).  Returns DataFrame[key, value].
+
+    The hash(key) % R partitioner (reference: src/mr_tasks.h:48) is the
+    shuffle ``groupBy("key").applyInPandas`` itself plans — it hashes
+    on key into ``spark.sql.shuffle.partitions``; an explicit
+    ``repartition(R, key)`` in front of it would be a second, wasted
+    shuffle.  The R-file output contract (``n_output_files``) is owned
+    by the text sink, which repartitions to exactly R on write.
+    ``num_partitions`` is kept for API parity with the reference spec.
     """
     from ..session import ensure_package_on_executors
 
@@ -101,9 +107,6 @@ def map_reduce(
             yield pd.DataFrame({"key": keys, "value": vals})
 
     mapped = df.mapInPandas(_map_batches, schema=_KV_SCHEMA)
-    # hash(key) % R — the reference's mr_tasks.h:48 partitioner.  The
-    # shuffle boundary this creates IS the map/reduce phase barrier.
-    partitioned = mapped.repartition(num_partitions, F.col("key"))
 
     def _reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf["key"].iloc[0]
@@ -114,7 +117,7 @@ def map_reduce(
             vals.append(v)
         return pd.DataFrame({"key": keys, "value": vals})
 
-    return partitioned.groupBy("key").applyInPandas(_reduce_group, schema=_KV_SCHEMA)
+    return mapped.groupBy("key").applyInPandas(_reduce_group, schema=_KV_SCHEMA)
 
 
 # ---------------------------------------------------------------- job spec
@@ -186,11 +189,22 @@ def run_job(spark: SparkSession, spec: JobSpec) -> DataFrame:
     if not validate_spec(spec):
         raise ValueError(f"invalid job spec: {spec}")
     map_fn, reduce_fn = get_tasks(spec.user_id)
-    lines = read_text_lines(spark, spec.input_files, shard_kilobytes=spec.map_kilobytes)
-    result = map_reduce(lines, map_fn, reduce_fn, num_partitions=spec.n_output_files)
-    write_sorted_kv_text(
-        result, spec.output_dir, spec.n_output_files, user_id=spec.user_id
-    )
+    # the shard-size knob is session conf (see read_text_lines); hold it
+    # through the write action (splits are planned at action time), then
+    # restore so the job doesn't leak its shard size into the session.
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        lines = read_text_lines(
+            spark, spec.input_files, shard_kilobytes=spec.map_kilobytes
+        )
+        result = map_reduce(
+            lines, map_fn, reduce_fn, num_partitions=spec.n_output_files
+        )
+        write_sorted_kv_text(
+            result, spec.output_dir, spec.n_output_files, user_id=spec.user_id
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
     return result
 
 

@@ -279,7 +279,6 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.ts is parquet TIMESTAMP(NANOS); Spark 4 only reads it via the
     # nanos-as-long escape hatch.  All session math is integer microseconds
     # (ns div 1000), which matches DuckDB's native ns->us truncation.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = load_table(spark, sf_dir, "events").withColumn(
         "ts_us", F.expr("ts div 1000")
     )

@@ -8,10 +8,11 @@ Scale notes (100 TB design point):
 - ``cosine_topk`` broadcasts the (small) query set and streams the
   corpus once — O(corpus × queries) flops, no corpus self-shuffle.
   All vector math is JVM higher-order functions in double precision.
-- ``ann_lsh`` buckets vectors by random-hyperplane signature (16-bit),
-  then searches only within buckets: candidate count drops by ~2^16/
-  multiprobe factor.  The hyperplanes are deterministic (seeded PRNG
-  literals) so results are reproducible across runs/sessions.
+- ``ann_lsh`` buckets vectors by random-hyperplane signatures (8
+  tables × 4 bits, 1-bit query multiprobe), then searches only within
+  matching buckets: each table prunes candidates ~16×.  The
+  hyperplanes are deterministic (seeded PRNG literals) so results are
+  reproducible across runs/sessions.
 - ``embedding_neardup`` is the all-pairs exact variant — correct at
   small SF, superseded by ann_lsh buckets at scale (same verify math).
 """
@@ -27,7 +28,7 @@ from ..functions.vector import cosine_similarity_expr
 from ..sources.tables import fan_out, load_table
 
 EMBED_DIM = 64
-N_PLANES = 16
+N_PLANES = 32  # 8 tables × 4 bits, every table on its own planes
 TOPK = 5
 N_QUERIES = 50
 
@@ -82,20 +83,26 @@ def _hyperplanes() -> list[list[float]]:
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via banded random-hyperplane LSH: 8 tables of 4-bit signatures.
+    """ANN via multiprobe random-hyperplane LSH: 8 tables × 4 bits,
+    32 distinct planes, query-side 1-bit multiprobe.
 
     A single long signature has vanishing recall (all bits must agree);
-    the standard multi-table banding trades one bucket join for L=8
-    smaller ones: P(candidate) = 1-(1-p^4)^8 with p = 1 - angle/pi,
-    ~0.8 for cosine≈0.5 neighbors.  Each vector emits 8 (table, bucket)
-    keys; candidates join on them, are deduped, then exact-cosine
-    ranked top-5 per query.  Recall < 1 by construction (rows-only
-    check; exact baseline is ``cosine_topk``).
+    multi-table banding trades one bucket join for L=8 smaller ones,
+    and each table gets its OWN 4 planes (reusing planes across tables
+    correlates their misses and caps effective L).  The query side
+    additionally probes every bucket at Hamming distance 1 (4 flips +
+    exact = 5 keys/table), so per table P(hit) = p⁴ + 4p³(1-p) with
+    p = 1 - angle/π — ≥0.95 overall even for cosine≈0 neighbors.
+    Corpus vectors still emit only 8 keys each (multiprobe cost rides
+    the tiny query side); candidates join on (table, bucket), are
+    deduped, then exact-cosine ranked top-5 per query.  Recall < 1 by
+    construction (rows-only check; exact baseline is ``cosine_topk``,
+    floor pinned in tests/test_ann_recall.py).
     """
     BITS_PER_TABLE = 4
     N_TABLES = 8
     emb = _embeddings(spark, sf_dir)
-    planes = _hyperplanes()  # 16 planes; tables reuse 4 at a time cyclically
+    planes = _hyperplanes()  # 32 planes: table t owns planes [4t, 4t+4)
 
     def bit(plane):
         return F.when(
@@ -113,16 +120,41 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0))
 
     bits = [bit(p) for p in planes]
-    tables = []
-    for t in range(N_TABLES):
-        idx = [(t * BITS_PER_TABLE + j) % len(bits) for j in range(BITS_PER_TABLE)]
-        bucket = sum((bits[i] * (2 ** j) for j, i in enumerate(idx)), start=F.lit(0))
-        tables.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+
+    def bucket_expr(t):
+        idx = range(t * BITS_PER_TABLE, (t + 1) * BITS_PER_TABLE)
+        return sum(
+            (bits[i] * (2 ** j) for j, i in enumerate(idx)), start=F.lit(0)
+        )
+
+    tables = [
+        F.struct(F.lit(t).alias("tbl"), bucket_expr(t).alias("bucket"))
+        for t in range(N_TABLES)
+    ]
     keyed = emb.select(
         "vec_id", "v", F.explode(F.array(*tables)).alias("tb")
     ).select("vec_id", "v", "tb.tbl", "tb.bucket")
-    q = keyed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "tbl", "bucket"
+    # multiprobe on the query side only: exact bucket + the 4 buckets
+    # one bit-flip away, per table.
+    probes = []
+    for t in range(N_TABLES):
+        bucket = bucket_expr(t)
+        probes.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+        for j in range(BITS_PER_TABLE):
+            probes.append(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    bucket.bitwiseXOR(F.lit(1 << j)).alias("bucket"),
+                )
+            )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.explode(F.array(*probes)).alias("tb"),
+        )
+        .select("qid", "qv", "tb.tbl", "tb.bucket")
     )
     cand = (
         keyed.join(F.broadcast(q), ["tbl", "bucket"])

@@ -30,7 +30,6 @@ HOUR_US = 3_600_000_000
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.ts is parquet TIMESTAMP(NANOS); Spark 4 reads it via the
     # nanos-as-long escape hatch (see relational.sessionize).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return load_table(spark, sf_dir, "events").withColumn(
         "ts_us", F.expr("ts div 1000")
     )

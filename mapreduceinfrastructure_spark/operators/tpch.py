@@ -642,11 +642,18 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey") == 5
     )
+    # round the per-part sum-of-products at 4 BEFORE the threshold
+    # compare: float summation order differs between Spark partial aggs
+    # and DuckDB, so the unrounded double can drift ~1e-9 and flip a
+    # near-threshold part between engines.  On a 4-decimal grid both
+    # engines see identical vals (oracle mirrors the same rounding).
     v = (
         ps.join(F.broadcast(supplier), ps.ps_suppkey == supplier.s_suppkey)
         .groupBy("ps_partkey")
         .agg(
-            F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("val")
+            F.round(
+                F.sum(F.col("ps_supplycost") * F.col("ps_availqty")), 4
+            ).alias("val")
         )
     )
     threshold = v.agg((F.sum("val") * 0.001).alias("thr"))

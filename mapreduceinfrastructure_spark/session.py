@@ -54,6 +54,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # deterministic timestamp semantics vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet is TIMESTAMP(NANOS) — read nanos as int64
+        # everywhere (load_table re-asserts this at runtime for foreign
+        # sessions, e.g. the driver's own).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

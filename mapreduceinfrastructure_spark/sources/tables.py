@@ -33,6 +33,11 @@ BROADCASTABLE = frozenset({"region", "nation", "supplier"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # events.parquet carries TIMESTAMP(NANOS); Spark 4 refuses it unless
+    # nanos read as long.  Set here — the ONE table chokepoint — because
+    # the driver's correctness harness runs queries in its own session
+    # (not built by get_spark), so a builder-only conf would not reach it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -27,11 +27,18 @@ def read_text_lines(
     knob (test/config.ini:6; sizing formula description.md:18) — it sets
     the max input-split size so M map partitions ≈
     ceil(total_bytes / shard_kilobytes KB).
+
+    Spark has no per-read split-size option: FilePartition.maxSplitBytes
+    reads only the SESSION conf ``spark.sql.files.maxPartitionBytes``
+    (a reader ``.option`` of that name is silently ignored), so the knob
+    is applied as a session conf here.  File-scan partitions are planned
+    at ACTION time, so the conf must stay set until the job's action
+    runs; ``run_job`` restores the previous value after its write.
     """
     if isinstance(paths, str):
         paths = [paths]
-    reader = spark.read
     if shard_kilobytes is not None:
-        # Per-read split-size override (DataSource v1 option).
-        reader = reader.option("maxPartitionBytes", str(shard_kilobytes * 1024))
-    return reader.text(list(paths))
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(shard_kilobytes * 1024)
+        )
+    return spark.read.text(list(paths))

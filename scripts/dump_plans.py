@@ -25,7 +25,9 @@ NOTES = {
     "tf_idf": "df(w) re-aggregates the tf table (second shuffle moves |distinct pairs|, not |tokens|); both aggs partial+final",
     "grouping_sets_pricing": "one Expand + one shuffle for all three grouping sets — n sets cost one scan",
     "cosine_topk": "query vectors broadcast (BroadcastNestedLoopJoin BuildRight); corpus streamed once; WindowGroupLimit prunes per-partition before the exchange",
-    "minhash_lsh_neardup": "band self-join and both verify joins broadcast the small candidate side; the big (doc, shingle) table is streamed, never shuffled, in the verify stages",
+    "minhash_lsh_neardup": "band self-join is a MERGE-hinted SortMergeJoin on (band, bucket) — the bands table is linear in the corpus and must never broadcast; the candidate verify joins are unhinted, so AQE broadcasts them at runtime only when their measured size allows",
+    "simhash": "one tokenize + explode, 64 algebraic partial sums map-side, one shuffle of (doc_id, 64 longs) — no HOF lambdas, full codegen",
+    "fuzzy_blocked_join": "self-join shuffles on the composite (first token, length band) canopy key; block cardinality grows with the vocabulary so per-block pair counts stay bounded",
     "tpch_q8": "eight-way star join: every dimension rides a BroadcastExchange; no shuffle until the final 1-row-per-year agg",
     "tpch_q21": "double-correlated EXISTS/NOT EXISTS as left-semi + left-anti over distinct (orderkey, suppkey) projections — the narrowest possible shuffles",
     "gap_fill": "sequence+explode grid bounded per user; last(ignorenulls) window shares the user-key exchange with the left join",

@@ -20,8 +20,10 @@ def test_ann_lsh_recall(spark, sf_dir):
     approx = _topk_sets(QUERIES["ann_lsh"](spark, sf_dir))
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
-    # random-hyperplane LSH with one 16-bit table: modest recall floor
-    assert hits / total >= 0.15, f"LSH recall {hits}/{total}"
+    # 8 independent 4-bit tables + 1-bit query multiprobe: per-table
+    # P(hit) = p^4 + 4p^3(1-p) ≥ 0.36 even at cosine≈0, so overall
+    # recall should be near 1; 0.5 is the hard floor for "usable ANN".
+    assert hits / total >= 0.5, f"LSH recall {hits}/{total}"
 
 
 def test_ann_ivf_recall(spark, sf_dir):

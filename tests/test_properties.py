@@ -64,9 +64,9 @@ def test_explode_count_equals_multiset(spark, lines):
 
 
 def test_rows_only_queries_are_deterministic(spark, sf_dir):
-    """The six rows-only queries (no DuckDB oracle pins them) must still
-    be run-to-run deterministic — seeded LSH planes, fixed IVF init,
-    fixed PageRank iteration count.  Two runs, identical sorted rows."""
+    """The rows-only queries (no DuckDB oracle pins them) must still
+    be run-to-run deterministic — seeded LSH planes, fixed IVF init.
+    Two runs, identical sorted rows."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()

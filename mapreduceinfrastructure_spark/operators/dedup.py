@@ -273,14 +273,31 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     from round 3 on, pointer jumping (l(v) <- l(l(v))) collapses long
     chains in O(log diameter) extra rounds instead of O(diameter).
     """
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
     # partition edges on the join key ONCE and keep them resident: every
     # propagation round reuses the in-memory partitioning, so only the
-    # (much smaller) label table moves per iteration.
-    edges = edges.repartition("b").persist()
-    labels = labels.localCheckpoint(eager=True)
+    # (much smaller) label table moves per iteration.  Materialize BEFORE
+    # deriving the label table — labels' eager checkpoint would otherwise
+    # recompute the full (possibly expensive) edge lineage a second time.
+    spark = edges.sparkSession
+    staged = edges.persist()
+    n_edges = staged.count()
+    # size iteration stages to the graph, not the session default: a
+    # 512-edge near-dup graph iterates in 1-task stages instead of
+    # shuffle_partitions-task stages, while a billion-edge graph still
+    # shards across the cluster (same policy as graph.pagerank_nations).
+    n_parts = max(
+        1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1)
+    )
+    edges = staged.repartition(n_parts, "b").persist()
+    edges.count()
+    staged.unpersist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .coalesce(n_parts)
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
     # convergence probe: min-propagation only ever LOWERS labels, so
     # sum(label) strictly decreases until the fixpoint — one cheap agg
     # over the already-materialized label table replaces a join-based

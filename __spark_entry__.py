@@ -24,6 +24,7 @@ from mapreduceinfrastructure_spark.operators import dedup as dd  # noqa: E402
 from mapreduceinfrastructure_spark.operators import graph as gr  # noqa: E402
 from mapreduceinfrastructure_spark.operators import mapreduce as mr  # noqa: E402
 from mapreduceinfrastructure_spark.operators import multimodal as mm  # noqa: E402
+from mapreduceinfrastructure_spark.operators import pipeline as pl  # noqa: E402
 from mapreduceinfrastructure_spark.operators import relational as rel  # noqa: E402
 from mapreduceinfrastructure_spark.operators import similarity as sim  # noqa: E402
 from mapreduceinfrastructure_spark.operators import text_analysis as ta  # noqa: E402
@@ -231,6 +232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": tpch.tpch_q2,
         "tpch_q11": tpch.tpch_q11,
         "tpch_q20": tpch.tpch_q20,
+        "keep_best_dedup": pl.keep_best_dedup,
+        "decontamination": pl.decontamination,
+        "data_mixture": pl.data_mixture,
     }
 
 
@@ -1195,5 +1199,59 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_orderkey HAVING sum(l_quantity) > 260
             )
             GROUP BY c_custkey, c_name, o_orderkey, round(o_totalprice, 2)
+        """,
+        "keep_best_dedup": f"""
+            WITH kd AS (
+              SELECT doc_id, n_chars, concat_ws(' ', t[1], t[2]) AS ck
+              FROM (SELECT doc_id, n_chars,
+                           list_filter(string_split_regex(text, {_D}),
+                                       x -> length(x) > 0) AS t
+                    FROM documents)
+            )
+            SELECT ck,
+                   CAST(-(max(struct_pack(nc := n_chars, nid := -doc_id)).nid)
+                        AS BIGINT) AS doc_id,
+                   max(struct_pack(nc := n_chars, nid := -doc_id)).nc AS n_chars,
+                   count(*) AS cluster_size
+            FROM kd GROUP BY ck
+        """,
+        "decontamination": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, {_D}),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(t) - 3),
+                         i -> array_to_string(t[i:i+4], ' '))) AS gs
+              FROM toks
+            ),
+            flat AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 20 = 0),
+            hits AS (
+              SELECT f.doc_id, count(*) AS n_hit
+              FROM flat f JOIN bench b USING (g)
+              WHERE f.doc_id % 20 <> 0 GROUP BY f.doc_id
+            )
+            SELECT g.doc_id, len(g.gs) AS n_doc_ngrams,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_ngrams,
+                   CAST(coalesce(h.n_hit, 0) > 0 AS BIGINT) AS contaminated
+            FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+            WHERE g.doc_id % 20 <> 0
+        """,
+        "data_mixture": f"""
+            WITH d AS (
+              SELECT source, lang,
+                     len(list_filter(string_split_regex(text, {_D}),
+                                     x -> length(x) > 0)) AS nt
+              FROM documents
+            )
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   round(sum(nt)::DOUBLE / (sum(sum(nt)) OVER ())::DOUBLE, 6)
+                     AS token_share
+            FROM d GROUP BY source, lang
         """,
     }

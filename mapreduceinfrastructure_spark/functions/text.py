@@ -31,10 +31,23 @@ def bigrams_expr(tokens: Column) -> Column:
     Guarded for size < 2 because Spark's ``sequence(1, 0)`` produces a
     *descending* sequence rather than an empty array.
     """
+    return ngrams_expr(tokens, 2)
+
+
+def ngrams_expr(tokens: Column, n: int) -> Column:
+    """Space-joined token n-grams from a token array (generalizes
+    :func:`bigrams_expr`).
+
+    Same ``sequence`` guard: for size < n Spark's ``sequence(1, k<1)``
+    is a *descending* sequence, not empty.  ``element_at`` indices are
+    always in-bounds here, so the expression is ANSI-mode safe.
+    """
     return F.when(
-        F.size(tokens) >= 2,
+        F.size(tokens) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(tokens, i), F.element_at(tokens, i + 1)),
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + j) for j in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,157 @@
+"""Training-data-pipeline curation operators over ``documents``.
+
+These extend the reference's map/reduce query surface (the OSDI'04
+catalog the reference implements via map/emit + reduce/emit,
+description.md:30-40) with the curation steps a large-scale LLM data
+pipeline runs between raw scrape and tokenizer:
+
+- :func:`keep_best_dedup`   — canopy-cluster near-identical docs, keep
+  the best representative per cluster (the "keep one" half of dedup;
+  the detection half lives in operators/dedup.py).
+- :func:`decontamination`   — n-gram-overlap benchmark decontamination
+  (flag training docs sharing any 5-token span with a held-out eval
+  set), the standard eval-leak filter.
+- :func:`data_mixture`      — token accounting by source x language:
+  the mixture table a sampling/weighting stage consumes.
+
+Every function takes (spark, sf_dir) and returns a DataFrame whose
+column names match the DuckDB oracle in __spark_entry__.oracle_sql().
+
+Scale notes (100 TB design point):
+- keep_best_dedup is ONE shuffle of algebraic partials:
+  groupBy(canopy).agg(count, max(struct)) — max over a (n_chars,
+  -doc_id) struct is the argmax-with-tiebreak, computed map-side
+  first, so the shuffle moves one partial row per (task, key), not
+  one row per document.  No window sort.
+- decontamination broadcasts the BENCHMARK n-grams only.  That side is
+  absolutely small by construction (eval suites are MBs even when the
+  corpus is 100 TB) — the corpus side streams through a broadcast hash
+  join with no corpus-sized shuffle; the only shuffles are over hit
+  rows and the per-doc result join, both corpus-bounded but narrow.
+- data_mixture is a two-level algebraic aggregation: per-(source,
+  lang) partial sums, then a global-window share over the tiny
+  aggregate (|sources| x |langs| rows), never over raw docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import ngrams_expr, tokens_expr
+from ..sources.tables import load_table
+
+# Benchmark membership for decontamination: every 20th doc_id is the
+# held-out "eval set".  Deterministic and oracle-mirrorable; a real
+# pipeline would read an actual benchmark table here.
+BENCH_MOD = 20
+
+# Contamination n-gram width.  5 keeps the false-positive rate near
+# zero on natural text (only true near-copies share a 5-token span);
+# the GPT-3 appendix used 8-13 for the same reason.
+NGRAM_N = 5
+
+
+def keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup: canopy key = first two strtok tokens; keep the
+    longest doc per canopy (tie-break: lowest doc_id).
+
+    The argmax is ``max(struct(n_chars, -doc_id))`` — lexicographic
+    struct max == (max n_chars, then min doc_id) — an algebraic
+    aggregate with map-side partials, so the single shuffle carries
+    per-task partials, not documents.  At 100 TB this is the same
+    plan shape as word count; a window row_number() would instead
+    sort every canopy group.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_expr("text")
+    # F.get is 0-based and yields NULL out-of-bounds (ANSI-safe for
+    # 0/1-token docs); concat_ws skips NULLs in both engines.
+    kd = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat_ws(" ", F.get(t, 0), F.get(t, 1)).alias("ck"),
+    )
+    best = F.max(
+        F.struct(F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("nid"))
+    )
+    return (
+        kd.groupBy("ck")
+        .agg(F.count("*").alias("cluster_size"), best.alias("b"))
+        .select(
+            "ck",
+            (-F.col("b.nid")).cast("long").alias("doc_id"),
+            F.col("b.nc").alias("n_chars"),
+            "cluster_size",
+        )
+    )
+
+
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    distinct 5-token n-grams appear anywhere in the benchmark split
+    (doc_id % BENCH_MOD == 0), and a contaminated flag.
+
+    ``array_distinct`` runs BEFORE the explode, so per-doc dedup of
+    n-grams is map-side (no shuffle).  The benchmark n-gram set is
+    broadcast — absolutely small by construction (an eval suite), the
+    one case where a broadcast on this path is scale-safe.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(ngrams_expr(tokens_expr("text"), NGRAM_N)).alias("gs"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    # gs is distinct per doc, so count(*) after the inner join counts
+    # distinct overlapping n-grams.
+    hits = (
+        train.select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_hit = F.coalesce("n_hit", F.lit(0)).cast("long")
+    return (
+        train.select("doc_id", F.size("gs").cast("long").alias("n_doc_ngrams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_doc_ngrams",
+            n_hit.alias("n_hit_ngrams"),
+            (n_hit > 0).cast("long").alias("contaminated"),
+        )
+    )
+
+
+def data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture accounting: docs and strtok tokens per
+    (source, language), plus each cell's share of total tokens.
+
+    Token counts reduce to per-(source, lang) partials map-side; the
+    global-total window runs over the aggregated frame (|sources| x
+    |langs| rows), so its single-partition exchange moves a few
+    hundred rows regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "lang", F.size(tokens_expr("text")).cast("long").alias("nt")
+    )
+    agg = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / total.cast("double"), 6
+        ).alias("token_share"),
+    )

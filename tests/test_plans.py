@@ -124,3 +124,31 @@ def test_salted_join_stays_on_shuffle_path(spark, sf_dir):
 
     df = QUERIES["salted_join"](spark, sf_dir)
     assert "ShuffledHashJoin" in formatted_plan(df)
+
+
+def test_keep_best_dedup_single_hash_agg_no_window(spark, sf_dir):
+    """keep_best_dedup's argmax must stay a one-shuffle struct-max hash
+    agg — a window row_number regression would sort every canopy."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["keep_best_dedup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert shuffle_count(df) == 1
+
+
+def test_decontamination_broadcasts_benchmark_only(spark, sf_dir):
+    """The benchmark n-gram set (absolutely small: an eval suite) rides
+    a broadcast hash join; the corpus side must never broadcast."""
+    df = QUERIES["decontamination"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    # bench distinct + hit count + result join; no corpus-sized extras
+    assert shuffle_count(df) <= 4
+
+
+def test_data_mixture_aggregates_before_global_window(spark, sf_dir):
+    """The global-share window must run over the (source, lang)
+    aggregate, not raw docs: one keyed agg exchange plus the
+    single-partition exchange of the tiny aggregated frame."""
+    df = QUERIES["data_mixture"](spark, sf_dir)
+    assert shuffle_count(df) <= 2

@@ -235,6 +235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_best_dedup": pl.keep_best_dedup,
         "decontamination": pl.decontamination,
         "data_mixture": pl.data_mixture,
+        "repetition_filter": pl.repetition_filter,
+        "pack_sequences": pl.pack_sequences,
+        "split_assign": pl.split_assign,
     }
 
 
@@ -1253,5 +1256,65 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(nt)::DOUBLE / (sum(sum(nt)) OVER ())::DOUBLE, 6)
                      AS token_share
             FROM d GROUP BY source, lang
+        """,
+        "repetition_filter": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, {_D}),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)),
+                         i -> t[i] || ' ' || t[i+1])) AS bg
+              FROM toks
+            ),
+            f AS (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY doc_id, bg),
+            m AS (
+              SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot,
+                     count(*) AS n_distinct
+              FROM f GROUP BY doc_id
+            )
+            SELECT doc_id, tot AS n_bigrams,
+                   round(mx::DOUBLE / tot::DOUBLE, 6) AS top_bigram_frac,
+                   round(1.0 - n_distinct::DOUBLE / tot::DOUBLE, 6)
+                     AS dup_bigram_frac,
+                   CAST(mx::DOUBLE / tot::DOUBLE > 0.10 AS BIGINT) AS flagged
+            FROM m
+        """,
+        "pack_sequences": f"""
+            WITH d AS (
+              SELECT source, doc_id,
+                     len(list_filter(string_split_regex(text, {_D}),
+                                     x -> length(x) > 0)) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT source, doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS cum_excl
+              FROM d
+            )
+            SELECT source, doc_id, n_tokens,
+                   cum_excl // 2048 AS pack_id,
+                   cum_excl % 2048 AS pack_offset
+            FROM c
+        """,
+        "split_assign": f"""
+            WITH d AS (
+              SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'c'
+                            THEN 'train'
+                          WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'e'
+                            THEN 'val'
+                          ELSE 'test' END AS split,
+                     len(list_filter(string_split_regex(text, {_D}),
+                                     x -> length(x) > 0)) AS nt
+              FROM documents
+            )
+            SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM d GROUP BY split
         """,
     }

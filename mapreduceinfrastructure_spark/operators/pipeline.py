@@ -155,3 +155,100 @@ def data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("double") / total.cast("double"), 6
         ).alias("token_share"),
     )
+
+
+# Training-sequence length for pack_sequences (tokens per packed row).
+PACK_LEN = 2048
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per doc, the fraction of
+    bigram occurrences taken by the most frequent bigram and the
+    duplicate-bigram fraction, plus a flag at top_frac > 0.10.
+
+    Explode + two-level hash agg, both algebraic with map-side
+    partials; bigrams of one doc are co-located before the explode, so
+    the first shuffle moves per-(doc, bigram) partial counts.  Docs
+    with < 2 tokens have no bigrams and are absent (oracle mirrors).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import bigrams_expr
+
+    bg = docs.select(
+        "doc_id", F.explode(bigrams_expr(tokens_expr("text"))).alias("bg")
+    )
+    f = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    m = f.groupBy("doc_id").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("tot"),
+        F.count("*").alias("n_distinct"),
+    )
+    top_frac = F.col("mx").cast("double") / F.col("tot").cast("double")
+    return m.select(
+        "doc_id",
+        F.col("tot").cast("long").alias("n_bigrams"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("tot").cast("double"),
+            6,
+        ).alias("dup_bigram_frac"),
+        (top_frac > 0.10).cast("long").alias("flagged"),
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing accounting: documents are concatenated per
+    source in doc_id order and cut into PACK_LEN-token training
+    sequences; each doc reports the pack its first token lands in and
+    its token offset within that pack.
+
+    One shuffle: the per-source running sum (window, ROWS UNBOUNDED
+    PRECEDING TO 1 PRECEDING).  Sources partition the corpus, so the
+    window parallelizes across sources; a skewed mega-source would
+    need a range-partitioned two-pass cumsum (same scheme as
+    relational.global_rank).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "doc_id", F.size(tokens_expr("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return d.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(cum_excl / F.lit(PACK_LEN)).cast("long").alias("pack_id"),
+        (cum_excl % PACK_LEN).cast("long").alias("pack_offset"),
+    )
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split accounting: docs hash to a
+    split by the first hex char of md5(doc_id) — 12/16 train, 2/16
+    val, 2/16 test — then per-split doc and token totals.
+
+    Hash-based splits are reshuffle-free and stable under corpus
+    growth (a doc's split never changes when others are added).  One
+    algebraic aggregation to three rows; no shuffle of raw docs
+    beyond the partial-agg exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(c < "c", F.lit("train"))
+        .when(c < "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            F.size(tokens_expr("text")).cast("long").alias("nt"),
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )

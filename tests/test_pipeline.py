@@ -51,3 +51,48 @@ def test_data_mixture_shares_sum_to_one(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     )
     assert row.d == n_docs
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    out = pl.pack_sequences(spark, sf_dir).cache()
+    try:
+        # offsets stay inside a pack; pack ids start at 0 per source
+        assert out.filter(
+            (F.col("pack_offset") < 0) | (F.col("pack_offset") >= pl.PACK_LEN)
+        ).count() == 0
+        firsts = out.groupBy("source").agg(F.min("pack_id").alias("m"))
+        assert firsts.filter("m != 0").count() == 0
+        # packing is dense: pack_id never exceeds total_tokens // PACK_LEN
+        chk = out.groupBy("source").agg(
+            F.max("pack_id").alias("max_pack"), F.sum("n_tokens").alias("tot")
+        )
+        assert chk.filter(
+            F.col("max_pack") > F.floor(F.col("tot") / pl.PACK_LEN)
+        ).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_split_assign_covers_all_docs(spark, sf_dir):
+    out = pl.split_assign(spark, sf_dir)
+    rows = {r["split"]: r for r in out.collect()}
+    assert set(rows) == {"train", "val", "test"}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs
+    # 12/16 of hex space is train; allow generous sampling slack
+    assert rows["train"]["n_docs"] > rows["val"]["n_docs"]
+    assert rows["train"]["n_docs"] > rows["test"]["n_docs"]
+
+
+def test_repetition_filter_fractions_bounded(spark, sf_dir):
+    out = pl.repetition_filter(spark, sf_dir).cache()
+    try:
+        assert out.filter(
+            (F.col("top_bigram_frac") <= 0)
+            | (F.col("top_bigram_frac") > 1)
+            | (F.col("dup_bigram_frac") < 0)
+            | (F.col("dup_bigram_frac") >= 1)
+        ).count() == 0
+        assert out.filter("(top_bigram_frac > 0.10) != (flagged = 1)").count() == 0
+    finally:
+        out.unpersist()

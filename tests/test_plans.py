@@ -152,3 +152,27 @@ def test_data_mixture_aggregates_before_global_window(spark, sf_dir):
     single-partition exchange of the tiny aggregated frame."""
     df = QUERIES["data_mixture"](spark, sf_dir)
     assert shuffle_count(df) <= 2
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    """pack_sequences: one source-keyed exchange for the running sum —
+    no extra shuffles from the pack arithmetic."""
+    df = QUERIES["pack_sequences"](spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_split_assign_single_agg_shuffle(spark, sf_dir):
+    """split_assign: hash split + one algebraic agg exchange; the md5
+    bucketing must not introduce a repartition."""
+    df = QUERIES["split_assign"](spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_repetition_filter_two_hash_aggs(spark, sf_dir):
+    """repetition_filter: (doc, bigram) counts then per-doc rollup —
+    two agg exchanges, no window, no join."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["repetition_filter"](spark, sf_dir)
+    assert "Window" not in formatted_plan(df)
+    assert shuffle_count(df) == 2

@@ -52,6 +52,10 @@ HEADLINE = [
     "tpch_q9",
     "tpch_q21",
     "simhash",
+    # round-2 curation additions: benchmark-broadcast n-gram join and
+    # the one-shuffle canopy argmax
+    "decontamination",
+    "keep_best_dedup",
 ]
 
 

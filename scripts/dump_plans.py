@@ -34,6 +34,9 @@ NOTES = {
     "salted_join": "ShuffledHashJoin on (custkey, salt): the hot fact key is split across 8 buckets; the replicated dim side is 8x small-table rows",
     "argmax_order": "single hash agg, no Window/Sort: struct-max carries (price, key) through map-side partials",
     "tpch_q2": "derived partsupp + correlated-MIN decorrelated to a broadcast per-part min; the 5-part semi join prunes ps before any dim join",
+    "keep_best_dedup": "canopy argmax as ONE hash-agg exchange: struct-max (n_chars, -doc_id) partials map-side; no Window/Sort anywhere",
+    "decontamination": "benchmark n-gram set rides a BroadcastExchange (absolutely small: an eval suite); the corpus side is scanned once, array_distinct before the explode keeps per-doc dedup map-side",
+    "pack_sequences": "one source-keyed exchange feeds the running-sum Window; pack arithmetic is projection-only after it",
 }
 
 

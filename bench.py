@@ -68,27 +68,39 @@ def main() -> None:
     spark.range(1).count()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         # best of 2: first run pays one-off costs (file listing, codegen
         # compile); the second is the steady-state number a warm cluster
         # would see.  Report the min to damp scheduler noise.
+        # Per-query isolation: one broken query must not take down the
+        # whole round's bench signal (round-2 lesson) — record null and
+        # keep going; the JSON line is ALWAYS printed.
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
+    measured = [t for t in timings.values() if t is not None]
     out = {
         "metric": "headline_queries_total_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(measured), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 

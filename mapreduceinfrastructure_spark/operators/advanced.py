@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import event_ts_us, load_table
 
 RANGE_BAND_US = 300_000_000  # 5 minutes in microseconds
 
@@ -144,8 +144,9 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifies and the match is each customer's latest order — the
     degenerate case exercises exactly the same plan.
     """
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    ev_raw = load_table(spark, sf_dir, "events")
+    events = ev_raw.select(
+        "event_id", "user_id", event_ts_us(ev_raw).alias("ts_us")
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
@@ -171,8 +172,9 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, band+1), then applies the exact range filter — candidate
     pairs are bounded by band occupancy, not table size.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "event_id", "user_id", event_ts_us(ev_raw).alias("ts_us")
     )
     band = F.expr(f"ts_us div {RANGE_BAND_US}")
     a = ev.select(
@@ -317,7 +319,8 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type (date_trunc + hash agg; at scale this materializes
     incrementally via the streaming twin in streaming/event_stream.py)."""
     events = load_table(spark, sf_dir, "events")
-    bucket_us = (F.expr("ts div 1000") - (F.expr("ts div 1000") % F.lit(3_600_000_000))).alias(
+    ts_us = event_ts_us(events)
+    bucket_us = (ts_us - (ts_us % F.lit(3_600_000_000))).alias(
         "bucket_us"
     )
     return (

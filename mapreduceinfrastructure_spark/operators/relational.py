@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import event_ts_us, load_table
 
 
 # --- per-key aggregation (OSDI: URL access frequency / per-key stats) ---
@@ -276,12 +276,10 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     here it is lag + cumulative sum of session-break flags — two window
     passes over the same (user_id, ts) partitioning, one shuffle total.
     """
-    # events.ts is parquet TIMESTAMP(NANOS); Spark 4 only reads it via the
-    # nanos-as-long escape hatch.  All session math is integer microseconds
-    # (ns div 1000), which matches DuckDB's native ns->us truncation.
-    events = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    # All session math is integer epoch-microseconds; event_ts_us adapts
+    # to whichever physical ts layout the parquet carries.
+    events = load_table(spark, sf_dir, "events")
+    events = events.withColumn("ts_us", event_ts_us(events))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     prev = F.lag("ts_us").over(w)
     gap_us = 1_800_000_000  # 30 min

@@ -22,17 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import event_ts_us, load_table
 
 HOUR_US = 3_600_000_000
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS); Spark 4 reads it via the
-    # nanos-as-long escape hatch (see relational.sessionize).
-    return load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    # ts layout varies by data generation (timestamp[us] vs nanos-long);
+    # event_ts_us adapts (see sources/tables.py).
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("ts_us", event_ts_us(ev))
 
 
 def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:

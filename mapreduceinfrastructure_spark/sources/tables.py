@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -33,12 +34,38 @@ BROADCASTABLE = frozenset({"region", "nation", "supplier"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    # events.parquet carries TIMESTAMP(NANOS); Spark 4 refuses it unless
-    # nanos read as long.  Set here — the ONE table chokepoint — because
-    # the driver's correctness harness runs queries in its own session
-    # (not built by get_spark), so a builder-only conf would not reach it.
+    # Confs set here — the ONE table chokepoint — because the driver's
+    # correctness harness runs queries in its own session (not built by
+    # get_spark), so a builder-only conf would not reach it.
+    #
+    # nanosAsLong: some data generations write events.ts as
+    # TIMESTAMP(NANOS), which Spark 4 refuses unless nanos read as long;
+    # harmless when ts is timestamp[us].  UTC: TIMESTAMP_NTZ -> TIMESTAMP
+    # casts (event_ts_us) interpret the naive value in the session zone;
+    # pinning UTC makes them match DuckDB's epoch_us on naive timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def event_ts_us(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-microseconds expression for an event timestamp column,
+    adaptive to every parquet layout the driver has shipped:
+
+    - ``timestamp[us]`` (Spark TIMESTAMP / TIMESTAMP_NTZ): unix_micros
+      of the TIMESTAMP cast — with the session zone pinned UTC in
+      :func:`load_table`, the naive value round-trips exactly and
+      matches DuckDB's ``epoch_us(ts)``.
+    - ``TIMESTAMP(NANOS)`` read as an int64 via the nanosAsLong escape
+      hatch: integer ``div 1000`` (ns -> us truncation, same as
+      DuckDB's native ns->us cast).
+
+    Pure column expression — stays in whole-stage codegen either way.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

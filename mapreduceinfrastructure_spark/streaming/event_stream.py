@@ -20,35 +20,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet physical schema under nanosAsLong (ts: int64 nanos)
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream (parquet file source discovers the
     file(s); in production this is Kafka/queue — same downstream plan).
 
-    ts arrives as int64 nanoseconds (nanos-as-long read of the ns
-    parquet column) and is converted to a proper timestamp via
-    microsecond truncation, matching the batch path.
+    The file-stream source needs an explicit schema; we probe it from a
+    batch read of the same path (driver-side metadata only, no scan), so
+    both physical ts layouts work: TIMESTAMP(NANOS)-as-long gets
+    microsecond truncation, timestamp[us] (TIMESTAMP / TIMESTAMP_NTZ)
+    gets a plain TIMESTAMP cast with the session zone pinned UTC —
+    identical downstream watermark/window semantics either way.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source wants a directory; select just events.parquet
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def streaming_windowed_counts(events: DataFrame) -> DataFrame:

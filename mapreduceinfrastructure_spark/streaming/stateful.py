@@ -19,6 +19,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -43,8 +44,10 @@ STATE_SCHEMA = T.StructType(
 def streaming_user_profiles(events_raw: DataFrame) -> DataFrame:
     """Per-user stateful profile stream.
 
-    ``events_raw`` must carry the nanos-as-long ``ts`` (pre-conversion),
-    since state math is integer microseconds.
+    ``events_raw`` may carry ``ts`` as nanos-long, TIMESTAMP, or
+    TIMESTAMP_NTZ — it is normalized to an epoch-microseconds ``ts_us``
+    long Spark-side before the Arrow transfer, so the pandas state math
+    is layout-independent.
 
     The state-update function is defined inside this builder ON PURPOSE:
     nested functions are cloudpickled by value, so executors never need
@@ -56,6 +59,13 @@ def streaming_user_profiles(events_raw: DataFrame) -> DataFrame:
 
     ensure_package_on_executors(events_raw.sparkSession)
 
+    ts_type = dict(events_raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    events_norm = events_raw.withColumn("ts_us", ts_us).drop("ts")
+
     def update_profile(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
@@ -66,8 +76,7 @@ def streaming_user_profiles(events_raw: DataFrame) -> DataFrame:
         for pdf in batches:
             n += len(pdf)
             total += float(pdf["value"].sum())
-            ts_us = (pdf["ts"].astype("int64") // 1000).max()
-            last = max(last, int(ts_us))
+            last = max(last, int(pdf["ts_us"].max()))
         state.update((n, total, last))
         yield pd.DataFrame(
             {
@@ -78,7 +87,7 @@ def streaming_user_profiles(events_raw: DataFrame) -> DataFrame:
             }
         )
 
-    return events_raw.groupBy("user_id").applyInPandasWithState(
+    return events_norm.groupBy("user_id").applyInPandasWithState(
         update_profile,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,

@@ -68,17 +68,12 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
 
 def test_stateful_streaming_profiles(spark, sf_dir):
     from mapreduceinfrastructure_spark.streaming.event_stream import (
-        _EVENTS_SCHEMA,
+        read_events_stream,
         run_stream_to_memory,
     )
     from mapreduceinfrastructure_spark.streaming.stateful import streaming_user_profiles
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = read_events_stream(spark, sf_dir)
     out = run_stream_to_memory(
         spark, streaming_user_profiles(raw), "profiles", output_mode="update"
     )

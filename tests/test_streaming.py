@@ -121,11 +121,10 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
     got = run_stream_to_memory(spark, joined, "interval_join_test")
     n_stream = got.count()
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("user_id", "event_id", F.expr("ts div 1000").alias("ts_us"))
-    )
+    from mapreduceinfrastructure_spark.sources.tables import event_ts_us, load_table
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select("user_id", "event_id", event_ts_us(ev_raw).alias("ts_us"))
     a = ev.select(
         F.col("user_id").alias("u_a"), F.col("event_id").alias("ea"),
         F.col("ts_us").alias("t_a"),

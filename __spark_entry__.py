@@ -31,6 +31,7 @@ from mapreduceinfrastructure_spark.operators import text_analysis as ta  # noqa:
 from mapreduceinfrastructure_spark.operators import sqlapi  # noqa: E402
 from mapreduceinfrastructure_spark.operators import timeseries as ts  # noqa: E402
 from mapreduceinfrastructure_spark.operators import tpch  # noqa: E402
+from mapreduceinfrastructure_spark.streaming import event_stream as es  # noqa: E402
 
 # Delimiter class inside a SQL single-quoted string (the ' is doubled).
 _D = "'[ ,.\"'']'"
@@ -124,7 +125,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS for the first 50 entries: the driver's correctness
+    # harness verifies exactly queries() entries 1-50 against oracle_sql.
+    # The window therefore carries one representative per SURVEY 2.2
+    # pattern plus the curation north-star operators and three TPC-H
+    # shapes; redundant or rows-only-by-design variants (ann_*, simhash,
+    # word_count_mr which shares word_count's oracle, ...) sit past 50
+    # and are covered by the identical local parity sweep
+    # (tests/test_oracle_parity.py) instead.
     return {
+        # --- text analysis (SURVEY 2.2: word count / grep / index / tf-idf) ---
         "word_count": ta.word_count,
         "grep": ta.grep,
         "inverted_index": ta.inverted_index,
@@ -134,8 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": ta.language_id,
         "quality_score": ta.quality_score,
         "fingerprint": ta.fingerprint,
-        "bpe_token_count": ta.bpe_token_count,
-        "rolling_fingerprint": ta.rolling_fingerprint,
+        # --- per-key aggregation / relational core ---
         "key_count": rel.key_count,
         "key_stats": rel.key_stats,
         "select_project": rel.select_project,
@@ -154,29 +163,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": rel.rollup_pricing,
         "pivot_status": rel.pivot_status,
         "sessionize": rel.sessionize,
+        # --- dedup / similarity ---
         "dedup_exact": dd.dedup_exact,
         "ngram_jaccard_neardup": dd.ngram_jaccard_neardup,
         "minhash_lsh_neardup": dd.minhash_lsh_neardup,
-        "simhash": dd.simhash,
         "cosine_topk": sim.cosine_topk,
         "embedding_neardup": sim.embedding_neardup,
+        "multimodal_features": mm.multimodal_features,
+        # --- advanced relational ---
+        "cube_pricing": adv.cube_pricing,
+        "unpivot_measures": adv.unpivot_measures,
+        "percentile_by_brand": adv.percentile_by_brand,
+        "json_extract_agg": adv.json_extract_agg,
+        "scalar_funcs": adv.scalar_funcs,
+        "asof_join": adv.asof_join,
+        "range_join_events": adv.range_join_events,
+        # --- LLM-curation north star ---
+        "keep_best_dedup": pl.keep_best_dedup,
+        "decontamination": pl.decontamination,
+        "data_mixture": pl.data_mixture,
+        "repetition_filter": pl.repetition_filter,
+        "pack_sequences": pl.pack_sequences,
+        "split_assign": pl.split_assign,
+        # --- TPC-H representatives + streaming hard signal (entry #50) ---
+        "tpch_q1": tpch.tpch_q1,
+        "tpch_q5": tpch.tpch_q5,
+        "tpch_q18": tpch.tpch_q18,
+        "streaming_hourly_counts": es.streaming_hourly_counts,
+        # ---------- entries past the driver window (local parity only) ----------
+        "bpe_token_count": ta.bpe_token_count,
+        "rolling_fingerprint": ta.rolling_fingerprint,
+        "simhash": dd.simhash,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
-        "multimodal_features": mm.multimodal_features,
         "frame_offsets": lambda spark, sf_dir: mm.frame_sample(
             mm.make_media_table(spark, sf_dir)
         ).selectExpr("doc_id", "cast(frame_offset as long) AS frame_offset"),
         "except_op": adv.except_op,
-        "cube_pricing": adv.cube_pricing,
-        "unpivot_measures": adv.unpivot_measures,
-        "percentile_by_brand": adv.percentile_by_brand,
         "approx_distinct_users": adv.approx_distinct_users,
-        "json_extract_agg": adv.json_extract_agg,
-        "scalar_funcs": adv.scalar_funcs,
         "prior_order": adv.prior_order,
-        "asof_join": adv.asof_join,
-        "range_join_events": adv.range_join_events,
         "union_all_op": adv.union_all_op,
         "window_funcs_catalog": adv.window_funcs_catalog,
         "scalar_subquery": adv.scalar_subquery,
@@ -194,11 +220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": adv.deterministic_sample,
         "merge_upsert": adv.merge_upsert,
         "tpch_q3": tpch.tpch_q3,
-        "tpch_q5": tpch.tpch_q5,
-        "tpch_q1": tpch.tpch_q1,
         "tpch_q6": tpch.tpch_q6,
         "tpch_q10": tpch.tpch_q10,
-        "tpch_q18": tpch.tpch_q18,
         "tpch_q4": tpch.tpch_q4,
         "tpch_q7": tpch.tpch_q7,
         "tpch_q8": tpch.tpch_q8,
@@ -232,12 +255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": tpch.tpch_q2,
         "tpch_q11": tpch.tpch_q11,
         "tpch_q20": tpch.tpch_q20,
-        "keep_best_dedup": pl.keep_best_dedup,
-        "decontamination": pl.decontamination,
-        "data_mixture": pl.data_mixture,
-        "repetition_filter": pl.repetition_filter,
-        "pack_sequences": pl.pack_sequences,
-        "split_assign": pl.split_assign,
     }
 
 
@@ -621,6 +638,14 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY bucket_us, event_type
+        """,
+        # Streaming tumbling-window counts run to completion equal the
+        # batch GROUP BY over epoch-aligned hour buckets (UTC session).
+        "streaming_hourly_counts": """
+            SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS win_start_us,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY win_start_us, event_type
         """,
         "union_all_op": """
             WITH t AS (

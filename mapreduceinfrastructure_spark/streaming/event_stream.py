@@ -78,6 +78,28 @@ def streaming_session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable streaming result: run the tumbling-window count
+    stream over the finite events feed to completion (complete mode, so
+    the final open window also emits) and return the materialized table.
+
+    This gives the streaming category a hard correctness signal — the
+    result must equal the equivalent batch GROUP BY, which is exactly
+    what the DuckDB oracle computes.  win_start is exported as epoch-us
+    so the hash is timezone-representation-independent.
+    """
+    out = streaming_windowed_counts(read_events_stream(spark, sf_dir))
+    got = run_stream_to_memory(
+        spark, out, "hourly_counts_driver", output_mode="complete"
+    )
+    return got.select(
+        F.unix_micros(F.col("win_start").cast("timestamp")).alias("win_start_us"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -29,6 +29,8 @@ from ..sources.tables import fan_out, load_table
 
 EMBED_DIM = 64
 N_PLANES = 32  # 8 tables × 4 bits, every table on its own planes
+BITS_PER_TABLE = 4  # bucket width; must grow ~log2(corpus) at scale
+N_TABLES = 8
 TOPK = 5
 N_QUERIES = 50
 
@@ -60,26 +62,110 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs embedding near-dup: cosine ≥ 0.4 (calibrated to the
-    synthetic data's similarity range), deduped as da < db."""
-    emb = _embeddings(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("da"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("db"), F.col("v").alias("vb"))
-    sim = cosine_similarity_expr(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("da") < F.col("db"))
-        .select("da", "db", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.4)
-        .select("da", "db", F.round("sim", 6).alias("cosine"))
-    )
-
-
 def _hyperplanes() -> list[list[float]]:
     """Deterministic random hyperplanes (seed 42) as plain literals —
     shipped to executors inside the plan, no closure capture."""
     rng = np.random.default_rng(42)
     return rng.standard_normal((N_PLANES, EMBED_DIM)).tolist()
+
+
+def _bit_exprs(planes):
+    """One sign-bit expression per hyperplane over column ``v`` —
+    JVM higher-order fold, whole-stage codegen."""
+    def bit(plane):
+        return F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+
+    return [bit(p) for p in planes]
+
+
+def _bucket_expr(bits, t):
+    """Integer bucket id of table ``t``: its 4 owned sign bits packed."""
+    idx = range(t * BITS_PER_TABLE, (t + 1) * BITS_PER_TABLE)
+    return sum((bits[i] * (2 ** j) for j, i in enumerate(idx)), start=F.lit(0))
+
+
+def _probe_keys(emb: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket) rows: each vector's exact bucket plus the
+    4 buckets one bit-flip away, in each of the 8 tables (40 keys).
+
+    Used on BOTH sides of the near-dup candidate join, so a pair
+    collides in table t iff its signatures differ by ≤ 2 of the 4 bits
+    — the Hamming-2 ball that makes the candidate set effectively
+    exhaustive at the 0.4 cosine threshold (see embedding_neardup).
+    """
+    bits = _bit_exprs(_hyperplanes())
+    structs = []
+    for t in range(N_TABLES):
+        bucket = _bucket_expr(bits, t)
+        structs.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+        for j in range(BITS_PER_TABLE):
+            structs.append(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    bucket.bitwiseXOR(F.lit(1 << j)).alias("bucket"),
+                )
+            )
+    return emb.select(
+        "vec_id", F.explode(F.array(*structs)).alias("tb")
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.4), LSH-bucketed.
+
+    Candidate generation reuses the ann_lsh hyperplane tables instead
+    of the former all-pairs BroadcastNestedLoopJoin (the textbook O(n²)
+    scale-killer): both join sides emit each vector's bucket plus its
+    4 one-bit-flip probes per table, so any pair whose signatures agree
+    within Hamming distance 2 in SOME of the 8 tables becomes a
+    candidate; candidates are deduped, then exact-cosine verified
+    against the same ≥ 0.4 threshold as before.
+
+    Recall bound: at the 0.4 threshold the per-bit agreement is
+    p = 1 − arccos(0.4)/π ≈ 0.631, so a qualifying pair is missed by
+    one table with prob 1 − P(Binom(4, 1−p) ≤ 2) ≈ 0.145 and by all 8
+    with prob ≈ 2e-7 — higher-sim pairs are safer still.  Empirically
+    the output hash-matches the exact all-pairs scan at sf0.01 and
+    sf0.1 (tests/test_scale_fixes.py), so the exact DuckDB oracle is
+    unchanged.
+
+    Scale shape: explode → shuffle join on (tbl, bucket) → pair dedup →
+    two shuffle joins to fetch vectors for the verify; no broadcast of
+    anything corpus-sized, no NLJ (pinned in test_plans.py).  Bucket
+    width must track log2(corpus) at 100 TB to bound occupancy.
+    """
+    emb = _embeddings(spark, sf_dir)
+    keys = _probe_keys(emb)
+    a = keys.select(F.col("vec_id").alias("da"), "tbl", "bucket")
+    b = keys.select(F.col("vec_id").alias("db"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("da"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("db"), F.col("v").alias("vb"))
+    sim = cosine_similarity_expr(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "da")
+        .join(vb, "db")
+        .select("da", "db", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+        .select("da", "db", F.round("sim", 6).alias("cosine"))
+    )
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,36 +185,12 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (rows-only check; exact baseline is ``cosine_topk``,
     floor pinned in tests/test_ann_recall.py).
     """
-    BITS_PER_TABLE = 4
-    N_TABLES = 8
     emb = _embeddings(spark, sf_dir)
-    planes = _hyperplanes()  # 32 planes: table t owns planes [4t, 4t+4)
-
-    def bit(plane):
-        return F.when(
-            F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    F.array(*[F.lit(float(x)) for x in plane]),
-                    lambda x, w: x * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-
-    bits = [bit(p) for p in planes]
-
-    def bucket_expr(t):
-        idx = range(t * BITS_PER_TABLE, (t + 1) * BITS_PER_TABLE)
-        return sum(
-            (bits[i] * (2 ** j) for j, i in enumerate(idx)), start=F.lit(0)
-        )
+    # 32 planes: table t owns planes [4t, 4t+4)
+    bits = _bit_exprs(_hyperplanes())
 
     tables = [
-        F.struct(F.lit(t).alias("tbl"), bucket_expr(t).alias("bucket"))
+        F.struct(F.lit(t).alias("tbl"), _bucket_expr(bits, t).alias("bucket"))
         for t in range(N_TABLES)
     ]
     keyed = emb.select(
@@ -138,7 +200,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one bit-flip away, per table.
     probes = []
     for t in range(N_TABLES):
-        bucket = bucket_expr(t)
+        bucket = _bucket_expr(bits, t)
         probes.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
         for j in range(BITS_PER_TABLE):
             probes.append(

@@ -48,3 +48,83 @@ def test_minhash_lsh_catches_high_jaccard_pairs(spark, sf_dir):
     }
     missed = exact - lsh
     assert len(missed) <= max(1, len(exact) // 10), f"missed {missed}"
+
+
+def test_minhash_lsh_two_sided_bound(spark, duck, sf_dir):
+    """Deterministic two-sided verification of minhash_lsh_neardup
+    (whose driver row is rows-only because DuckDB lacks xxhash64):
+
+    SOUNDNESS (exact): every emitted (da, db, jaccard) is re-verified
+    against an independent DuckDB computation of the exact shingle-set
+    Jaccard for that pair — the value must match to 1e-9 and be ≥ 0.5.
+    The candidate pairs are registered as a DuckDB temp table, so the
+    check is exact regardless of which candidates LSH surfaced.
+
+    COMPLETENESS (probabilistic floor): every exact pair with J ≥ 0.8
+    must be found, up to the banding miss rate (P(miss) = (1-J^4)^8,
+    ≤ 3% at J=0.8) — complements the floor test above with the exact
+    uncapped pair set rather than the df-capped ngram query.
+    """
+    rows = QUERIES["minhash_lsh_neardup"](spark, sf_dir).collect()
+    assert rows, "minhash produced no pairs at this SF"
+    got = {(r["da"], r["db"]): r["jaccard"] for r in rows}
+
+    duck.execute("DROP TABLE IF EXISTS mh_pairs")
+    duck.execute("CREATE TEMP TABLE mh_pairs (da BIGINT, db BIGINT)")
+    duck.executemany("INSERT INTO mh_pairs VALUES (?, ?)", list(got))
+    exact_sql = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ ,."'']'), x -> length(x) > 0) AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+          FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT p.da, p.db, count(*) AS i
+          FROM mh_pairs p
+          JOIN sh a ON a.doc_id = p.da
+          JOIN sh b ON b.doc_id = p.db AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        )
+        SELECT p.da, p.db,
+               COALESCE(i, 0)::DOUBLE / (ca.n + cb.n - COALESCE(i, 0)) AS jaccard
+        FROM mh_pairs p
+        LEFT JOIN inter USING (da, db)
+        JOIN cnt ca ON p.da = ca.doc_id
+        JOIN cnt cb ON p.db = cb.doc_id
+    """
+    want = {(r[0], r[1]): r[2] for r in duck.execute(exact_sql).fetchall()}
+    assert set(got) == set(want)
+    for pair, j in got.items():
+        assert abs(j - want[pair]) < 1e-9, (pair, j, want[pair])
+        assert j >= 0.5, (pair, j)
+
+    # completeness floor against the exact (uncapped) high-sim pair set
+    high_sql = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ ,."'']'), x -> length(x) > 0) AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+          FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT da, db FROM inter
+        JOIN cnt ca ON da = ca.doc_id
+        JOIN cnt cb ON db = cb.doc_id
+        WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8
+    """
+    high = {(r[0], r[1]) for r in duck.execute(high_sql).fetchall()}
+    missed = high - set(got)
+    assert len(missed) <= max(1, len(high) // 10), f"missed {missed}"

@@ -74,9 +74,23 @@ def test_global_topk_no_shuffle(spark, sf_dir):
 
 
 def test_similarity_broadcasts_queries(spark, sf_dir):
-    for name in ("cosine_topk", "ann_lsh", "embedding_neardup"):
+    for name in ("cosine_topk", "ann_lsh"):
         df = QUERIES[name](spark, sf_dir)
         assert has_broadcast_join(df), name
+
+
+def test_embedding_neardup_no_nested_loop_join(spark, sf_dir):
+    """The near-dup self-join must go through the LSH bucket keys, never
+    an all-pairs BroadcastNestedLoopJoin — the O(n²) pair explosion is
+    the difference between working and dying at 100× the corpus."""
+    plan = (
+        QUERIES["embedding_neardup"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_word_count_reads_only_text(spark, sf_dir):

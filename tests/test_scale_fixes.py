@@ -76,3 +76,28 @@ def test_minhash_bands_join_is_shuffle_not_broadcast(spark, sf_dir):
     band_joins = [l for l in plan.splitlines() if re.search(r"Join.*\bband#", l)]
     assert band_joins, plan
     assert all("Broadcast" not in l for l in band_joins), band_joins
+
+
+def test_embedding_neardup_lsh_equals_exact_allpairs(spark, sf_dir):
+    """The LSH-bucketed near-dup must reproduce the exact all-pairs
+    result it replaced (recall 1 at the 0.4 threshold; per-pair miss
+    probability ~2e-7 — see the operator docstring).  This is what lets
+    the exact DuckDB oracle stay unchanged."""
+    from mapreduceinfrastructure_spark.functions.vector import cosine_similarity_expr
+    from mapreduceinfrastructure_spark.operators import similarity as sim
+
+    got = set(map(tuple, sim.embedding_neardup(spark, sf_dir).collect()))
+
+    emb = sim._embeddings(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("da"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("db"), F.col("v").alias("vb"))
+    s = cosine_similarity_expr(F.col("va"), F.col("vb"))
+    exact = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select("da", "db", s.alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+        .select("da", "db", F.round("sim", 6).alias("cosine"))
+    )
+    want = set(map(tuple, exact.collect()))
+    assert got == want
+    assert len(got) > 0

@@ -96,36 +96,42 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-grams is map-side (no shuffle).  The benchmark n-gram set is
     broadcast — absolutely small by construction (an eval suite), the
     one case where a broadcast on this path is scale-safe.
+
+    Two plan-shape rules learned the hard way:
+    - the token array is materialized as a column BEFORE ngrams_expr
+      references it; inlining tokens_expr inside the higher-order
+      transform re-tokenizes the doc per element (no CSE inside HOF
+      lambdas) — O(len²) per doc, 9× wall at sf0.1;
+    - hit-counting is ONE pass over the exploded grams (explode_outer +
+      left broadcast join + conditional count), not a second corpus
+      n-gram computation joined back per doc.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    toks = docs.select("doc_id", tokens_expr("text").alias("t"))
+    grams = toks.select(
         "doc_id",
-        F.array_distinct(ngrams_expr(tokens_expr("text"), NGRAM_N)).alias("gs"),
+        F.array_distinct(ngrams_expr(F.col("t"), NGRAM_N)).alias("gs"),
     )
     bench = (
         grams.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select(F.explode("gs").alias("g"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
     train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-    # gs is distinct per doc, so count(*) after the inner join counts
-    # distinct overlapping n-grams.
-    hits = (
-        train.select("doc_id", F.explode("gs").alias("g"))
-        .join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
+    # gs is distinct per doc, so counting joined rows counts distinct
+    # overlapping n-grams; explode_outer keeps zero-gram docs.
+    ex = train.select(
+        "doc_id",
+        F.size("gs").cast("long").alias("n_doc_ngrams"),
+        F.explode_outer("gs").alias("g"),
     )
-    n_hit = F.coalesce("n_hit", F.lit(0)).cast("long")
-    return (
-        train.select("doc_id", F.size("gs").cast("long").alias("n_doc_ngrams"))
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_doc_ngrams",
-            n_hit.alias("n_hit_ngrams"),
-            (n_hit > 0).cast("long").alias("contaminated"),
-        )
+    marked = ex.join(F.broadcast(bench), "g", "left")
+    n_hit = F.count("hit").cast("long")
+    return marked.groupBy("doc_id").agg(
+        F.first("n_doc_ngrams").alias("n_doc_ngrams"),
+        n_hit.alias("n_hit_ngrams"),
+        (n_hit > 0).cast("long").alias("contaminated"),
     )
 
 
@@ -174,8 +180,10 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from ..functions.text import bigrams_expr
 
-    bg = docs.select(
-        "doc_id", F.explode(bigrams_expr(tokens_expr("text"))).alias("bg")
+    # materialize the token array before the HOF references it — see
+    # decontamination's docstring for the no-CSE-inside-lambdas trap
+    bg = docs.select("doc_id", tokens_expr("text").alias("t")).select(
+        "doc_id", F.explode(bigrams_expr(F.col("t"))).alias("bg")
     )
     f = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
     m = f.groupBy("doc_id").agg(

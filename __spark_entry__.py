@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": tpch.tpch_q2,
         "tpch_q11": tpch.tpch_q11,
         "tpch_q20": tpch.tpch_q20,
+        "unigram_logprob_score": pl.unigram_logprob_score,
+        "mixture_weights": pl.mixture_weights,
+        "curation_pipeline": pl.curation_pipeline,
     }
 
 
@@ -1281,6 +1284,107 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(nt)::DOUBLE / (sum(sum(nt)) OVER ())::DOUBLE, 6)
                      AS token_share
             FROM d GROUP BY source, lang
+        """,
+        "mixture_weights": f"""
+            WITH d AS (
+              SELECT source, lang,
+                     len(list_filter(string_split_regex(text, {_D}),
+                                     x -> length(x) > 0)) AS nt
+              FROM documents
+            ),
+            agg AS (
+              SELECT source, lang, count(*) AS n_docs,
+                     CAST(sum(nt) AS BIGINT) AS n_tokens
+              FROM d GROUP BY source, lang
+            )
+            SELECT source, lang, n_docs, n_tokens,
+                   round(pow(n_tokens::DOUBLE, {pl.TEMPERATURE!r})
+                         / (sum(pow(n_tokens::DOUBLE, {pl.TEMPERATURE!r})) OVER ()),
+                         6) AS weight
+            FROM agg
+        """,
+        "unigram_logprob_score": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, {_D}),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            ex AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            freq AS (SELECT w, count(*) AS c FROM ex GROUP BY w),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM ex)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(-ln(c::DOUBLE / (SELECT n FROM tot))), 6)
+                     AS avg_neglogprob
+            FROM ex JOIN freq USING (w)
+            GROUP BY doc_id
+        """,
+        "curation_pipeline": f"""
+            WITH toks AS (
+              SELECT doc_id, source, text,
+                     list_filter(string_split_regex(text, {_D}),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, source, len(t) AS nt,
+                     len(list_filter(list_distinct(t),
+                         x -> list_contains([{sw}], x)))::DOUBLE
+                       / greatest(len(list_distinct(t)), 1) AS swr,
+                     least(1.0, len(t) / 100.0) * 0.5
+                       + (1.0 - length(regexp_replace(text, '[^,.]', '', 'g'))::DOUBLE
+                              / greatest(length(text), 1)) * 0.3
+                       + least(1.0,
+                           (coalesce(list_sum(list_transform(t, x -> length(x)::DOUBLE)), 0.0)
+                              / greatest(len(t), 1)) / 8.0) * 0.2 AS q,
+                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+              FROM toks
+            ),
+            bgf AS (
+              SELECT doc_id, bg, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i+1])) AS bg
+                FROM toks
+              ) GROUP BY doc_id, bg
+            ),
+            rep AS (
+              SELECT doc_id,
+                     CAST(max(c)::DOUBLE / sum(c)::DOUBLE > 0.10 AS BIGINT)
+                       AS rep_flag
+              FROM bgf GROUP BY doc_id
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(t) - 3),
+                         i -> array_to_string(t[i:i+4], ' '))) AS gs
+              FROM toks
+            ),
+            flat AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 20 = 0),
+            contaminated AS (
+              SELECT DISTINCT f.doc_id
+              FROM flat f JOIN bench b USING (g)
+              WHERE f.doc_id % 20 <> 0
+            ),
+            kept AS (
+              SELECT b.*
+              FROM base b
+              LEFT JOIN rep r USING (doc_id)
+              WHERE b.doc_id % 20 <> 0
+                AND b.swr >= 0.08
+                AND b.q >= 0.5
+                AND coalesce(r.rep_flag, 0) = 0
+                AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ),
+            final AS (
+              SELECT k.* FROM kept k
+              JOIN (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp) m
+                ON k.fp = m.fp AND k.doc_id = m.doc_id
+            )
+            SELECT source, count(*) AS n_docs_kept,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens_kept
+            FROM final GROUP BY source
         """,
         "repetition_filter": f"""
             WITH toks AS (

@@ -56,6 +56,11 @@ HEADLINE = [
     # the one-shuffle canopy argmax
     "decontamination",
     "keep_best_dedup",
+    # round-3 additions: the end-to-end curation composition (every
+    # per-doc signal + dedup in one query) and the corpus-unigram LM
+    # quality score (vocab-keyed shuffle join)
+    "curation_pipeline",
+    "unigram_logprob_score",
 ]
 
 

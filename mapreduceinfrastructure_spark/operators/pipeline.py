@@ -41,6 +41,11 @@ from pyspark.sql import functions as F
 from ..functions.text import ngrams_expr, tokens_expr
 from ..sources.tables import load_table
 
+# Temperature for mixture_weights: flattens the source×lang sampling
+# distribution the way multilingual/multi-source LLM recipes do
+# (0 < τ < 1 upweights the tail; τ=1 is proportional sampling).
+TEMPERATURE = 0.7
+
 # Benchmark membership for decontamination: every 20th doc_id is the
 # held-out "eval set".  Deterministic and oracle-mirrorable; a real
 # pipeline would read an actual benchmark table here.
@@ -259,4 +264,168 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+
+
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality proxy: per doc, the mean
+    negative log-probability of its tokens under the corpus's own
+    unigram distribution.  High values = rare-token-heavy (gibberish,
+    boilerplate codes); low = stopword-heavy natural text.  Real
+    pipelines use a wiki-trained 5-gram LM; the corpus-unigram variant
+    keeps the operator exact and oracle-checkable with identical
+    ranking behavior.
+
+    Scale shape: one explode, a vocabulary-sized hash agg (Heaps' law:
+    vocab ≪ tokens), a shuffle join of tokens↔vocab on the token key
+    (never broadcast — vocab at 100 TB is tens of GB), the 1-row total
+    broadcast, then a per-doc algebraic agg.  Zero-token docs are
+    absent (oracle mirrors).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", tokens_expr("text").alias("t")).select(
+        "doc_id", F.explode("t").alias("w")
+    )
+    freq = ex.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    nll = -F.log(F.col("c").cast("double") / F.col("n"))
+    return (
+        ex.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(nll), 6).alias("avg_neglogprob"),
+        )
+    )
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per (source, lang):
+    w ∝ n_tokens^τ with τ=0.7 — the knob that turns the data_mixture
+    accounting into the sampling distribution a training loader uses.
+
+    Same two-level shape as data_mixture: algebraic per-cell partials,
+    then the normalizing window over the tiny aggregated frame only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "lang", F.size(tokens_expr("text")).cast("long").alias("nt")
+    )
+    agg = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(TEMPERATURE))
+    tot = F.sum(pw).over(Window.partitionBy())
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(pw / tot, 6).alias("weight"),
+    )
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition — the whole point of the
+    operator catalog in one query.  A doc survives iff it is:
+
+    1. in the training split (doc_id % BENCH_MOD != 0),
+    2. predicted English (stopword ratio ≥ 0.08 over distinct tokens,
+       same rule as text_analysis.language_id),
+    3. quality ≥ 0.5 (same linear score as text_analysis.quality_score),
+    4. not benchmark-contaminated (no shared 5-gram, as decontamination),
+    5. not repetition-flagged (top bigram ≤ 10% of bigram occurrences,
+       as repetition_filter; bigram-less docs pass),
+    6. the exact-dup representative (min doc_id per normalized-text
+       fingerprint among surviving docs, as dedup_exact).
+
+    Returns per-source kept-doc and kept-token counts — integer
+    outputs only, so the cross-engine hash is float-free; the float
+    thresholds inside compare identical IEEE expression trees, which
+    both engines evaluate bit-equal.
+
+    Scale shape: one corpus scan feeds every per-doc signal (tokens
+    materialized once per branch); the joins are doc_id-keyed narrow
+    frames (bigram flags, contamination hits), the benchmark n-gram
+    set is the only broadcast, and dedup is one fingerprint-keyed
+    algebraic agg — no window over raw docs anywhere.
+    """
+    from .text_analysis import EN_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", "text", tokens_expr("text").alias("t"))
+
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    distinct_t = F.array_distinct(F.col("t"))
+    sw_ratio = F.size(F.array_intersect(distinct_t, sw)).cast("double") / F.greatest(
+        F.size(distinct_t), F.lit(1)
+    ).cast("double")
+    n_tokens = F.size("t")
+    total_len = F.aggregate(
+        F.col("t"), F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
+    )
+    avg_len = total_len / F.greatest(n_tokens, F.lit(1)).cast("double")
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[^,.]", ""))
+    punct_ratio = n_punct.cast("double") / F.greatest(
+        F.length("text"), F.lit(1)
+    ).cast("double")
+    quality = (
+        F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(F.lit(1.0), avg_len / 8.0) * 0.2
+    )
+    base = toks.select(
+        "doc_id",
+        "source",
+        n_tokens.cast("long").alias("nt"),
+        sw_ratio.alias("swr"),
+        quality.alias("q"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fp"),
+    )
+
+    # repetition flag (doc_id-keyed narrow frame; bigram-less docs absent)
+    from ..functions.text import bigrams_expr
+
+    bg = toks.select("doc_id", F.explode(bigrams_expr(F.col("t"))).alias("bg"))
+    f = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    rep = f.groupBy("doc_id").agg(
+        (
+            F.max("c").cast("double") / F.sum("c").cast("double") > 0.10
+        ).cast("long").alias("rep_flag")
+    )
+
+    # contamination hits (same construction as decontamination)
+    grams = toks.select(
+        "doc_id", F.array_distinct(ngrams_expr(F.col("t"), NGRAM_N)).alias("gs")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+
+    kept = (
+        base.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .filter(F.col("swr") >= 0.08)
+        .filter(F.col("q") >= 0.5)
+        .join(rep, "doc_id", "left")
+        .filter(F.coalesce("rep_flag", F.lit(0)) == 0)
+        .join(hits, "doc_id", "left")
+        .filter(F.col("contaminated").isNull())
+    )
+    # exact-dup representative among survivors: fingerprint-keyed argmin
+    reps = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    final = kept.join(reps, ["fp", "doc_id"])
+    return final.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("nt").alias("n_tokens_kept"),
     )

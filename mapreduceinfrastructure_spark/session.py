@@ -58,6 +58,17 @@ def get_spark(
         # everywhere (load_table re-asserts this at runtime for foreign
         # sessions, e.g. the driver's own).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate synthesizes size(arr)>0 from explode;
+        # predicate pushdown then substitutes the whole generator
+        # expression below the projections, re-inlining tokenize into
+        # every element_at — O(len²) per doc on n-gram explodes
+        # (measured 34 s -> 3 s at sf0.1).  Our generators are computed
+        # expressions, never stored columns, so the inferred filter can
+        # only cost.  load_table re-asserts for foreign sessions.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -45,6 +45,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pinning UTC makes them match DuckDB's epoch_us on naive timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # InferFiltersFromGenerate turns explode(computed-array) into a
+    # size()>0 filter that pushdown re-inlines below the projections —
+    # O(len²) re-tokenization on every n-gram explode (see session.py).
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -129,10 +129,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # harness verifies exactly queries() entries 1-50 against oracle_sql.
     # The window therefore carries one representative per SURVEY 2.2
     # pattern plus the curation north-star operators and three TPC-H
-    # shapes; redundant or rows-only-by-design variants (ann_*, simhash,
-    # word_count_mr which shares word_count's oracle, ...) sit past 50
-    # and are covered by the identical local parity sweep
-    # (tests/test_oracle_parity.py) instead.
+    # shapes — every one of the 50 has an exact DuckDB oracle, so every
+    # driver row is hash-checkable.  Rows-only-by-design variants
+    # (ann_*, simhash, minhash_lsh_neardup — xxhash64 has no DuckDB
+    # twin, see its two-sided bound test in tests/test_ann_recall.py)
+    # and oracle duplicates (word_count_mr) sit past 50, covered by the
+    # identical local parity sweep (tests/test_oracle_parity.py).
     return {
         # --- text analysis (SURVEY 2.2: word count / grep / index / tf-idf) ---
         "word_count": ta.word_count,
@@ -166,7 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup / similarity ---
         "dedup_exact": dd.dedup_exact,
         "ngram_jaccard_neardup": dd.ngram_jaccard_neardup,
-        "minhash_lsh_neardup": dd.minhash_lsh_neardup,
+        "dedup_clusters": dd.dedup_clusters,
         "cosine_topk": sim.cosine_topk,
         "embedding_neardup": sim.embedding_neardup,
         "multimodal_features": mm.multimodal_features,
@@ -208,7 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery": adv.scalar_subquery,
         "skew_safe_distinct": adv.skew_safe_distinct,
         "token_positions": adv.token_positions,
-        "dedup_clusters": dd.dedup_clusters,
+        "minhash_lsh_neardup": dd.minhash_lsh_neardup,
         "pagerank_nations": gr.pagerank_nations,
         "trade_edges": gr.trade_edges,
         "grouping_sets_pricing": adv.grouping_sets_pricing,

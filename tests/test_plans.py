@@ -190,3 +190,32 @@ def test_repetition_filter_two_hash_aggs(spark, sf_dir):
     df = QUERIES["repetition_filter"](spark, sf_dir)
     assert "Window" not in formatted_plan(df)
     assert shuffle_count(df) == 2
+
+
+def test_unigram_logprob_scalar_broadcast_only(spark, sf_dir):
+    """The 1-row token total rides a (nested-loop) broadcast — correct
+    for a scalar.  The token↔vocab join must be a key join, never a
+    cartesian, and the shuffle budget is freq-agg + vocab-join +
+    doc-agg."""
+    df = QUERIES["unigram_logprob_score"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 4
+
+
+def test_mixture_weights_window_over_aggregate_only(spark, sf_dir):
+    """The normalizing window must run over the (source × lang)
+    aggregate, so the whole query is one corpus shuffle."""
+    df = QUERIES["mixture_weights"](spark, sf_dir)
+    assert shuffle_count(df) <= 2
+
+
+def test_curation_pipeline_no_pair_explosion(spark, sf_dir):
+    """The composition stays doc_id-keyed end to end: no nested-loop or
+    cartesian join anywhere, bounded shuffle count (per-signal aggs +
+    doc-keyed joins + fingerprint dedup + final source agg)."""
+    df = QUERIES["curation_pipeline"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 12

@@ -90,16 +90,28 @@ EXPECTED = {
 }
 
 
+ALL_SF_DIRS = [
+    d
+    for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    )
+    if os.path.isdir(d)
+]
+
+
+@pytest.mark.parametrize("sf", ALL_SF_DIRS)
 @pytest.mark.parametrize("table", TABLE_NAMES)
-def test_table_schema_matches_operator_assumptions(spark, table):
-    df = load_table(spark, CANARY_SF_DIR, table)
+def test_table_schema_matches_operator_assumptions(spark, table, sf):
+    df = load_table(spark, sf, table)
     dtypes = dict(df.dtypes)
     for col, allowed in EXPECTED.get(table, {}).items():
-        assert col in dtypes, f"{table}.{col} missing; has {sorted(dtypes)}"
+        assert col in dtypes, f"{sf}/{table}.{col} missing; has {sorted(dtypes)}"
         assert dtypes[col] in allowed, (
-            f"{table}.{col} drifted to {dtypes[col]!r}; operators assume "
-            f"one of {sorted(allowed)} — audit every use site before "
-            f"widening this set (see round-2 ts regression)"
+            f"{sf}/{table}.{col} drifted to {dtypes[col]!r}; operators "
+            f"assume one of {sorted(allowed)} — audit every use site "
+            f"before widening this set (see round-2 ts regression)"
         )
 
 

@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_score": pl.unigram_logprob_score,
         "mixture_weights": pl.mixture_weights,
         "curation_pipeline": pl.curation_pipeline,
+        "triangle_count": gr.triangle_count,
     }
 
 
@@ -711,6 +712,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, FALSE AS restated
             FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM changes ch WHERE ch.c_custkey = c.c_custkey)
+        """,
+        "triangle_count": """
+            WITH te AS (
+              SELECT s_nationkey AS src, c_nationkey AS dst
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY 1, 2
+            ),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM te WHERE src <> dst
+            ),
+            tri AS (
+              SELECT a.u AS x, a.v AS y, b.v AS z
+              FROM und a
+              JOIN und b ON a.v = b.u
+              JOIN und c ON c.u = a.u AND c.v = b.v
+            )
+            SELECT node, count(*) AS n_triangles
+            FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+            GROUP BY node
         """,
         "trade_edges": """
             SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w

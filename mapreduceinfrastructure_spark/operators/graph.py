@@ -124,3 +124,37 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
         .select("node", "n_name", F.round("rank", 6).alias("rank"))
     )
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected nation trade graph
+    — the classic MapReduce graph-analytics pattern (enumerate wedges,
+    close them with a second join).
+
+    Edges are canonicalized u < v (self-loops dropped), so each
+    triangle x < y < z is enumerated exactly once by
+    wedge(x→y→z) ⨝ edge(x, z); per-node counts come from exploding the
+    triangle's three corners.  Scale note: at 100 TB the standard
+    refinement is degree-ordered orientation (each edge points from the
+    lower-degree endpoint) which bounds wedge fan-out by max out-degree
+    ~ sqrt(|E|) — same triangle set, so the exact oracle is unchanged;
+    the id-ordered form keeps the plan minimal for the dense 25-node
+    demo graph.
+    """
+    te = trade_edges(spark, sf_dir)
+    und = (
+        te.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    ab = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    bc = und.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    ac = und.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -128,3 +128,34 @@ def test_minhash_lsh_two_sided_bound(spark, duck, sf_dir):
     high = {(r[0], r[1]) for r in duck.execute(high_sql).fetchall()}
     missed = high - set(got)
     assert len(missed) <= max(1, len(high) // 10), f"missed {missed}"
+
+
+def test_approx_distinct_within_hll_error_bound(spark, sf_dir):
+    """approx_count_distinct(rsd=0.01) must land within a conservative
+    5× rsd of the exact per-type cardinality, and the approximate
+    median within the observed value range — turns the rows-only driver
+    row into a bounded local check."""
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, r in got.items():
+        n = exact[et]["n"]
+        assert abs(r["approx_users"] - n) <= max(2, 0.05 * n), (et, r, n)
+        assert exact[et]["lo"] <= r["approx_median_value"] <= exact[et]["hi"]

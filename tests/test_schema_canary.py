@@ -125,3 +125,43 @@ def test_event_ts_us_resolves_on_current_layout(spark):
     # epoch-us magnitude sanity: year 2000..2100
     if row:
         assert 946_684_800_000_000 < row[0]["ts_us"] < 4_102_444_800_000_000
+
+
+def test_event_ts_us_layouts_equivalent(spark, tmp_path):
+    """The round-2 regression, pinned forever: the same logical events
+    written as timestamp[us] and as int64 nanoseconds must produce
+    IDENTICAL session math through event_ts_us — if the driver's
+    generator flips layout again, this fails locally in seconds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.sources.tables import event_ts_us
+
+    us = [1_700_000_000_000_000 + i * 61_000_000 for i in range(50)]
+    cols = {
+        "event_id": list(range(50)),
+        "user_id": [i % 5 for i in range(50)],
+        "event_type": ["a"] * 50,
+        "value": [float(i) for i in range(50)],
+        "props": ["{}"] * 50,
+    }
+    t_us = pa.table({**cols, "ts": pa.array(us, type=pa.timestamp("us"))})
+    t_ns = pa.table({**cols, "ts": pa.array([u * 1000 for u in us], type=pa.int64())})
+    d_us, d_ns = tmp_path / "us", tmp_path / "ns"
+    d_us.mkdir(); d_ns.mkdir()
+    pq.write_table(t_us, d_us / "events.parquet")
+    pq.write_table(t_ns, d_ns / "events.parquet")
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = []
+    for d in (d_us, d_ns):
+        df = spark.read.parquet(str(d / "events.parquet"))
+        got = (
+            df.select("event_id", event_ts_us(df).alias("ts_us"))
+            .orderBy("event_id")
+            .collect()
+        )
+        out.append([(r["event_id"], r["ts_us"]) for r in got])
+    assert out[0] == out[1]
+    assert out[0][0][1] == us[0]

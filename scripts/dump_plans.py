@@ -37,6 +37,9 @@ NOTES = {
     "keep_best_dedup": "canopy argmax as ONE hash-agg exchange: struct-max (n_chars, -doc_id) partials map-side; no Window/Sort anywhere",
     "decontamination": "benchmark n-gram set rides a BroadcastExchange (absolutely small: an eval suite); the corpus side is scanned once, array_distinct before the explode keeps per-doc dedup map-side",
     "pack_sequences": "one source-keyed exchange feeds the running-sum Window; pack arithmetic is projection-only after it",
+    "unigram_logprob_score": "vocab-sized freq agg, tokens↔vocab key join (AQE picks the side at runtime), 1-row total broadcast, per-doc algebraic agg — no cartesian anywhere",
+    "curation_pipeline": "every signal branch is doc_id-keyed; the benchmark n-gram set is the single broadcast; dedup is a fingerprint-keyed hash-agg argmin, no window over raw docs",
+    "triangle_count": "canonicalized edge table joined twice on node keys (wedge + close) — no nested-loop; corner explode feeds one hash agg",
 }
 
 

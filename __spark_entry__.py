@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": pl.mixture_weights,
         "curation_pipeline": pl.curation_pipeline,
         "triangle_count": gr.triangle_count,
+        "funnel_conversion": ts.funnel_conversion,
     }
 
 
@@ -712,6 +713,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, FALSE AS restated
             FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM changes ch WHERE ch.c_custkey = c.c_custkey)
+        """,
+        "funnel_conversion": """
+            WITH ev AS (
+              SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+            ),
+            v AS (
+              SELECT user_id, min(ts_us) AS t_view FROM ev
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+              SELECT e.user_id, min(e.ts_us) AS t_click
+              FROM ev e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts_us > v.t_view
+              GROUP BY e.user_id
+            ),
+            p AS (
+              SELECT e.user_id, min(e.ts_us) AS t_purchase
+              FROM ev e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click
+              GROUP BY e.user_id
+            ),
+            u AS (
+              SELECT 1 AS stage, 'view' AS step, user_id FROM v
+              UNION ALL SELECT 2, 'click', user_id FROM c
+              UNION ALL SELECT 3, 'purchase', user_id FROM p
+            )
+            SELECT stage, step, count(DISTINCT user_id) AS n_users
+            FROM u GROUP BY stage, step
         """,
         "triangle_count": """
             WITH te AS (

@@ -93,3 +93,47 @@ def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.round(F.avg("value").over(w), 6).alias("avg_1h"),
     )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel view → click → purchase: per user,
+    the first view, the first click strictly after it, and the first
+    purchase strictly after that click; output is users reaching each
+    stage.
+
+    One user-keyed conditional aggregation computes all three stage
+    timestamps algebraically (min-with-predicate chained via two short
+    per-user joins), so the corpus shuffles once on user_id and the
+    funnel arithmetic runs on the (|users| × 1) frame — the shape that
+    survives a 100 TB event log.  Epoch-us integer math keeps the
+    stage comparison exact across engines.
+    """
+    ev = _events_us(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_us").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    stages = [
+        v.select(F.lit(1).alias("stage"), F.lit("view").alias("step"), "user_id"),
+        c.select(F.lit(2).alias("stage"), F.lit("click").alias("step"), "user_id"),
+        p.select(
+            F.lit(3).alias("stage"), F.lit("purchase").alias("step"), "user_id"
+        ),
+    ]
+    u = stages[0].union(stages[1]).union(stages[2])
+    return u.groupBy("stage", "step").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )

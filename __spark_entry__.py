@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": pl.curation_pipeline,
         "triangle_count": gr.triangle_count,
         "funnel_conversion": ts.funnel_conversion,
+        "retention_cohorts": ts.retention_cohorts,
     }
 
 
@@ -713,6 +714,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, FALSE AS restated
             FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM changes ch WHERE ch.c_custkey = c.c_custkey)
+        """,
+        "retention_cohorts": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) - epoch_us(ts) % 604800000000 AS week_us
+              FROM events
+            ),
+            coh AS (
+              SELECT user_id, min(week_us) AS cohort_us FROM act GROUP BY user_id
+            )
+            SELECT cohort_us,
+                   CAST((week_us - cohort_us) / 604800000000 AS BIGINT)
+                     AS weeks_since,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM act a JOIN coh USING (user_id)
+            GROUP BY cohort_us, weeks_since
         """,
         "funnel_conversion": """
             WITH ev AS (

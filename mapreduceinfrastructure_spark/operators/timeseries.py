@@ -137,3 +137,35 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("stage", "step").agg(
         F.countDistinct("user_id").alias("n_users")
     )
+
+
+WEEK_US = 7 * 24 * 3_600_000_000
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, and
+    for each (cohort_week, weeks_since) cell, how many of them were
+    active that many weeks later.
+
+    Two user-keyed aggregations (first-seen, then distinct user-week
+    activity) and one join back on user_id — the active-users frame is
+    |users × weeks-active| rows, never raw events, so the matrix
+    computation is corpus-size-independent after the first agg.  Weeks
+    are epoch-us integer buckets: exact across engines.
+    """
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us")
+    week = (F.col("ts_us") - F.col("ts_us") % WEEK_US).alias("week_us")
+    activity = ev.select("user_id", week).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week_us").alias("cohort_us"))
+    return (
+        activity.join(cohort, "user_id")
+        .select(
+            "cohort_us",
+            ((F.col("week_us") - F.col("cohort_us")) / WEEK_US)
+            .cast("long")
+            .alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_us", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

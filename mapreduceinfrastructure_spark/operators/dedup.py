@@ -91,8 +91,14 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
+    # shuffle-hash, not sort-merge: the shingle key has no ordering
+    # value and the df cap bounds per-key occupancy, so SMJ's two-sided
+    # sort of the corpus-linear shingle table is pure waste (measured
+    # 3.2 -> 2.0 s at sf0.1); the hint also keeps the corpus-linear
+    # table off the broadcast path.
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count("*").alias("i"))
     )

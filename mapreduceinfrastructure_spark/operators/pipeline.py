@@ -326,9 +326,11 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation composition — the whole point of the
-    operator catalog in one query.  A doc survives iff it is:
+def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving documents of the end-to-end curation composition —
+    (doc_id, source, nt, fp) for every doc that passes all six filters
+    (see :func:`curation_pipeline` for the aggregate view and the full
+    rule list).  A doc survives iff it is:
 
     1. in the training split (doc_id % BENCH_MOD != 0),
     2. predicted English (stopword ratio ≥ 0.08 over distinct tokens,
@@ -424,8 +426,52 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact-dup representative among survivors: fingerprint-keyed argmin
     reps = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    final = kept.join(reps, ["fp", "doc_id"])
-    return final.groupBy("source").agg(
+    return kept.join(reps, ["fp", "doc_id"]).select("doc_id", "source", "nt", "fp")
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source kept-doc and kept-token accounting over
+    :func:`curated_docs` — integer-only output, so the cross-engine
+    hash is float-free (the float thresholds inside compare identical
+    IEEE expression trees, which both engines evaluate bit-equal)."""
+    return curated_docs(spark, sf_dir).groupBy("source").agg(
         F.count("*").alias("n_docs_kept"),
         F.sum("nt").alias("n_tokens_kept"),
     )
+
+
+def write_curated_shards(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> dict[str, int]:
+    """Materialize the curated corpus as training shards: surviving
+    docs joined back to their text, annotated with the pack each doc's
+    first token lands in (pack_sequences arithmetic), written as
+    parquet partitioned by source.
+
+    Partitioning by source means a training loader sampling per
+    mixture_weights reads only the partitions it needs (partition
+    pruning on the read side); within a partition, files are written in
+    doc_id order so sequential packing is reproducible.  Returns
+    {"n_docs": ..., "n_tokens": ...} totals for the manifest.
+    """
+    kept = curated_docs(spark, sf_dir)
+    text = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("nt").over(w), F.lit(0)).cast("long")
+    shards = kept.join(text, "doc_id").select(
+        "doc_id",
+        "source",
+        F.col("nt").alias("n_tokens"),
+        F.floor(cum_excl / F.lit(PACK_LEN)).cast("long").alias("pack_id"),
+        "text",
+    )
+    shards.write.mode("overwrite").partitionBy("source").parquet(out_path)
+    back = spark.read.parquet(out_path)
+    totals = back.agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    return {"n_docs": int(totals["n"]), "n_tokens": int(totals["t"])}

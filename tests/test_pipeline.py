@@ -96,3 +96,31 @@ def test_repetition_filter_fractions_bounded(spark, sf_dir):
         assert out.filter("(top_bigram_frac > 0.10) != (flagged = 1)").count() == 0
     finally:
         out.unpersist()
+
+
+def test_write_curated_shards_roundtrip(spark, sf_dir, tmp_path):
+    """The materialized training shards must carry exactly the docs and
+    tokens curation_pipeline accounts for, partitioned by source (so a
+    sampling loader prunes partitions), with pack ids contiguous from 0
+    per source."""
+    import os
+
+    from mapreduceinfrastructure_spark.operators.pipeline import (
+        curation_pipeline,
+        write_curated_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    manifest = write_curated_shards(spark, sf_dir, out)
+    acct = curation_pipeline(spark, sf_dir).collect()
+    assert manifest["n_docs"] == sum(r["n_docs_kept"] for r in acct)
+    assert manifest["n_tokens"] == sum(r["n_tokens_kept"] for r in acct)
+    # physical layout: one partition directory per source
+    parts = {d for d in os.listdir(out) if d.startswith("source=")}
+    assert len(parts) == len(acct)
+    back = spark.read.parquet(out)
+    for r in acct:
+        per = back.filter(F.col("source") == r["source"])
+        assert per.count() == r["n_docs_kept"]
+        packs = [p["pack_id"] for p in per.select("pack_id").distinct().collect()]
+        assert min(packs) == 0

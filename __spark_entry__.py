@@ -119,6 +119,80 @@ def _pagerank_sql() -> str:
     return head + "," + ",".join(steps) + tail
 
 
+def _curation_final_sql(sw: str) -> str:
+    """Shared oracle CTE chain for the end-to-end curation composition:
+    everything up to ``final`` (the surviving docs with per-doc token
+    counts) — consumed by both the curation_pipeline accounting and the
+    shard_manifest pack accounting.  The quality and stopword scores
+    are rounded to 6 decimals BEFORE the threshold compare, mirroring
+    operators/pipeline.curated_docs, so boundary decisions are
+    representation-stable across engines."""
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, source, text,
+                     list_filter(string_split_regex(text, {_D}),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, source, len(t) AS nt,
+                     round(len(list_filter(list_distinct(t),
+                         x -> list_contains([{sw}], x)))::DOUBLE
+                       / greatest(len(list_distinct(t)), 1), 6) AS swr,
+                     round(least(1.0, len(t) / 100.0) * 0.5
+                       + (1.0 - length(regexp_replace(text, '[^,.]', '', 'g'))::DOUBLE
+                              / greatest(length(text), 1)) * 0.3
+                       + least(1.0,
+                           (coalesce(list_sum(list_transform(t, x -> length(x)::DOUBLE)), 0.0)
+                              / greatest(len(t), 1)) / 8.0) * 0.2, 6) AS q,
+                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+              FROM toks
+            ),
+            bgf AS (
+              SELECT doc_id, bg, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i+1])) AS bg
+                FROM toks
+              ) GROUP BY doc_id, bg
+            ),
+            rep AS (
+              SELECT doc_id,
+                     CAST(max(c)::DOUBLE / sum(c)::DOUBLE > 0.10 AS BIGINT)
+                       AS rep_flag
+              FROM bgf GROUP BY doc_id
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(t) - 3),
+                         i -> array_to_string(t[i:i+4], ' '))) AS gs
+              FROM toks
+            ),
+            flat AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 20 = 0),
+            contaminated AS (
+              SELECT DISTINCT f.doc_id
+              FROM flat f JOIN bench b USING (g)
+              WHERE f.doc_id % 20 <> 0
+            ),
+            kept AS (
+              SELECT b.*
+              FROM base b
+              LEFT JOIN rep r USING (doc_id)
+              WHERE b.doc_id % 20 <> 0
+                AND b.swr >= 0.08
+                AND b.q >= 0.5
+                AND coalesce(r.rep_flag, 0) = 0
+                AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ),
+            final AS (
+              SELECT k.* FROM kept k
+              JOIN (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp) m
+                ON k.fp = m.fp AND k.doc_id = m.doc_id
+            )
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (reference's shipped word count) on sf0.001."""
     return ta.word_count(spark, "/root/testdata/sf0.001")
@@ -127,25 +201,35 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the first 50 entries: the driver's correctness
     # harness verifies exactly queries() entries 1-50 against oracle_sql.
-    # The window therefore carries one representative per SURVEY 2.2
-    # pattern plus the curation north-star operators and three TPC-H
-    # shapes — every one of the 50 has an exact DuckDB oracle, so every
-    # driver row is hash-checkable.  Rows-only-by-design variants
-    # (ann_*, simhash, minhash_lsh_neardup — xxhash64 has no DuckDB
-    # twin, see its two-sided bound test in tests/test_ann_recall.py)
-    # and oracle duplicates (word_count_mr) sit past 50, covered by the
-    # identical local parity sweep (tests/test_oracle_parity.py).
+    # Round 4 rotated the window (VERDICT r3 #1): the 11 oracle-backed
+    # operators that previously sat past slot 50 (unigram_logprob_score,
+    # mixture_weights, curation_pipeline, funnel_conversion,
+    # retention_cohorts, triangle_count, pii_scrub, stratified_sample,
+    # bpe_token_count, rolling_fingerprint, frame_offsets) plus the new
+    # shard_manifest now hold window slots, displacing same-family
+    # redundancies (bigram_count, language_id, quality_score,
+    # fingerprint, join_semi, set_ops, global_rank, topk_global,
+    # window_running, pivot_status, scalar_funcs, tpch_q18) to the local
+    # parity sweep.  Every SURVEY 2.2 pattern keeps >=1 window slot;
+    # streaming_hourly_counts stays the #50 hard signal.  Every one of
+    # the 50 has an exact DuckDB oracle (pinned by
+    # tests/test_oracle_parity.py::test_driver_window_is_oracle_backed).
+    # Rows-only-by-design variants (ann_*, simhash, minhash_lsh_neardup
+    # — xxhash64 has no DuckDB twin, see its two-sided bound test in
+    # tests/test_ann_recall.py) and oracle duplicates (word_count_mr)
+    # sit past 50, covered by the identical local parity sweep
+    # (tests/test_oracle_parity.py).
     return {
-        # --- text analysis (SURVEY 2.2: word count / grep / index / tf-idf) ---
+        # --- text analysis & per-doc text curation signals ---
         "word_count": ta.word_count,
         "grep": ta.grep,
         "inverted_index": ta.inverted_index,
-        "bigram_count": ta.bigram_count,
         "tf_idf": ta.tf_idf,
         "token_stats": ta.token_stats,
-        "language_id": ta.language_id,
-        "quality_score": ta.quality_score,
-        "fingerprint": ta.fingerprint,
+        "bpe_token_count": ta.bpe_token_count,
+        "rolling_fingerprint": ta.rolling_fingerprint,
+        "pii_scrub": ta.pii_scrub,
+        "stratified_sample": ta.stratified_sample,
         # --- per-key aggregation / relational core ---
         "key_count": rel.key_count,
         "key_stats": rel.key_stats,
@@ -153,55 +237,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": rel.histogram,
         "distinct_count": rel.distinct_count,
         "join_revenue_by_nation": rel.join_revenue_by_nation,
-        "join_semi": rel.join_semi,
         "join_anti": rel.join_anti,
         "edge_inversion": rel.edge_inversion,
-        "set_ops": rel.set_ops,
         "distributed_sort": rel.distributed_sort,
-        "global_rank": rel.global_rank,
         "topk_per_group": rel.topk_per_group,
-        "topk_global": rel.topk_global,
-        "window_running": rel.window_running,
         "rollup_pricing": rel.rollup_pricing,
-        "pivot_status": rel.pivot_status,
         "sessionize": rel.sessionize,
-        # --- dedup / similarity ---
+        # --- dedup / similarity / multimodal ---
         "dedup_exact": dd.dedup_exact,
         "ngram_jaccard_neardup": dd.ngram_jaccard_neardup,
         "dedup_clusters": dd.dedup_clusters,
         "cosine_topk": sim.cosine_topk,
         "embedding_neardup": sim.embedding_neardup,
         "multimodal_features": mm.multimodal_features,
+        "frame_offsets": lambda spark, sf_dir: mm.frame_sample(
+            mm.make_media_table(spark, sf_dir)
+        ).selectExpr("doc_id", "cast(frame_offset as long) AS frame_offset"),
         # --- advanced relational ---
         "cube_pricing": adv.cube_pricing,
         "unpivot_measures": adv.unpivot_measures,
         "percentile_by_brand": adv.percentile_by_brand,
         "json_extract_agg": adv.json_extract_agg,
-        "scalar_funcs": adv.scalar_funcs,
         "asof_join": adv.asof_join,
         "range_join_events": adv.range_join_events,
+        # --- event analytics / graph ---
+        "funnel_conversion": ts.funnel_conversion,
+        "retention_cohorts": ts.retention_cohorts,
+        "triangle_count": gr.triangle_count,
         # --- LLM-curation north star ---
         "keep_best_dedup": pl.keep_best_dedup,
         "decontamination": pl.decontamination,
         "data_mixture": pl.data_mixture,
+        "mixture_weights": pl.mixture_weights,
         "repetition_filter": pl.repetition_filter,
+        "unigram_logprob_score": pl.unigram_logprob_score,
         "pack_sequences": pl.pack_sequences,
         "split_assign": pl.split_assign,
+        "curation_pipeline": pl.curation_pipeline,
+        "shard_manifest": pl.shard_manifest,
         # --- TPC-H representatives + streaming hard signal (entry #50) ---
         "tpch_q1": tpch.tpch_q1,
         "tpch_q5": tpch.tpch_q5,
-        "tpch_q18": tpch.tpch_q18,
         "streaming_hourly_counts": es.streaming_hourly_counts,
         # ---------- entries past the driver window (local parity only) ----------
-        "bpe_token_count": ta.bpe_token_count,
-        "rolling_fingerprint": ta.rolling_fingerprint,
+        "bigram_count": ta.bigram_count,
+        "language_id": ta.language_id,
+        "quality_score": ta.quality_score,
+        "fingerprint": ta.fingerprint,
+        "join_semi": rel.join_semi,
+        "set_ops": rel.set_ops,
+        "global_rank": rel.global_rank,
+        "topk_global": rel.topk_global,
+        "window_running": rel.window_running,
+        "pivot_status": rel.pivot_status,
+        "scalar_funcs": adv.scalar_funcs,
+        "tpch_q18": tpch.tpch_q18,
         "simhash": dd.simhash,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
-        "frame_offsets": lambda spark, sf_dir: mm.frame_sample(
-            mm.make_media_table(spark, sf_dir)
-        ).selectExpr("doc_id", "cast(frame_offset as long) AS frame_offset"),
         "except_op": adv.except_op,
         "approx_distinct_users": adv.approx_distinct_users,
         "prior_order": adv.prior_order,
@@ -239,8 +333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": tpch.tpch_q22,
         "gap_fill": ts.gap_fill,
         "rolling_time_window": ts.rolling_time_window,
-        "pii_scrub": ta.pii_scrub,
-        "stratified_sample": ta.stratified_sample,
         "fuzzy_blocked_join": dd.fuzzy_blocked_join,
         "embedding_stats": sim.embedding_stats,
         "stats_aggregates": adv.stats_aggregates,
@@ -257,12 +349,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": tpch.tpch_q2,
         "tpch_q11": tpch.tpch_q11,
         "tpch_q20": tpch.tpch_q20,
-        "unigram_logprob_score": pl.unigram_logprob_score,
-        "mixture_weights": pl.mixture_weights,
-        "curation_pipeline": pl.curation_pipeline,
-        "triangle_count": gr.triangle_count,
-        "funnel_conversion": ts.funnel_conversion,
-        "retention_cohorts": ts.retention_cohorts,
     }
 
 
@@ -1392,71 +1478,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "curation_pipeline": f"""
-            WITH toks AS (
-              SELECT doc_id, source, text,
-                     list_filter(string_split_regex(text, {_D}),
-                                 x -> length(x) > 0) AS t
-              FROM documents
-            ),
-            base AS (
-              SELECT doc_id, source, len(t) AS nt,
-                     len(list_filter(list_distinct(t),
-                         x -> list_contains([{sw}], x)))::DOUBLE
-                       / greatest(len(list_distinct(t)), 1) AS swr,
-                     least(1.0, len(t) / 100.0) * 0.5
-                       + (1.0 - length(regexp_replace(text, '[^,.]', '', 'g'))::DOUBLE
-                              / greatest(length(text), 1)) * 0.3
-                       + least(1.0,
-                           (coalesce(list_sum(list_transform(t, x -> length(x)::DOUBLE)), 0.0)
-                              / greatest(len(t), 1)) / 8.0) * 0.2 AS q,
-                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
-              FROM toks
-            ),
-            bgf AS (
-              SELECT doc_id, bg, count(*) AS c FROM (
-                SELECT doc_id,
-                       unnest(list_transform(range(1, len(t)),
-                           i -> t[i] || ' ' || t[i+1])) AS bg
-                FROM toks
-              ) GROUP BY doc_id, bg
-            ),
-            rep AS (
-              SELECT doc_id,
-                     CAST(max(c)::DOUBLE / sum(c)::DOUBLE > 0.10 AS BIGINT)
-                       AS rep_flag
-              FROM bgf GROUP BY doc_id
-            ),
-            grams AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(range(1, len(t) - 3),
-                         i -> array_to_string(t[i:i+4], ' '))) AS gs
-              FROM toks
-            ),
-            flat AS (SELECT doc_id, unnest(gs) AS g FROM grams),
-            bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 20 = 0),
-            contaminated AS (
-              SELECT DISTINCT f.doc_id
-              FROM flat f JOIN bench b USING (g)
-              WHERE f.doc_id % 20 <> 0
-            ),
-            kept AS (
-              SELECT b.*
-              FROM base b
-              LEFT JOIN rep r USING (doc_id)
-              WHERE b.doc_id % 20 <> 0
-                AND b.swr >= 0.08
-                AND b.q >= 0.5
-                AND coalesce(r.rep_flag, 0) = 0
-                AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)
-            ),
-            final AS (
-              SELECT k.* FROM kept k
-              JOIN (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp) m
-                ON k.fp = m.fp AND k.doc_id = m.doc_id
-            )
+            {_curation_final_sql(sw)}
             SELECT source, count(*) AS n_docs_kept,
                    CAST(sum(nt) AS BIGINT) AS n_tokens_kept
             FROM final GROUP BY source
+        """,
+        "shard_manifest": f"""
+            {_curation_final_sql(sw)},
+            packed AS (
+              SELECT source, doc_id, nt,
+                     CAST(coalesce(sum(nt) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) // {pl.PACK_LEN} AS pack_id
+              FROM final
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   count(DISTINCT pack_id) AS n_packs
+            FROM packed GROUP BY source
         """,
         "repetition_filter": f"""
             WITH toks AS (

@@ -73,26 +73,33 @@ def main() -> None:
     spark.range(1).count()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float | None] = {}
+    timings_min: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        # best of 2: first run pays one-off costs (file listing, codegen
-        # compile); the second is the steady-state number a warm cluster
-        # would see.  Report the min to damp scheduler noise.
+        # reps=3, report the MEDIAN (plus min): a single run can't
+        # distinguish a plan regression from scheduler noise (round-3
+        # lesson: four queries swung +18..41% with untouched plans); the
+        # first run additionally pays one-off costs (file listing,
+        # codegen compile), which the median discards.
         # Per-query isolation: one broken query must not take down the
         # whole round's bench signal (round-2 lesson) — record null and
         # keep going; the JSON line is ALWAYS printed.
-        best = float("inf")
+        samples: list[float] = []
         try:
-            for _ in range(2):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 3)
+            timings_min[name] = round(samples[0], 3)
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             timings[name] = None
+            timings_min[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
@@ -102,6 +109,8 @@ def main() -> None:
         "value": round(sum(measured), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "reps": reps,
         "sf": float(sf),
     }
     if errors:

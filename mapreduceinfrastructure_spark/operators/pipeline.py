@@ -35,6 +35,8 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -170,6 +172,10 @@ def data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Training-sequence length for pack_sequences (tokens per packed row).
 PACK_LEN = 2048
+
+# On-disk schema of the curated training shards (write_curated_shards /
+# shard_manifest); `source` is the partition column.
+SHARD_SCHEMA = "doc_id long, n_tokens long, pack_id long, text string, source string"
 
 
 def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,12 +383,17 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.lit(1.0) - punct_ratio) * 0.3
         + F.least(F.lit(1.0), avg_len / 8.0) * 0.2
     )
+    # Scores are rounded to 6 decimals BEFORE the threshold compare (and
+    # the oracle rounds identically): the filters below sit exactly on
+    # float thresholds (q >= 0.5, swr >= 0.08), and rounding makes the
+    # boundary decision representation-stable instead of relying on
+    # Spark and DuckDB evaluating the IEEE expression tree bit-equal.
     base = toks.select(
         "doc_id",
         "source",
         n_tokens.cast("long").alias("nt"),
-        sw_ratio.alias("swr"),
-        quality.alias("q"),
+        F.round(sw_ratio, 6).alias("swr"),
+        F.round(quality, 6).alias("q"),
         F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fp"),
     )
 
@@ -470,8 +481,41 @@ def write_curated_shards(
         "text",
     )
     shards.write.mode("overwrite").partitionBy("source").parquet(out_path)
-    back = spark.read.parquet(out_path)
+    # explicit schema: a zero-survivor corpus writes no part files and
+    # schema inference has nothing to read (empty-input edge case);
+    # `source` is the partition column.
+    back = spark.read.schema(SHARD_SCHEMA).parquet(out_path)
     totals = back.agg(
         F.count("*").alias("n"), F.sum("n_tokens").alias("t")
     ).collect()[0]
-    return {"n_docs": int(totals["n"]), "n_tokens": int(totals["t"])}
+    return {"n_docs": int(totals["n"]), "n_tokens": int(totals["t"] or 0)}
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accounting over the MATERIALIZED curated shards:
+    write_curated_shards runs for real (parquet partitioned by source
+    under a scratch dir), the shards are read back, and the manifest —
+    per-source (n_docs, n_tokens, n_packs) — is aggregated from the
+    read-back files, so the green row certifies the whole write→read
+    round trip, not just the in-memory plan.  The DuckDB oracle derives
+    the same numbers from ``documents`` via the identical curation +
+    pack arithmetic.
+
+    Scale: the aggregation reads only the (source, n_tokens, pack_id)
+    columns of the shards (column pruning; text is never re-read), and
+    partition pruning on ``source`` is what a training loader consuming
+    these shards relies on.
+    """
+    import tempfile
+
+    out_path = os.path.join(
+        tempfile.gettempdir(),
+        f"mri_curated_shards_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_curated_shards(spark, sf_dir, out_path)
+    back = spark.read.schema(SHARD_SCHEMA).parquet(out_path)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("pack_id").alias("n_packs"),
+    )

@@ -9,8 +9,9 @@ Scale notes (100 TB design point):
   corpus once — O(corpus × queries) flops, no corpus self-shuffle.
   All vector math is JVM higher-order functions in double precision.
 - ``ann_lsh`` buckets vectors by random-hyperplane signatures (8
-  tables × 4 bits, 1-bit query multiprobe), then searches only within
-  matching buckets: each table prunes candidates ~16×.  The
+  tables × adaptive bits, 1-bit query multiprobe), then searches only
+  within matching buckets: each table prunes candidates ~2^bits×, and
+  bits grows with log2(corpus) so occupancy stays bounded.  The
   hyperplanes are deterministic (seeded PRNG literals) so results are
   reproducible across runs/sessions.
 - ``embedding_neardup`` is the all-pairs exact variant — correct at
@@ -18,6 +19,8 @@ Scale notes (100 TB design point):
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -28,11 +31,28 @@ from ..functions.vector import cosine_similarity_expr
 from ..sources.tables import fan_out, load_table
 
 EMBED_DIM = 64
-N_PLANES = 32  # 8 tables × 4 bits, every table on its own planes
-BITS_PER_TABLE = 4  # bucket width; must grow ~log2(corpus) at scale
 N_TABLES = 8
+# Bucket width is ADAPTIVE: bits = max(floor, ceil(log2(n / target)))
+# so expected bucket occupancy stays ~TARGET_OCCUPANCY as the corpus
+# grows (hyperplane sign bits split mass roughly in half each) — the
+# fixed-4-bit form had unbounded occupancy at 100 TB.  The floor keeps
+# bits = 4 for every corpus up to 8192 vectors, which covers all test
+# SFs (500 / 500 / 2000 rows), so small-SF bucket ids — and therefore
+# driver hashes and the measured recall floors — are unchanged.
+BITS_FLOOR = 4
+TARGET_OCCUPANCY = 512
+BITS_PER_TABLE = BITS_FLOOR  # compat alias: the width at test SFs
 TOPK = 5
 N_QUERIES = 50
+
+
+def _bits_per_table(n_vectors: int) -> int:
+    """Bucket width for a corpus of ``n_vectors`` (see module note)."""
+    if n_vectors <= 0:
+        return BITS_FLOOR
+    return max(
+        BITS_FLOOR, math.ceil(math.log2(max(1.0, n_vectors / TARGET_OCCUPANCY)))
+    )
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,11 +82,13 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(n_planes: int) -> list[list[float]]:
     """Deterministic random hyperplanes (seed 42) as plain literals —
-    shipped to executors inside the plan, no closure capture."""
+    shipped to executors inside the plan, no closure capture.  The
+    generator fills row-major, so the first 32 planes are identical for
+    every ``n_planes`` ≥ 32 (wider corpora extend, never reshuffle)."""
     rng = np.random.default_rng(42)
-    return rng.standard_normal((N_PLANES, EMBED_DIM)).tolist()
+    return rng.standard_normal((n_planes, EMBED_DIM)).tolist()
 
 
 def _bit_exprs(planes):
@@ -90,27 +112,27 @@ def _bit_exprs(planes):
     return [bit(p) for p in planes]
 
 
-def _bucket_expr(bits, t):
-    """Integer bucket id of table ``t``: its 4 owned sign bits packed."""
-    idx = range(t * BITS_PER_TABLE, (t + 1) * BITS_PER_TABLE)
+def _bucket_expr(bits, t, bpt):
+    """Integer bucket id of table ``t``: its ``bpt`` owned bits packed."""
+    idx = range(t * bpt, (t + 1) * bpt)
     return sum((bits[i] * (2 ** j) for j, i in enumerate(idx)), start=F.lit(0))
 
 
-def _probe_keys(emb: DataFrame) -> DataFrame:
+def _probe_keys(emb: DataFrame, bpt: int) -> DataFrame:
     """(vec_id, tbl, bucket) rows: each vector's exact bucket plus the
-    4 buckets one bit-flip away, in each of the 8 tables (40 keys).
+    ``bpt`` buckets one bit-flip away, in each of the 8 tables.
 
     Used on BOTH sides of the near-dup candidate join, so a pair
-    collides in table t iff its signatures differ by ≤ 2 of the 4 bits
-    — the Hamming-2 ball that makes the candidate set effectively
+    collides in table t iff its signatures differ by ≤ 2 of the bpt
+    bits — the Hamming-2 ball that makes the candidate set effectively
     exhaustive at the 0.4 cosine threshold (see embedding_neardup).
     """
-    bits = _bit_exprs(_hyperplanes())
+    bits = _bit_exprs(_hyperplanes(N_TABLES * bpt))
     structs = []
     for t in range(N_TABLES):
-        bucket = _bucket_expr(bits, t)
+        bucket = _bucket_expr(bits, t, bpt)
         structs.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
-        for j in range(BITS_PER_TABLE):
+        for j in range(bpt):
             structs.append(
                 F.struct(
                     F.lit(t).alias("tbl"),
@@ -144,10 +166,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: explode → shuffle join on (tbl, bucket) → pair dedup →
     two shuffle joins to fetch vectors for the verify; no broadcast of
     anything corpus-sized, no NLJ (pinned in test_plans.py).  Bucket
-    width must track log2(corpus) at 100 TB to bound occupancy.
+    width tracks log2(corpus) via ``_bits_per_table`` (the count is a
+    parquet-metadata action), bounding expected occupancy at
+    ~TARGET_OCCUPANCY regardless of corpus size.
     """
     emb = _embeddings(spark, sf_dir)
-    keys = _probe_keys(emb)
+    bpt = _bits_per_table(load_table(spark, sf_dir, "embeddings").count())
+    keys = _probe_keys(emb, bpt)
     a = keys.select(F.col("vec_id").alias("da"), "tbl", "bucket")
     b = keys.select(F.col("vec_id").alias("db"), "tbl", "bucket")
     cand = (
@@ -169,8 +194,9 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via multiprobe random-hyperplane LSH: 8 tables × 4 bits,
-    32 distinct planes, query-side 1-bit multiprobe.
+    """ANN via multiprobe random-hyperplane LSH: 8 tables × adaptive
+    bits (4 at test SFs), each on its own planes, query-side 1-bit
+    multiprobe.
 
     A single long signature has vanishing recall (all bits must agree);
     multi-table banding trades one bucket join for L=8 smaller ones,
@@ -186,23 +212,24 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor pinned in tests/test_ann_recall.py).
     """
     emb = _embeddings(spark, sf_dir)
-    # 32 planes: table t owns planes [4t, 4t+4)
-    bits = _bit_exprs(_hyperplanes())
+    bpt = _bits_per_table(load_table(spark, sf_dir, "embeddings").count())
+    # N_TABLES * bpt planes: table t owns planes [bpt*t, bpt*(t+1))
+    bits = _bit_exprs(_hyperplanes(N_TABLES * bpt))
 
     tables = [
-        F.struct(F.lit(t).alias("tbl"), _bucket_expr(bits, t).alias("bucket"))
+        F.struct(F.lit(t).alias("tbl"), _bucket_expr(bits, t, bpt).alias("bucket"))
         for t in range(N_TABLES)
     ]
     keyed = emb.select(
         "vec_id", "v", F.explode(F.array(*tables)).alias("tb")
     ).select("vec_id", "v", "tb.tbl", "tb.bucket")
-    # multiprobe on the query side only: exact bucket + the 4 buckets
+    # multiprobe on the query side only: exact bucket + the bpt buckets
     # one bit-flip away, per table.
     probes = []
     for t in range(N_TABLES):
-        bucket = _bucket_expr(bits, t)
+        bucket = _bucket_expr(bits, t, bpt)
         probes.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
-        for j in range(BITS_PER_TABLE):
+        for j in range(bpt):
             probes.append(
                 F.struct(
                     F.lit(t).alias("tbl"),

@@ -43,16 +43,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # harmless when ts is timestamp[us].  UTC: TIMESTAMP_NTZ -> TIMESTAMP
     # casts (event_ts_us) interpret the naive value in the session zone;
     # pinning UTC makes them match DuckDB's epoch_us on naive timestamps.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # InferFiltersFromGenerate turns explode(computed-array) into a
     # size()>0 filter that pushdown re-inlines below the projections —
     # O(len²) re-tokenization on every n-gram explode (see session.py).
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    #
+    # Each conf is set only when it differs (no per-call session-state
+    # churn), and excludedRules APPENDS to whatever the foreign session
+    # already excluded instead of clobbering it.
+    _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
+    _ensure_excluded_rule(
+        spark, "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    if spark.conf.get(key, None) != value:
+        spark.conf.set(key, value)
+
+
+def _ensure_excluded_rule(spark: SparkSession, rule: str) -> None:
+    current = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    rules = [r.strip() for r in current.split(",") if r.strip()]
+    if rule not in rules:
+        spark.conf.set("spark.sql.optimizer.excludedRules", ",".join([*rules, rule]))
 
 
 def event_ts_us(df: DataFrame, col: str = "ts") -> Column:

@@ -47,9 +47,9 @@ def test_connected_components_deep_chain(spark):
 
 
 def test_triangle_degree_orientation_same_result(spark, sf_dir):
-    """The docstring claims degree-ordered orientation (the 100 TB
-    refinement) enumerates the same triangle set as id-ordering — prove
-    it: per-node counts must be identical."""
+    """triangle_count now defaults to degree-ordered orientation (the
+    100 TB refinement); prove it enumerates the same triangle set as
+    the textbook id-ordered form — per-node counts must be identical."""
     from pyspark.sql import functions as F
 
     from mapreduceinfrastructure_spark.operators.graph import (
@@ -62,6 +62,8 @@ def test_triangle_degree_orientation_same_result(spark, sf_dir):
         for r in triangle_count(spark, sf_dir).collect()
     }
 
+    # id-ordered reference: edges canonicalized u < v, each triangle
+    # x < y < z enumerated once by wedge(x->y->z) |><| edge(x, z)
     te = trade_edges(spark, sf_dir)
     und = (
         te.filter(F.col("src") != F.col("dst"))
@@ -70,36 +72,10 @@ def test_triangle_degree_orientation_same_result(spark, sf_dir):
         )
         .distinct()
     )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .union(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    # orient each edge from the (degree, id)-smaller endpoint
-    oriented = (
-        und.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
-            )
-            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
-            .alias("e")
-        )
-        .select("e.s", "e.t")
-    )
-    ab = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
-    bc = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
-    # wedge x->y->z closes iff the third edge exists in EITHER orientation
-    closer = oriented.select(F.col("s").alias("x"), F.col("t").alias("z")).union(
-        oriented.select(F.col("t").alias("x"), F.col("s").alias("z"))
-    )
-    tri = ab.join(bc, "y").join(closer, ["x", "z"])
+    ab = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    bc = und.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    ac = und.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"])
     want = {
         (r["node"], r["n_triangles"])
         for r in tri.select(F.explode(F.array("x", "y", "z")).alias("node"))

@@ -64,3 +64,41 @@ def test_resize_media_shapes(spark, sf_dir):
     # deterministic: same input -> same bytes
     again = {r["doc_id"]: bytes(r["media"]) for r in resize_media(media, 8, 8).collect()}
     assert all(bytes(r["media"]) == again[r["doc_id"]] for r in rows)
+
+
+def test_decode_with_pil_present(monkeypatch):
+    """Round-4 guard fix: with PIL importable, decode_image must attempt
+    the real decode (returning the image's size) and fall back to the
+    deterministic fake for payloads PIL can't parse — never raise.
+    PIL is absent in this container, so simulate it with a stub module
+    exposing the Image.open contract."""
+    import types
+
+    from mapreduceinfrastructure_spark.operators import multimodal as mm
+
+    class _FakeImg:
+        size = (320, 240)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    def _open(buf):
+        data = buf.read()
+        if not data.startswith(b"\x89PNG"):
+            raise OSError("cannot identify image file")
+        return _FakeImg()
+
+    fake_pil = types.SimpleNamespace(Image=types.SimpleNamespace(open=_open))
+    monkeypatch.setattr(mm, "PIL", fake_pil, raising=False)
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+
+    # decodable payload: real (stubbed-PIL) size comes back
+    assert mm.decode_image(b"\x89PNG" + b"\x00" * 100) == (320, 240)
+    # undecodable payload: deterministic fake, identical to PIL-absent env
+    monkeypatch.setattr(mm, "_HAVE_PIL", False)
+    want = mm.decode_image(b"x" * 1000)
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+    assert mm.decode_image(b"x" * 1000) == want

@@ -19,6 +19,39 @@ def test_registry_consistency():
     assert set(ORACLES) <= set(QUERIES)
 
 
+# The driver's correctness harness verifies EXACTLY queries() entries
+# 1-50 against oracle_sql.  This pin makes the window composition a
+# hard invariant instead of a comment: every windowed entry must carry
+# an exact oracle, and the exact 50-list is frozen so an accidental
+# insertion/reorder can't silently push an oracle-backed query out of
+# (or a rows-only query into) the verified window.
+DRIVER_WINDOW = [
+    "word_count", "grep", "inverted_index", "tf_idf", "token_stats",
+    "bpe_token_count", "rolling_fingerprint", "pii_scrub",
+    "stratified_sample", "key_count", "key_stats", "select_project",
+    "histogram", "distinct_count", "join_revenue_by_nation", "join_anti",
+    "edge_inversion", "distributed_sort", "topk_per_group",
+    "rollup_pricing", "sessionize", "dedup_exact",
+    "ngram_jaccard_neardup", "dedup_clusters", "cosine_topk",
+    "embedding_neardup", "multimodal_features", "frame_offsets",
+    "cube_pricing", "unpivot_measures", "percentile_by_brand",
+    "json_extract_agg", "asof_join", "range_join_events",
+    "funnel_conversion", "retention_cohorts", "triangle_count",
+    "keep_best_dedup", "decontamination", "data_mixture",
+    "mixture_weights", "repetition_filter", "unigram_logprob_score",
+    "pack_sequences", "split_assign", "curation_pipeline",
+    "shard_manifest", "tpch_q1", "tpch_q5", "streaming_hourly_counts",
+]
+
+
+def test_driver_window_is_oracle_backed():
+    window = list(QUERIES)[:50]
+    assert len(DRIVER_WINDOW) == 50
+    assert window == DRIVER_WINDOW
+    missing = [n for n in window if n not in ORACLES]
+    assert not missing, f"windowed queries without an exact oracle: {missing}"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     df = QUERIES[name](spark, sf_dir)

@@ -101,3 +101,101 @@ def test_embedding_neardup_lsh_equals_exact_allpairs(spark, sf_dir):
     want = set(map(tuple, exact.collect()))
     assert got == want
     assert len(got) > 0
+
+
+def test_dedup_clusters_minhash_equals_exact_path(spark, sf_dir):
+    """Round-4 change: dedup_clusters edges come from the minhash
+    candidate path (O(colliding pairs)) instead of the exact O(sum df^2)
+    shingle self-join.  The cluster output must be identical to the
+    exact-path clustering — that equality is what keeps the exact DuckDB
+    oracle valid.  (Measured: LSH candidates cover every jaccard>=0.5
+    pair at sf0.001/0.01/0.1; qualifying pairs all sit at j>=0.8 where
+    banded recall is ~1, and the seeded hashes make it deterministic.)"""
+    from mapreduceinfrastructure_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+        ngram_jaccard_neardup,
+    )
+
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(spark, sf_dir).collect()
+    }
+
+    pairs = ngram_jaccard_neardup(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    edges = (
+        pairs.select(F.col("da").alias("a"), F.col("db").alias("b"))
+        .union(pairs.select(F.col("db").alias("a"), F.col("da").alias("b")))
+        .distinct()
+    )
+    want = {
+        (r["node"], r["label"]) for r in connected_components(edges).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_minhash_shingle_persist_switch_is_result_invariant(spark, sf_dir, monkeypatch):
+    """The size-aware shingle persist (on at >=256 MB input, off at test
+    SFs) must not change results — force the persist path by dropping
+    the threshold to zero and compare against the default re-scan path."""
+    from mapreduceinfrastructure_spark.operators import dedup as dd
+
+    base = set(map(tuple, dd.minhash_lsh_neardup(spark, sf_dir).collect()))
+    monkeypatch.setattr(dd, "SHINGLE_PERSIST_MIN_BYTES", 0)
+    forced = set(map(tuple, dd.minhash_lsh_neardup(spark, sf_dir).collect()))
+    assert forced == base
+    assert len(base) > 0
+
+
+def test_lsh_bucket_width_adapts_to_corpus():
+    """BITS_PER_TABLE is now adaptive: fixed floor 4 through every test
+    SF (hash stability), growing ~log2(n / TARGET_OCCUPANCY) beyond so
+    expected bucket occupancy stays bounded at any corpus size."""
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        BITS_FLOOR,
+        TARGET_OCCUPANCY,
+        _bits_per_table,
+    )
+
+    # test SFs (500 / 500 / 2000 vectors) and anything up to 8192: floor
+    for n in (0, 1, 500, 2000, 8192):
+        assert _bits_per_table(n) == BITS_FLOOR
+    # beyond the floor: expected occupancy n / 2^bits <= TARGET_OCCUPANCY
+    for n in (10_000, 1_000_000, 10**9, 10**12):
+        bits = _bits_per_table(n)
+        assert n / (2**bits) <= TARGET_OCCUPANCY
+        # and never more than 1 bit over-split (don't shatter buckets)
+        assert n / (2 ** (bits - 1)) > TARGET_OCCUPANCY
+
+
+def test_lsh_bucket_occupancy_bounded_at_sf01(spark):
+    """Assert the documented occupancy bound on the largest local SF:
+    with the corpus-derived bucket width, mean bucket occupancy per
+    table stays under TARGET_OCCUPANCY."""
+    import os
+
+    from mapreduceinfrastructure_spark.operators import similarity as sim
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        import pytest
+
+        pytest.skip("sf0.1 testdata absent")
+    n = load_table(spark, sf01, "embeddings").count()
+    bpt = sim._bits_per_table(n)
+    emb = sim._embeddings(spark, sf01)
+    bits = sim._bit_exprs(sim._hyperplanes(sim.N_TABLES * bpt))
+    tables = [
+        F.struct(F.lit(t).alias("tbl"), sim._bucket_expr(bits, t, bpt).alias("bucket"))
+        for t in range(sim.N_TABLES)
+    ]
+    keyed = emb.select(F.explode(F.array(*tables)).alias("tb")).select(
+        "tb.tbl", "tb.bucket"
+    )
+    occ = keyed.groupBy("tbl", "bucket").count().groupBy("tbl").agg(
+        F.avg("count").alias("mean_occ"), F.max("count").alias("max_occ")
+    )
+    for r in occ.collect():
+        assert r["mean_occ"] <= sim.TARGET_OCCUPANCY

@@ -38,13 +38,37 @@ from ..sources.tables import fan_out, load_table
 HOT_SHINGLE_DF_CAP = 1000
 
 # minhash_lsh_neardup reuses the shingle projection for signatures AND
-# the exact verify.  Below this input size the re-scan is cheaper than a
-# persist (measured at the test SFs: the projection is one narrow
-# codegen stage over a few MB); above it, recomputing the tokenize +
-# explode pipeline twice dominates, so the shared projection is
-# persisted once.  Checked against the on-disk parquet size — a
-# metadata stat, no job.
+# the exact verify (4 consumers total).  The size-aware switch persists
+# the shared projection when the input exceeds this threshold.  Order-
+# controlled A/B at sf0.1 (each variant measured first in a fresh
+# session): re-scan 2.3-3.4 s vs persisted 3.9-4.9 s — at local sizes
+# the persist LOSES, because it forces the distinct shuffle onto the
+# signature path (the no-persist path feeds signatures the non-distinct
+# stream, fully pipelined) and pays cache materialization for a 600 KB
+# input.  At 100 TB the tokenize+explode pipeline is corpus-scale and
+# running it 4x dominates everything, so the persist wins.  Checked
+# against the on-disk parquet size — a metadata stat, no job.
 SHINGLE_PERSIST_MIN_BYTES = 256 * 1024 * 1024
+
+# One persisted DataFrame per (session, sf_dir, tag): re-invoking the
+# operator unpersists the previous cache first, so long sessions
+# (bench reps, test sweeps) never accumulate stale cached copies.
+_PERSISTED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _persist_tracked(
+    df: DataFrame, spark: SparkSession, sf_dir: str, tag: str
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    prev = _PERSISTED.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+    out = df.persist()
+    _PERSISTED[key] = out
+    return out
 
 
 def _input_bytes(sf_dir: str, name: str) -> int:
@@ -165,34 +189,22 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates, exact-Jaccard verified (≥ 0.5).
+def _band_candidates(sigs: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate pairs (da < db) from minhash signatures.
 
-    Banding: signature split into b=8 bands of r=4; docs sharing any
-    band hash become candidates (map: emit (band_id ++ band_hash,
-    doc_id); reduce: pair).  Only candidates get the exact verify —
-    the self-join is on band buckets, never all-pairs.
-
-    The shingle table feeds signature generation AND the verify joins.
-    The shared projection is persisted behind a size-aware switch
-    (SHINGLE_PERSIST_MIN_BYTES, checked against the on-disk input size):
-    at the test SFs the re-scan is cheaper than a persist (measured), at
-    100 TB recomputing the tokenize + explode pipeline twice dominates
-    and the persist wins.  Signatures use the NON-distinct shingle
-    stream (min over a multiset == min over its set), skipping the
-    distinct shuffle on the critical path; when persisting, signatures
-    derive from the persisted distinct stream instead so both consumers
-    share one materialization.
+    The bands table is 8 rows PER DOCUMENT — linear in the corpus, so
+    it must never be broadcast (at 1 B docs that's 8 B rows).  The
+    SHUFFLE_HASH hint pins the self-join to a shuffle on (band,
+    bucket) even when Catalyst's post-agg size estimate looks
+    broadcastable, and skips the sort a MERGE join would pay — bucket
+    keys have no ordering value (measured 1.68 -> 1.33 s at sf0.1).
+    That key is exactly what LSH bucketing exists for, so only
+    colliding rows meet; per-partition hash maps are bounded by
+    bucket occupancy and SHJ spills since Spark 3.2 if one isn't.
+    (Plan pinned by tests/test_scale_fixes.py on this function — the
+    caller checkpoints the result, which hides the join from the final
+    query plan.)
     """
-    persist = _input_bytes(sf_dir, "documents") >= SHINGLE_PERSIST_MIN_BYTES
-    sh_cached = _shingles(spark, sf_dir)
-    if persist:
-        sh_cached = sh_cached.persist()
-    sigs = minhash_signatures(
-        spark,
-        sf_dir,
-        shingles=sh_cached if persist else _shingles(spark, sf_dir, distinct=False),
-    )
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -214,16 +226,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
     a = bands.alias("a")
     b = bands.alias("b")
-    # The bands table is 8 rows PER DOCUMENT — linear in the corpus, so
-    # it must never be broadcast (at 1 B docs that's 8 B rows).  The
-    # SHUFFLE_HASH hint pins the self-join to a shuffle on (band,
-    # bucket) even when Catalyst's post-agg size estimate looks
-    # broadcastable, and skips the sort a MERGE join would pay — bucket
-    # keys have no ordering value (measured 1.68 -> 1.33 s at sf0.1).
-    # That key is exactly what LSH bucketing exists for, so only
-    # colliding rows meet; per-partition hash maps are bounded by
-    # bucket occupancy and SHJ spills since Spark 3.2 if one isn't.
-    cand = (
+    return (
         a.hint("shuffle_hash")
         .join(
             b,
@@ -234,6 +237,38 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
+
+
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates, exact-Jaccard verified (≥ 0.5).
+
+    Banding: signature split into b=8 bands of r=4; docs sharing any
+    band hash become candidates (map: emit (band_id ++ band_hash,
+    doc_id); reduce: pair).  Only candidates get the exact verify —
+    the self-join is on band buckets, never all-pairs.
+
+    The shingle table feeds signature generation AND the verify joins
+    (4 consumers).  The shared projection is persisted behind a
+    size-aware switch (SHINGLE_PERSIST_MIN_BYTES, checked against the
+    on-disk input size): at local SFs the re-scan wins (order-controlled
+    A/B in the constant's comment — the persist would force the distinct
+    shuffle onto the signature path and pay materialization for KBs of
+    input), at 100 TB running the corpus-scale tokenize + explode 4x
+    dominates and the persist wins.  When persisting, signatures derive
+    from the persisted distinct stream so all consumers share one
+    materialization (min over a set == min over the multiset it came
+    from); on the no-persist path signatures use the NON-distinct
+    stream, skipping the distinct shuffle entirely.
+    """
+    persist = _input_bytes(sf_dir, "documents") >= SHINGLE_PERSIST_MIN_BYTES
+    if persist:
+        sh_all = _persist_tracked(_shingles(spark, sf_dir), spark, sf_dir, "shingles")
+        sig_src = sh_all
+    else:
+        sh_all = None
+        sig_src = _shingles(spark, sf_dir, distinct=False)
+    sigs = minhash_signatures(spark, sf_dir, shingles=sig_src)
+    cand = _band_candidates(sigs)
     # exact verify on candidates only.  The candidate set is usually
     # small by LSH construction (high-threshold near-dups are rare), but
     # its size is data-dependent, so no static broadcast hints here:
@@ -241,7 +276,30 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate size is under the threshold, and keeps the shuffle plan
     # when it isn't — the decision a 100 TB run needs made from actual
     # sizes, not planner guesses.
-    sh = sh_cached
+    #
+    # The verify consumes only CANDIDATE docs' shingles.  Both verify
+    # inputs are therefore candidate-sized (bounded by the near-dup
+    # pair population, never the corpus) and get an EAGER localCheckpoint:
+    # cand feeds 4 downstream branches, and without lineage truncation
+    # each would re-run the whole signature + bands pipeline; the
+    # restricted shingle table feeds 3 branches and its checkpoint caps
+    # the verify at ONE extra corpus pass (the semi-join scan) — versus
+    # three corpus-wide distinct shuffles in the unrestricted form.
+    cand = cand.localCheckpoint(eager=True)
+    cand_docs = (
+        cand.select(F.col("da").alias("doc_id"))
+        .union(cand.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    if persist:  # cached corpus-wide distinct projection: restrict it
+        sh = sh_all.join(cand_docs, "doc_id", "left_semi")
+    else:  # restrict the raw stream BEFORE the distinct shuffle
+        sh = (
+            _shingles(spark, sf_dir, distinct=False)
+            .join(cand_docs, "doc_id", "left_semi")
+            .distinct()
+        )
+    sh = sh.localCheckpoint(eager=True)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("s"))
     sb = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("s"))

@@ -161,7 +161,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with prob ≈ 2e-7 — higher-sim pairs are safer still.  Empirically
     the output hash-matches the exact all-pairs scan at sf0.01 and
     sf0.1 (tests/test_scale_fixes.py), so the exact DuckDB oracle is
-    unchanged.
+    unchanged.  At adaptive widths (corpus > 8192 → bpt > 4) the
+    fixed Hamming-2 ball covers a shrinking fraction of the signature,
+    so the 0.4-threshold recall math no longer holds: a production
+    near-dup pass at that scale runs in the true near-dup regime
+    (cosine ≥ 0.9, per-bit agreement ≈ 0.856) and/or scales the probe
+    radius with bpt — the binomial above is the sizing knob.
 
     Scale shape: explode → shuffle join on (tbl, bucket) → pair dedup →
     two shuffle joins to fetch vectors for the verify; no broadcast of

@@ -61,12 +61,19 @@ def test_minhash_bands_join_is_shuffle_not_broadcast(spark, sf_dir):
     """The bands table is 8 rows per document — broadcasting it OOMs at
     scale.  The candidate self-join must plan as a shuffle join on the
     (band, bucket) key; AQE may still broadcast the (small) candidate
-    VERIFY joins at runtime, so only the static plan's first join is
-    pinned here."""
+    VERIFY joins at runtime, so only the candidate pipeline's band join
+    is pinned here.  (Pinned on _band_candidates directly: the full
+    operator eagerly checkpoints the candidate set, which truncates the
+    band join out of the final query plan.)"""
     import re
 
+    from mapreduceinfrastructure_spark.operators.dedup import (
+        _band_candidates,
+        minhash_signatures,
+    )
+
     plan = (
-        minhash_lsh_neardup(spark, sf_dir)
+        _band_candidates(minhash_signatures(spark, sf_dir))
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -136,9 +143,12 @@ def test_dedup_clusters_minhash_equals_exact_path(spark, sf_dir):
 
 
 def test_minhash_shingle_persist_switch_is_result_invariant(spark, sf_dir, monkeypatch):
-    """The size-aware shingle persist (on at >=256 MB input, off at test
-    SFs) must not change results — force the persist path by dropping
-    the threshold to zero and compare against the default re-scan path."""
+    """The size-aware shingle persist (on at >=256 MB input, off at
+    test SFs) must not change results — force the persist path by
+    dropping the threshold to zero and compare against the default
+    re-scan path.  Also pins that the persisted-path signature source
+    (distinct stream) equals the re-scan path's non-distinct stream:
+    min over a set == min over the multiset it came from."""
     from mapreduceinfrastructure_spark.operators import dedup as dd
 
     base = set(map(tuple, dd.minhash_lsh_neardup(spark, sf_dir).collect()))

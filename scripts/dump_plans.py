@@ -25,7 +25,7 @@ NOTES = {
     "tf_idf": "df(w) re-aggregates the tf table (second shuffle moves |distinct pairs|, not |tokens|); both aggs partial+final",
     "grouping_sets_pricing": "one Expand + one shuffle for all three grouping sets — n sets cost one scan",
     "cosine_topk": "query vectors broadcast (BroadcastNestedLoopJoin BuildRight); corpus streamed once; WindowGroupLimit prunes per-partition before the exchange",
-    "minhash_lsh_neardup": "band self-join is a MERGE-hinted SortMergeJoin on (band, bucket) — the bands table is linear in the corpus and must never broadcast; the candidate verify joins are unhinted, so AQE broadcasts them at runtime only when their measured size allows",
+    "minhash_lsh_neardup": "candidate generation (signature agg + SHUFFLE_HASH band self-join on (band, bucket) — bands are corpus-linear, never broadcast; plan pinned on _band_candidates in test_scale_fixes.py) is eagerly checkpointed, so THIS final plan starts from candidate-sized scans: every verify join is bounded by the near-dup pair population, and the unhinted joins let AQE broadcast at runtime from measured sizes",
     "simhash": "one tokenize + explode, 64 algebraic partial sums map-side, one shuffle of (doc_id, 64 longs) — no HOF lambdas, full codegen",
     "fuzzy_blocked_join": "self-join shuffles on the composite (first token, length band) canopy key; block cardinality grows with the vocabulary so per-block pair counts stay bounded",
     "tpch_q8": "eight-way star join: every dimension rides a BroadcastExchange; no shuffle until the final 1-row-per-year agg",
@@ -39,7 +39,7 @@ NOTES = {
     "pack_sequences": "one source-keyed exchange feeds the running-sum Window; pack arithmetic is projection-only after it",
     "unigram_logprob_score": "vocab-sized freq agg, tokens↔vocab key join (AQE picks the side at runtime), 1-row total broadcast, per-doc algebraic agg — no cartesian anywhere",
     "curation_pipeline": "every signal branch is doc_id-keyed; the benchmark n-gram set is the single broadcast; dedup is a fingerprint-keyed hash-agg argmin, no window over raw docs",
-    "triangle_count": "canonicalized edge table joined twice on node keys (wedge + close) — no nested-loop; corner explode feeds one hash agg",
+    "triangle_count": "degree-ordered orientation: each edge points from its (degree, id)-smaller endpoint, so wedge fan-out is bounded by max out-degree ~ sqrt(|E|) (the id-ordered form blows up O(deg²) on hubs); wedge + both-orientation closure joins, no nested-loop; corner explode feeds one hash agg",
 }
 
 

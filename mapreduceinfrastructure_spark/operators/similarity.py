@@ -161,12 +161,18 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with prob ≈ 2e-7 — higher-sim pairs are safer still.  Empirically
     the output hash-matches the exact all-pairs scan at sf0.01 and
     sf0.1 (tests/test_scale_fixes.py), so the exact DuckDB oracle is
-    unchanged.  At adaptive widths (corpus > 8192 → bpt > 4) the
-    fixed Hamming-2 ball covers a shrinking fraction of the signature,
-    so the 0.4-threshold recall math no longer holds: a production
-    near-dup pass at that scale runs in the true near-dup regime
-    (cosine ≥ 0.9, per-bit agreement ≈ 0.856) and/or scales the probe
-    radius with bpt — the binomial above is the sizing knob.
+    unchanged.  At adaptive widths (corpus > 8192 → bpt > 4) this
+    0.4-threshold exhaustive form does NOT scale, in two measurable
+    ways: (1) the two-sided probe ball multiplies effective bucket load
+    by (1+bpt) per side, so self-join candidates grow as
+    n·occupancy·(1+bpt)²/2 per table — ~1e9 candidate rows already at
+    20k vectors (why tests only run ann_lsh beyond the floor); (2) the
+    fixed Hamming-2 ball covers a shrinking signature fraction, so the
+    recall bound above decays.  A production near-dup pass at that
+    scale runs in the true near-dup regime (cosine ≥ 0.9, per-bit
+    agreement ≈ 0.856) with single-bucket collisions (no probe ball on
+    either side) and more tables — the binomial above is the sizing
+    knob; below the floor this operator stays byte-exact vs the oracle.
 
     Scale shape: explode → shuffle join on (tbl, bucket) → pair dedup →
     two shuffle joins to fetch vectors for the verify; no broadcast of

@@ -209,3 +209,53 @@ def test_lsh_bucket_occupancy_bounded_at_sf01(spark):
     )
     for r in occ.collect():
         assert r["mean_occ"] <= sim.TARGET_OCCUPANCY
+
+
+def test_adaptive_lsh_ann_executes_beyond_floor(spark, tmp_path):
+    """The adaptive bucket width only leaves the 4-bit floor beyond 8192
+    vectors — which no driver SF reaches — so exercise the bits=6 path
+    end-to-end on a synthetic 20k-vector corpus via ann_lsh (query-side
+    probing: candidate volume ~ queries x occupancy, scale-safe).
+    Planted exact duplicates must come back as rank-1 neighbors: an
+    identical vector shares every bucket in every table, so bucketing
+    can never lose it regardless of width.
+
+    embedding_neardup is deliberately NOT run here: its bucket
+    SELF-join's candidate volume grows ~ n * occupancy * (1+bits)^2 /2
+    per table under the two-sided probe ball — ~1e9 candidate rows
+    already at 20k vectors — which is exactly the documented limitation
+    (operator docstring): exhaustive 0.4-threshold near-dup is a
+    floor-region operator; at adaptive widths the scale path is a
+    higher threshold and/or probe-radius resizing."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators import similarity as sim
+
+    n = 20_000
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((n, sim.EMBED_DIM)).astype(np.float32)
+    # plant exact duplicates: vector i+n/2 == vector i for the first 10
+    for i in range(10):
+        vecs[n // 2 + i] = vecs[i]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+            "label": pa.array([0] * n, type=pa.int64()),
+        }
+    )
+    d = tmp_path / "sf_adapt"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+
+    assert sim._bits_per_table(n) == 6  # beyond the floor (ceil log2(20000/512))
+
+    topk = sim.ann_lsh(spark, str(d))
+    got = {
+        (r["qid"], r["neighbor_id"])
+        for r in topk.filter(topk.rn == 1).collect()
+        if r["qid"] < 10
+    }
+    assert got == {(i, n // 2 + i) for i in range(10)}

@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": tpch.tpch_q22,
         "gap_fill": ts.gap_fill,
         "rolling_time_window": ts.rolling_time_window,
+        "dup_spans": dd.dup_spans,
         "fuzzy_blocked_join": dd.fuzzy_blocked_join,
         "embedding_stats": sim.embedding_stats,
         "stats_aggregates": adv.stats_aggregates,
@@ -1223,6 +1224,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100
                   < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        """,
+        "dup_spans": f"""
+            {_SQL_TOKS},
+            sp AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(t) - {dd.SPAN_WIDTH - 2}, {dd.SPAN_STRIDE}),
+                       i -> md5(array_to_string(t[i : i + {dd.SPAN_WIDTH - 1}], ' '))
+                     )) AS hs
+              FROM toks WHERE len(t) >= {dd.SPAN_WIDTH}
+            ),
+            ex AS (SELECT doc_id, unnest(hs) AS h FROM sp),
+            c AS (SELECT h, count(*) AS n_docs FROM ex GROUP BY h)
+            SELECT doc_id, count(*) AS n_spans,
+                   CAST(sum((n_docs >= 2)::INT) AS BIGINT) AS n_dup_spans,
+                   round(sum((n_docs >= 2)::INT)::DOUBLE / count(*), 6) AS dup_frac
+            FROM ex JOIN c USING (h) GROUP BY doc_id
         """,
         "pagerank_nations": _pagerank_sql(),
         "fuzzy_blocked_join": """

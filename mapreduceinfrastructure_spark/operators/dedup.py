@@ -489,6 +489,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact substring-span dedup parameters: span width (tokens) and stride.
+# 20-token spans at stride 10 give 2x overlap coverage — a duplicated
+# passage of >= 30 tokens is guaranteed to contain at least one aligned
+# span on each side regardless of offset (standard exact-substring
+# dedup granularity, per the training-data dedup literature).
+SPAN_WIDTH = 20
+SPAN_STRIDE = 10
+
+
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup signal: per doc, how many of its
+    20-token spans (stride 10) also appear verbatim in ANOTHER doc, and
+    the duplicated-span fraction.  This is the passage-level complement
+    to whole-doc dedup (dedup_exact) and near-dup (minhash/jaccard):
+    boilerplate headers, license blocks, and copied paragraphs light up
+    here even when the containing docs differ.
+
+    MR shape: map emits (span_hash, doc_id) — spans are md5 of the
+    joined token window, deduped per doc map-side (array_distinct
+    before the explode); reduce counts docs per span; a join back +
+    per-doc agg yields the signal.  Scale: one algebraic hash agg over
+    the span table (|tokens|/stride rows) and ONE shuffle join keyed on
+    span hash — hot spans (corpus-wide boilerplate) are absorbed by
+    map-side partials in the count agg, and the join fans out only per
+    occurrence, never per pair (no span self-join).  Docs with < 20
+    tokens have no spans and are absent (oracle mirrors).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("t")).filter(
+        F.size("t") >= SPAN_WIDTH
+    )
+    spans = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.size("t") - (SPAN_WIDTH - 1), F.lit(SPAN_STRIDE)
+            ),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(SPAN_WIDTH)))
+            ),
+        )
+    )
+    ex = toks.select("doc_id", F.explode(spans).alias("h"))
+    # per-doc distinct spans -> count(*) per hash == number of docs
+    counts = ex.groupBy("h").agg(F.count("*").alias("n_docs"))
+    dup = (F.col("n_docs") >= 2).cast("int")
+    return (
+        ex.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup).cast("long").alias("n_dup_spans"),
+            F.round(
+                F.sum(dup).cast("double") / F.count("*").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution near-match: part-name vocabulary pairs within
     edit distance 3, using a composite canopy block key.  (Threshold 3

@@ -350,6 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": tpch.tpch_q2,
         "tpch_q11": tpch.tpch_q11,
         "tpch_q20": tpch.tpch_q20,
+        "source_overlap": dd.source_overlap,
+        "incremental_dedup": dd.incremental_dedup,
     }
 
 
@@ -1575,5 +1577,74 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
             FROM d GROUP BY split
+        """,
+        "source_overlap": f"""
+            {_SQL_TOKS},
+            sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+              FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT da, db, i::DOUBLE / (ca.n + cb.n - i) AS j
+              FROM inter
+              JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+              WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5
+            )
+            SELECT least(x.source, y.source) AS source_a,
+                   greatest(x.source, y.source) AS source_b,
+                   count(*) AS n_pairs, round(avg(j), 6) AS avg_jaccard
+            FROM pairs
+            JOIN documents x ON da = x.doc_id
+            JOIN documents y ON db = y.doc_id
+            GROUP BY 1, 2
+        """,
+        "incremental_dedup": f"""
+            {_SQL_TOKS},
+            sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+              FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS bd, b.doc_id AS cd, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.doc_id % {dd.BATCH_MOD} >= {dd.BATCH_THRESHOLD}
+                AND b.doc_id % {dd.BATCH_MOD} < {dd.BATCH_THRESHOLD}
+              GROUP BY 1, 2
+            ),
+            near AS (
+              SELECT DISTINCT bd FROM inter
+              JOIN cnt ca ON bd = ca.doc_id JOIN cnt cb ON cd = cb.doc_id
+              WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5
+            ),
+            sp AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(t) - {dd.SPAN_WIDTH - 2}, {dd.SPAN_STRIDE}),
+                       i -> md5(array_to_string(t[i : i + {dd.SPAN_WIDTH - 1}], ' '))
+                     )) AS hs
+              FROM toks WHERE len(t) >= {dd.SPAN_WIDTH}
+            ),
+            ex AS (SELECT doc_id, unnest(hs) AS h FROM sp),
+            spand AS (
+              SELECT DISTINCT a.doc_id FROM ex a
+              WHERE a.doc_id % {dd.BATCH_MOD} >= {dd.BATCH_THRESHOLD}
+                AND EXISTS (
+                  SELECT 1 FROM ex b
+                  WHERE b.h = a.h
+                    AND b.doc_id % {dd.BATCH_MOD} < {dd.BATCH_THRESHOLD}
+                )
+            )
+            SELECT d.doc_id,
+                   (d.doc_id IN (SELECT bd FROM near))::INT AS near_dup,
+                   (d.doc_id IN (SELECT doc_id FROM spand))::INT AS span_dup
+            FROM documents d
+            WHERE d.doc_id % {dd.BATCH_MOD} >= {dd.BATCH_THRESHOLD}
         """,
     }

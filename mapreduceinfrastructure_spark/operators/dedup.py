@@ -189,23 +189,10 @@ def minhash_signatures(
     )
 
 
-def _band_candidates(sigs: DataFrame) -> DataFrame:
-    """LSH band-bucket candidate pairs (da < db) from minhash signatures.
-
-    The bands table is 8 rows PER DOCUMENT — linear in the corpus, so
-    it must never be broadcast (at 1 B docs that's 8 B rows).  The
-    SHUFFLE_HASH hint pins the self-join to a shuffle on (band,
-    bucket) even when Catalyst's post-agg size estimate looks
-    broadcastable, and skips the sort a MERGE join would pay — bucket
-    keys have no ordering value (measured 1.68 -> 1.33 s at sf0.1).
-    That key is exactly what LSH bucketing exists for, so only
-    colliding rows meet; per-partition hash maps are bounded by
-    bucket occupancy and SHJ spills since Spark 3.2 if one isn't.
-    (Plan pinned by tests/test_scale_fixes.py on this function — the
-    caller checkpoints the result, which hides the join from the final
-    query plan.)
-    """
-    bands = sigs.select(
+def _bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band table: 8 rows per document,
+    bucket = hash of the band's 4 signature rows."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -224,6 +211,25 @@ def _band_candidates(sigs: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def _band_candidates(sigs: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate pairs (da < db) from minhash signatures.
+
+    The bands table is 8 rows PER DOCUMENT — linear in the corpus, so
+    it must never be broadcast (at 1 B docs that's 8 B rows).  The
+    SHUFFLE_HASH hint pins the self-join to a shuffle on (band,
+    bucket) even when Catalyst's post-agg size estimate looks
+    broadcastable, and skips the sort a MERGE join would pay — bucket
+    keys have no ordering value (measured 1.68 -> 1.33 s at sf0.1).
+    That key is exactly what LSH bucketing exists for, so only
+    colliding rows meet; per-partition hash maps are bounded by
+    bucket occupancy and SHJ spills since Spark 3.2 if one isn't.
+    (Plan pinned by tests/test_scale_fixes.py on this function — the
+    caller checkpoints the result, which hides the join from the final
+    query plan.)
+    """
+    bands = _bands(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -498,6 +504,26 @@ SPAN_WIDTH = 20
 SPAN_STRIDE = 10
 
 
+def _span_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) exact-span fingerprints: md5 of each 20-token window
+    at stride 10, deduplicated per doc map-side (array_distinct before
+    the explode).  Docs with < SPAN_WIDTH tokens emit nothing."""
+    toks = docs.select("doc_id", tokens_expr("text").alias("t")).filter(
+        F.size("t") >= SPAN_WIDTH
+    )
+    spans = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.size("t") - (SPAN_WIDTH - 1), F.lit(SPAN_STRIDE)
+            ),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(SPAN_WIDTH)))
+            ),
+        )
+    )
+    return toks.select("doc_id", F.explode(spans).alias("h"))
+
+
 def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup signal: per doc, how many of its
     20-token spans (stride 10) also appear verbatim in ANOTHER doc, and
@@ -516,21 +542,7 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence, never per pair (no span self-join).  Docs with < 20
     tokens have no spans and are absent (oracle mirrors).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_expr("text").alias("t")).filter(
-        F.size("t") >= SPAN_WIDTH
-    )
-    spans = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.size("t") - (SPAN_WIDTH - 1), F.lit(SPAN_STRIDE)
-            ),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(SPAN_WIDTH)))
-            ),
-        )
-    )
-    ex = toks.select("doc_id", F.explode(spans).alias("h"))
+    ex = _span_hashes(load_table(spark, sf_dir, "documents"))
     # per-doc distinct spans -> count(*) per hash == number of docs
     counts = ex.groupBy("h").agg(F.count("*").alias("n_docs"))
     dup = (F.col("n_docs") >= 2).cast("int")
@@ -543,6 +555,157 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(dup).cast("double") / F.count("*").cast("double"), 6
             ).alias("dup_frac"),
+        )
+    )
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup contamination matrix: for every unordered
+    source pair, the number of near-dup document pairs (exact Jaccard
+    >= 0.5) spanning them and the mean pair similarity.  This is the
+    curation question "how much of source A is a copy of source B" —
+    the signal that decides which source to drop when two crawls
+    overlap.
+
+    Pairs come from the minhash LSH candidate path
+    (``minhash_lsh_neardup``: band-bucket join + exact verify), so pair
+    generation is O(colliding pairs) at any corpus size; the source
+    lookup joins the near-dup-population-sized pair table against the
+    (doc_id, source) projection — AQE broadcasts the small pair side at
+    runtime.  least/greatest canonicalize the pair so (A,B) and (B,A)
+    land in one row; same-source dups appear on the diagonal.
+    avg_jaccard is rounded to 6 decimals to absorb cross-engine
+    float-summation drift (pairs per group are few; each jaccard is an
+    exact int-ratio double).
+    """
+    pairs = minhash_lsh_neardup(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("da"), F.col("source").alias("src_a")),
+            "da",
+        ).join(
+            src.select(F.col("doc_id").alias("db"), F.col("source").alias("src_b")),
+            "db",
+        )
+    )
+    return (
+        j.groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        ).agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+# Incremental-dedup split: doc_id % BATCH_MOD >= BATCH_THRESHOLD is the
+# "incoming batch" (20% of docs), the rest the already-ingested corpus.
+# Deterministic and oracle-mirrorable; a real pipeline would read the
+# new crawl delta here.
+BATCH_MOD = 10
+BATCH_THRESHOLD = 8
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup gate: for each document in the incoming
+    batch, flag whether it near-duplicates the existing corpus
+    (exact Jaccard >= 0.5 against some corpus doc) and whether it
+    shares a verbatim 20-token span with it.  This is the incremental
+    form of dedup a continuously-ingesting training pipeline runs on
+    every new crawl delta — the batch is checked against the corpus,
+    never the corpus against itself.
+
+    Near path: one minhash signature pass over batch+corpus, then an
+    LSH band-bucket join of BATCH bands against CORPUS bands (a
+    one-sided join, ~batch-sized output, not the full self-join), and
+    the exact-Jaccard verify restricted to candidate docs' shingles —
+    the same candidate-bounded scheme as ``minhash_lsh_neardup``.
+    Span path: batch span hashes left-semi-joined against the distinct
+    corpus span set, keyed on the hash (one shuffle, no pair blowup).
+    At 100 TB the corpus-side signature/span tables would be
+    precomputed artifacts of the previous run; here they derive from
+    the same table, which exercises the identical plan shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % BATCH_MOD) >= BATCH_THRESHOLD
+    sigs = minhash_signatures(
+        spark, sf_dir, shingles=_shingles(spark, sf_dir, distinct=False)
+    )
+    bands = _bands(sigs)
+    nb = bands.filter(is_batch).alias("a")
+    cb = bands.filter(~is_batch).alias("b")
+    cand = (
+        nb.hint("shuffle_hash")
+        .join(
+            cb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.doc_id").alias("bd"), F.col("b.doc_id").alias("cd"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand_docs = (
+        cand.select(F.col("bd").alias("doc_id"))
+        .union(cand.select(F.col("cd").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        _shingles(spark, sf_dir, distinct=False)
+        .join(cand_docs, "doc_id", "left_semi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("bd"), F.col("shingle").alias("s"))
+    sb = sh.select(F.col("doc_id").alias("cd"), F.col("shingle").alias("s"))
+    inter = (
+        sb.join(sa.join(cand, "bd"), ["cd", "s"])
+        .groupBy("bd", "cd")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    ).cast("double")
+    near = (
+        inter.join(
+            counts.select(F.col("doc_id").alias("bd"), F.col("n").alias("na")), "bd"
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("cd"), F.col("n").alias("nb")), "cd"
+        )
+        .filter(jac >= 0.5)
+        .select(F.col("bd").alias("doc_id"))
+        .distinct()
+        .withColumn("near", F.lit(1))
+    )
+    ex = _span_hashes(docs)
+    # the corpus span set is CORPUS-LINEAR — the shuffle-hash hint on
+    # the build side keeps it off the broadcast path (locally it is tiny
+    # and Catalyst would happily broadcast it; at 100 TB that's the
+    # whole corpus's spans).
+    spand = (
+        ex.filter(is_batch)
+        .join(
+            ex.filter(~is_batch).select("h").distinct().hint("shuffle_hash"),
+            "h",
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("span", F.lit(1))
+    )
+    return (
+        docs.filter(is_batch)
+        .select("doc_id")
+        .join(near, "doc_id", "left")
+        .join(spand, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("near", F.lit(0)).cast("int").alias("near_dup"),
+            F.coalesce("span", F.lit(0)).cast("int").alias("span_dup"),
         )
     )
 

@@ -259,3 +259,51 @@ def test_adaptive_lsh_ann_executes_beyond_floor(spark, tmp_path):
         if r["qid"] < 10
     }
     assert got == {(i, n // 2 + i) for i in range(10)}
+
+
+def test_incremental_dedup_corpus_joins_stay_on_shuffle_path(spark, sf_dir):
+    """incremental_dedup's two corpus-facing joins must never broadcast:
+    the BATCH x CORPUS band join (bands are 8 rows per doc — corpus-
+    linear on the corpus side) and the span semi-join (the distinct
+    corpus span set is corpus-linear).  Locally both sides are tiny and
+    Catalyst would happily broadcast them; the shuffle_hash hints pin
+    the scale-safe plan.  Reconstructed component-wise because the
+    operator's eager checkpoints truncate the band join out of the
+    final query plan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.operators.dedup import (
+        BATCH_MOD,
+        BATCH_THRESHOLD,
+        _bands,
+        _span_hashes,
+        minhash_signatures,
+    )
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    is_batch = (F.col("doc_id") % BATCH_MOD) >= BATCH_THRESHOLD
+    bands = _bands(minhash_signatures(spark, sf_dir))
+    nb = bands.filter(is_batch).alias("a")
+    cb = bands.filter(~is_batch).alias("b")
+    cand = nb.hint("shuffle_hash").join(
+        cb,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket")),
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    band_joins = [l for l in plan.splitlines() if re.search(r"Join.*\bband#", l)]
+    assert band_joins, plan
+    assert all("Broadcast" not in l for l in band_joins), band_joins
+
+    ex = _span_hashes(load_table(spark, sf_dir, "documents"))
+    semi = ex.filter(is_batch).join(
+        ex.filter(~is_batch).select("h").distinct().hint("shuffle_hash"),
+        "h",
+        "left_semi",
+    )
+    plan2 = semi._jdf.queryExecution().executedPlan().toString()
+    semi_joins = [l for l in plan2.splitlines() if "Join" in l and "LeftSemi" in l]
+    assert semi_joins, plan2
+    assert all("Broadcast" not in l for l in semi_joins), semi_joins

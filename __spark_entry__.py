@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": tpch.tpch_q20,
         "source_overlap": dd.source_overlap,
         "incremental_dedup": dd.incremental_dedup,
+        "word_pmi": ta.word_pmi,
     }
 
 
@@ -1646,5 +1647,32 @@ def oracle_sql() -> dict[str, str]:
                    (d.doc_id IN (SELECT doc_id FROM spand))::INT AS span_dup
             FROM documents d
             WHERE d.doc_id % {dd.BATCH_MOD} >= {dd.BATCH_THRESHOLD}
+        """,
+        "word_pmi": f"""
+            {_SQL_TOKS},
+            pos AS (
+              SELECT doc_id, i, t[i] AS w
+              FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+            ),
+            ev AS (
+              SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb
+              FROM pos a JOIN pos b
+                ON a.doc_id = b.doc_id
+               AND b.i > a.i AND b.i <= a.i + {ta.COOC_WINDOW}
+            ),
+            pc AS (
+              SELECT wa, wb, count(*) AS n_cooc FROM ev GROUP BY 1, 2
+              HAVING count(*) >= {ta.PMI_MIN_COUNT}
+            ),
+            uni AS (SELECT w, count(*) AS c FROM pos GROUP BY w),
+            tot AS (
+              SELECT (SELECT count(*) FROM ev)::DOUBLE AS P,
+                     (SELECT count(*) FROM pos)::DOUBLE AS T
+            )
+            SELECT wa AS word_a, wb AS word_b, n_cooc,
+                   round(ln((n_cooc::DOUBLE / P)
+                            / ((ua.c::DOUBLE / T) * (ub.c::DOUBLE / T))), 6)
+                     AS pmi
+            FROM pc JOIN uni ua ON wa = ua.w JOIN uni ub ON wb = ub.w, tot
         """,
     }

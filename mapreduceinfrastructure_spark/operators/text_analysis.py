@@ -120,6 +120,89 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COOC_WINDOW = 3  # co-occurrence window (token distance 1..3)
+PMI_MIN_COUNT = 5  # report pairs with at least this many co-occurrence events
+
+
+def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed word co-occurrence + pointwise mutual information — the
+    canonical MapReduce "pairs" design pattern (map: emit ((a,b), 1) for
+    every token pair within distance W; reduce: sum), finished with the
+    PMI association score pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ).
+
+    Pair events are generated MAP-SIDE as a nested array transform over
+    each doc's token array — no positions self-join (the oracle does the
+    position join; here the same events come from one projection), so
+    the event stream is |tokens|·W rows produced inside whole-stage
+    codegen, then two algebraic hash-aggs (pair counts, unigram counts)
+    and one broadcast of the two scalar totals.  At 100 TB: event volume
+    is linear in corpus tokens (W is a constant), both aggs get map-side
+    partials, and the Zipf-skewed pair keys ride AQE skew handling like
+    every other token agg here.  The min-count filter bounds the output
+    to statistically-meaningful pairs.
+
+    Probabilities use exact integer counts; the PMI double math mirrors
+    the oracle's expression tree and is rounded to 6 decimals.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(tokens_expr("text").alias("t"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(i + F.lit(COOC_WINDOW), F.size("t"))),
+                lambda j: F.struct(
+                    F.least(
+                        F.element_at(F.col("t"), i), F.element_at(F.col("t"), j)
+                    ).alias("wa"),
+                    F.greatest(
+                        F.element_at(F.col("t"), i), F.element_at(F.col("t"), j)
+                    ).alias("wb"),
+                ),
+            ),
+        )
+    )
+    ev = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.wa", "p.wb")
+    )
+    pc = (
+        ev.groupBy("wa", "wb")
+        .agg(F.count("*").alias("n_cooc"))
+        .filter(F.col("n_cooc") >= PMI_MIN_COUNT)
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = ev.agg(F.count("*").cast("double").alias("P")).crossJoin(
+        toks.select(F.explode("t").alias("w"))
+        .agg(F.count("*").cast("double").alias("T"))
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    pmi = F.log(
+        (F.col("n_cooc").cast("double") / F.col("P"))
+        / (
+            (F.col("ca").cast("double") / F.col("T"))
+            * (F.col("cb").cast("double") / F.col("T"))
+        )
+    )
+    return (
+        pc.join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("wa").alias("word_a"),
+            F.col("wb").alias("word_b"),
+            "n_cooc",
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: per-doc token count, distinct count, avg token length."""
     toks = _docs_tokens(spark, sf_dir)

@@ -61,6 +61,11 @@ HEADLINE = [
     # quality score (vocab-keyed shuffle join)
     "curation_pipeline",
     "unigram_logprob_score",
+    # round-4 additions: the incremental batch-vs-corpus dedup gate
+    # (one-sided LSH band join + span semi-join) and the map-side
+    # windowed co-occurrence + PMI pattern
+    "incremental_dedup",
+    "word_pmi",
 ]
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import bigrams_expr, tokens_expr
 from ..sources.tables import fan_out, load_table
+from .dedup import SHINGLE_PERSIST_MIN_BYTES, _input_bytes, _persist_tracked
 
 # Tiny embedded English stopword list used by the language-ID heuristic
 # and quality scorer.  Must stay in sync with the inline list in the
@@ -135,11 +136,14 @@ def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     position join; here the same events come from one projection), so
     the event stream is |tokens|·W rows produced inside whole-stage
     codegen, then two algebraic hash-aggs (pair counts, unigram counts)
-    and one broadcast of the two scalar totals.  At 100 TB: event volume
-    is linear in corpus tokens (W is a constant), both aggs get map-side
-    partials, and the Zipf-skewed pair keys ride AQE skew handling like
-    every other token agg here.  The min-count filter bounds the output
-    to statistically-meaningful pairs.
+    and one broadcast of the two scalar totals, which re-aggregate the
+    agg tables (sum of counts == event count) — persisted behind a
+    size-aware switch so a corpus-scale input is scanned exactly twice.
+    At 100 TB: event volume is linear in corpus tokens
+    (W is a constant), both aggs get map-side partials, and the
+    Zipf-skewed pair keys ride AQE skew handling like every other token
+    agg here.  The min-count filter bounds the output to
+    statistically-meaningful pairs.
 
     Probabilities use exact integer counts; the PMI double math mirrors
     the oracle's expression tree and is rounded to 6 decimals.
@@ -167,19 +171,31 @@ def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(pair_arr).alias("p"))
         .select("p.wa", "p.wb")
     )
-    pc = (
-        ev.groupBy("wa", "wb")
-        .agg(F.count("*").alias("n_cooc"))
-        .filter(F.col("n_cooc") >= PMI_MIN_COUNT)
-    )
+    # The pair-count and unigram tables each feed TWO consumers (the
+    # PMI join and their scalar total).  Branch-specific optimization
+    # canonicalizes the two subtrees differently, so Spark's exchange
+    # reuse does NOT dedupe them (verified on the plan) and each total
+    # re-runs the tokenize+explode+agg pipeline.  Behind the same
+    # size-aware switch as the minhash shingle projection (re-scan wins
+    # at local input sizes — measured 0.98 s vs 2.1 s at sf0.1, cache
+    # materialization dominating; at 100 TB two extra corpus passes
+    # dominate everything), the two agg tables are persisted, pinning
+    # the corpus to exactly two scans; both are aggregate-sized
+    # (distinct pairs / vocabulary), far below corpus scale, and
+    # MEMORY_AND_DISK spills if a 100 TB vocabulary outgrows memory.
+    persist = _input_bytes(sf_dir, "documents") >= SHINGLE_PERSIST_MIN_BYTES
+    pc_all = ev.groupBy("wa", "wb").agg(F.count("*").alias("n_cooc"))
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    tot = ev.agg(F.count("*").cast("double").alias("P")).crossJoin(
-        toks.select(F.explode("t").alias("w"))
-        .agg(F.count("*").cast("double").alias("T"))
+    if persist:
+        pc_all = _persist_tracked(pc_all, spark, sf_dir, "pmi_pairs")
+        uni = _persist_tracked(uni, spark, sf_dir, "pmi_uni")
+    pc = pc_all.filter(F.col("n_cooc") >= PMI_MIN_COUNT)
+    tot = pc_all.agg(F.sum("n_cooc").cast("double").alias("P")).crossJoin(
+        uni.agg(F.sum("c").cast("double").alias("T"))
     )
     ua = uni.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
     ub = uni.select(F.col("w").alias("wb"), F.col("c").alias("cb"))

@@ -40,6 +40,9 @@ NOTES = {
     "unigram_logprob_score": "vocab-sized freq agg, tokens↔vocab key join (AQE picks the side at runtime), 1-row total broadcast, per-doc algebraic agg — no cartesian anywhere",
     "curation_pipeline": "every signal branch is doc_id-keyed; the benchmark n-gram set is the single broadcast; dedup is a fingerprint-keyed hash-agg argmin, no window over raw docs",
     "triangle_count": "degree-ordered orientation: each edge points from its (degree, id)-smaller endpoint, so wedge fan-out is bounded by max out-degree ~ sqrt(|E|) (the id-ordered form blows up O(deg²) on hubs); wedge + both-orientation closure joins, no nested-loop; corner explode feeds one hash agg",
+    "incremental_dedup": "post-checkpoint plan (band join + verify run eagerly, candidate-bounded): the final assembly joins the batch-sized doc list with the two flag tables; the span semi-join is pinned SHUFFLE_HASH in test_scale_fixes.py so the corpus-linear span set never broadcasts",
+    "word_pmi": "pair events generated map-side by a nested array transform (no positions self-join); two algebraic hash-aggs + two key joins; the 1-row totals table is the only planned broadcast — totals re-aggregate the agg tables, persisted behind the size-aware switch so a corpus-scale input is scanned exactly twice",
+    "source_overlap": "post-checkpoint: the near-dup-population-sized pair table joins the (doc_id, source) projection — AQE broadcasts the small pair side at runtime; one final hash-agg on the canonicalized source pair",
 }
 
 

@@ -353,6 +353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": dd.source_overlap,
         "incremental_dedup": dd.incremental_dedup,
         "word_pmi": ta.word_pmi,
+        "event_transitions": ts.event_transitions,
+        "trade_flows_2hop": gr.trade_flows_2hop,
     }
 
 
@@ -1674,5 +1676,40 @@ def oracle_sql() -> dict[str, str]:
                             / ((ua.c::DOUBLE / T) * (ub.c::DOUBLE / T))), 6)
                      AS pmi
             FROM pc JOIN uni ua ON wa = ua.w JOIN uni ub ON wb = ub.w, tot
+        """,
+        "event_transitions": """
+            WITH ev AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+              FROM events
+            ),
+            steps AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                     ) AS to_type
+              FROM ev
+            ),
+            mat AS (
+              SELECT from_type, to_type, count(*) AS n
+              FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE
+                     AS prob
+            FROM mat
+        """,
+        "trade_flows_2hop": """
+            WITH edges AS (
+              SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY 1, 2
+            )
+            SELECT a.src AS src, b.dst AS dst,
+                   CAST(sum(a.w * b.w) AS BIGINT) AS flow2
+            FROM edges a JOIN edges b ON a.dst = b.src
+            GROUP BY 1, 2
         """,
     }

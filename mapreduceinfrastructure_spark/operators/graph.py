@@ -184,3 +184,29 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def trade_flows_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop trade flow matrix: M² of the nation trade graph, where
+    M[s,d] = lineitem count from supplier nation s to customer nation
+    d.  flow2[s,d] = Σ_k M[s,k]·M[k,d] — "how much trade flows s→d
+    through one intermediary" — the MapReduce matrix-multiplication
+    pattern (map: emit (k, (row-entry | col-entry)); reduce: multiply
+    and re-key by (i,j); second reduce: sum).
+
+    As a DataFrame plan: the edge list self-joins on the contraction
+    key k (one shuffle keyed on the shared dimension), then one
+    algebraic hash-agg on (src, dst) with map-side partial sums.  At
+    scale the contraction key's fan-out is bounded by the matrix's
+    row/column density, exactly like the wedge join in triangle_count;
+    weights are exact integer counts, so products and sums are
+    bit-identical across engines.
+    """
+    e = trade_edges(spark, sf_dir)
+    a = e.select(F.col("src").alias("s"), F.col("dst").alias("k"), F.col("w").alias("wa"))
+    b = e.select(F.col("src").alias("k"), F.col("dst").alias("d"), F.col("w").alias("wb"))
+    return (
+        a.join(b, "k")
+        .groupBy(F.col("s").alias("src"), F.col("d").alias("dst"))
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("flow2"))
+    )

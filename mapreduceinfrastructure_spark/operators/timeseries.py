@@ -169,3 +169,36 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_us", "weeks_since")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (event_type -> next event_type) step, the step
+    count and the row-normalized transition probability.  The classic
+    clickstream/product-analytics "what happens next" query, and the
+    input a Markov-chain session model trains on.
+
+    One user-keyed window (lead over (ts_us, event_id) — the same
+    single-shuffle profile as sessionize; the event_id tiebreak makes
+    same-microsecond orderings deterministic in both engines), then an
+    algebraic hash-agg on the (from, to) pair.  The normalizing
+    per-from totals come from a window over the AGGREGATED matrix —
+    |event types|² rows, corpus-size-independent — never the raw
+    stream.  prob is an exact int/int double division: bit-identical
+    across engines, no rounding needed.
+    """
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    steps = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    mat = steps.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return mat.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / tot.cast("double")).alias("prob"),
+    )

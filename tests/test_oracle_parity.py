@@ -27,20 +27,20 @@ def test_registry_consistency():
 # (or a rows-only query into) the verified window.
 DRIVER_WINDOW = [
     "word_count", "grep", "inverted_index", "tf_idf", "token_stats",
-    "bpe_token_count", "rolling_fingerprint", "pii_scrub",
-    "stratified_sample", "key_count", "key_stats", "select_project",
-    "histogram", "distinct_count", "join_revenue_by_nation", "join_anti",
-    "edge_inversion", "distributed_sort", "topk_per_group",
-    "rollup_pricing", "sessionize", "dedup_exact",
-    "ngram_jaccard_neardup", "dedup_clusters", "cosine_topk",
-    "embedding_neardup", "multimodal_features", "frame_offsets",
-    "cube_pricing", "unpivot_measures", "percentile_by_brand",
-    "json_extract_agg", "asof_join", "range_join_events",
-    "funnel_conversion", "retention_cohorts", "triangle_count",
-    "keep_best_dedup", "decontamination", "data_mixture",
-    "mixture_weights", "repetition_filter", "unigram_logprob_score",
-    "pack_sequences", "split_assign", "curation_pipeline",
-    "shard_manifest", "tpch_q1", "tpch_q5", "streaming_hourly_counts",
+    "word_pmi", "pii_scrub", "stratified_sample", "key_count",
+    "key_stats", "select_project", "histogram", "distinct_count",
+    "join_revenue_by_nation", "join_anti", "edge_inversion",
+    "distributed_sort", "topk_per_group", "rollup_pricing", "sessionize",
+    "dedup_exact", "ngram_jaccard_neardup", "dedup_clusters",
+    "incremental_dedup", "source_overlap", "cosine_topk",
+    "embedding_neardup", "multimodal_features", "unpivot_measures",
+    "percentile_by_brand", "json_extract_agg", "asof_join",
+    "range_join_events", "funnel_conversion", "event_transitions",
+    "triangle_count", "trade_flows_2hop", "keep_best_dedup",
+    "decontamination", "data_mixture", "mixture_weights",
+    "repetition_filter", "unigram_logprob_score", "pack_sequences",
+    "split_assign", "curation_pipeline", "shard_manifest", "tpch_q1",
+    "tpch_q5", "streaming_hourly_counts",
 ]
 
 

@@ -107,6 +107,19 @@ def main() -> None:
             timings_min[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        # Inter-query cleanup: the checkpoint-heavy operators (minhash,
+        # dedup_clusters, incremental_dedup) leave eager localCheckpoint
+        # blocks whose cleanup waits on PYTHON GC dropping the DataFrame
+        # refs; over a 29-query x 3-rep session the accumulation doubles
+        # late-query medians (measured: curation_pipeline 4.6 s aged vs
+        # 2.4 s fresh, simhash 2.8 vs 0.9).  Collecting + clearing the
+        # cache between queries keeps every measurement near its
+        # fresh-session cost, which is what the per-query numbers claim
+        # to be.
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
 
     measured = [t for t in timings.values() if t is not None]
     out = {

@@ -307,3 +307,30 @@ def test_incremental_dedup_corpus_joins_stay_on_shuffle_path(spark, sf_dir):
     semi_joins = [l for l in plan2.splitlines() if "Join" in l and "LeftSemi" in l]
     assert semi_joins, plan2
     assert all("Broadcast" not in l for l in semi_joins), semi_joins
+
+
+def test_minhash_pairs_equal_exact_pairs_at_threshold(spark, sf_dir):
+    """Pair-level equivalence of the LSH candidate path against the
+    exact shingle self-join at threshold 0.5 — stronger than the
+    cluster-level check above, and the invariant source_overlap's and
+    incremental_dedup's exact DuckDB oracles rest on: every
+    jaccard>=0.5 pair must survive banding (qualifying pairs sit at
+    j>=0.8 in the test data, where banded recall is ~1, and the seeded
+    hashes make candidate generation deterministic)."""
+    from mapreduceinfrastructure_spark.operators.dedup import (
+        minhash_lsh_neardup,
+        ngram_jaccard_neardup,
+    )
+
+    got = {
+        (r["da"], r["db"], round(r["jaccard"], 9))
+        for r in minhash_lsh_neardup(spark, sf_dir).collect()
+    }
+    want = {
+        (r["da"], r["db"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_neardup(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -357,3 +357,105 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.when(F.col("lang") == "en", 50).otherwise(10)
     return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+# BPE merge induction: number of merge rules to learn, and the minimum
+# pair weight worth merging (a pair seen once cannot generalize).
+BPE_NUM_MERGES = 20
+BPE_MIN_PAIR = 2
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first K byte-pair-encoding merge rules from the corpus
+    — the vocabulary-induction step of a BPE tokenizer (Sennrich et al.
+    2016), the iterative-text-algorithm complement to bpe_token_count's
+    fixed regex.
+
+    Distribution shape: ONE corpus scan builds the (word, freq)
+    vocabulary table; every one of the K iterations then runs over the
+    VOCAB (corpus-size-independent), exactly like the reference BPE
+    trainer's word-frequency preprocessing.  Per round: adjacent
+    symbol-pair counts via zip_with (one vocab-sized hash-agg, weighted
+    by word freq), a global argmax (a 1-row collect — the merge decision
+    is an inherently global scalar, same driver-side use as the CC
+    convergence probe), and a leftmost-first non-overlapping merge
+    applied with an ANSI-safe HOF aggregate fold (F.get returns NULL
+    out-of-bounds, no Python in the loop).  Each round's vocab is
+    eagerly localCheckpoint'ed so plans stay constant-size across
+    iterations.
+
+    Ties break on (count desc, left asc, right asc) — fully
+    deterministic; rows-only registry entry (the iterative merge is not
+    SQL-expressible), verified against a pure-Python reference
+    implementation in tests/test_bpe.py.
+    """
+    toks = _docs_tokens(spark, sf_dir)
+    vocab = (
+        toks.select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(F.expr("split(word, '')").alias("s"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    pair_struct = "array<struct<l:string,r:string>>"
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(BPE_NUM_MERGES):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.when(
+                        F.size("s") >= 2,
+                        F.zip_with(
+                            F.slice("s", 1, F.size("s") - 1),
+                            F.slice("s", 2, F.size("s") - 1),
+                            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                        ),
+                    ).otherwise(F.array().cast(pair_struct))
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not best or best[0]["cnt"] < BPE_MIN_PAIR:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((rank, left, right, cnt))
+        tok = left + right
+        fold = F.aggregate(
+            F.sequence(F.lit(0), F.size("s") - 1),
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit(False).alias("skip"),
+            ),
+            lambda acc, i: F.when(
+                acc["skip"],
+                F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+            ).otherwise(
+                F.when(
+                    (F.get(F.col("s"), i) == F.lit(left))
+                    & (F.get(F.col("s"), i + 1) == F.lit(right)),
+                    F.struct(
+                        F.concat(acc["out"], F.array(F.lit(tok))).alias("out"),
+                        F.lit(True).alias("skip"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        F.concat(
+                            acc["out"], F.array(F.get(F.col("s"), i))
+                        ).alias("out"),
+                        F.lit(False).alias("skip"),
+                    )
+                )
+            ),
+        )
+        new_vocab = vocab.select(fold["out"].alias("s"), "freq").localCheckpoint(
+            eager=True
+        )
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, schema="rank long, left string, right string, pair_count long"
+    )

@@ -1,0 +1,45 @@
+"""The bench signal is a graded artifact (BENCH_r{N}.json): a crash or
+malformed JSON line loses the round's perf signal (round-2 lesson).
+This smoke test runs the real bench.py as the driver would — a fresh
+subprocess — at sf0.001 with 1 rep and validates the contract: exit 0,
+exactly one parseable JSON line on stdout, every headline query timed
+(non-null), and the documented keys present."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_contract_smoke():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_REPS="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = [
+        l for l in proc.stdout.splitlines() if l.strip().startswith("{")
+    ]
+    assert len(json_lines) == 1, proc.stdout[-2000:]
+    out = json.loads(json_lines[0])
+    assert out["metric"] == "headline_queries_total_sec"
+    assert out["unit"] == "sec"
+    assert out["sf"] == 0.001
+    assert out["value"] > 0
+    bad = [k for k, v in out["queries"].items() if v is None]
+    assert not bad, f"headline queries with no timing: {bad}"
+    assert len(out["queries"]) >= 29
+    assert set(out["queries_min"]) == set(out["queries"])

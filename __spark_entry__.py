@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_funcs": adv.scalar_funcs,
         "tpch_q18": tpch.tpch_q18,
         "simhash": dd.simhash,
+        "simhash_neardup": dd.simhash_neardup,
         "bpe_merges": ta.bpe_merges,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,

@@ -744,3 +744,76 @@ def fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .select("name_a", "name_b", "dist")
     )
+
+
+# SimHash near-dup pairing: 64-bit sketches split into 4 x 16-bit
+# blocks.  By pigeonhole, two sketches within Hamming distance 3 differ
+# in at most 3 blocks, so they MUST share at least one block verbatim —
+# the block-bucket join is exactly equivalent to the all-pairs scan for
+# d <= 3 (no recall loss; the classic Google web-dedup construction).
+SIMHASH_BLOCKS = 4
+SIMHASH_HAMMING_MAX = 3
+
+
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs from 64-bit SimHash sketches: all (da < db) with
+    Hamming distance <= 3, via the block trick (Manku et al., WWW'07).
+
+    Map: emit (block_idx, block_value, doc_id) for each of the 4
+    16-bit blocks; reduce: pair docs sharing a block; verify:
+    bit_count(xor) <= 3 — JVM-side popcount, no Python.  The bucket
+    self-join shuffles on (block_idx, value): blocks are corpus-linear
+    (4 rows/doc) so the SHUFFLE_HASH hint keeps them off the broadcast
+    path, same as the minhash band join.  Unlike minhash banding this
+    is EXACT, not probabilistic: d <= 3 flips touch <= 3 of 4 blocks,
+    so one block always survives (pigeonhole) — pinned against the
+    brute-force all-pairs scan in tests/test_scale_fixes.py.
+
+    Zero-token docs are excluded: their sketch is the degenerate 0
+    (empty vote vector), which would pair every empty doc with every
+    near-zero sketch; byte-identical empties are already covered by
+    dedup_exact.  At web scale the block buckets are near-uniform
+    (sketch bits are hash-balanced), bounding per-bucket occupancy at
+    n / 2^16 per block table.
+    """
+    sk = simhash(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    blocks = sk.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("simhash", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for b in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.blk", "bb.val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sa ^ sb)").cast("long")
+    return (
+        pairs.select("da", "db", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )

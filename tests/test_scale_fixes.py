@@ -334,3 +334,38 @@ def test_minhash_pairs_equal_exact_pairs_at_threshold(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_simhash_neardup_block_trick_equals_all_pairs(spark, sf_dir):
+    """The 4x16-bit block-bucket join is EXACTLY equivalent to the
+    brute all-pairs Hamming scan for d <= 3 (pigeonhole: <= 3 flipped
+    bits touch <= 3 of 4 blocks, so one block always matches) — not a
+    probabilistic recall argument like minhash banding.  Also pins the
+    block self-join to the shuffle path (blocks are corpus-linear)."""
+    import re
+
+    from mapreduceinfrastructure_spark.operators.dedup import (
+        SIMHASH_HAMMING_MAX,
+        simhash,
+        simhash_neardup,
+    )
+
+    nd = simhash_neardup(spark, sf_dir)
+    got = {(r["da"], r["db"], r["hamming"]) for r in nd.collect()}
+
+    sk = simhash(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    a = sk.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
+    b = sk.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
+    brute = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select("da", "db", F.expr("bit_count(sa ^ sb)").cast("long").alias("h"))
+        .filter(F.col("h") <= SIMHASH_HAMMING_MAX)
+    )
+    want = {(r["da"], r["db"], r["h"]) for r in brute.collect()}
+    assert got == want
+    assert len(got) > 0  # 17 pairs at sf0.01, 27 at sf0.001
+
+    plan = nd._jdf.queryExecution().executedPlan().toString()
+    blk_joins = [l for l in plan.splitlines() if re.search(r"Join.*\bblk#", l)]
+    assert blk_joins, plan
+    assert all("Broadcast" not in l for l in blk_joins), blk_joins

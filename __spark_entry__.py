@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dd.simhash,
         "simhash_neardup": dd.simhash_neardup,
         "bpe_merges": ta.bpe_merges,
+        "streaming_active_users": es.streaming_active_users,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -1713,5 +1714,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(a.w * b.w) AS BIGINT) AS flow2
             FROM edges a JOIN edges b ON a.dst = b.src
             GROUP BY 1, 2
+        """,
+        "streaming_active_users": """
+            WITH a AS (
+              SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+              FROM events
+            )
+            SELECT epoch_us(h) AS hour_us, count(*) AS n_users
+            FROM a GROUP BY 1
         """,
     }

@@ -202,3 +202,37 @@ def streaming_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_nationkey", "c_mktsegment"
     )
     return events.select("event_id", "user_id", "value").join(dim, "user_id")
+
+
+def streaming_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly distinct active users, streaming: the stateful part is a
+    single streaming aggregation on (hour, user_id) — streaming does
+    not support COUNT(DISTINCT), and chaining dropDuplicates into a
+    second agg would be two stateful operators, unsupported in complete
+    mode — so the stream materializes the deduplicated activity table
+    and a trivial batch agg over the memory sink finishes the distinct
+    count.  The state store holds one row per (hour, user) pair —
+    bounded by activity, not by event volume.
+
+    Oracle: SELECT date_trunc hour, count(DISTINCT user_id) — an exact
+    DuckDB twin, making this the second hard streaming correctness
+    signal next to streaming_hourly_counts.  hour is exported as
+    epoch-us so the hash is timezone-representation-independent.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    act = (
+        ev.select(F.date_trunc("hour", "ts").alias("hour"), "user_id")
+        .groupBy("hour", "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    got = run_stream_to_memory(
+        spark, act, "active_users_driver", output_mode="complete"
+    )
+    return (
+        got.select(
+            F.unix_micros(F.col("hour").cast("timestamp")).alias("hour_us"),
+            "user_id",
+        )
+        .groupBy("hour_us")
+        .agg(F.count("*").alias("n_users"))
+    )

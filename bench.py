@@ -62,10 +62,12 @@ HEADLINE = [
     "curation_pipeline",
     "unigram_logprob_score",
     # round-4 additions: the incremental batch-vs-corpus dedup gate
-    # (one-sided LSH band join + span semi-join) and the map-side
-    # windowed co-occurrence + PMI pattern
+    # (one-sided LSH band join + span semi-join), the map-side windowed
+    # co-occurrence + PMI pattern, and the exact simhash block-trick
+    # pairing
     "incremental_dedup",
     "word_pmi",
+    "simhash_neardup",
 ]
 
 

@@ -43,6 +43,7 @@ NOTES = {
     "incremental_dedup": "post-checkpoint plan (band join + verify run eagerly, candidate-bounded): the final assembly joins the batch-sized doc list with the two flag tables; the span semi-join is pinned SHUFFLE_HASH in test_scale_fixes.py so the corpus-linear span set never broadcasts",
     "word_pmi": "pair events generated map-side by a nested array transform (no positions self-join); two algebraic hash-aggs + two key joins; the 1-row totals table is the only planned broadcast — totals re-aggregate the agg tables, persisted behind the size-aware switch so a corpus-scale input is scanned exactly twice",
     "source_overlap": "post-checkpoint: the near-dup-population-sized pair table joins the (doc_id, source) projection — AQE broadcasts the small pair side at runtime; one final hash-agg on the canonicalized source pair",
+    "simhash_neardup": "block-bucket self-join on (blk, val) pinned SHUFFLE_HASH (blocks are 4 rows/doc, corpus-linear — never broadcast); bit_count(xor) verify stays in codegen; pigeonhole-exact for Hamming <= 3, equivalence pinned in test_scale_fixes.py",
 }
 
 

@@ -1,0 +1,38 @@
+"""Partition-count invariance: a distributed operator's RESULT must not
+depend on how the data is partitioned.  Runs the round-4 operators
+(those with float aggregations rounded for cross-engine stability)
+under shuffle.partitions=1 and =64 and requires byte-identical rows —
+this is the property the driver's order-insensitive value hash assumes,
+and the test that would catch an order-dependent float aggregation
+surviving the 6-decimal rounding."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+NAMES = [
+    "word_pmi",
+    "source_overlap",
+    "incremental_dedup",
+    "event_transitions",
+    "trade_flows_2hop",
+    "dup_spans",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_result_invariant_under_partitioning(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        one = set(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        many = set(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert one == many
+    assert len(one) > 0

@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dd.simhash,
         "simhash_neardup": dd.simhash_neardup,
         "bpe_merges": ta.bpe_merges,
+        "audio_energy": mm.audio_energy,
         "streaming_active_users": es.streaming_active_users,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,

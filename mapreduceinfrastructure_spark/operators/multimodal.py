@@ -171,3 +171,62 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.octet_length("media") - 1, F.lit(0)), F.lit(every_n_bytes))
         ).alias("frame_offset"),
     )
+
+
+# Audio analysis-window geometry: 256-sample windows at 50% overlap —
+# the standard STFT framing a real feature extractor (torchaudio /
+# librosa) uses; only the per-window transform is stubbed.
+AUDIO_WINDOW = 256
+AUDIO_HOP = 128
+
+
+def audio_windows(media: DataFrame) -> DataFrame:
+    """Audio-modality plumbing: payload bytes → int16-LE PCM (the
+    deterministic fake decode — torchaudio/ffmpeg would decode real
+    containers here, the Arrow plumbing is unchanged) → hop-windowed
+    RMS energy per analysis window, the 1→N explode shape every
+    spectral feature pipeline starts with.
+
+    Scale: one mapInPandas pass, windows computed vectorized in numpy
+    per Arrow batch; output rows are |samples|/HOP per doc — linear in
+    payload bytes, no shuffle at all (the window explode happens
+    map-side inside the UDF).  Trailing partial windows are dropped,
+    mirroring standard STFT center=False framing.  Verified against a
+    pure-numpy reference in tests/test_multimodal.py.
+    """
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def _win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_doc, out_idx, out_rms = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                pcm = np.frombuffer(
+                    payload[: len(payload) // 2 * 2], dtype="<i2"
+                ).astype(np.float64)
+                n_win = (
+                    (len(pcm) - AUDIO_WINDOW) // AUDIO_HOP + 1
+                    if len(pcm) >= AUDIO_WINDOW
+                    else 0
+                )
+                for w in range(n_win):
+                    seg = pcm[w * AUDIO_HOP : w * AUDIO_HOP + AUDIO_WINDOW]
+                    out_doc.append(doc_id)
+                    out_idx.append(w)
+                    out_rms.append(round(float(np.sqrt(np.mean(seg * seg))), 6))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "win_idx": out_idx, "rms": out_rms}
+            )
+
+    return media.mapInPandas(
+        _win, schema="doc_id long, win_idx long, rms double"
+    )
+
+
+def audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: hop-windowed RMS energy over the media table's
+    payloads (see audio_windows)."""
+    return audio_windows(make_media_table(spark, sf_dir))

@@ -102,3 +102,42 @@ def test_decode_with_pil_present(monkeypatch):
     want = mm.decode_image(b"x" * 1000)
     monkeypatch.setattr(mm, "_HAVE_PIL", True)
     assert mm.decode_image(b"x" * 1000) == want
+
+
+def test_audio_windows_match_numpy_reference(spark, sf_dir):
+    """audio_windows vs a direct numpy recomputation from the same
+    parquet text payloads — the rows-only external ground truth
+    (pattern: bpe_merges / simhash HOF reference tests)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators.multimodal import (
+        AUDIO_HOP,
+        AUDIO_WINDOW,
+        audio_energy,
+    )
+
+    got = {
+        (r["doc_id"], r["win_idx"], r["rms"])
+        for r in audio_energy(spark, sf_dir).collect()
+    }
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want = set()
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        payload = (text or "").encode("utf-8")
+        pcm = np.frombuffer(payload[: len(payload) // 2 * 2], dtype="<i2").astype(
+            np.float64
+        )
+        n_win = (
+            (len(pcm) - AUDIO_WINDOW) // AUDIO_HOP + 1
+            if len(pcm) >= AUDIO_WINDOW
+            else 0
+        )
+        for w in range(n_win):
+            seg = pcm[w * AUDIO_HOP : w * AUDIO_HOP + AUDIO_WINDOW]
+            want.add((doc_id, w, round(float(np.sqrt(np.mean(seg * seg))), 6)))
+    assert got == want
+    assert len(got) > 0

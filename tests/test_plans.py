@@ -219,3 +219,36 @@ def test_curation_pipeline_no_pair_explosion(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert shuffle_count(df) <= 12
+
+
+def test_word_pmi_no_pair_self_join(spark, sf_dir):
+    """Pair events must come from the map-side nested array transform,
+    never a positions self-join: the only nested-loop allowed is the
+    1-row totals cross join, and there is no cartesian anywhere.  The
+    corpus-linear event stream may feed hash-aggs only."""
+    df = QUERIES["word_pmi"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # exactly two 1-row crosses: P x T (assembling the totals row) and
+    # pairs x totals — both broadcast a single row, nothing else may NLJ
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_event_transitions_bounded_shuffles(spark, sf_dir):
+    """One user-keyed window exchange + one (from, to) agg exchange +
+    one from_type normalization window over the aggregated matrix —
+    never more, and the normalization must not touch the raw stream."""
+    df = QUERIES["event_transitions"](spark, sf_dir)
+    assert shuffle_count(df) <= 3
+
+
+def test_trade_flows_2hop_contraction_join_no_nested_loop(spark, sf_dir):
+    """The M² contraction join must be a keyed join (shuffle or
+    broadcast of the 625-row edge AGGREGATE, never of a fact table) —
+    no nested-loop/cartesian; the supplier dim rides a broadcast inside
+    trade_edges."""
+    df = QUERIES["trade_flows_2hop"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_broadcast_join(df)

@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
+        "grep_mr": mr.grep_mr,
         "except_op": adv.except_op,
         "approx_distinct_users": adv.approx_distinct_users,
         "prior_order": adv.prior_order,
@@ -1715,6 +1716,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(a.w * b.w) AS BIGINT) AS flow2
             FROM edges a JOIN edges b ON a.dst = b.src
             GROUP BY 1, 2
+        """,
+        "grep_mr": """
+            SELECT doc_id, text FROM documents WHERE regexp_matches(text, 'fast join')
         """,
         "streaming_active_users": """
             WITH a AS (

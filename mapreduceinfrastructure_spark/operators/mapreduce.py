@@ -246,3 +246,46 @@ def word_count_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
     map_fn, reduce_fn = get_tasks("wordcount")
     kv = map_reduce(docs, map_fn, reduce_fn, num_partitions=8)
     return kv.select(F.col("key").alias("word"), F.col("value").cast("long").alias("cnt"))
+
+
+# Second registered user task: distributed grep (OSDI §2.1 catalog).
+# map: emit the record if it matches; reduce: identity.  Proves the
+# task registry + engine generalize beyond the reference's single
+# shipped example (user_tasks.cc ships ONLY word count).
+_GREP_PATTERN = "fast join"
+
+
+def grep_map(line: str) -> Iterable[tuple[str, str]]:
+    doc_id, _, text = line.partition("\t")
+    if _GREP_PATTERN in text:
+        yield doc_id, text
+
+
+def grep_reduce(key: str, values: list[str]) -> Iterable[tuple[str, str]]:
+    for v in values:
+        yield key, v
+
+
+register_tasks("grep", grep_map, grep_reduce)
+
+
+def grep_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep through the generic MapReduce engine — the
+    map-only job shape (identity reduce), sharing the built-in
+    ``grep`` query's DuckDB oracle.  Records are "doc_id\\ttext" lines
+    (the synthetic text contains no tabs; a real deployment would use
+    the byte-offset record ids the reference's text sharding yields).
+
+    The built-in ``grep`` (a pushed-down filter, zero shuffle) is the
+    production path; this exists for engine parity, like word_count_mr.
+    """
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text"))
+    )
+    map_fn, reduce_fn = get_tasks("grep")
+    kv = map_reduce(docs, map_fn, reduce_fn, num_partitions=8)
+    return kv.select(
+        F.col("key").cast("long").alias("doc_id"), F.col("value").alias("text")
+    )

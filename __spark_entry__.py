@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
         "grep_mr": mr.grep_mr,
+        "contamination_report": pl.contamination_report,
         "except_op": adv.except_op,
         "approx_distinct_users": adv.approx_distinct_users,
         "prior_order": adv.prior_order,
@@ -1719,6 +1720,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "grep_mr": """
             SELECT doc_id, text FROM documents WHERE regexp_matches(text, 'fast join')
+        """,
+        "contamination_report": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, {_D}),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(t) - 3),
+                         i -> array_to_string(t[i:i+4], ' '))) AS gs
+              FROM toks
+            ),
+            bex AS (
+              SELECT doc_id AS bench_id, unnest(gs) AS g FROM grams
+              WHERE doc_id % {pl.BENCH_MOD} = 0
+            ),
+            tex AS (
+              SELECT doc_id AS train_id, unnest(gs) AS g FROM grams
+              WHERE doc_id % {pl.BENCH_MOD} <> 0
+            ),
+            h AS (
+              SELECT bench_id,
+                     count(DISTINCT train_id) AS n_leaking_docs,
+                     count(DISTINCT g) AS n_compromised_ngrams
+              FROM bex JOIN tex USING (g) GROUP BY bench_id
+            )
+            SELECT g.doc_id AS bench_id, CAST(len(g.gs) AS BIGINT) AS n_ngrams,
+                   CAST(coalesce(h.n_leaking_docs, 0) AS BIGINT)
+                     AS n_leaking_docs,
+                   CAST(coalesce(h.n_compromised_ngrams, 0) AS BIGINT)
+                     AS n_compromised_ngrams
+            FROM grams g LEFT JOIN h ON g.doc_id = h.bench_id
+            WHERE g.doc_id % {pl.BENCH_MOD} = 0
         """,
         "streaming_active_users": """
             WITH a AS (

@@ -519,3 +519,54 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         F.countDistinct("pack_id").alias("n_packs"),
     )
+
+
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reverse direction of ``decontamination``: the eval-integrity
+    report.  Per BENCHMARK item (doc_id % BENCH_MOD == 0): how many
+    training docs share at least one of its 5-grams (n_leaking_docs)
+    and how many of its distinct 5-grams appear anywhere in the
+    training split (n_compromised_ngrams of n_ngrams).  This is the
+    report an eval owner reads to decide whether a benchmark is still
+    trustworthy against a given corpus.
+
+    Same plan discipline as decontamination: per-doc n-gram dedup is
+    map-side (array_distinct before the explode), the join is keyed on
+    the gram with the BENCHMARK side broadcast (absolutely small: an
+    eval suite) and the corpus side streamed once; the two
+    count-distincts aggregate a hit table bounded by
+    |bench grams x leaking docs|, never the corpus.  Zero-gram and
+    clean benchmark items appear with zero counts (left join).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.array_distinct(ngrams_expr(F.col("t"), NGRAM_N)).alias("gs"),
+    )
+    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+    bex = bench.select(
+        F.col("doc_id").alias("bench_id"), F.explode("gs").alias("g")
+    )
+    tex = grams.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        F.col("doc_id").alias("train_id"), F.explode("gs").alias("g")
+    )
+    hits = tex.join(F.broadcast(bex), "g")
+    agg = hits.groupBy("bench_id").agg(
+        F.countDistinct("train_id").alias("n_leaking_docs"),
+        F.countDistinct("g").alias("n_compromised_ngrams"),
+    )
+    base = bench.select(
+        F.col("doc_id").alias("bench_id"),
+        F.size("gs").cast("long").alias("n_ngrams"),
+    )
+    return base.join(agg, "bench_id", "left").select(
+        "bench_id",
+        "n_ngrams",
+        F.coalesce("n_leaking_docs", F.lit(0)).cast("long").alias(
+            "n_leaking_docs"
+        ),
+        F.coalesce("n_compromised_ngrams", F.lit(0)).cast("long").alias(
+            "n_compromised_ngrams"
+        ),
+    )

@@ -201,86 +201,106 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the first 50 entries: the driver's correctness
     # harness verifies exactly queries() entries 1-50 against oracle_sql.
-    # Round 4 rotated the window twice: first to pull in the 11
-    # previously-unwindowed curation/analytics operators (VERDICT r3
-    # #1), then to seat the 5 operators ADDED this round (word_pmi,
-    # incremental_dedup, source_overlap, event_transitions,
-    # trade_flows_2hop), displacing same-family redundancies whose
-    # family keeps a window survivor: bpe_token_count (token_stats),
-    # rolling_fingerprint (dedup_exact's fingerprint agg), frame_offsets
-    # (multimodal_features), cube_pricing (rollup_pricing),
-    # retention_cohorts (funnel_conversion + event_transitions).  Every
-    # SURVEY 2.2 pattern keeps >=1 window slot; streaming_hourly_counts
-    # stays the #50 hard signal.  Every one of the 50 has an exact
-    # DuckDB oracle (pinned by
-    # tests/test_oracle_parity.py::test_driver_window_is_oracle_backed).
+    # Round 5 rotates the window to the never-driver-verified tail
+    # (VERDICT r4 #1): 16 first-time entries — tpch_q9/q16/q17/q21,
+    # join_outer/join_full_outer/salted_join/merge_upsert,
+    # window_frames, sql_segment_spend, dup_spans, fuzzy_blocked_join,
+    # retention_cohorts, gap_fill, rolling_time_window, and
+    # streaming_active_users (the second streaming oracle signal, r4
+    # #3) — displacing same-family r4 survivors that already banked a
+    # green driver row (tf_idf/word_pmi/pii_scrub/stratified_sample
+    # keep word_count+token_stats as text reps; distinct_count is
+    # subsumed by topk_per_group's family; join_anti by the four
+    # windowed join flavors; source_overlap/keep_best_dedup/
+    # embedding_neardup by the six windowed dedup/similarity ops;
+    # mixture_weights by data_mixture per the r4 brief; tpch_q5 keeps
+    # tpch_q1 as the agg-join rep; event_transitions/trade_flows_2hop
+    # by funnel_conversion/triangle_count).  Every SURVEY 2.2 pattern
+    # keeps >=1 window slot; the two streaming signals close the
+    # window.  Every one of the 50 has an exact DuckDB oracle (pinned
+    # by tests/test_oracle_parity.py::test_driver_window_is_oracle_backed).
     # Rows-only-by-design variants (ann_*, simhash, minhash_lsh_neardup
     # — xxhash64 has no DuckDB twin, see its two-sided bound test in
     # tests/test_ann_recall.py) and oracle duplicates (word_count_mr)
     # sit past 50, covered by the identical local parity sweep
     # (tests/test_oracle_parity.py).
     return {
-        # --- text analysis & per-doc text curation signals ---
+        # --- text analysis (reference-fidelity anchors first) ---
         "word_count": ta.word_count,
         "grep": ta.grep,
         "inverted_index": ta.inverted_index,
-        "tf_idf": ta.tf_idf,
         "token_stats": ta.token_stats,
-        "word_pmi": ta.word_pmi,
-        "pii_scrub": ta.pii_scrub,
-        "stratified_sample": ta.stratified_sample,
         # --- per-key aggregation / relational core ---
         "key_count": rel.key_count,
         "key_stats": rel.key_stats,
         "select_project": rel.select_project,
         "histogram": rel.histogram,
-        "distinct_count": rel.distinct_count,
         "join_revenue_by_nation": rel.join_revenue_by_nation,
-        "join_anti": rel.join_anti,
         "edge_inversion": rel.edge_inversion,
         "distributed_sort": rel.distributed_sort,
         "topk_per_group": rel.topk_per_group,
         "rollup_pricing": rel.rollup_pricing,
         "sessionize": rel.sessionize,
+        # --- join catalog + advanced relational (r5 first-timers) ---
+        "join_outer": adv.join_outer,
+        "join_full_outer": adv.join_full_outer,
+        "salted_join": adv.salted_join,
+        "asof_join": adv.asof_join,
+        "range_join_events": adv.range_join_events,
+        "merge_upsert": adv.merge_upsert,
+        "window_frames": adv.window_frames,
+        "sql_segment_spend": sqlapi.sql_segment_spend,
         # --- dedup / similarity / multimodal ---
         "dedup_exact": dd.dedup_exact,
         "ngram_jaccard_neardup": dd.ngram_jaccard_neardup,
         "dedup_clusters": dd.dedup_clusters,
         "incremental_dedup": dd.incremental_dedup,
-        "source_overlap": dd.source_overlap,
+        "dup_spans": dd.dup_spans,
+        "fuzzy_blocked_join": dd.fuzzy_blocked_join,
         "cosine_topk": sim.cosine_topk,
-        "embedding_neardup": sim.embedding_neardup,
         "multimodal_features": mm.multimodal_features,
-        # --- advanced relational ---
-        "unpivot_measures": adv.unpivot_measures,
-        "percentile_by_brand": adv.percentile_by_brand,
-        "json_extract_agg": adv.json_extract_agg,
-        "asof_join": adv.asof_join,
-        "range_join_events": adv.range_join_events,
         # --- event analytics / graph ---
         "funnel_conversion": ts.funnel_conversion,
-        "event_transitions": ts.event_transitions,
+        "retention_cohorts": ts.retention_cohorts,
+        "gap_fill": ts.gap_fill,
+        "rolling_time_window": ts.rolling_time_window,
         "triangle_count": gr.triangle_count,
-        "trade_flows_2hop": gr.trade_flows_2hop,
         # --- LLM-curation north star ---
-        "keep_best_dedup": pl.keep_best_dedup,
         "decontamination": pl.decontamination,
         "data_mixture": pl.data_mixture,
-        "mixture_weights": pl.mixture_weights,
         "repetition_filter": pl.repetition_filter,
         "unigram_logprob_score": pl.unigram_logprob_score,
         "pack_sequences": pl.pack_sequences,
         "split_assign": pl.split_assign,
         "curation_pipeline": pl.curation_pipeline,
         "shard_manifest": pl.shard_manifest,
-        # --- TPC-H representatives + streaming hard signal (entry #50) ---
+        # --- TPC-H representatives + the two streaming hard signals ---
         "tpch_q1": tpch.tpch_q1,
-        "tpch_q5": tpch.tpch_q5,
+        "tpch_q9": tpch.tpch_q9,
+        "tpch_q16": tpch.tpch_q16,
+        "tpch_q17": tpch.tpch_q17,
+        "tpch_q21": tpch.tpch_q21,
+        "streaming_active_users": es.streaming_active_users,
         "streaming_hourly_counts": es.streaming_hourly_counts,
         # ---------- entries past the driver window (local parity only) ----------
+        "tf_idf": ta.tf_idf,
+        "word_pmi": ta.word_pmi,
+        "pii_scrub": ta.pii_scrub,
+        "stratified_sample": ta.stratified_sample,
+        "distinct_count": rel.distinct_count,
+        "join_anti": rel.join_anti,
+        "source_overlap": dd.source_overlap,
+        "embedding_neardup": sim.embedding_neardup,
+        "unpivot_measures": adv.unpivot_measures,
+        "percentile_by_brand": adv.percentile_by_brand,
+        "json_extract_agg": adv.json_extract_agg,
+        "event_transitions": ts.event_transitions,
+        "trade_flows_2hop": gr.trade_flows_2hop,
+        "keep_best_dedup": pl.keep_best_dedup,
+        "mixture_weights": pl.mixture_weights,
+        "tpch_q5": tpch.tpch_q5,
         "bpe_token_count": ta.bpe_token_count,
         "rolling_fingerprint": ta.rolling_fingerprint,
-        "retention_cohorts": ts.retention_cohorts,
         "cube_pricing": adv.cube_pricing,
         "frame_offsets": lambda spark, sf_dir: mm.frame_sample(
             mm.make_media_table(spark, sf_dir)
@@ -301,7 +321,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": dd.simhash_neardup,
         "bpe_merges": ta.bpe_merges,
         "audio_energy": mm.audio_energy,
-        "streaming_active_users": es.streaming_active_users,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -321,11 +340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_pricing": adv.grouping_sets_pricing,
         "pandas_udaf_geomean": adv.pandas_udaf_geomean,
         "udtf_chunk_text": adv.udtf_chunk_text,
-        "join_outer": adv.join_outer,
         "map_explode": adv.map_explode,
         "time_rollup": adv.time_rollup,
         "deterministic_sample": adv.deterministic_sample,
-        "merge_upsert": adv.merge_upsert,
         "tpch_q3": tpch.tpch_q3,
         "tpch_q6": tpch.tpch_q6,
         "tpch_q10": tpch.tpch_q10,
@@ -337,27 +354,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": tpch.tpch_q13,
         "tpch_q14": tpch.tpch_q14,
         "tpch_q15": tpch.tpch_q15,
-        "tpch_q16": tpch.tpch_q16,
-        "tpch_q17": tpch.tpch_q17,
         "tpch_q19": tpch.tpch_q19,
-        "tpch_q21": tpch.tpch_q21,
         "tpch_q22": tpch.tpch_q22,
-        "gap_fill": ts.gap_fill,
-        "rolling_time_window": ts.rolling_time_window,
-        "dup_spans": dd.dup_spans,
-        "fuzzy_blocked_join": dd.fuzzy_blocked_join,
         "embedding_stats": sim.embedding_stats,
         "stats_aggregates": adv.stats_aggregates,
         "not_in_null_aware": adv.not_in_null_aware,
         "argmax_order": adv.argmax_order,
-        "salted_join": adv.salted_join,
-        "sql_segment_spend": sqlapi.sql_segment_spend,
         "nested_roundtrip": adv.nested_roundtrip,
-        "join_full_outer": adv.join_full_outer,
         "cross_join_grid": adv.cross_join_grid,
         "bag_except": adv.bag_except,
         "date_funcs": adv.date_funcs,
-        "window_frames": adv.window_frames,
         "tpch_q2": tpch.tpch_q2,
         "tpch_q11": tpch.tpch_q11,
         "tpch_q20": tpch.tpch_q20,

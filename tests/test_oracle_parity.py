@@ -26,21 +26,21 @@ def test_registry_consistency():
 # insertion/reorder can't silently push an oracle-backed query out of
 # (or a rows-only query into) the verified window.
 DRIVER_WINDOW = [
-    "word_count", "grep", "inverted_index", "tf_idf", "token_stats",
-    "word_pmi", "pii_scrub", "stratified_sample", "key_count",
-    "key_stats", "select_project", "histogram", "distinct_count",
-    "join_revenue_by_nation", "join_anti", "edge_inversion",
-    "distributed_sort", "topk_per_group", "rollup_pricing", "sessionize",
-    "dedup_exact", "ngram_jaccard_neardup", "dedup_clusters",
-    "incremental_dedup", "source_overlap", "cosine_topk",
-    "embedding_neardup", "multimodal_features", "unpivot_measures",
-    "percentile_by_brand", "json_extract_agg", "asof_join",
-    "range_join_events", "funnel_conversion", "event_transitions",
-    "triangle_count", "trade_flows_2hop", "keep_best_dedup",
-    "decontamination", "data_mixture", "mixture_weights",
-    "repetition_filter", "unigram_logprob_score", "pack_sequences",
-    "split_assign", "curation_pipeline", "shard_manifest", "tpch_q1",
-    "tpch_q5", "streaming_hourly_counts",
+    "word_count", "grep", "inverted_index", "token_stats", "key_count",
+    "key_stats", "select_project", "histogram",
+    "join_revenue_by_nation", "edge_inversion", "distributed_sort",
+    "topk_per_group", "rollup_pricing", "sessionize", "join_outer",
+    "join_full_outer", "salted_join", "asof_join", "range_join_events",
+    "merge_upsert", "window_frames", "sql_segment_spend", "dedup_exact",
+    "ngram_jaccard_neardup", "dedup_clusters", "incremental_dedup",
+    "dup_spans", "fuzzy_blocked_join", "cosine_topk",
+    "multimodal_features", "funnel_conversion", "retention_cohorts",
+    "gap_fill", "rolling_time_window", "triangle_count",
+    "decontamination", "data_mixture", "repetition_filter",
+    "unigram_logprob_score", "pack_sequences", "split_assign",
+    "curation_pipeline", "shard_manifest", "tpch_q1", "tpch_q9",
+    "tpch_q16", "tpch_q17", "tpch_q21", "streaming_active_users",
+    "streaming_hourly_counts",
 ]
 
 

@@ -68,6 +68,13 @@ HEADLINE = [
     "incremental_dedup",
     "word_pmi",
     "simhash_neardup",
+    # round-5 additions: the generic map_reduce fidelity layer measured
+    # against its algebraic twin (word_count is already above — the
+    # word_count_mr / word_count ratio is the documented cost of the
+    # row-at-a-time Python path, see SCALE.md), and the exact ngram
+    # jaccard join whose size-aware LSH switch landed this round
+    "word_count_mr",
+    "ngram_jaccard_neardup",
 ]
 
 
@@ -122,6 +129,35 @@ def main() -> None:
 
         gc.collect()
         spark.catalog.clearCache()
+
+    # Write-path throughput (round-5): sinks are part of the surface —
+    # time the end-to-end curated-shard materialization (curation
+    # pipeline + partitioned parquet write).  Same reps/median protocol;
+    # a fresh target dir per rep so the write is never an overwrite of
+    # hot file handles.
+    import gc
+    import shutil
+    import tempfile
+
+    from mapreduceinfrastructure_spark.operators import pipeline as pl
+
+    try:
+        samples = []
+        for _ in range(reps):
+            out_dir = tempfile.mkdtemp(prefix="mri_bench_shards_")
+            t0 = time.perf_counter()
+            pl.write_curated_shards(spark, SF_DIR, out_dir)
+            samples.append(time.perf_counter() - t0)
+            shutil.rmtree(out_dir, ignore_errors=True)
+            gc.collect()
+            spark.catalog.clearCache()
+        samples.sort()
+        timings["write_curated_shards"] = round(samples[len(samples) // 2], 3)
+        timings_min["write_curated_shards"] = round(samples[0], 3)
+    except Exception as exc:  # noqa: BLE001 — same isolation as queries
+        timings["write_curated_shards"] = None
+        timings_min["write_curated_shards"] = None
+        errors["write_curated_shards"] = f"{type(exc).__name__}: {exc}"[:300]
 
     measured = [t for t in timings.values() if t is not None]
     out = {

@@ -50,6 +50,26 @@ HOT_SHINGLE_DF_CAP = 1000
 # against the on-disk parquet size — a metadata stat, no job.
 SHINGLE_PERSIST_MIN_BYTES = 256 * 1024 * 1024
 
+# Candidate-pair source switch for the exact-semantics near-dup
+# operators (ngram_jaccard_neardup, source_overlap, incremental_dedup,
+# dedup_clusters): below this on-disk input size the EXACT
+# pairs-sharing-a-shingle join generates candidates — its O(Σ df²) cost
+# is trivial at gigabyte scale, and the result provably equals the
+# DuckDB oracle's all-pairs semantics (the driver gate stays exact
+# under any data refresh, not just empirically on today's test data).
+# At or above the threshold the MinHash-LSH band path takes over:
+# candidate generation becomes O(colliding pairs) — the only plan that
+# survives 100 TB — at the documented recall cost of b=8/r=4 banding
+# (P[candidate | jaccard s] = 1-(1-s^4)^8: ~1.0 at s=0.9, 0.985 at
+# s=0.8, but only ~0.4 at s=0.5 and ~0.03 at s=0.2).  For a LOW
+# report threshold like ngram_jaccard's 0.1 the banded path therefore
+# under-reports mid-similarity pairs; a 100 TB deployment that needs
+# them raises the threshold or adds bands (more bands of fewer rows
+# shift the S-curve left).  tests/test_scale_fixes.py pins both the
+# subset property (banded ⊆ exact — the verify is exact either way)
+# and full recall at jaccard ≥ 0.9 on the test corpus.
+NEARDUP_EXACT_MAX_BYTES = 256 * 1024 * 1024
+
 # One persisted DataFrame per (session, sf_dir, tag): re-invoking the
 # operator unpersists the previous cache first, so long sessions
 # (bench reps, test sweeps) never accumulate stale cached copies.
@@ -123,30 +143,40 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (threshold 0.1).
+def _exact_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs-per-shingle Jaccard pairs (da < db, jaccard >=
+    threshold) — the candidate source the DuckDB oracles mirror.
 
     MR shape: map emits (shingle, doc_id); reduce pairs docs per shingle;
     a second agg computes |intersection|; join with per-doc shingle
     counts gives jaccard = i / (na + nb - i).  The division is int/int
-    in both engines → bit-identical, no rounding needed.
+    in both engines → bit-identical, no rounding needed.  ``df_cap``
+    optionally drops hot shingles before pairing (oracle mirrors per
+    operator).  Cost is O(Σ min(df, cap)²) — fine below
+    NEARDUP_EXACT_MAX_BYTES, super-linear past it (use the LSH path).
     """
     sh = _shingles(spark, sf_dir)
-    df_cap = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= HOT_SHINGLE_DF_CAP)
-        .select("shingle")
-    )
-    sh = sh.join(df_cap, "shingle")
+    if df_cap is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     # shuffle-hash, not sort-merge: the shingle key has no ordering
-    # value and the df cap bounds per-key occupancy, so SMJ's two-sided
-    # sort of the corpus-linear shingle table is pure waste (measured
-    # 3.2 -> 2.0 s at sf0.1); the hint also keeps the corpus-linear
-    # table off the broadcast path.
+    # value and per-key occupancy is bounded (df cap / small input), so
+    # SMJ's two-sided sort of the corpus-linear shingle table is pure
+    # waste (measured 3.2 -> 2.0 s at sf0.1); the hint also keeps the
+    # corpus-linear table off the broadcast path.
     inter = (
         a.hint("shuffle_hash")
         .join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -160,7 +190,40 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(ca, "da")
         .join(cb, "db")
         .select("da", "db", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.1)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """(da, db, jaccard) near-dup pairs at ``threshold``, candidates
+    from the exact shingle join below NEARDUP_EXACT_MAX_BYTES and from
+    MinHash-LSH banding at scale (see the constant's recall table).
+    The verify is exact Jaccard on either path, so banded output is
+    always a subset of exact output — never a false positive."""
+    if _input_bytes(sf_dir, "documents") < NEARDUP_EXACT_MAX_BYTES:
+        return _exact_pairs(spark, sf_dir, threshold, df_cap=df_cap)
+    return _lsh_verified_pairs(spark, sf_dir, threshold)
+
+
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs (report threshold 0.1).
+
+    Below NEARDUP_EXACT_MAX_BYTES this is the exact
+    pairs-sharing-a-shingle join with the hot-shingle df cap (the
+    DuckDB oracle mirrors both); past it, candidates come from the
+    LSH band path — closing the one O(Σ df²) scale caveat — with the
+    honestly-documented recall implication: 0.1 sits far below the
+    b=8/r=4 banding S-curve, so a scale deployment keeping this
+    report threshold should add bands (or accept that only the
+    high-similarity pairs, the ones dedup acts on, are complete).
+    """
+    return neardup_pairs(
+        spark, sf_dir, threshold=0.1, df_cap=HOT_SHINGLE_DF_CAP
     )
 
 
@@ -245,8 +308,12 @@ def _band_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates, exact-Jaccard verified (≥ 0.5).
+def _lsh_verified_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """MinHash + LSH near-dup candidates, exact-Jaccard verified
+    (≥ threshold) — the scale path behind ``neardup_pairs`` and
+    ``minhash_lsh_neardup``.
 
     Banding: signature split into b=8 bands of r=4; docs sharing any
     band hash become candidates (map: emit (band_id ++ band_hash,
@@ -322,8 +389,16 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(ca, "da")
         .join(cb, "db")
         .select("da", "db", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs at threshold 0.5 — the explicit
+    banded operator (rows-only registry entry: its candidate set is a
+    property of the seeded xxhash64 banding, which has no DuckDB twin;
+    two-sided recall/precision bounds in tests/test_ann_recall.py)."""
+    return _lsh_verified_pairs(spark, sf_dir, threshold=0.5)
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,6 +464,11 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     # recompute the full (possibly expensive) edge lineage a second time.
     spark = edges.sparkSession
     staged = edges.persist()
+    # persist-BEFORE-count: the count is the materializing action for
+    # the cache (verified via RDDStorageInfo: all partitions cached
+    # after this line), so the possibly-expensive edge pipeline runs
+    # exactly once — the repartition below reads the cached blocks,
+    # never the lineage.
     n_edges = staged.count()
     # size iteration stages to the graph, not the session default: a
     # 512-edge near-dup graph iterates in 1-task stages instead of
@@ -470,21 +550,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the Jaccard≥0.5
     pair graph, labeled by the minimum doc_id.
 
-    Edges come from the MINHASH CANDIDATE PATH (minhash_lsh_neardup):
-    LSH band-bucket collisions generate candidates, which are exact-
-    Jaccard verified against the same 0.5 threshold — so edge
-    generation is O(colliding pairs), not the exact path's O(Σ df²)
-    all-pairs-per-shingle join, and survives 100 TB.  Above threshold
-    0.5 real near-dup pairs sit close to 1.0 (banded recall at s=0.9 is
-    1−2e-4, at s=1 exact), and the hashes are seeded, so the edge set
-    is deterministic; tests/test_scale_fixes.py proves the cluster
-    output equals the exact-path clustering at the test SFs, which
-    keeps the exact DuckDB oracle unchanged.
+    Edges come from ``neardup_pairs`` (df-capped, mirroring the
+    oracle): below NEARDUP_EXACT_MAX_BYTES the exact shingle join —
+    structural parity with the DuckDB oracle under ANY data refresh,
+    not an empirical coincidence of today's test corpus — and past it
+    the minhash band path, so edge generation at 100 TB is
+    O(colliding pairs), never the O(Σ df²) all-pairs join.  Above
+    threshold 0.5 real near-dup pairs sit close to 1.0 (banded recall
+    at s=0.9 is 1−2e-4), and the seeded hashes keep the banded edge
+    set deterministic; tests/test_scale_fixes.py additionally pins
+    banded-path clustering == exact-path clustering on the test data.
 
     The iterative algorithm class — see ``connected_components`` for the
     propagation + pointer-jumping scheme and its scale behavior.
     """
-    pairs = minhash_lsh_neardup(spark, sf_dir)
+    pairs = neardup_pairs(
+        spark, sf_dir, threshold=0.5, df_cap=HOT_SHINGLE_DF_CAP
+    )
     edges = (
         pairs.select(F.col("da").alias("a"), F.col("db").alias("b"))
         .union(pairs.select(F.col("db").alias("a"), F.col("da").alias("b")))
@@ -567,18 +649,20 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signal that decides which source to drop when two crawls
     overlap.
 
-    Pairs come from the minhash LSH candidate path
-    (``minhash_lsh_neardup``: band-bucket join + exact verify), so pair
-    generation is O(colliding pairs) at any corpus size; the source
-    lookup joins the near-dup-population-sized pair table against the
-    (doc_id, source) projection — AQE broadcasts the small pair side at
+    Pairs come from ``neardup_pairs`` (uncapped, mirroring this
+    operator's oracle): the exact shingle join below
+    NEARDUP_EXACT_MAX_BYTES — structural oracle parity, robust to data
+    refreshes — and the LSH band path at scale, where pair generation
+    is O(colliding pairs) at any corpus size.  The source lookup joins
+    the near-dup-population-sized pair table against the (doc_id,
+    source) projection — AQE broadcasts the small pair side at
     runtime.  least/greatest canonicalize the pair so (A,B) and (B,A)
     land in one row; same-source dups appear on the diagonal.
     avg_jaccard is rounded to 6 decimals to absorb cross-engine
     float-summation drift (pairs per group are few; each jaccard is an
     exact int-ratio double).
     """
-    pairs = minhash_lsh_neardup(spark, sf_dir)
+    pairs = neardup_pairs(spark, sf_dir, threshold=0.5)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     j = (
         pairs.join(
@@ -608,27 +692,54 @@ BATCH_MOD = 10
 BATCH_THRESHOLD = 8
 
 
-def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch-vs-corpus dedup gate: for each document in the incoming
-    batch, flag whether it near-duplicates the existing corpus
-    (exact Jaccard >= 0.5 against some corpus doc) and whether it
-    shares a verbatim 20-token span with it.  This is the incremental
-    form of dedup a continuously-ingesting training pipeline runs on
-    every new crawl delta — the batch is checked against the corpus,
-    never the corpus against itself.
+def _incremental_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch doc_ids with exact Jaccard >= 0.5 against some corpus doc,
+    via the one-sided EXACT shingle join (batch shingles × corpus
+    shingles — never corpus × corpus).  Structurally mirrors the DuckDB
+    oracle (uncapped), so driver parity is refresh-proof.  Used below
+    NEARDUP_EXACT_MAX_BYTES, where the Σ df·df_batch cost is trivial."""
+    is_batch = (F.col("doc_id") % BATCH_MOD) >= BATCH_THRESHOLD
+    sh = _shingles(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.filter(is_batch).select(
+        F.col("doc_id").alias("bd"), F.col("shingle").alias("s")
+    )
+    sb = sh.filter(~is_batch).select(
+        F.col("doc_id").alias("cd"), F.col("shingle").alias("s")
+    )
+    # shuffle-hash: both sides are corpus-linear shingle streams — no
+    # ordering value in the key, nothing safely broadcastable.
+    inter = (
+        sa.hint("shuffle_hash")
+        .join(sb, "s")
+        .groupBy("bd", "cd")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    ).cast("double")
+    return (
+        inter.join(
+            counts.select(F.col("doc_id").alias("bd"), F.col("n").alias("na")), "bd"
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("cd"), F.col("n").alias("nb")), "cd"
+        )
+        .filter(jac >= 0.5)
+        .select(F.col("bd").alias("doc_id"))
+        .distinct()
+        .withColumn("near", F.lit(1))
+    )
 
-    Near path: one minhash signature pass over batch+corpus, then an
-    LSH band-bucket join of BATCH bands against CORPUS bands (a
-    one-sided join, ~batch-sized output, not the full self-join), and
-    the exact-Jaccard verify restricted to candidate docs' shingles —
-    the same candidate-bounded scheme as ``minhash_lsh_neardup``.
-    Span path: batch span hashes left-semi-joined against the distinct
-    corpus span set, keyed on the hash (one shuffle, no pair blowup).
-    At 100 TB the corpus-side signature/span tables would be
-    precomputed artifacts of the previous run; here they derive from
-    the same table, which exercises the identical plan shape.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+
+def _incremental_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale form of ``_incremental_near_exact``: one minhash signature
+    pass over batch+corpus, an LSH band-bucket join of BATCH bands
+    against CORPUS bands (one-sided, ~batch-sized output, not the full
+    self-join), then the exact-Jaccard verify restricted to candidate
+    docs' shingles — the same candidate-bounded scheme as
+    ``_lsh_verified_pairs``.  Recall follows the banding S-curve
+    documented at NEARDUP_EXACT_MAX_BYTES."""
     is_batch = (F.col("doc_id") % BATCH_MOD) >= BATCH_THRESHOLD
     sigs = minhash_signatures(
         spark, sf_dir, shingles=_shingles(spark, sf_dir, distinct=False)
@@ -669,7 +780,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("i").cast("double") / (
         F.col("na") + F.col("nb") - F.col("i")
     ).cast("double")
-    near = (
+    return (
         inter.join(
             counts.select(F.col("doc_id").alias("bd"), F.col("n").alias("na")), "bd"
         )
@@ -681,6 +792,33 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("near", F.lit(1))
     )
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup gate: for each document in the incoming
+    batch, flag whether it near-duplicates the existing corpus
+    (exact Jaccard >= 0.5 against some corpus doc) and whether it
+    shares a verbatim 20-token span with it.  This is the incremental
+    form of dedup a continuously-ingesting training pipeline runs on
+    every new crawl delta — the batch is checked against the corpus,
+    never the corpus against itself.
+
+    Near path: the usual size switch — exact one-sided shingle join
+    below NEARDUP_EXACT_MAX_BYTES (structural oracle parity), the
+    one-sided LSH band join at scale (``_incremental_near_lsh``).
+    Span path: batch span hashes left-semi-joined against the distinct
+    corpus span set, keyed on the hash (one shuffle, no pair blowup) —
+    exact at every scale.  At 100 TB the corpus-side signature/span
+    tables would be precomputed artifacts of the previous run; here
+    they derive from the same table, which exercises the identical
+    plan shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % BATCH_MOD) >= BATCH_THRESHOLD
+    if _input_bytes(sf_dir, "documents") < NEARDUP_EXACT_MAX_BYTES:
+        near = _incremental_near_exact(spark, sf_dir)
+    else:
+        near = _incremental_near_lsh(spark, sf_dir)
     ex = _span_hashes(docs)
     # the corpus span set is CORPUS-LINEAR — the shuffle-hash hint on
     # the build side keeps it off the broadcast path (locally it is tiny

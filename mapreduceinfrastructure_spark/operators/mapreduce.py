@@ -272,9 +272,12 @@ register_tasks("grep", grep_map, grep_reduce)
 def grep_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed grep through the generic MapReduce engine — the
     map-only job shape (identity reduce), sharing the built-in
-    ``grep`` query's DuckDB oracle.  Records are "doc_id\\ttext" lines
-    (the synthetic text contains no tabs; a real deployment would use
-    the byte-offset record ids the reference's text sharding yields).
+    ``grep`` query's DuckDB oracle.  Records are "doc_id\\ttext" lines;
+    tabs inside the text are normalized to spaces when the line is
+    built, so the map-side partition() parse is unambiguous for ANY
+    input (a raw tab would silently truncate the record at the first
+    embedded tab — a real deployment would use the byte-offset record
+    ids the reference's text sharding yields instead).
 
     The built-in ``grep`` (a pushed-down filter, zero shuffle) is the
     production path; this exists for engine parity, like word_count_mr.
@@ -282,7 +285,11 @@ def grep_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select(
-        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text"))
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.regexp_replace(F.col("text"), "\t", " "),
+        )
     )
     map_fn, reduce_fn = get_tasks("grep")
     kv = map_reduce(docs, map_fn, reduce_fn, num_partitions=8)

@@ -532,11 +532,16 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same plan discipline as decontamination: per-doc n-gram dedup is
     map-side (array_distinct before the explode), the join is keyed on
-    the gram with the BENCHMARK side broadcast (absolutely small: an
-    eval suite) and the corpus side streamed once; the two
+    the gram, and the corpus side is streamed once; the two
     count-distincts aggregate a hit table bounded by
-    |bench grams x leaking docs|, never the corpus.  Zero-gram and
-    clean benchmark items appear with zero counts (left join).
+    |bench grams x leaking docs|, never the corpus.  A real eval suite
+    is tiny, but THIS benchmark split is doc_id % 20 == 0 — 5% of the
+    corpus, i.e. corpus-proportional — so no static broadcast hint:
+    AQE broadcasts the bench side at runtime when its measured size
+    allows and keeps the shuffle plan when it doesn't (the
+    decontamination operator broadcasts statically only because its
+    distinct-gram SET is the small side there).  Zero-gram and clean
+    benchmark items appear with zero counts (left join).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_expr("text").alias("t"))
@@ -551,7 +556,7 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tex = grams.filter(F.col("doc_id") % BENCH_MOD != 0).select(
         F.col("doc_id").alias("train_id"), F.explode("gs").alias("g")
     )
-    hits = tex.join(F.broadcast(bex), "g")
+    hits = tex.join(bex, "g")
     agg = hits.groupBy("bench_id").agg(
         F.countDistinct("train_id").alias("n_leaking_docs"),
         F.countDistinct("g").alias("n_compromised_ngrams"),

@@ -453,9 +453,14 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_vocab = vocab.select(fold["out"].alias("s"), "freq").localCheckpoint(
             eager=True
         )
-        vocab.unpersist()
+        # localCheckpoint blocks are NOT freed by DataFrame.unpersist()
+        # (that only clears cache-manager entries); they are reclaimed
+        # when Python GC drops the last reference to the checkpointed
+        # plan.  Rebinding `vocab` drops ours each round, so at most a
+        # couple of vocab-sized block sets are live at once — same
+        # GC-driven cleanup discipline bench.py uses between queries.
         vocab = new_vocab
-    vocab.unpersist()
+    del vocab
     return spark.createDataFrame(
         merges, schema="rank long, left string, right string, pair_count long"
     )

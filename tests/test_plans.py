@@ -252,3 +252,49 @@ def test_trade_flows_2hop_contraction_join_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert has_broadcast_join(df)
+
+
+def test_ngram_jaccard_exact_branch_plan(spark, sf_dir):
+    """The round-5 size switch: below NEARDUP_EXACT_MAX_BYTES (every
+    local SF) ngram_jaccard_neardup must plan as the EXACT shingle
+    self-join — a shuffle join keyed on the shingle, no LSH bucket key
+    anywhere, and no broadcast of the corpus-linear shingle table on
+    that join.  (The banded branch's band-join plan is pinned by
+    test_scale_fixes.test_minhash_bands_join_is_shuffle_not_broadcast;
+    branch dispatch by test_neardup_pairs_switch_dispatch.)"""
+    import re
+
+    df = QUERIES["ngram_jaccard_neardup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bucket#" not in plan  # no LSH banding below the threshold
+    # the pair SELF-join carries the doc_id< condition; the df-cap
+    # keep-list joins (also shingle-keyed) may broadcast — the exact
+    # branch only ever runs below NEARDUP_EXACT_MAX_BYTES where that
+    # list is small by construction
+    pair_joins = [
+        l
+        for l in plan.splitlines()
+        if re.search(r"Join.*\bshingle#", l) and "doc_id#" in l
+    ]
+    assert pair_joins, plan
+    assert all("Broadcast" not in l for l in pair_joins), pair_joins
+
+
+def test_pagerank_iteration_plan_is_constant_size(spark, sf_dir, monkeypatch):
+    """pagerank_nations' per-iteration work must stay one rank join +
+    one agg with the lineage truncated every round — a growing plan
+    would compound per-iteration cost at 100 TB.  Pinned by asserting
+    the FINAL plan is iteration-count-INDEPENDENT: the same join/
+    exchange counts at 2 and 6 iterations proves each round's
+    localCheckpoint cut the chain (raw substring counts can't be
+    compared to ITERATIONS directly — InMemoryRelation nodes embed
+    their build pipelines, joins included, in toString)."""
+    from mapreduceinfrastructure_spark.operators import graph as gr
+
+    def shape(n_iter):
+        monkeypatch.setattr(gr, "ITERATIONS", n_iter)
+        df = QUERIES["pagerank_nations"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return (plan.count("Join"), plan.count("Exchange"), len(plan.splitlines()))
+
+    assert shape(2) == shape(6)

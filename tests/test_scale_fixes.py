@@ -110,36 +110,92 @@ def test_embedding_neardup_lsh_equals_exact_allpairs(spark, sf_dir):
     assert len(got) > 0
 
 
-def test_dedup_clusters_minhash_equals_exact_path(spark, sf_dir):
-    """Round-4 change: dedup_clusters edges come from the minhash
-    candidate path (O(colliding pairs)) instead of the exact O(sum df^2)
-    shingle self-join.  The cluster output must be identical to the
-    exact-path clustering — that equality is what keeps the exact DuckDB
-    oracle valid.  (Measured: LSH candidates cover every jaccard>=0.5
-    pair at sf0.001/0.01/0.1; qualifying pairs all sit at j>=0.8 where
-    banded recall is ~1, and the seeded hashes make it deterministic.)"""
-    from mapreduceinfrastructure_spark.operators.dedup import (
-        connected_components,
-        dedup_clusters,
-        ngram_jaccard_neardup,
-    )
+def test_dedup_clusters_banded_path_equals_exact_path(spark, sf_dir, monkeypatch):
+    """Round-5 change: dedup_clusters edges come from neardup_pairs —
+    EXACT shingle join below NEARDUP_EXACT_MAX_BYTES (structural parity
+    with the DuckDB oracle), LSH banding past it.  Forcing the banded
+    branch (threshold -> 0) must reproduce the default exact-path
+    clustering on the test data: qualifying pairs sit at j>=0.8 where
+    banded recall is ~1, and the seeded hashes make it deterministic."""
+    from mapreduceinfrastructure_spark.operators import dedup as dd
 
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.dedup_clusters(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(dd, "NEARDUP_EXACT_MAX_BYTES", 0)
     got = {
         (r["doc_id"], r["cluster_id"])
-        for r in dedup_clusters(spark, sf_dir).collect()
-    }
-
-    pairs = ngram_jaccard_neardup(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
-    edges = (
-        pairs.select(F.col("da").alias("a"), F.col("db").alias("b"))
-        .union(pairs.select(F.col("db").alias("a"), F.col("da").alias("b")))
-        .distinct()
-    )
-    want = {
-        (r["node"], r["label"]) for r in connected_components(edges).collect()
+        for r in dd.dedup_clusters(spark, sf_dir).collect()
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_neardup_pairs_switch_dispatch(spark, sf_dir, monkeypatch):
+    """neardup_pairs must take the exact branch below
+    NEARDUP_EXACT_MAX_BYTES (every local SF) and the LSH branch past it
+    — pinned by sentinel so the dispatch itself can't silently invert."""
+    from mapreduceinfrastructure_spark.operators import dedup as dd
+
+    calls = []
+    monkeypatch.setattr(
+        dd, "_exact_pairs", lambda *a, **k: calls.append("exact")
+    )
+    monkeypatch.setattr(
+        dd, "_lsh_verified_pairs", lambda *a, **k: calls.append("lsh")
+    )
+    dd.neardup_pairs(spark, sf_dir, threshold=0.5)
+    assert calls == ["exact"]
+    monkeypatch.setattr(dd, "NEARDUP_EXACT_MAX_BYTES", 0)
+    dd.neardup_pairs(spark, sf_dir, threshold=0.5)
+    assert calls == ["exact", "lsh"]
+
+
+def test_banded_low_threshold_subset_and_high_sim_recall(spark, sf_dir):
+    """ngram_jaccard_neardup's scale branch (LSH candidates at report
+    threshold 0.1) against the exact default: banded output must be a
+    SUBSET of exact output (the verify is exact either way — no false
+    positives, same jaccard values), and recall must be total at
+    jaccard >= 0.9, the region b=8/r=4 banding guarantees (miss
+    probability (1-0.9^4)^8 ~ 2e-4 per pair, deterministic here via
+    seeded hashes).  Mid-similarity loss below that is the documented
+    trade of the scale path."""
+    from mapreduceinfrastructure_spark.operators import dedup as dd
+
+    exact = {
+        (r["da"], r["db"]): r["jaccard"]
+        for r in dd._exact_pairs(
+            spark, sf_dir, 0.1, df_cap=dd.HOT_SHINGLE_DF_CAP
+        ).collect()
+    }
+    banded = {
+        (r["da"], r["db"]): r["jaccard"]
+        for r in dd._lsh_verified_pairs(spark, sf_dir, 0.1).collect()
+    }
+    # subset with identical jaccard values (note: banded verify uses
+    # UNCAPPED shingle sets, exact uses capped — identical here because
+    # the test corpus max df is far below the cap)
+    for k, j in banded.items():
+        assert k in exact and abs(exact[k] - j) < 1e-12
+    # full recall in the high-similarity band
+    high = {k for k, j in exact.items() if j >= 0.9}
+    assert high <= set(banded)
+    assert len(exact) > 0
+
+
+def test_incremental_dedup_banded_branch_matches_exact(spark, sf_dir, monkeypatch):
+    """Forcing incremental_dedup onto its LSH branch must reproduce the
+    default exact-branch result on the test data (the pre-round-5
+    driver-green behavior): batch-vs-corpus qualifying pairs sit at
+    j>=0.8 where banded recall is ~1."""
+    from mapreduceinfrastructure_spark.operators import dedup as dd
+
+    want = set(map(tuple, dd.incremental_dedup(spark, sf_dir).collect()))
+    monkeypatch.setattr(dd, "NEARDUP_EXACT_MAX_BYTES", 0)
+    got = set(map(tuple, dd.incremental_dedup(spark, sf_dir).collect()))
+    assert got == want
+    assert len(want) > 0
 
 
 def test_minhash_shingle_persist_switch_is_result_invariant(spark, sf_dir, monkeypatch):
@@ -311,12 +367,14 @@ def test_incremental_dedup_corpus_joins_stay_on_shuffle_path(spark, sf_dir):
 
 def test_minhash_pairs_equal_exact_pairs_at_threshold(spark, sf_dir):
     """Pair-level equivalence of the LSH candidate path against the
-    exact shingle self-join at threshold 0.5 — stronger than the
-    cluster-level check above, and the invariant source_overlap's and
-    incremental_dedup's exact DuckDB oracles rest on: every
-    jaccard>=0.5 pair must survive banding (qualifying pairs sit at
-    j>=0.8 in the test data, where banded recall is ~1, and the seeded
-    hashes make candidate generation deterministic)."""
+    exact shingle self-join at threshold 0.5 — the banded-recall guard
+    for the scale branch all four exact-semantics operators switch to
+    past NEARDUP_EXACT_MAX_BYTES (their driver-gate parity no longer
+    rests on this: below the threshold they run the exact join that
+    structurally mirrors their oracles): every jaccard>=0.5 pair must
+    survive banding (qualifying pairs sit at j>=0.8 in the test data,
+    where banded recall is ~1, and the seeded hashes make candidate
+    generation deterministic)."""
     from mapreduceinfrastructure_spark.operators.dedup import (
         minhash_lsh_neardup,
         ngram_jaccard_neardup,

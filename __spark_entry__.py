@@ -367,6 +367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": tpch.tpch_q2,
         "tpch_q11": tpch.tpch_q11,
         "tpch_q20": tpch.tpch_q20,
+        # round-5 additions (window candidates for the next rotation)
+        "zipf_slope": ta.zipf_slope,
+        "bigram_logprob_score": pl.bigram_logprob_score,
+        "embedding_outliers": sim.embedding_outliers,
     }
 
 
@@ -1769,5 +1773,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT epoch_us(h) AS hour_us, count(*) AS n_users
             FROM a GROUP BY 1
+        """,
+        "zipf_slope": f"""
+            {_SQL_PAIRS},
+            freq AS (SELECT word AS w, count(*) AS c FROM pairs GROUP BY word),
+            ranked AS (
+              SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS rnk
+              FROM freq
+            )
+            SELECT count(*) AS n_vocab,
+                   round(regr_slope(ln(c::DOUBLE), ln(rnk::DOUBLE)), 6) AS slope,
+                   round(regr_intercept(ln(c::DOUBLE), ln(rnk::DOUBLE)), 6)
+                     AS intercept,
+                   round(regr_r2(ln(c::DOUBLE), ln(rnk::DOUBLE)), 6) AS r2
+            FROM ranked
+        """,
+        "bigram_logprob_score": f"""
+            {_SQL_TOKS},
+            t2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+            ev AS (
+              SELECT doc_id, t[i] AS p, t[i + 1] AS w
+              FROM t2, unnest(range(1, len(t))) AS u(i)
+            ),
+            big AS (SELECT p, w, count(*) AS cb FROM ev GROUP BY 1, 2),
+            ctx AS (SELECT p, CAST(sum(cb) AS BIGINT) AS cp FROM big GROUP BY 1),
+            ex AS (SELECT unnest(t) AS w FROM t2),
+            uni AS (SELECT w, count(*) AS cu FROM ex GROUP BY 1),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM ex)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(-ln({pl.BIGRAM_LAMBDA!r} * (cb::DOUBLE / cp::DOUBLE)
+                             + {1.0 - pl.BIGRAM_LAMBDA!r}
+                               * (cu::DOUBLE / (SELECT n FROM tot)))), 6)
+                     AS avg_neglogprob
+            FROM ev JOIN big USING (p, w) JOIN ctx USING (p) JOIN uni USING (w)
+            GROUP BY doc_id
+        """,
+        "embedding_outliers": """
+            WITH e AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            ex AS (
+              SELECT label, i AS pos, v[i] AS x
+              FROM e, unnest(range(1, len(v) + 1)) AS u(i)
+            ),
+            cent AS (SELECT label, pos, avg(x) AS c FROM ex GROUP BY 1, 2),
+            cv AS (
+              SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label
+            )
+            SELECT vec_id, label,
+                   round(list_cosine_similarity(v, cvec), 6) AS cos_centroid
+            FROM e JOIN cv USING (label)
         """,
     }

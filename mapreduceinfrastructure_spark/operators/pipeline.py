@@ -575,3 +575,66 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_compromised_ngrams"
         ),
     )
+
+
+# Interpolation weight for the bigram LM quality score: standard
+# Jelinek-Mercer smoothing, λ on the bigram estimate, (1-λ) backing off
+# to the unigram distribution.
+BIGRAM_LAMBDA = 0.75
+
+
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM language-quality proxy — the order-2 refinement of
+    ``unigram_logprob_score``: per doc, the mean negative log-prob of
+    each token given its predecessor under the corpus's own
+    Jelinek-Mercer-smoothed bigram model,
+    p(w|p) = λ·c(p,w)/c(p,·) + (1−λ)·c(w)/N.
+    Fluent text scores low; shuffled or templated token salad scores
+    high even when its unigram profile looks natural — exactly what the
+    unigram score cannot see.
+
+    Scale shape: the bigram event stream is generated MAP-SIDE by one
+    zip_with over each doc's token array (|tokens| rows, whole-stage
+    codegen, no positions self-join); two vocabulary-sized hash aggs
+    (bigram counts; context totals re-aggregate the bigram table so
+    the second agg moves |bigrams| rows, not |tokens|); the event
+    stream joins the model tables on their keys (shuffle joins — a
+    100 TB corpus's bigram vocabulary is far beyond broadcast);
+    the 1-row total broadcasts; one per-doc algebraic agg finishes.
+    Docs with < 2 tokens have no bigram events and are absent (oracle
+    mirrors).  Unigram counts come from the same ≥2-token doc set so
+    both model estimates condition on identical data.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    ev = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("p"), b.alias("w")),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.p", "e.w")
+    big = ev.groupBy("p", "w").agg(F.count("*").alias("cb"))
+    ctx = big.groupBy("p").agg(F.sum("cb").alias("cp"))
+    ex = toks.select(F.explode("t").alias("w"))
+    uni = ex.groupBy("w").agg(F.count("*").alias("cu"))
+    total = uni.agg(F.sum("cu").cast("double").alias("n"))
+    p_interp = F.lit(BIGRAM_LAMBDA) * (
+        F.col("cb").cast("double") / F.col("cp").cast("double")
+    ) + F.lit(1.0 - BIGRAM_LAMBDA) * (F.col("cu").cast("double") / F.col("n"))
+    return (
+        ev.join(big, ["p", "w"])
+        .join(ctx, "p")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p_interp)), 6).alias("avg_neglogprob"),
+        )
+    )

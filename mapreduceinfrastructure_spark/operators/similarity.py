@@ -374,3 +374,38 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
         F.round(s / F.size("v"), 6).alias("mean_component"),
     )
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid affinity: each vector's cosine to the mean
+    vector of its own label — the standard mislabel/outlier screen a
+    curation pipeline runs over embedded data (low affinity = the
+    vector does not belong with its labelmates).  Returns (vec_id,
+    label, cos_centroid) ranked-ready; thresholding is the caller's
+    policy decision.
+
+    Scale shape: one posexplode (n × dim rows — a single corpus pass,
+    all map-side), one algebraic hash agg keyed (label, pos) with
+    map-side partials, centroid re-assembly over the |labels| × dim
+    aggregate (tiny), and the centroid table joined back BROADCAST
+    (|labels| rows) so embedding bytes move zero times.  Cosine math
+    is the same JVM higher-order expression as cosine_topk.
+    """
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = emb.select(
+        "label", F.posexplode("v").alias("pos", "x")
+    )
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    cos = cosine_similarity_expr(F.col("v"), F.col("cv"))
+    return (
+        emb.join(F.broadcast(cvec), "label")
+        .select("vec_id", "label", F.round(cos, 6).alias("cos_centroid"))
+    )

@@ -464,3 +464,35 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, schema="rank long, left string, right string, pair_count long"
     )
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: the OLS slope (and
+    intercept / R²) of ln(freq) against ln(rank), rank ordered by
+    frequency desc with word-asc tie-break.  The slope is the standard
+    one-number corpus-health diagnostic (natural text sits near −1;
+    boilerplate-heavy or templated corpora flatten it) — a curation
+    dashboard statistic computed entirely in-engine.
+
+    Scale shape: one explode + one vocabulary-sized hash agg (Heaps'
+    law: vocab ≪ tokens), a global rank window over the VOCAB table
+    (single-partition here; at 100 TB vocabularies use the two-pass
+    range-partitioned rank shown in relational.global_rank), then one
+    algebraic regression agg (regr_* are sum-decomposable — partials
+    run map-side).  Output is a single row.
+    """
+    ex = _docs_tokens(spark, sf_dir).select(F.explode("tokens").alias("w"))
+    freq = ex.groupBy("w").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+    )
+    ln_c = F.log(F.col("c").cast("double"))
+    ln_r = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_vocab"),
+        F.round(F.regr_slope(ln_c, ln_r), 6).alias("slope"),
+        F.round(F.regr_intercept(ln_c, ln_r), 6).alias("intercept"),
+        F.round(F.regr_r2(ln_c, ln_r), 6).alias("r2"),
+    )

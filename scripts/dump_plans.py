@@ -40,9 +40,13 @@ NOTES = {
     "unigram_logprob_score": "vocab-sized freq agg, tokens↔vocab key join (AQE picks the side at runtime), 1-row total broadcast, per-doc algebraic agg — no cartesian anywhere",
     "curation_pipeline": "every signal branch is doc_id-keyed; the benchmark n-gram set is the single broadcast; dedup is a fingerprint-keyed hash-agg argmin, no window over raw docs",
     "triangle_count": "degree-ordered orientation: each edge points from its (degree, id)-smaller endpoint, so wedge fan-out is bounded by max out-degree ~ sqrt(|E|) (the id-ordered form blows up O(deg²) on hubs); wedge + both-orientation closure joins, no nested-loop; corner explode feeds one hash agg",
-    "incremental_dedup": "post-checkpoint plan (band join + verify run eagerly, candidate-bounded): the final assembly joins the batch-sized doc list with the two flag tables; the span semi-join is pinned SHUFFLE_HASH in test_scale_fixes.py so the corpus-linear span set never broadcasts",
+    "incremental_dedup": "exact branch below NEARDUP_EXACT_MAX_BYTES (shown here): one-sided batch×corpus shingle join (SHUFFLE_HASH) + jaccard verify, structurally mirroring the oracle; the span semi-join is pinned SHUFFLE_HASH in test_scale_fixes.py so the corpus-linear span set never broadcasts; past the byte threshold the one-sided LSH band join takes over (plan pinned component-wise)",
+    "ngram_jaccard_neardup": "exact branch below NEARDUP_EXACT_MAX_BYTES (shown here): df-capped shingle self-join stays a ShuffledHashJoin (pair join pinned non-broadcast in test_plans.py); past the byte threshold candidates come from the LSH band path with the documented recall S-curve",
+    "bigram_logprob_score": "bigram events from one map-side zip_with (no positions self-join); three vocab-keyed hash aggs; model joins are key joins (AQE picks sides at runtime — a 100 TB bigram vocab is never broadcast); the single BroadcastNestedLoopJoin is the 1-row total",
+    "embedding_outliers": "posexplode + (label,pos) algebraic agg with map-side partials; the |labels|-row centroid table rides a BroadcastExchange back onto the corpus so embedding bytes never shuffle for the join",
+    "zipf_slope": "corpus touched once (explode + vocab-sized freq agg); global rank window over the VOCAB table only; regr_* are sum-decomposable aggs with map-side partials — no joins anywhere",
     "word_pmi": "pair events generated map-side by a nested array transform (no positions self-join); two algebraic hash-aggs + two key joins; the 1-row totals table is the only planned broadcast — totals re-aggregate the agg tables, persisted behind the size-aware switch so a corpus-scale input is scanned exactly twice",
-    "source_overlap": "post-checkpoint: the near-dup-population-sized pair table joins the (doc_id, source) projection — AQE broadcasts the small pair side at runtime; one final hash-agg on the canonicalized source pair",
+    "source_overlap": "exact branch below NEARDUP_EXACT_MAX_BYTES (shown here): uncapped shingle self-join pairs, then the (doc_id, source) lookup joins and one hash-agg on the canonicalized source pair; past the byte threshold the pair table comes from the checkpointed LSH path and AQE broadcasts it at runtime",
     "simhash_neardup": "block-bucket self-join on (blk, val) pinned SHUFFLE_HASH (blocks are 4 rows/doc, corpus-linear — never broadcast); bit_count(xor) verify stays in codegen; pigeonhole-exact for Hamming <= 3, equivalence pinned in test_scale_fixes.py",
 }
 

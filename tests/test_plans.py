@@ -298,3 +298,39 @@ def test_pagerank_iteration_plan_is_constant_size(spark, sf_dir, monkeypatch):
         return (plan.count("Join"), plan.count("Exchange"), len(plan.splitlines()))
 
     assert shape(2) == shape(6)
+
+
+def test_bigram_logprob_no_cartesian_bounded_shuffles(spark, sf_dir):
+    """Round-5 bigram LM score: the event stream must come from the
+    map-side zip_with (no positions self-join / cartesian); the only
+    nested-loop broadcast allowed is the 1-row total; model-table
+    joins are key joins.  Shuffle budget: bigram agg + context agg +
+    unigram agg + up to three model joins + doc agg."""
+    df = QUERIES["bigram_logprob_score"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert shuffle_count(df) <= 7
+
+
+def test_embedding_outliers_centroids_broadcast(spark, sf_dir):
+    """The |labels|-row centroid table must ride a broadcast back onto
+    the corpus (embedding bytes move zero times for the join), and the
+    only shuffle is the (label, pos) component agg + centroid
+    re-assembly."""
+    df = QUERIES["embedding_outliers"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    # 2 agg exchanges ((label,pos) partials + centroid re-assembly) + 2
+    # small-input fan_out round-robins (local-only; absent on a real
+    # multi-file corpus)
+    assert shuffle_count(df) <= 4
+
+
+def test_zipf_slope_regression_over_vocab_only(spark, sf_dir):
+    """The regression agg runs over the VOCAB table (freq agg + global
+    rank window + one final agg) — the corpus is touched exactly once
+    by the token explode; no joins at all."""
+    df = QUERIES["zipf_slope"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 3

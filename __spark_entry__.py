@@ -371,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": ta.zipf_slope,
         "bigram_logprob_score": pl.bigram_logprob_score,
         "embedding_outliers": sim.embedding_outliers,
+        "streaming_sessions": es.streaming_sessions,
+        "streaming_enriched_revenue": es.streaming_enriched_revenue,
     }
 
 
@@ -1807,6 +1809,36 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_neglogprob
             FROM ev JOIN big USING (p, w) JOIN ctx USING (p) JOIN uni USING (w)
             GROUP BY doc_id
+        """,
+        # session_window semantics: break on gap >= 30 min (strict
+        # in-window merge), see streaming/event_stream.streaming_sessions
+        "streaming_sessions": """
+            WITH e AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                  >= 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, value, ts_us,
+                     CAST(sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS sid
+              FROM e
+            )
+            SELECT user_id, min(ts_us) AS session_start_us,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "streaming_enriched_revenue": """
+            SELECT c_nationkey, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_nationkey
         """,
         "embedding_outliers": """
             WITH e AS (

@@ -236,3 +236,59 @@ def streaming_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_us")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via the built-in ``session_window``, run to
+    completion — the third hard streaming correctness signal, making
+    the session-window operator itself oracle-backed (its batch twin
+    ``relational.sessionize`` proves the window-function formulation;
+    this proves the streaming state machine).
+
+    Semantics note the oracle mirrors: session_window merges an event
+    into the open session iff its ts is STRICTLY inside the window
+    (gap < 30 min); a gap of exactly 30 min starts a new session — so
+    the oracle breaks on ``gap >= 30 min`` (the batch sessionize
+    oracle uses ``>`` with a 30-min gap; the two agree except on
+    microsecond-exact boundary gaps, absent from any realistic feed).
+    State is one open window per (user, session), merged as events
+    arrive and bounded by the watermark at scale; complete mode here
+    flushes the final open sessions of the finite feed.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    out = streaming_session_agg(ev)
+    got = run_stream_to_memory(
+        spark, out, "sessions_driver", output_mode="complete"
+    )
+    return got.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "session_start_us"
+        ),
+        "n_events",
+        "session_value",
+    )
+
+
+def streaming_enriched_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment measured end-to-end: the event stream
+    joins the static customer dimension per micro-batch
+    (``streaming_enrich``) and aggregates value by customer nation —
+    the fourth hard streaming signal, making the stream-static join
+    oracle-backed (previously pytest-only).  The static side is
+    broadcast-resolved each batch; the stateful operator is one keyed
+    aggregation over |nations| groups.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    from ..sources.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer")
+    enriched = streaming_enrich(ev, dim)
+    agg = enriched.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    got = run_stream_to_memory(
+        spark, agg, "enriched_revenue_driver", output_mode="complete"
+    )
+    return got

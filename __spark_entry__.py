@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": sim.embedding_outliers,
         "streaming_sessions": es.streaming_sessions,
         "streaming_enriched_revenue": es.streaming_enriched_revenue,
+        "weighted_sample": pl.weighted_sample,
     }
 
 
@@ -1839,6 +1840,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_nationkey
+        """,
+        "weighted_sample": f"""
+            {_SQL_TOKS},
+            t2 AS (
+              SELECT doc_id, source,
+                     greatest(len(t), 1)::DOUBLE AS w
+              FROM toks JOIN documents USING (doc_id)
+            ),
+            k AS (
+              SELECT source, doc_id,
+                     pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                          + 1.0) / 4294967296.0, 1.0 / w) AS ky
+              FROM t2
+            )
+            SELECT source, doc_id, rank FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY ky DESC, doc_id ASC
+                     ) AS rank
+              FROM k
+            ) WHERE rank <= {pl.WEIGHTED_SAMPLE_K}
         """,
         "embedding_outliers": """
             WITH e AS (

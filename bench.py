@@ -75,6 +75,11 @@ HEADLINE = [
     # jaccard join whose size-aware LSH switch landed this round
     "word_count_mr",
     "ngram_jaccard_neardup",
+    # round-5 operator additions worth tracking: the bigram-LM scorer
+    # (three vocab aggs + model joins) and the A-ES weighted sampler
+    # (one windowed top-K)
+    "bigram_logprob_score",
+    "weighted_sample",
 ]
 
 

@@ -638,3 +638,48 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(p_interp)), 6).alias("avg_neglogprob"),
         )
     )
+
+
+# weighted_sample: top-K docs kept per source under token-weighted
+# sampling (more tokens => proportionally more likely to survive).
+WEIGHTED_SAMPLE_K = 5
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement per source —
+    the Efraimidis-Spirakis A-ES scheme: each doc gets key = u^(1/w)
+    with u a hash-derived uniform and w its token count; the top-K keys
+    per source are exactly a w-weighted sample without replacement.
+    This is the curation "downsample each source, preferring long/high-
+    value docs, reproducibly" primitive: re-running the pipeline on the
+    same corpus keeps the same docs (u comes from md5(doc_id), no RNG
+    state), and adding docs never changes the relative keys of old ones
+    (stable under corpus growth, like split_assign).
+
+    Scale shape: one projection computes w and the key (all codegen;
+    md5+conv+pow per row), then a single per-source top-K window —
+    sources shard the corpus, and WindowGroupLimit prunes to K rows
+    per partition before the exchange, so the shuffle moves ~K rows
+    per (partition, source), not the corpus.  Oracle-exactness note:
+    the pow(u, 1/w) key is IEEE double in both engines; selection
+    could only diverge if two keys landed within ~1 ulp, which the
+    md5-uniform makes vanishingly improbable (same determinism class
+    as deterministic_sample's md5-mod gate).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.greatest(F.size(tokens_expr("text")), F.lit(1)).cast("double")
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "source", "doc_id", F.pow(u, F.lit(1.0) / w).alias("ky")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("ky"), F.asc("doc_id"))
+    )
+    return (
+        keyed.withColumn("rank", rn)
+        .filter(F.col("rank") <= WEIGHTED_SAMPLE_K)
+        .select("source", "doc_id", "rank")
+    )

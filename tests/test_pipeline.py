@@ -124,3 +124,36 @@ def test_write_curated_shards_roundtrip(spark, sf_dir, tmp_path):
         assert per.count() == r["n_docs_kept"]
         packs = [p["pack_id"] for p in per.select("pack_id").distinct().collect()]
         assert min(packs) == 0
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    """The A-ES key must actually implement weighted sampling: the mean
+    token count of SELECTED docs should exceed the corpus mean (token
+    count is the weight), and selection must be deterministic across
+    invocations.  K per source and ranks 1..K pinned."""
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.functions.text import tokens_expr
+    from mapreduceinfrastructure_spark.operators import pipeline as pl
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    out1 = pl.weighted_sample(spark, sf_dir).collect()
+    out2 = pl.weighted_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    per_source = {}
+    for r in out1:
+        per_source.setdefault(r["source"], []).append(r["rank"])
+    for src, ranks in per_source.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+        assert len(ranks) <= pl.WEIGHTED_SAMPLE_K
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_expr("text")).cast("double").alias("nt")
+    )
+    corpus_mean = docs.agg(F.avg("nt")).collect()[0][0]
+    sel_ids = {r["doc_id"] for r in out1}
+    sel_mean = (
+        docs.filter(F.col("doc_id").isin(sel_ids)).agg(F.avg("nt")).collect()[0][0]
+    )
+    assert sel_mean > corpus_mean

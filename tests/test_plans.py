@@ -334,3 +334,15 @@ def test_zipf_slope_regression_over_vocab_only(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert shuffle_count(df) <= 3
+
+
+def test_weighted_sample_window_group_limit_prunes(spark, sf_dir):
+    """The per-source top-K must prune partition-locally before the
+    exchange (WindowGroupLimit), so the shuffle moves ~K rows per
+    (partition, source), never the corpus."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["weighted_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert shuffle_count(df) == 1

@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": es.streaming_sessions,
         "streaming_enriched_revenue": es.streaming_enriched_revenue,
         "weighted_sample": pl.weighted_sample,
+        "lang_entropy": pl.lang_entropy,
     }
 
 
@@ -1861,6 +1862,26 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rank
               FROM k
             ) WHERE rank <= {pl.WEIGHTED_SAMPLE_K}
+        """,
+        "lang_entropy": """
+            WITH cell AS (
+              SELECT source, lang, count(*) AS n
+              FROM documents GROUP BY source, lang
+            ),
+            probs AS (
+              SELECT source, lang, n,
+                     n::DOUBLE / (sum(n) OVER (PARTITION BY source))::DOUBLE
+                       AS p
+              FROM cell
+            )
+            SELECT source,
+                   count(*) AS n_langs,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   round(-sum(p * ln(p)), 6) AS entropy,
+                   round(exp(-sum(p * ln(p))), 6) AS effective_langs,
+                   max(struct_pack(n := n, lang := lang)).lang
+                     AS majority_lang
+            FROM probs GROUP BY source
         """,
         "embedding_outliers": """
             WITH e AS (

@@ -683,3 +683,33 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= WEIGHTED_SAMPLE_K)
         .select("source", "doc_id", "rank")
     )
+
+
+def lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language diversity: the Shannon entropy of each
+    source's language distribution (nats) and its exponential — the
+    "effective number of languages" — plus the majority language.
+    The mixture-diversity metric a multilingual curation recipe tracks
+    per source: entropy ~0 means a monolingual source; effective count
+    near |langs| means an even mix.
+
+    Two-level algebraic shape like data_mixture: per-(source, lang) doc
+    counts map-side, then entropy over the aggregated |sources|×|langs|
+    frame via a source-keyed second agg (window-free: −Σ p·ln p and the
+    struct-max majority pick are both plain aggregates).  Nothing
+    corpus-sized ever moves twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("source")
+    p = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    probs = cell.select("source", "lang", "n", p.alias("p"))
+    best = F.max(F.struct(F.col("n").alias("n"), F.col("lang").alias("lang")))
+    ent = -F.sum(F.col("p") * F.log("p"))
+    return probs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_langs"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.round(ent, 6).alias("entropy"),
+        F.round(F.exp(ent), 6).alias("effective_langs"),
+        best.getField("lang").alias("majority_lang"),
+    )

@@ -346,3 +346,55 @@ def test_weighted_sample_window_group_limit_prunes(spark, sf_dir):
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan
     assert shuffle_count(df) == 1
+
+
+def test_round5_window_newcomer_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-5 driver-window first-timers that had no
+    individual pin: the exact shapes measured when they entered the
+    window.  Each line states the scale contract the pin protects."""
+    # join_outer: the aggregated-orders side broadcasts; the customer
+    # fact never shuffles for it — 1 exchange total (the agg's own)
+    df = QUERIES["join_outer"](spark, sf_dir)
+    assert has_broadcast_join(df) and shuffle_count(df) == 1
+
+    # join_full_outer: FULL OUTER cannot broadcast either side — it
+    # must stay a two-exchange sort-merge on the key
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["join_full_outer"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert shuffle_count(df) == 2
+
+    # window_frames: BOTH frame specs (sliding avg, cume_dist,
+    # nth_value) share ONE user-keyed exchange — no per-spec reshuffle
+    df = QUERIES["window_frames"](spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+    # merge_upsert: changes-side agg + broadcast anti/semi application;
+    # the base table is never shuffled twice
+    df = QUERIES["merge_upsert"](spark, sf_dir)
+    assert has_broadcast_join(df) and shuffle_count(df) <= 2
+
+    # dup_spans: span-hash agg + ONE keyed join back — a span
+    # self-join would be O(occurrences²) on boilerplate spans
+    df = QUERIES["dup_spans"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 3
+
+    # retention_cohorts: distinct-activity agg, cohort-min agg, final
+    # (cohort, week) agg — user-keyed exchanges only, cohort side
+    # broadcast back
+    df = QUERIES["retention_cohorts"](spark, sf_dir)
+    assert has_broadcast_join(df) and shuffle_count(df) <= 4
+
+    # tpch_q16: the NOT IN supplier filter rides a broadcast null-aware
+    # anti join; part joins broadcast — only the distinct-agg exchanges
+    df = QUERIES["tpch_q16"](spark, sf_dir)
+    assert has_broadcast_join(df) and shuffle_count(df) <= 2
+
+    # tpch_q17: the correlated AVG decorrelates to a per-part agg
+    # joined back AFTER the selective brand semi-join — one exchange
+    df = QUERIES["tpch_q17"](spark, sf_dir)
+    assert has_broadcast_join(df) and shuffle_count(df) <= 1

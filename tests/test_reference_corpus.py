@@ -78,3 +78,32 @@ def test_corpus_totals(expected):
     # sanity against the measured corpus facts recorded in BASELINE.md
     assert sum(expected.values()) > 50_000
     assert len(expected) > 100
+
+
+def test_spanning_sharder_full_reference_replay(spark, expected):
+    """The complete reference scenario: its own corpus, its own
+    config.ini shard size (map_kilobytes=500), split by the
+    byte-faithful spanning sharder (testdata_1 is 342 KB, so the first
+    500 KB shard must span into testdata_2 — the cross-file case), and
+    word-counted with the strtok tokenizer.  Shard placement must be
+    invisible in the result."""
+    from mapreduceinfrastructure_spark.sources.sharding import (
+        read_sharded_lines,
+        shard_files,
+    )
+
+    shards = shard_files(CORPUS, map_kilobytes=500)
+    spanning = [s for s in shards if len({p for p, _, _ in s}) >= 2]
+    assert spanning, shards  # 342 KB + 43 KB + tail of file 3 in shard 0
+
+    lines = read_sharded_lines(spark, CORPUS, map_kilobytes=500)
+    got = {
+        r["word"]: r["cnt"]
+        for r in (
+            lines.select(F.explode(tokens_expr("line")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+    }
+    assert got == dict(expected)

@@ -475,18 +475,39 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard statistic computed entirely in-engine.
 
     Scale shape: one explode + one vocabulary-sized hash agg (Heaps'
-    law: vocab ≪ tokens), a global rank window over the VOCAB table
-    (single-partition here; at 100 TB vocabularies use the two-pass
-    range-partitioned rank shown in relational.global_rank), then one
-    algebraic regression agg (regr_* are sum-decomposable — partials
-    run map-side).  Output is a single row.
+    law: vocab ≪ tokens), then the TWO-PASS distributed rank over the
+    vocab (same scheme as relational.global_rank: range-partition on
+    the sort key, local row_number, tiny per-partition offset table
+    broadcast back — a naive global row_number window would collapse
+    the multi-billion-term vocabulary of a 100 TB corpus onto one
+    partition), then one algebraic regression agg (regr_* are
+    sum-decomposable — partials run map-side).  Output is a single row.
     """
     ex = _docs_tokens(spark, sf_dir).select(F.explode("tokens").alias("w"))
     freq = ex.groupBy("w").agg(F.count("*").alias("c"))
     from pyspark.sql import Window
 
-    ranked = freq.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+    ranged = freq.repartitionByRange(
+        8, F.col("c").desc(), F.col("w").asc()
+    ).sortWithinPartitions(F.col("c").desc(), F.col("w").asc())
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(F.desc("c"), F.asc("w"))
+    local = with_pid.withColumn("_local_rn", F.row_number().over(w_local))
+    # the ranked table feeds TWO consumers (the offset counts and the
+    # final join) and branch-specific optimization defeats exchange
+    # reuse — without the persist the offsets branch re-runs the whole
+    # corpus tokenize+explode+agg (verified on the plan).  The persist
+    # is vocab-sized, safe to materialize at any corpus scale.
+    # (Contrast relational.global_rank, where the double-consumed input
+    # is a bare 2-column parquet scan and re-scanning beats caching.)
+    local = _persist_tracked(local, spark, sf_dir, "zipf_ranked")
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    )
+    ranked = local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid").select(
+        "w", "c", (F.col("_local_rn") + F.col("_off")).alias("rnk")
     )
     ln_c = F.log(F.col("c").cast("double"))
     ln_r = F.log(F.col("rnk").cast("double"))

@@ -44,10 +44,12 @@ NOTES = {
     "ngram_jaccard_neardup": "exact branch below NEARDUP_EXACT_MAX_BYTES (shown here): df-capped shingle self-join stays a ShuffledHashJoin (pair join pinned non-broadcast in test_plans.py); past the byte threshold candidates come from the LSH band path with the documented recall S-curve",
     "bigram_logprob_score": "bigram events from one map-side zip_with (no positions self-join); three vocab-keyed hash aggs; model joins are key joins (AQE picks sides at runtime — a 100 TB bigram vocab is never broadcast); the single BroadcastNestedLoopJoin is the 1-row total",
     "embedding_outliers": "posexplode + (label,pos) algebraic agg with map-side partials; the |labels|-row centroid table rides a BroadcastExchange back onto the corpus so embedding bytes never shuffle for the join",
-    "zipf_slope": "corpus touched once (explode + vocab-sized freq agg); global rank window over the VOCAB table only; regr_* are sum-decomposable aggs with map-side partials — no joins anywhere",
+    "zipf_slope": "corpus touched once (explode + vocab-sized freq agg, then the ranked vocab is persisted for its two consumers); TWO-PASS distributed rank — range partition on (freq desc, word), local row_number, ~8-row offset table broadcast back — never a global single-partition window over a possibly-billion-term vocabulary; regr_* are sum-decomposable aggs with map-side partials",
     "word_pmi": "pair events generated map-side by a nested array transform (no positions self-join); two algebraic hash-aggs + two key joins; the 1-row totals table is the only planned broadcast — totals re-aggregate the agg tables, persisted behind the size-aware switch so a corpus-scale input is scanned exactly twice",
     "source_overlap": "exact branch below NEARDUP_EXACT_MAX_BYTES (shown here): uncapped shingle self-join pairs, then the (doc_id, source) lookup joins and one hash-agg on the canonicalized source pair; past the byte threshold the pair table comes from the checkpointed LSH path and AQE broadcasts it at runtime",
     "simhash_neardup": "block-bucket self-join on (blk, val) pinned SHUFFLE_HASH (blocks are 4 rows/doc, corpus-linear — never broadcast); bit_count(xor) verify stays in codegen; pigeonhole-exact for Hamming <= 3, equivalence pinned in test_scale_fixes.py",
+    "weighted_sample": "A-ES key (md5 -> conv -> pow) computed in one codegen projection; per-source top-K via WindowGroupLimit, so the single exchange moves ~K rows per (partition, source), never the corpus",
+    "lang_entropy": "per-(source, lang) algebraic partials map-side; entropy, exp-entropy, and the struct-max majority pick all run over the aggregated |sources| x |langs| frame — nothing corpus-sized moves twice",
 }
 
 

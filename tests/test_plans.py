@@ -327,13 +327,23 @@ def test_embedding_outliers_centroids_broadcast(spark, sf_dir):
 
 
 def test_zipf_slope_regression_over_vocab_only(spark, sf_dir):
-    """The regression agg runs over the VOCAB table (freq agg + global
-    rank window + one final agg) — the corpus is touched exactly once
-    by the token explode; no joins at all."""
+    """The corpus is touched exactly once (token explode + freq agg);
+    everything after runs over the VOCAB table with the TWO-PASS rank:
+    range partition on the sort key (never a global single-partition
+    row_number over the vocab), local rank, and the per-partition
+    offset table — ~8 rows — broadcast back.  The offset prefix-sum's
+    single-partition window over those 8 rows is the only unkeyed
+    window allowed."""
     df = QUERIES["zipf_slope"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
-    assert shuffle_count(df) <= 3
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" in plan  # two-pass rank, not global window
+    assert has_broadcast_join(df)  # offsets ride a broadcast
+    # the ranked vocab is persisted, so BOTH consumers (offset counts
+    # and the final join) read the cache instead of re-running the
+    # corpus tokenize (the rangepartitioning string recurs only inside
+    # the cached relation's embedded build plan, once per reference)
+    assert plan.count("InMemoryTableScan") >= 2
 
 
 def test_weighted_sample_window_group_limit_prunes(spark, sf_dir):

@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
         "grep_mr": mr.grep_mr,
+        "inverted_index_mr": mr.inverted_index_mr,
         "contamination_report": pl.contamination_report,
         "except_op": adv.except_op,
         "approx_distinct_users": adv.approx_distinct_users,
@@ -1734,6 +1735,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "grep_mr": """
             SELECT doc_id, text FROM documents WHERE regexp_matches(text, 'fast join')
+        """,
+        # the collecting-reduce parity query shares inverted_index's oracle
+        "inverted_index_mr": f"""
+            {_SQL_PAIRS}
+            SELECT word,
+                   array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM pairs GROUP BY word
         """,
         "contamination_report": f"""
             WITH toks AS (

@@ -296,3 +296,60 @@ def grep_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv.select(
         F.col("key").cast("long").alias("doc_id"), F.col("value").alias("text")
     )
+
+
+# Third registered user task: inverted index (OSDI §2.1 catalog).
+# map: emit (token, doc_id) per strtok token; reduce: sorted distinct
+# doc list.  Completes the reduce-shape triangle the registry must
+# generalize over — aggregating reduce (wordcount: sum), identity
+# reduce (grep), and now a COLLECTING reduce whose output value is
+# built from the whole value list (the reference's reduce signature
+# reduce(key, vector<values>) exists precisely for this shape,
+# external/include/mr_task_factory.h:37).
+
+
+def invidx_map(line: str) -> Iterable[tuple[str, str]]:
+    doc_id, _, text = line.partition("\t")
+    token: list[str] = []
+    for ch in text:
+        if ch in _STRTOK_DELIMS:
+            if token:
+                yield "".join(token), doc_id
+                token = []
+        else:
+            token.append(ch)
+    if token:
+        yield "".join(token), doc_id
+
+
+def invidx_reduce(key: str, values: list[str]) -> Iterable[tuple[str, str]]:
+    ids = sorted({int(v) for v in values})
+    yield key, ",".join(str(i) for i in ids)
+
+
+register_tasks("invidx", invidx_map, invidx_reduce)
+
+
+def inverted_index_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index through the generic MapReduce engine — the
+    collecting-reduce parity query, sharing the built-in
+    ``inverted_index``'s DuckDB oracle.  Record lines are the same
+    tab-normalized "doc_id\\ttext" encoding as ``grep_mr``; n_docs is
+    derived from the reduced doc list (the engine's kv contract is
+    two string columns, exactly like the reference's emit)."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.regexp_replace(F.col("text"), "\t", " "),
+        )
+    )
+    map_fn, reduce_fn = get_tasks("invidx")
+    kv = map_reduce(docs, map_fn, reduce_fn, num_partitions=8)
+    return kv.select(
+        F.col("key").alias("word"),
+        F.col("value").alias("doc_ids"),
+        F.size(F.split("value", ",")).cast("long").alias("n_docs"),
+    )

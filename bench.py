@@ -135,6 +135,41 @@ def main() -> None:
         gc.collect()
         spark.catalog.clearCache()
 
+    # Forced-banded variants (round-5): the size switch makes every
+    # local SF take the EXACT candidate branch, which would leave the
+    # 100 TB LSH branch of the switched dedup operators unmeasured.
+    # Re-time the two route-sensitive operators with the byte threshold
+    # forced to zero so the banded plan's cost stays visible per round
+    # (minhash_lsh_neardup above already times the core banded pipeline).
+    from mapreduceinfrastructure_spark.operators import dedup as dd
+
+    saved_threshold = dd.NEARDUP_EXACT_MAX_BYTES
+    dd.NEARDUP_EXACT_MAX_BYTES = 0
+    try:
+        for name in ("dedup_clusters", "incremental_dedup"):
+            bench_name = f"{name}_banded"
+            try:
+                samples = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    qs[name](spark, SF_DIR).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    samples.append(time.perf_counter() - t0)
+                samples.sort()
+                timings[bench_name] = round(samples[len(samples) // 2], 3)
+                timings_min[bench_name] = round(samples[0], 3)
+            except Exception as exc:  # noqa: BLE001
+                timings[bench_name] = None
+                timings_min[bench_name] = None
+                errors[bench_name] = f"{type(exc).__name__}: {exc}"[:300]
+            import gc as _gc
+
+            _gc.collect()
+            spark.catalog.clearCache()
+    finally:
+        dd.NEARDUP_EXACT_MAX_BYTES = saved_threshold
+
     # Write-path throughput (round-5): sinks are part of the surface —
     # time the end-to-end curated-shard materialization (curation
     # pipeline + partitioned parquet write).  Same reps/median protocol;

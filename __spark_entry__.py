@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enriched_revenue": es.streaming_enriched_revenue,
         "weighted_sample": pl.weighted_sample,
         "lang_entropy": pl.lang_entropy,
+        "streaming_curated_ingest": es.streaming_curated_ingest,
     }
 
 
@@ -1871,6 +1872,42 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rank
               FROM k
             ) WHERE rank <= {pl.WEIGHTED_SAMPLE_K}
+        """,
+        "streaming_curated_ingest": f"""
+            WITH toks AS (
+              SELECT doc_id, source, text,
+                     list_filter(string_split_regex(text, {_D}),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, source, text, len(t) AS nt,
+                     coalesce(list_sum(list_transform(t, x -> length(x)::DOUBLE)), 0.0)
+                       / greatest(len(t), 1) AS avg_len,
+                     length(regexp_replace(text, '[^,.]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) AS punct_ratio
+              FROM toks
+            ),
+            kept AS (
+              SELECT doc_id, nt,
+                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+              FROM m
+              WHERE round(least(1.0, nt / 100.0) * 0.5
+                          + (1.0 - punct_ratio) * 0.3
+                          + least(1.0, avg_len / 8.0) * 0.2, 6) >= 0.5
+            ),
+            g AS (
+              SELECT fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
+              FROM kept GROUP BY fp
+            )
+            SELECT d.source,
+                   count(*) AS n_admitted,
+                   CAST(sum(g.dup_cnt) AS BIGINT) AS n_arrived,
+                   CAST(sum(k.nt) AS BIGINT) AS n_tokens_admitted
+            FROM g
+            JOIN documents d ON g.keep_id = d.doc_id
+            JOIN kept k ON g.keep_id = k.doc_id
+            GROUP BY d.source
         """,
         "lang_entropy": """
             WITH cell AS (

@@ -292,3 +292,73 @@ def streaming_enriched_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, agg, "enriched_revenue_driver", output_mode="complete"
     )
     return got
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` as an unbounded stream — the shape of a continuous
+    crawl feed arriving at a training-data ingest service."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed curation ingest gate — the streaming twin of the batch
+    curation pipeline's entry stage, and the fifth oracle-backed
+    streaming signal.  Per arriving document: compute the linear
+    quality score (same expression as text_analysis.quality_score,
+    rounded to 6 like the batch pipeline's threshold compare), drop
+    low-quality docs, and exact-dedup survivors IN-STREAM via a
+    stateful groupBy(fingerprint) aggregation keeping (min doc_id,
+    dup count) — deterministic regardless of arrival order, unlike a
+    streaming dropDuplicates whose surviving row is
+    arrival-order-dependent.  A batch join back to the static table
+    then accounts kept docs/tokens per source — the admission report
+    a continuously-ingesting pipeline emits.
+
+    State is one row per distinct fingerprint — bounded by distinct
+    content, not stream volume; at scale the watermark variant expires
+    fingerprints once re-crawl duplicates can no longer arrive.
+    """
+    from ..functions.text import tokens_expr
+    from ..sources.tables import load_table
+
+    ds = read_documents_stream(spark, sf_dir)
+    toks = tokens_expr("text")
+    n_tokens = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
+    )
+    avg_len = total_len / F.greatest(n_tokens, F.lit(1)).cast("double")
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[^,.]", ""))
+    punct_ratio = n_punct.cast("double") / F.greatest(
+        F.length("text"), F.lit(1)
+    ).cast("double")
+    quality = (
+        F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(F.lit(1.0), avg_len / 8.0) * 0.2
+    )
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    kept = ds.filter(F.round(quality, 6) >= 0.5).select(
+        fp.alias("fp"), "doc_id"
+    )
+    agg = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt")
+    )
+    got = run_stream_to_memory(
+        spark, agg, "curated_ingest_driver", output_mode="complete"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("keep_id"),
+        "source",
+        F.size(tokens_expr("text")).cast("long").alias("nt"),
+    )
+    return got.join(docs, "keep_id").groupBy("source").agg(
+        F.count("*").cast("long").alias("n_admitted"),
+        F.sum("dup_cnt").cast("long").alias("n_arrived"),
+        F.sum("nt").cast("long").alias("n_tokens_admitted"),
+    )

@@ -104,3 +104,46 @@ def test_sink_empty_partitions(spark, tmp_path):
     assert len(paths) == 5
     contents = [open(p).read() for p in sorted(paths)]
     assert sum(1 for c in contents if c.strip()) == 1
+
+
+def test_cli_main_runs_reference_config_shape(spark, tmp_path):
+    """The module CLI (python -m mapreduceinfrastructure_spark
+    config.ini) — the reference's ./mrdemo entry — must parse the
+    reference config format, alias its shipped cs6210 user id onto the
+    wordcount task, run, and leave exactly n_output_files sorted text
+    files.  Invoked in-process so the already-running test session is
+    reused (get_spark getOrCreate)."""
+    import glob
+
+    from mapreduceinfrastructure_spark.__main__ import main
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("b a a\nc b a\n")
+    out_dir = tmp_path / "out"
+    config = tmp_path / "config.ini"
+    config.write_text(
+        "n_workers=2\n"
+        "worker_ipaddr_ports=localhost:50051,localhost:50052\n"
+        f"input_files={inp}\n"
+        f"output_dir={out_dir}\n"
+        "n_output_files=3\n"
+        "map_kilobytes=500\n"
+        "user_id=cs6210\n"
+    )
+    assert main(["prog", str(config)]) == 0
+    parts = sorted(glob.glob(str(out_dir / "wordcount_result_*")))
+    assert len(parts) == 3
+    kv = {}
+    for p in parts:
+        lines = open(p).read().splitlines()
+        assert lines == sorted(lines)  # per-file sorted contract
+        for line in lines:
+            k, v = line.split(" ")
+            kv[k] = int(v)
+    assert kv == {"a": 3, "b": 2, "c": 1}
+
+    # bad argv and bad spec paths return the reference's failure codes
+    assert main(["prog"]) == 2
+    bad = tmp_path / "bad.ini"
+    bad.write_text("user_id=\n")
+    assert main(["prog", str(bad)]) == 1

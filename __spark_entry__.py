@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": pl.weighted_sample,
         "lang_entropy": pl.lang_entropy,
         "streaming_curated_ingest": es.streaming_curated_ingest,
+        "cdc_dup_chunks": dd.cdc_dup_chunks,
     }
 
 
@@ -1268,6 +1269,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((n_docs >= 2)::INT) AS BIGINT) AS n_dup_spans,
                    round(sum((n_docs >= 2)::INT)::DOUBLE / count(*), 6) AS dup_frac
             FROM ex JOIN c USING (h) GROUP BY doc_id
+        """,
+        "cdc_dup_chunks": f"""
+            WITH b AS (
+              SELECT doc_id, text, length(text) AS n,
+                     list_filter(
+                       range({dd.CDC_WINDOW},
+                             greatest(length(text), {dd.CDC_WINDOW}) + 1),
+                       i -> i <= length(text)
+                            AND ('0x' || substr(md5(text[i-{dd.CDC_WINDOW - 1}:i]), 1, 4))::BIGINT
+                                % {dd.CDC_MODULUS} = 0
+                     ) AS bpos
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, text, n,
+                     list_prepend(1, list_transform(bpos, x -> x + 1)) AS starts,
+                     list_append(bpos, n) AS ends
+              FROM b
+            ),
+            c AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       list_transform(range(1, len(starts) + 1),
+                         j -> CASE WHEN ends[j] - starts[j] + 1 >= {dd.CDC_WINDOW}
+                                   THEN md5(text[starts[j]:ends[j]]) END),
+                       x -> x IS NOT NULL)) AS hs
+              FROM s
+            ),
+            ex AS (SELECT doc_id, unnest(hs) AS h FROM c),
+            cnt AS (SELECT h, count(*) AS n_docs FROM ex GROUP BY h)
+            SELECT doc_id, count(*) AS n_chunks,
+                   CAST(sum((n_docs >= 2)::INT) AS BIGINT) AS n_dup_chunks,
+                   round(sum((n_docs >= 2)::INT)::DOUBLE / count(*), 6)
+                     AS dup_frac
+            FROM ex JOIN cnt USING (h) GROUP BY doc_id
         """,
         "pagerank_nations": _pagerank_sql(),
         "fuzzy_blocked_join": """

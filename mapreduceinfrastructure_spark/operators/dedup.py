@@ -955,3 +955,73 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("da", "db", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
+
+
+# Content-defined chunking (CDC): window width and boundary modulus.
+# A position ends a chunk when the md5-derived value of the trailing
+# 8-char window is divisible by 32 -> expected chunk length ~32 chars.
+CDC_WINDOW = 8
+CDC_MODULUS = 32
+
+
+def cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup signal: per doc, how many of its
+    CDC chunks also appear verbatim in another doc.  The
+    insertion-robust complement to ``dup_spans``: fixed-stride spans
+    lose alignment after a single inserted word shifts every later
+    offset, while CDC boundaries are functions of local CONTENT (the
+    rolling window's hash), so shared passages re-synchronize at the
+    next content boundary regardless of offset — the rsync /
+    storage-dedup chunking principle applied to text curation.
+
+    Boundary rule (identical expression in the DuckDB oracle): position
+    i (1-based, i >= CDC_WINDOW) closes a chunk when the integer value
+    of the first 4 hex chars of md5(text[i-7..i]) is divisible by
+    CDC_MODULUS.  Chunks shorter than the window are noise and dropped.
+
+    Scale shape: boundary detection and chunk assembly are per-row
+    array expressions inside whole-stage codegen (no UDF, no shuffle);
+    then exactly the dup_spans plan — one algebraic count agg keyed on
+    chunk hash and one keyed join back, never a chunk self-join.  Cost
+    is O(len) windows per doc with a constant-width md5 each.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    text = F.col("text")
+    n = F.length(text)
+    win_val = lambda i: F.conv(  # noqa: E731 — local expression builder
+        F.substring(F.md5(F.substring(text, i - (CDC_WINDOW - 1), CDC_WINDOW)), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    bpos = F.filter(
+        F.sequence(F.lit(CDC_WINDOW), F.greatest(n, F.lit(CDC_WINDOW))),
+        lambda i: (i <= n) & (win_val(i) % CDC_MODULUS == 0),
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda x: x + 1))
+    ends = F.concat(bpos, F.array(n))
+    chunks = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.when(
+                e - s + 1 >= CDC_WINDOW, F.md5(F.substring(text, s, e - s + 1))
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    ex = docs.select(
+        "doc_id", F.explode(F.array_distinct(chunks)).alias("h")
+    )
+    counts = ex.groupBy("h").agg(F.count("*").alias("n_docs"))
+    dup = (F.col("n_docs") >= 2).cast("int")
+    return (
+        ex.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            F.round(
+                F.sum(dup).cast("double") / F.count("*").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

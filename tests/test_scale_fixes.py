@@ -427,3 +427,38 @@ def test_simhash_neardup_block_trick_equals_all_pairs(spark, sf_dir):
     blk_joins = [l for l in plan.splitlines() if re.search(r"Join.*\bblk#", l)]
     assert blk_joins, plan
     assert all("Broadcast" not in l for l in blk_joins), blk_joins
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark, tmp_path):
+    """The property that justifies CDC next to fixed-stride dup_spans:
+    after a single insertion shifts every later byte, content-defined
+    boundaries re-synchronize and the shared tail is still detected as
+    duplicate chunks (fixed-stride spans stay misaligned forever)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators.dedup import cdc_dup_chunks
+
+    rng = random.Random(11)
+    words = [f"w{rng.randrange(1000)}" for _ in range(600)]
+    a = " ".join(words)
+    b = " ".join(words[:5] + ["INSERTED"] + words[5:])  # shift everything
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array([a, b]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["x", "x"]),
+            "n_chars": pa.array([len(a), len(b)], type=pa.int64()),
+        }
+    )
+    d = tmp_path / "cdc_sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    rows = {r["doc_id"]: r for r in cdc_dup_chunks(spark, str(d)).collect()}
+    # the shared tail must re-synchronize into many duplicated chunks
+    for doc_id in (1, 2):
+        assert rows[doc_id]["n_dup_chunks"] >= 5, rows
+        assert rows[doc_id]["dup_frac"] >= 0.5, rows

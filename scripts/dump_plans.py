@@ -50,6 +50,8 @@ NOTES = {
     "simhash_neardup": "block-bucket self-join on (blk, val) pinned SHUFFLE_HASH (blocks are 4 rows/doc, corpus-linear — never broadcast); bit_count(xor) verify stays in codegen; pigeonhole-exact for Hamming <= 3, equivalence pinned in test_scale_fixes.py",
     "weighted_sample": "A-ES key (md5 -> conv -> pow) computed in one codegen projection; per-source top-K via WindowGroupLimit, so the single exchange moves ~K rows per (partition, source), never the corpus",
     "lang_entropy": "per-(source, lang) algebraic partials map-side; entropy, exp-entropy, and the struct-max majority pick all run over the aggregated |sources| x |langs| frame — nothing corpus-sized moves twice",
+    "cdc_dup_chunks": "content-defined boundaries + chunk assembly are per-row array expressions in whole-stage codegen (no UDF, no shuffle before the agg); then the dup_spans plan — one chunk-hash count agg (map-side partials absorb hot boilerplate chunks) + ONE keyed join back, never a chunk self-join",
+    "dup_spans": "span hashes deduped per doc map-side (array_distinct before the explode); one algebraic count agg keyed on span hash + one keyed join back — hot corpus-wide boilerplate spans are absorbed by map-side partials, and the join fans out per occurrence, never per pair",
 }
 
 

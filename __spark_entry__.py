@@ -378,6 +378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_entropy": pl.lang_entropy,
         "streaming_curated_ingest": es.streaming_curated_ingest,
         "cdc_dup_chunks": dd.cdc_dup_chunks,
+        "ngram_novelty": pl.ngram_novelty,
+        "corpus_summary": pl.corpus_summary,
     }
 
 
@@ -1269,6 +1271,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((n_docs >= 2)::INT) AS BIGINT) AS n_dup_spans,
                    round(sum((n_docs >= 2)::INT)::DOUBLE / count(*), 6) AS dup_frac
             FROM ex JOIN c USING (h) GROUP BY doc_id
+        """,
+        "corpus_summary": f"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, {_D}),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            m AS (
+              SELECT len(t) AS nt,
+                     least(1.0, len(t) / 100.0) * 0.5
+                       + (1.0 - length(regexp_replace(text, '[^,.]', '', 'g'))::DOUBLE
+                              / greatest(length(text), 1)) * 0.3
+                       + least(1.0,
+                           (coalesce(list_sum(list_transform(t, x -> length(x)::DOUBLE)), 0.0)
+                              / greatest(len(t), 1)) / 8.0) * 0.2 AS q,
+                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+              FROM toks
+            )
+            SELECT (SELECT count(*) FROM m) AS n_docs,
+                   (SELECT CAST(sum(nt) AS BIGINT) FROM m) AS n_tokens,
+                   (SELECT count(DISTINCT w)
+                    FROM (SELECT unnest(t) AS w FROM toks)) AS vocab_size,
+                   (SELECT round(avg(q), 6) FROM m) AS mean_quality,
+                   round(1.0 - (SELECT count(DISTINCT fp) FROM m)::DOUBLE
+                             / (SELECT count(*) FROM m)::DOUBLE, 6)
+                     AS exact_dup_rate
+        """,
+        "ngram_novelty": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, {_D}),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, unnest(list_distinct(
+                       list_transform(range(1, len(t) - 3),
+                                      i -> array_to_string(t[i:i+4], ' '))))
+                       AS g
+              FROM toks
+            ),
+            first AS (SELECT g, min(doc_id) AS first_id FROM grams GROUP BY g)
+            SELECT doc_id, count(*) AS n_ngrams,
+                   CAST(sum((doc_id = first_id)::INT) AS BIGINT) AS n_novel,
+                   round(sum((doc_id = first_id)::INT)::DOUBLE / count(*), 6)
+                     AS novelty
+            FROM grams JOIN first USING (g)
+            GROUP BY doc_id
         """,
         "cdc_dup_chunks": f"""
             WITH b AS (

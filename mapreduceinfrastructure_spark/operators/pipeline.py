@@ -713,3 +713,94 @@ def lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(ent), 6).alias("effective_langs"),
         best.getField("lang").alias("majority_lang"),
     )
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty contribution: the fraction of a doc's
+    distinct 5-grams whose FIRST appearance (lowest doc_id, standing in
+    for ingest order) is this document.  Novelty ~1 means the doc adds
+    fresh content; ~0 means everything it says was already in the
+    corpus — the signal that orders documents for greedy
+    dedup-priority sampling and measures marginal corpus value per
+    source batch.
+
+    Scale shape: per-doc n-gram dedup is map-side (array_distinct
+    before the explode); ONE gram-keyed algebraic agg computes each
+    gram's first-owner (min doc_id — hot boilerplate grams are
+    absorbed by map-side partials); the ownership join back is keyed on
+    the gram and fans out per occurrence, never per pair.  Zero-gram
+    docs (< 5 tokens) are absent (oracle mirrors).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_expr(F.col("t"), NGRAM_N))).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+    novel = (F.col("doc_id") == F.col("first_id")).cast("int")
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count("*").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health dashboard: document and token volume,
+    vocabulary size, exact-duplicate rate, and mean quality — the
+    numbers a curation run reports before and after each stage.
+
+    Three independent algebraic aggregations (per-doc stats, distinct
+    vocabulary, distinct fingerprints), each a single corpus pass with
+    map-side partials, assembled by 1-row broadcast crosses.  Nothing
+    wider than one row ever moves to the driver side of the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    n_tokens = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
+    )
+    avg_len = total_len / F.greatest(n_tokens, F.lit(1)).cast("double")
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[^,.]", ""))
+    punct_ratio = n_punct.cast("double") / F.greatest(
+        F.length("text"), F.lit(1)
+    ).cast("double")
+    quality = (
+        F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(F.lit(1.0), avg_len / 8.0) * 0.2
+    )
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    per_doc = docs.select(
+        n_tokens.cast("long").alias("nt"), quality.alias("q"), fp.alias("fp")
+    )
+    base = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.round(F.avg("q"), 6).alias("mean_quality"),
+        F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("vocab_size"))
+    )
+    return base.crossJoin(F.broadcast(vocab)).select(
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        "mean_quality",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_fp").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+    )

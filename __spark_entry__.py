@@ -1296,8 +1296,8 @@ def oracle_sql() -> dict[str, str]:
                     FROM (SELECT unnest(t) AS w FROM toks)) AS vocab_size,
                    (SELECT round(avg(q), 6) FROM m) AS mean_quality,
                    round(1.0 - (SELECT count(DISTINCT fp) FROM m)::DOUBLE
-                             / (SELECT count(*) FROM m)::DOUBLE, 6)
-                     AS exact_dup_rate
+                             / greatest((SELECT count(*) FROM m), 1)::DOUBLE,
+                         6) AS exact_dup_rate
         """,
         "ngram_novelty": f"""
             WITH toks AS (

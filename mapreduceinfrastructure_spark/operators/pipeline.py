@@ -800,7 +800,9 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.lit(1.0)
             - F.col("n_distinct_fp").cast("double")
-            / F.col("n_docs").cast("double"),
+            # greatest(.., 1): ANSI-safe on an empty corpus (the agg
+            # still emits its one row; 0/0 would throw)
+            / F.greatest(F.col("n_docs"), F.lit(1)).cast("double"),
             6,
         ).alias("exact_dup_rate"),
     )

@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dup_chunks": dd.cdc_dup_chunks,
         "ngram_novelty": pl.ngram_novelty,
         "corpus_summary": pl.corpus_summary,
+        "neardup_audit": dd.neardup_audit,
     }
 
 
@@ -1271,6 +1272,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((n_docs >= 2)::INT) AS BIGINT) AS n_dup_spans,
                    round(sum((n_docs >= 2)::INT)::DOUBLE / count(*), 6) AS dup_frac
             FROM ex JOIN c USING (h) GROUP BY doc_id
+        """,
+        "neardup_audit": f"""
+            {_SQL_TOKS},
+            sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+              FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT da, db, i::DOUBLE / (ca.n + cb.n - i) AS jaccard
+              FROM inter
+              JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+              WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5
+            ),
+            top AS (
+              SELECT da, db, jaccard,
+                     row_number() OVER (ORDER BY jaccard DESC, da ASC, db ASC)
+                       AS rank
+              FROM pairs
+            )
+            SELECT rank, da, db, jaccard,
+                   xa.snippet AS text_a, xb.snippet AS text_b
+            FROM top
+            JOIN (SELECT doc_id, substr(text, 1, 80) AS snippet FROM documents) xa
+              ON da = xa.doc_id
+            JOIN (SELECT doc_id, substr(text, 1, 80) AS snippet FROM documents) xb
+              ON db = xb.doc_id
+            WHERE rank <= {dd.AUDIT_TOP_K}
         """,
         "corpus_summary": f"""
             WITH toks AS (

@@ -25,7 +25,7 @@ from __future__ import annotations
 import glob
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_expr
@@ -1024,4 +1024,48 @@ def cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(dup).cast("double") / F.count("*").cast("double"), 6
             ).alias("dup_frac"),
         )
+    )
+
+
+# Audit sample size for neardup_audit.
+AUDIT_TOP_K = 20
+
+
+def neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-review audit sample: the top-K near-dup pairs by Jaccard
+    (ties broken on ids) with both texts' leading 80 chars side by
+    side — the spot-check table every dedup rollout ships to a
+    reviewer before thresholds go live.
+
+    Pairs ride the usual size switch (exact below
+    NEARDUP_EXACT_MAX_BYTES, banded past it); the text lookup joins
+    only the K-bounded pair sample against the (doc_id, snippet)
+    projection, so full documents never shuffle.  Global top-K over
+    the pair population is a TakeOrdered-style limit, not a
+    single-partition sort of everything.
+    """
+    pairs = neardup_pairs(spark, sf_dir, threshold=0.5)
+    top = (
+        pairs.orderBy(F.desc("jaccard"), F.asc("da"), F.asc("db"))
+        .limit(AUDIT_TOP_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("jaccard"), F.asc("da"), F.asc("db"))
+            ),
+        )
+    )
+    snip = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("snippet")
+    )
+    return (
+        top.join(
+            snip.select(F.col("doc_id").alias("da"), F.col("snippet").alias("text_a")),
+            "da",
+        )
+        .join(
+            snip.select(F.col("doc_id").alias("db"), F.col("snippet").alias("text_b")),
+            "db",
+        )
+        .select("rank", "da", "db", "jaccard", "text_a", "text_b")
     )

@@ -201,36 +201,93 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the first 50 entries: the driver's correctness
     # harness verifies exactly queries() entries 1-50 against oracle_sql.
-    # Round 5 rotates the window to the never-driver-verified tail
-    # (VERDICT r4 #1): 16 first-time entries — tpch_q9/q16/q17/q21,
-    # join_outer/join_full_outer/salted_join/merge_upsert,
-    # window_frames, sql_segment_spend, dup_spans, fuzzy_blocked_join,
-    # retention_cohorts, gap_fill, rolling_time_window, and
-    # streaming_active_users (the second streaming oracle signal, r4
-    # #3) — displacing same-family r4 survivors that already banked a
-    # green driver row (tf_idf/word_pmi/pii_scrub/stratified_sample
-    # keep word_count+token_stats as text reps; distinct_count is
-    # subsumed by topk_per_group's family; join_anti by the four
-    # windowed join flavors; source_overlap/keep_best_dedup/
-    # embedding_neardup by the six windowed dedup/similarity ops;
-    # mixture_weights by data_mixture per the r4 brief; tpch_q5 keeps
-    # tpch_q1 as the agg-join rep; event_transitions/trade_flows_2hop
-    # by funnel_conversion/triangle_count).  Every SURVEY 2.2 pattern
-    # keeps >=1 window slot; the two streaming signals close the
-    # window.  Every one of the 50 has an exact DuckDB oracle (pinned
-    # by tests/test_oracle_parity.py::test_driver_window_is_oracle_backed).
-    # Rows-only-by-design variants (ann_*, simhash, minhash_lsh_neardup
-    # — xxhash64 has no DuckDB twin, see its two-sided bound test in
-    # tests/test_ann_recall.py) and oracle duplicates (word_count_mr)
-    # sit past 50, covered by the identical local parity sweep
-    # (tests/test_oracle_parity.py).
+    # Round 6 goes all-in on banking the never-driver-verified backlog
+    # (VERDICT r5 #1/#8): word_count + grep stay as reference-fidelity
+    # anchors, and the other 48 slots are ALL first-time entries — the
+    # 12 round-5 operators, inverted_index_mr (the collecting-reduce
+    # user task), contamination_report, the full remaining TPC-H
+    # backlog (q2-q4, q6-q8, q10-q15, q19, q20, q22 — 15 shapes, which
+    # completes banked rows for all 22 TPC-H shapes this round), and
+    # the long-tail catalog entries (window_funcs_catalog,
+    # scalar_subquery, skew_safe_distinct, token_positions,
+    # pagerank_nations, trade_edges, grouping_sets_pricing,
+    # pandas_udaf_geomean, udtf_chunk_text, time_rollup,
+    # deterministic_sample, embedding_stats, stats_aggregates,
+    # not_in_null_aware, argmax_order, nested_roundtrip,
+    # cross_join_grid, bag_except, date_funcs).  Deferred to r7 (the
+    # three lowest-signal never-green entries): grep_mr (byte-identical
+    # oracle to grep), union_all_op, map_explode.  Everything displaced
+    # from the r5 window already banked a green driver row in
+    # CORRECTNESS_r05 and remains covered by the identical local parity
+    # sweep (tests/test_oracle_parity.py).  Every one of the 50 has an
+    # exact DuckDB oracle (pinned by
+    # tests/test_oracle_parity.py::test_driver_window_is_oracle_backed).
+    # Rows-only-by-design variants (ann_*, simhash*, minhash_lsh_neardup,
+    # bpe_merges, audio_energy, approx_distinct_users — no DuckDB twin
+    # by construction, each carries an equivalence/recall-floor test)
+    # sit past 50.
     return {
-        # --- text analysis (reference-fidelity anchors first) ---
+        # --- reference-fidelity anchors (always windowed) ---
         "word_count": ta.word_count,
         "grep": ta.grep,
+        # --- first-timers: MR engine + curation integrity ---
+        "inverted_index_mr": mr.inverted_index_mr,
+        "contamination_report": pl.contamination_report,
+        # --- first-timers: SQL/window/UDF catalog long tail ---
+        "window_funcs_catalog": adv.window_funcs_catalog,
+        "scalar_subquery": adv.scalar_subquery,
+        "skew_safe_distinct": adv.skew_safe_distinct,
+        "token_positions": adv.token_positions,
+        "grouping_sets_pricing": adv.grouping_sets_pricing,
+        "pandas_udaf_geomean": adv.pandas_udaf_geomean,
+        "udtf_chunk_text": adv.udtf_chunk_text,
+        "time_rollup": adv.time_rollup,
+        "deterministic_sample": adv.deterministic_sample,
+        "stats_aggregates": adv.stats_aggregates,
+        "not_in_null_aware": adv.not_in_null_aware,
+        "argmax_order": adv.argmax_order,
+        "nested_roundtrip": adv.nested_roundtrip,
+        "cross_join_grid": adv.cross_join_grid,
+        "bag_except": adv.bag_except,
+        "date_funcs": adv.date_funcs,
+        # --- first-timers: graph ---
+        "pagerank_nations": gr.pagerank_nations,
+        "trade_edges": gr.trade_edges,
+        # --- first-timers: embeddings ---
+        "embedding_stats": sim.embedding_stats,
+        "embedding_outliers": sim.embedding_outliers,
+        # --- first-timers: the remaining TPC-H backlog (15 shapes) ---
+        "tpch_q2": tpch.tpch_q2,
+        "tpch_q3": tpch.tpch_q3,
+        "tpch_q4": tpch.tpch_q4,
+        "tpch_q6": tpch.tpch_q6,
+        "tpch_q7": tpch.tpch_q7,
+        "tpch_q8": tpch.tpch_q8,
+        "tpch_q10": tpch.tpch_q10,
+        "tpch_q11": tpch.tpch_q11,
+        "tpch_q12": tpch.tpch_q12,
+        "tpch_q13": tpch.tpch_q13,
+        "tpch_q14": tpch.tpch_q14,
+        "tpch_q15": tpch.tpch_q15,
+        "tpch_q19": tpch.tpch_q19,
+        "tpch_q20": tpch.tpch_q20,
+        "tpch_q22": tpch.tpch_q22,
+        # --- first-timers: the round-5 analytics ---
+        "zipf_slope": ta.zipf_slope,
+        "bigram_logprob_score": pl.bigram_logprob_score,
+        "weighted_sample": pl.weighted_sample,
+        "lang_entropy": pl.lang_entropy,
+        "cdc_dup_chunks": dd.cdc_dup_chunks,
+        "ngram_novelty": pl.ngram_novelty,
+        "corpus_summary": pl.corpus_summary,
+        "neardup_audit": dd.neardup_audit,
+        # --- first-timers: the three round-5 streaming signals ---
+        "streaming_sessions": es.streaming_sessions,
+        "streaming_enriched_revenue": es.streaming_enriched_revenue,
+        "streaming_curated_ingest": es.streaming_curated_ingest,
+        # ---------- entries past the driver window (local parity only) ----------
         "inverted_index": ta.inverted_index,
         "token_stats": ta.token_stats,
-        # --- per-key aggregation / relational core ---
         "key_count": rel.key_count,
         "key_stats": rel.key_stats,
         "select_project": rel.select_project,
@@ -241,7 +298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": rel.topk_per_group,
         "rollup_pricing": rel.rollup_pricing,
         "sessionize": rel.sessionize,
-        # --- join catalog + advanced relational (r5 first-timers) ---
         "join_outer": adv.join_outer,
         "join_full_outer": adv.join_full_outer,
         "salted_join": adv.salted_join,
@@ -250,7 +306,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": adv.merge_upsert,
         "window_frames": adv.window_frames,
         "sql_segment_spend": sqlapi.sql_segment_spend,
-        # --- dedup / similarity / multimodal ---
         "dedup_exact": dd.dedup_exact,
         "ngram_jaccard_neardup": dd.ngram_jaccard_neardup,
         "dedup_clusters": dd.dedup_clusters,
@@ -259,13 +314,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_blocked_join": dd.fuzzy_blocked_join,
         "cosine_topk": sim.cosine_topk,
         "multimodal_features": mm.multimodal_features,
-        # --- event analytics / graph ---
         "funnel_conversion": ts.funnel_conversion,
         "retention_cohorts": ts.retention_cohorts,
         "gap_fill": ts.gap_fill,
         "rolling_time_window": ts.rolling_time_window,
         "triangle_count": gr.triangle_count,
-        # --- LLM-curation north star ---
         "decontamination": pl.decontamination,
         "data_mixture": pl.data_mixture,
         "repetition_filter": pl.repetition_filter,
@@ -274,15 +327,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": pl.split_assign,
         "curation_pipeline": pl.curation_pipeline,
         "shard_manifest": pl.shard_manifest,
-        # --- TPC-H representatives + the two streaming hard signals ---
         "tpch_q1": tpch.tpch_q1,
+        "tpch_q5": tpch.tpch_q5,
         "tpch_q9": tpch.tpch_q9,
         "tpch_q16": tpch.tpch_q16,
         "tpch_q17": tpch.tpch_q17,
+        "tpch_q18": tpch.tpch_q18,
         "tpch_q21": tpch.tpch_q21,
         "streaming_active_users": es.streaming_active_users,
         "streaming_hourly_counts": es.streaming_hourly_counts,
-        # ---------- entries past the driver window (local parity only) ----------
         "tf_idf": ta.tf_idf,
         "word_pmi": ta.word_pmi,
         "pii_scrub": ta.pii_scrub,
@@ -298,7 +351,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_flows_2hop": gr.trade_flows_2hop,
         "keep_best_dedup": pl.keep_best_dedup,
         "mixture_weights": pl.mixture_weights,
-        "tpch_q5": tpch.tpch_q5,
         "bpe_token_count": ta.bpe_token_count,
         "rolling_fingerprint": ta.rolling_fingerprint,
         "cube_pricing": adv.cube_pricing,
@@ -316,7 +368,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": rel.window_running,
         "pivot_status": rel.pivot_status,
         "scalar_funcs": adv.scalar_funcs,
-        "tpch_q18": tpch.tpch_q18,
         "simhash": dd.simhash,
         "simhash_neardup": dd.simhash_neardup,
         "bpe_merges": ta.bpe_merges,
@@ -325,62 +376,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
         "grep_mr": mr.grep_mr,
-        "inverted_index_mr": mr.inverted_index_mr,
-        "contamination_report": pl.contamination_report,
         "except_op": adv.except_op,
         "approx_distinct_users": adv.approx_distinct_users,
         "prior_order": adv.prior_order,
         "union_all_op": adv.union_all_op,
-        "window_funcs_catalog": adv.window_funcs_catalog,
-        "scalar_subquery": adv.scalar_subquery,
-        "skew_safe_distinct": adv.skew_safe_distinct,
-        "token_positions": adv.token_positions,
-        "minhash_lsh_neardup": dd.minhash_lsh_neardup,
-        "pagerank_nations": gr.pagerank_nations,
-        "trade_edges": gr.trade_edges,
-        "grouping_sets_pricing": adv.grouping_sets_pricing,
-        "pandas_udaf_geomean": adv.pandas_udaf_geomean,
-        "udtf_chunk_text": adv.udtf_chunk_text,
         "map_explode": adv.map_explode,
-        "time_rollup": adv.time_rollup,
-        "deterministic_sample": adv.deterministic_sample,
-        "tpch_q3": tpch.tpch_q3,
-        "tpch_q6": tpch.tpch_q6,
-        "tpch_q10": tpch.tpch_q10,
-        "tpch_q4": tpch.tpch_q4,
-        "tpch_q7": tpch.tpch_q7,
-        "tpch_q8": tpch.tpch_q8,
-        "tpch_q9": tpch.tpch_q9,
-        "tpch_q12": tpch.tpch_q12,
-        "tpch_q13": tpch.tpch_q13,
-        "tpch_q14": tpch.tpch_q14,
-        "tpch_q15": tpch.tpch_q15,
-        "tpch_q19": tpch.tpch_q19,
-        "tpch_q22": tpch.tpch_q22,
-        "embedding_stats": sim.embedding_stats,
-        "stats_aggregates": adv.stats_aggregates,
-        "not_in_null_aware": adv.not_in_null_aware,
-        "argmax_order": adv.argmax_order,
-        "nested_roundtrip": adv.nested_roundtrip,
-        "cross_join_grid": adv.cross_join_grid,
-        "bag_except": adv.bag_except,
-        "date_funcs": adv.date_funcs,
-        "tpch_q2": tpch.tpch_q2,
-        "tpch_q11": tpch.tpch_q11,
-        "tpch_q20": tpch.tpch_q20,
-        # round-5 additions (window candidates for the next rotation)
-        "zipf_slope": ta.zipf_slope,
-        "bigram_logprob_score": pl.bigram_logprob_score,
-        "embedding_outliers": sim.embedding_outliers,
-        "streaming_sessions": es.streaming_sessions,
-        "streaming_enriched_revenue": es.streaming_enriched_revenue,
-        "weighted_sample": pl.weighted_sample,
-        "lang_entropy": pl.lang_entropy,
-        "streaming_curated_ingest": es.streaming_curated_ingest,
-        "cdc_dup_chunks": dd.cdc_dup_chunks,
-        "ngram_novelty": pl.ngram_novelty,
-        "corpus_summary": pl.corpus_summary,
-        "neardup_audit": dd.neardup_audit,
+        "minhash_lsh_neardup": dd.minhash_lsh_neardup,
     }
 
 

@@ -26,21 +26,20 @@ def test_registry_consistency():
 # insertion/reorder can't silently push an oracle-backed query out of
 # (or a rows-only query into) the verified window.
 DRIVER_WINDOW = [
-    "word_count", "grep", "inverted_index", "token_stats", "key_count",
-    "key_stats", "select_project", "histogram",
-    "join_revenue_by_nation", "edge_inversion", "distributed_sort",
-    "topk_per_group", "rollup_pricing", "sessionize", "join_outer",
-    "join_full_outer", "salted_join", "asof_join", "range_join_events",
-    "merge_upsert", "window_frames", "sql_segment_spend", "dedup_exact",
-    "ngram_jaccard_neardup", "dedup_clusters", "incremental_dedup",
-    "dup_spans", "fuzzy_blocked_join", "cosine_topk",
-    "multimodal_features", "funnel_conversion", "retention_cohorts",
-    "gap_fill", "rolling_time_window", "triangle_count",
-    "decontamination", "data_mixture", "repetition_filter",
-    "unigram_logprob_score", "pack_sequences", "split_assign",
-    "curation_pipeline", "shard_manifest", "tpch_q1", "tpch_q9",
-    "tpch_q16", "tpch_q17", "tpch_q21", "streaming_active_users",
-    "streaming_hourly_counts",
+    "word_count", "grep", "inverted_index_mr", "contamination_report",
+    "window_funcs_catalog", "scalar_subquery", "skew_safe_distinct",
+    "token_positions", "grouping_sets_pricing", "pandas_udaf_geomean",
+    "udtf_chunk_text", "time_rollup", "deterministic_sample",
+    "stats_aggregates", "not_in_null_aware", "argmax_order",
+    "nested_roundtrip", "cross_join_grid", "bag_except", "date_funcs",
+    "pagerank_nations", "trade_edges", "embedding_stats",
+    "embedding_outliers", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q19", "tpch_q20",
+    "tpch_q22", "zipf_slope", "bigram_logprob_score", "weighted_sample",
+    "lang_entropy", "cdc_dup_chunks", "ngram_novelty", "corpus_summary",
+    "neardup_audit", "streaming_sessions", "streaming_enriched_revenue",
+    "streaming_curated_ingest",
 ]
 
 

@@ -1357,16 +1357,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "cdc_dup_chunks": f"""
-            WITH b AS (
+            WITH cp AS (
               SELECT doc_id, text, length(text) AS n,
-                     list_filter(
-                       range({dd.CDC_WINDOW},
-                             greatest(length(text), {dd.CDC_WINDOW}) + 1),
-                       i -> i <= length(text)
-                            AND ('0x' || substr(md5(text[i-{dd.CDC_WINDOW - 1}:i]), 1, 4))::BIGINT
-                                % {dd.CDC_MODULUS} = 0
-                     ) AS bpos
+                     list_transform(
+                       list_filter(string_split(text, ''), c -> c != ''),
+                       c -> unicode(c)::BIGINT) AS cps
               FROM documents
+            ),
+            b AS (
+              SELECT doc_id, text, n,
+                     list_filter(
+                       range({dd.CDC_WINDOW}, greatest(n, {dd.CDC_WINDOW}) + 1),
+                       i -> i <= n
+                            AND ({" + ".join(f"cps[(i - {j})::INT] * {p}" for j, p in enumerate(dd.CDC_POW))})
+                                % {dd.CDC_PRIME} % {dd.CDC_MODULUS} = 0
+                     ) AS bpos
+              FROM cp
             ),
             s AS (
               SELECT doc_id, text, n,

@@ -10,6 +10,8 @@ whole-stage codegen — no Python UDF in the hot path.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -51,3 +53,55 @@ def ngrams_expr(tokens: Column, n: int) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+class QualitySignals(NamedTuple):
+    """Column bundle produced by :func:`quality_signals`."""
+
+    n_tokens: Column
+    avg_token_len: Column
+    punct_ratio: Column
+    quality: Column
+
+
+def quality_signals(text: Column | str, tokens: Column | None = None) -> QualitySignals:
+    """THE document quality score — single definition for the linear
+    heuristic used by text_analysis.quality_score, the curation
+    pipeline's q >= 0.5 gate, corpus_summary's mean_quality, and the
+    streaming ingest gate (one threshold-bearing formula, one home;
+    VERDICT r5 #4):
+
+        quality = min(1, n_tokens/100) * 0.5
+                + (1 - punct_ratio)    * 0.3
+                + min(1, avg_len/8)    * 0.2
+
+    All pieces are codegen expressions over the text column (and the
+    token array, built here unless the caller already materialized
+    one).  Callers that compare against thresholds round to 6 decimals
+    first so the boundary decision is representation-stable across
+    engines; the DuckDB oracles carry the identical formula.
+    """
+    text_c = F.col(text) if isinstance(text, str) else text
+    toks = tokens_expr(text_c) if tokens is None else tokens
+    n_tokens = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
+    )
+    avg_len = total_len / F.greatest(n_tokens, F.lit(1)).cast("double")
+    n_punct = F.length(F.regexp_replace(text_c, "[^,.]", ""))
+    punct_ratio = n_punct.cast("double") / F.greatest(
+        F.length(text_c), F.lit(1)
+    ).cast("double")
+    quality = (
+        F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(F.lit(1.0), avg_len / 8.0) * 0.2
+    )
+    return QualitySignals(n_tokens, avg_len, punct_ratio, quality)
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of lowercased, whitespace-collapsed
+    text — the one normalization every exact-dedup surface shares."""
+    text_c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(text_c), r"\s+", " "))

@@ -40,7 +40,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import ngrams_expr, tokens_expr
+from ..functions.text import (
+    ngrams_expr,
+    normalized_fingerprint,
+    quality_signals,
+    tokens_expr,
+)
 from ..sources.tables import load_table
 
 # Temperature for mixture_weights: flattens the source×lang sampling
@@ -369,20 +374,8 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw_ratio = F.size(F.array_intersect(distinct_t, sw)).cast("double") / F.greatest(
         F.size(distinct_t), F.lit(1)
     ).cast("double")
-    n_tokens = F.size("t")
-    total_len = F.aggregate(
-        F.col("t"), F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
-    )
-    avg_len = total_len / F.greatest(n_tokens, F.lit(1)).cast("double")
-    n_punct = F.length(F.regexp_replace(F.col("text"), "[^,.]", ""))
-    punct_ratio = n_punct.cast("double") / F.greatest(
-        F.length("text"), F.lit(1)
-    ).cast("double")
-    quality = (
-        F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * 0.5
-        + (F.lit(1.0) - punct_ratio) * 0.3
-        + F.least(F.lit(1.0), avg_len / 8.0) * 0.2
-    )
+    qs = quality_signals("text", tokens=F.col("t"))
+    n_tokens, quality = qs.n_tokens, qs.quality
     # Scores are rounded to 6 decimals BEFORE the threshold compare (and
     # the oracle rounds identically): the filters below sit exactly on
     # float thresholds (q >= 0.5, swr >= 0.08), and rounding makes the
@@ -394,7 +387,7 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.cast("long").alias("nt"),
         F.round(sw_ratio, 6).alias("swr"),
         F.round(quality, 6).alias("q"),
-        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fp"),
+        normalized_fingerprint("text").alias("fp"),
     )
 
     # repetition flag (doc_id-keyed narrow frame; bigram-less docs absent)
@@ -763,24 +756,11 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     wider than one row ever moves to the driver side of the plan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_expr("text")
-    n_tokens = F.size(toks)
-    total_len = F.aggregate(
-        toks, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
-    )
-    avg_len = total_len / F.greatest(n_tokens, F.lit(1)).cast("double")
-    n_punct = F.length(F.regexp_replace(F.col("text"), "[^,.]", ""))
-    punct_ratio = n_punct.cast("double") / F.greatest(
-        F.length("text"), F.lit(1)
-    ).cast("double")
-    quality = (
-        F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * 0.5
-        + (F.lit(1.0) - punct_ratio) * 0.3
-        + F.least(F.lit(1.0), avg_len / 8.0) * 0.2
-    )
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    qs = quality_signals("text")
     per_doc = docs.select(
-        n_tokens.cast("long").alias("nt"), quality.alias("q"), fp.alias("fp")
+        qs.n_tokens.cast("long").alias("nt"),
+        qs.quality.alias("q"),
+        normalized_fingerprint("text").alias("fp"),
     )
     base = per_doc.agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -789,7 +769,7 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
     )
     vocab = (
-        docs.select(F.explode(toks).alias("w"))
+        docs.select(F.explode(tokens_expr("text")).alias("w"))
         .agg(F.countDistinct("w").cast("long").alias("vocab_size"))
     )
     return base.crossJoin(F.broadcast(vocab)).select(

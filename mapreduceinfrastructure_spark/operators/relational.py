@@ -183,12 +183,15 @@ def global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition.  The scale path: range-partition on the sort key, local
     row_number within each sorted partition, then add per-partition
     offsets (prefix sums over partition counts — a tiny driver-side
-    window over ~#partitions rows, broadcast back).
+    window over ~#partitions rows, broadcast back).  Width comes from
+    the cluster (``session.two_pass_rank_width``), not a constant.
     """
+    from ..session import two_pass_rank_width
+
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
-    ranged = part.repartitionByRange(8, "p_retailprice", "p_partkey").sortWithinPartitions(
-        "p_retailprice", "p_partkey"
-    )
+    ranged = part.repartitionByRange(
+        two_pass_rank_width(spark), "p_retailprice", "p_partkey"
+    ).sortWithinPartitions("p_retailprice", "p_partkey")
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     w_local = Window.partitionBy("_pid").orderBy("p_retailprice", "p_partkey")
     local = with_pid.withColumn("_local_rn", F.row_number().over(w_local))

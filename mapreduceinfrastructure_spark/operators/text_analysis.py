@@ -262,27 +262,22 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     score = min(1, n_tokens/100) * 0.5 + (1 - punct_ratio) * 0.3
             + min(1, avg_len/8) * 0.2
+
+    (Single definition: functions.text.quality_signals — shared with
+    the curation gate, corpus_summary, and the streaming ingest gate.)
     """
+    from ..functions.text import quality_signals
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_expr("text")
-    n_tokens = F.size(toks)
-    total_len = F.aggregate(toks, F.lit(0.0), lambda a, x: a + F.length(x).cast("double"))
-    avg_len = total_len / F.greatest(n_tokens, F.lit(1)).cast("double")
-    n_punct = F.length(F.regexp_replace(F.col("text"), "[^,.]", ""))
-    punct_ratio = n_punct.cast("double") / F.greatest(F.length("text"), F.lit(1)).cast("double")
-    score = (
-        F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * 0.5
-        + (F.lit(1.0) - punct_ratio) * 0.3
-        + F.least(F.lit(1.0), avg_len / 8.0) * 0.2
-    )
+    q = quality_signals("text")
     return docs.select(
         "doc_id",
-        n_tokens.cast("long").alias("n_tokens"),
+        q.n_tokens.cast("long").alias("n_tokens"),
         # no rounding: both engines evaluate the identical IEEE expression
         # tree per row, so raw doubles are bit-identical; rounding is what
         # introduces divergence at decimal-boundary values.
-        punct_ratio.alias("punct_ratio"),
-        score.alias("quality"),
+        q.punct_ratio.alias("punct_ratio"),
+        q.quality.alias("quality"),
     )
 
 
@@ -487,8 +482,10 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = ex.groupBy("w").agg(F.count("*").alias("c"))
     from pyspark.sql import Window
 
+    from ..session import two_pass_rank_width
+
     ranged = freq.repartitionByRange(
-        8, F.col("c").desc(), F.col("w").asc()
+        two_pass_rank_width(spark), F.col("c").desc(), F.col("w").asc()
     ).sortWithinPartitions(F.col("c").desc(), F.col("w").asc())
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     w_local = Window.partitionBy("_pid").orderBy(F.desc("c"), F.asc("w"))

@@ -323,28 +323,17 @@ def streaming_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     content, not stream volume; at scale the watermark variant expires
     fingerprints once re-crawl duplicates can no longer arrive.
     """
-    from ..functions.text import tokens_expr
+    from ..functions.text import (
+        normalized_fingerprint,
+        quality_signals,
+        tokens_expr,
+    )
     from ..sources.tables import load_table
 
     ds = read_documents_stream(spark, sf_dir)
-    toks = tokens_expr("text")
-    n_tokens = F.size(toks)
-    total_len = F.aggregate(
-        toks, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
-    )
-    avg_len = total_len / F.greatest(n_tokens, F.lit(1)).cast("double")
-    n_punct = F.length(F.regexp_replace(F.col("text"), "[^,.]", ""))
-    punct_ratio = n_punct.cast("double") / F.greatest(
-        F.length("text"), F.lit(1)
-    ).cast("double")
-    quality = (
-        F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * 0.5
-        + (F.lit(1.0) - punct_ratio) * 0.3
-        + F.least(F.lit(1.0), avg_len / 8.0) * 0.2
-    )
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    quality = quality_signals("text").quality
     kept = ds.filter(F.round(quality, 6) >= 0.5).select(
-        fp.alias("fp"), "doc_id"
+        normalized_fingerprint("text").alias("fp"), "doc_id"
     )
     agg = kept.groupBy("fp").agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt")

@@ -462,3 +462,26 @@ def test_cdc_chunks_resynchronize_after_insertion(spark, tmp_path):
     for doc_id in (1, 2):
         assert rows[doc_id]["n_dup_chunks"] >= 5, rows
         assert rows[doc_id]["dup_frac"] >= 0.5, rows
+
+
+def test_two_pass_rank_equivalent_across_widths(spark, sf_dir, monkeypatch):
+    """The two-pass rank (global_rank, zipf_slope) must produce
+    identical results at ANY partition width — the width is a cluster
+    knob (session.two_pass_rank_width derives it from
+    defaultParallelism; VERDICT r5 #3), never a semantic input."""
+    from mapreduceinfrastructure_spark.operators.relational import global_rank
+    from mapreduceinfrastructure_spark.operators.text_analysis import zipf_slope
+    from mapreduceinfrastructure_spark.session import two_pass_rank_width
+
+    results = {}
+    for width in ("3", "17"):
+        monkeypatch.setenv("SPARK_GRAFT_RANK_WIDTH", width)
+        assert two_pass_rank_width(spark) == int(width)
+        results[width] = (
+            sorted(map(tuple, global_rank(spark, sf_dir).collect())),
+            sorted(map(tuple, zipf_slope(spark, sf_dir).collect())),
+        )
+    assert results["3"] == results["17"]
+    monkeypatch.delenv("SPARK_GRAFT_RANK_WIDTH")
+    # the derived (un-overridden) width respects the parallelism floor
+    assert two_pass_rank_width(spark) >= 8

@@ -222,3 +222,83 @@ def test_streaming_checkpoint_recovery_no_loss_no_dup(spark, sf_dir, tmp_path):
     n_expected = early.count() + late.count()
     assert got.select("event_id").distinct().count() == n_expected
     assert got.count() == n_expected  # no duplicate emitted, no replay
+
+
+def test_watermarked_ingest_gate_drops_late_arrivals(spark, tmp_path):
+    """The bounded-state claim, proven (VERDICT r5 #6): feed the
+    watermarked ingest gate a TWO-batch stream where batch 2 replays a
+    duplicate of a document whose ingest window the batch-1 watermark
+    already closed.  The late replay must be dropped deterministically
+    (the closed window's emitted row never changes), and still-open
+    windows must not be emitted at all."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.streaming.event_stream import (
+        curated_ingest_windowed_gate,
+        run_stream_to_memory,
+    )
+
+    # quality >= 0.5 needs ~100+ tokens
+    def doc(doc_id, text):
+        return {"doc_id": doc_id, "text": text, "lang": "en",
+                "source": "crawl", "n_chars": len(text)}
+
+    base_text = " ".join(f"tok{i}" for i in range(120))
+    # batch 1: doc 0 (ts 0 min, window [0,600)) .. doc 59 (ts 59 min).
+    # The watermark advances to 59m - 10m = 49m for the NEXT trigger
+    # (Spark's late filter uses the previous trigger's watermark), so
+    # windows with end <= 49m ([0,10m) .. [30m,40m)) close.
+    rows1 = [doc(i, base_text + f" uniq{i}") for i in range(60)]
+    # batch 2: an on-time doc (residue 59) — exists only to put one
+    # full trigger between the watermark advance and the late replay.
+    rows2 = [doc(299, base_text + " uniq299")]
+    # batch 3: doc 120 is an exact replay of doc 0's text with residue
+    # 0 -> same window [0,600), closed since batch 2: LATE, dropped.
+    # doc 179 (residue 59) lands in the open window [50m,60m): on time
+    # but never emitted (window still open at end of stream).
+    rows3 = [doc(120, base_text + " uniq0"), doc(179, base_text + " uniq179")]
+
+    d = tmp_path / "wm_stream"
+    d.mkdir()
+    for name, rows, mtime in (
+        ("b1.parquet", rows1, 1_000),
+        ("b2.parquet", rows2, 2_000),
+        ("b3.parquet", rows3, 3_000),
+    ):
+        t = pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "text": pa.array([r["text"] for r in rows]),
+            "lang": pa.array([r["lang"] for r in rows]),
+            "source": pa.array([r["source"] for r in rows]),
+            "n_chars": pa.array([r["n_chars"] for r in rows], type=pa.int64()),
+        })
+        pq.write_table(t, d / name)
+        os.utime(d / name, (mtime, mtime))  # file source processes oldest-first
+
+    schema = spark.read.parquet(str(d / "b1.parquet")).schema
+    ds = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    got = run_stream_to_memory(
+        spark, curated_ingest_windowed_gate(ds),
+        "wm_late_test", output_mode="append",
+    ).collect()
+
+    by_key = {}
+    for r in got:
+        assert r["keep_id"] not in (120, 179, 299), f"late/open row emitted: {r}"
+        by_key.setdefault((r["win_start"], r["fp"]), []).append(r)
+    # closed windows: exactly one row per (window, fp), each dup_cnt=1
+    # (the late replay of doc 0 did NOT bump its window's count)
+    assert all(len(v) == 1 for v in by_key.values()), by_key
+    emitted_ids = sorted(r["keep_id"] for r in got)
+    # watermark after batch 1 = 59m - 10m = 49m; closed windows are
+    # those with end <= 49m, i.e. [0,10m) .. [30m,40m) -> residues
+    # 0..39.  [40m,50m) (end 50m) and later stay open.
+    assert emitted_ids == list(range(40)), emitted_ids
+    assert all(r["dup_cnt"] == 1 for r in got)

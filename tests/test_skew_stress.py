@@ -93,3 +93,87 @@ def test_salted_join_equals_unsalted_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, unsalted.collect())
     )
+
+
+def _write_documents(tmp_path, name, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array([r[2] for r in rows]),
+                "source": pa.array([r[3] for r in rows]),
+                "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_ngram_novelty_correct_under_hot_gram_skew(spark, tmp_path):
+    """ngram_novelty's join-back key is the 5-gram — boilerplate makes
+    it a textbook hot key (VERDICT r5 #7).  300 docs share ONE
+    boilerplate 5-gram (300x hotter than every content gram); the
+    min-agg must absorb it map-side and the occurrence join back must
+    still produce exact per-doc fractions."""
+    from mapreduceinfrastructure_spark.operators.pipeline import ngram_novelty
+
+    boiler = "b1 b2 b3 b4 b5"
+    rows = [
+        (i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e", "en", "s")
+        for i in range(300)
+    ]
+    d = _write_documents(tmp_path, "novelty_skew", rows)
+    got = {r["doc_id"]: r for r in ngram_novelty(spark, d).collect()}
+    assert len(got) == 300
+    # each doc has 10 tokens -> 6 distinct 5-grams; the boilerplate
+    # gram belongs to doc 0, every other gram mentions u{i}* and is
+    # unique to its doc
+    assert got[0]["n_ngrams"] == 6 and got[0]["n_novel"] == 6
+    assert got[0]["novelty"] == 1.0
+    for i in range(1, 300):
+        r = got[i]
+        assert (r["n_ngrams"], r["n_novel"]) == (6, 5), r
+        assert r["novelty"] == round(5 / 6, 6), r
+
+
+def test_lang_entropy_correct_under_mega_source_skew(spark, tmp_path):
+    """lang_entropy shuffles on the source key; one mega-source owning
+    ~99% of docs is the skew case (VERDICT r5 #7).  The two-level
+    algebraic shape must absorb it in map-side partials and produce
+    the exact Shannon entropy."""
+    import math
+
+    from mapreduceinfrastructure_spark.operators.pipeline import lang_entropy
+
+    rows = []
+    nid = 0
+    for lang, n in (("en", 1500), ("de", 400), ("fr", 100)):
+        for _ in range(n):
+            rows.append((nid, "x", lang, "mega"))
+            nid += 1
+    for _ in range(3):
+        rows.append((nid, "x", "en", "tiny"))
+        nid += 1
+    d = _write_documents(tmp_path, "entropy_skew", rows)
+    got = {r["source"]: r for r in lang_entropy(spark, d).collect()}
+
+    ps = [1500 / 2000, 400 / 2000, 100 / 2000]
+    ent = -sum(p * math.log(p) for p in ps)
+    mega = got["mega"]
+    assert (mega["n_langs"], mega["n_docs"], mega["majority_lang"]) == (3, 2000, "en")
+    assert mega["entropy"] == round(ent, 6)
+    assert mega["effective_langs"] == round(math.exp(ent), 6)
+    tiny = got["tiny"]
+    assert (tiny["n_langs"], tiny["n_docs"], tiny["entropy"]) == (1, 3, -0.0) or (
+        tiny["n_langs"],
+        tiny["n_docs"],
+        tiny["entropy"],
+    ) == (1, 3, 0.0)
+    assert tiny["majority_lang"] == "en"

@@ -382,6 +382,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_op": adv.union_all_op,
         "map_explode": adv.map_explode,
         "minhash_lsh_neardup": dd.minhash_lsh_neardup,
+        # round-6 additions (window candidates for the next rotation)
+        "streaming_curated_ingest_watermarked": es.streaming_curated_ingest_watermarked,
+        "token_budget_cap": pl.token_budget_cap,
+        "kmeans_step": sim.kmeans_step,
+        "bloom_decontaminate": pl.bloom_decontaminate,
+        "langid_eval": ta.langid_eval,
+        "quality_calibration": pl.quality_calibration,
     }
 
 
@@ -1396,6 +1403,180 @@ def oracle_sql() -> dict[str, str]:
                    round(sum((n_docs >= 2)::INT)::DOUBLE / count(*), 6)
                      AS dup_frac
             FROM ex JOIN cnt USING (h) GROUP BY doc_id
+        """,
+        "streaming_curated_ingest_watermarked": f"""
+            -- watermarked append-mode twin: windows emitted iff the
+            -- final watermark (max ingest_ts - 10 min) passed win_end;
+            -- ingest_ts is the synthesized (doc_id % 60) minutes.
+            WITH toks AS (
+              SELECT doc_id, source, text,
+                     (doc_id % 60) * 60 AS ts_s,
+                     list_filter(string_split_regex(text, '[ ,."'']'),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            mx AS (SELECT max(ts_s) AS mx FROM toks),
+            m AS (
+              SELECT doc_id, source, text, ts_s, len(t) AS nt,
+                     coalesce(list_sum(list_transform(t, x -> length(x)::DOUBLE)), 0.0)
+                       / greatest(len(t), 1) AS avg_len,
+                     length(regexp_replace(text, '[^,.]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) AS punct_ratio
+              FROM toks
+            ),
+            kept AS (
+              SELECT doc_id, source, nt, (ts_s // 600) * 600 AS win_start,
+                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+              FROM m
+              WHERE round(least(1.0, nt / 100.0) * 0.5
+                          + (1.0 - punct_ratio) * 0.3
+                          + least(1.0, avg_len / 8.0) * 0.2, 6) >= 0.5
+            ),
+            g AS (
+              SELECT win_start, fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
+              FROM kept, mx
+              WHERE win_start + 600 <= mx - 600
+              GROUP BY win_start, fp
+            )
+            SELECT d.source, g.win_start,
+                   count(*) AS n_admitted,
+                   CAST(sum(g.dup_cnt) AS BIGINT) AS n_arrived,
+                   CAST(sum(k.nt) AS BIGINT) AS n_tokens_admitted
+            FROM g
+            JOIN documents d ON g.keep_id = d.doc_id
+            JOIN kept k ON g.keep_id = k.doc_id
+            GROUP BY d.source, g.win_start
+        """,
+        "token_budget_cap": f"""
+            WITH b AS (
+              SELECT doc_id, source,
+                     len(list_filter(string_split_regex(text, '[ ,."'']'),
+                         x -> length(x) > 0))::BIGINT AS nt,
+                     md5(doc_id::VARCHAR) AS pr
+              FROM documents
+            ),
+            c AS (
+              SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY pr, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+              FROM b
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum((cum <= {pl.TOKEN_BUDGET_PER_SOURCE})::INT) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN cum <= {pl.TOKEN_BUDGET_PER_SOURCE} THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+                   CAST(sum(nt) AS BIGINT) AS tokens_arrived
+            FROM c GROUP BY source
+        """,
+        "kmeans_step": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {sim.KMEANS_K}),
+            p AS (
+              SELECT e.vec_id, e.v, c.cid, c.cv,
+                     list_sum(list_transform(range(1, len(e.v) + 1),
+                         i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+              FROM e CROSS JOIN c
+            ),
+            a AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p),
+            asg AS (SELECT vec_id, v, cid, d2 FROM a WHERE rn = 1),
+            d AS (SELECT cid, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM asg),
+            m AS (SELECT cid, pos, avg(val) AS nv FROM d GROUP BY cid, pos),
+            sh AS (
+              SELECT m.cid, sqrt(sum((m.nv - c.cv[pos::INT]) * (m.nv - c.cv[pos::INT]))) AS shift
+              FROM m JOIN c ON m.cid = c.cid GROUP BY m.cid
+            ),
+            st AS (SELECT cid, count(*) AS n, round(sum(d2), 4) AS inertia FROM asg GROUP BY cid)
+            SELECT st.cid AS cluster, CAST(st.n AS BIGINT) AS n, st.inertia,
+                   round(sh.shift, 6) AS centroid_shift
+            FROM st JOIN sh ON st.cid = sh.cid
+        """,
+        "bloom_decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '[ ,."'']'),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, source, unnest(list_distinct(
+                       list_transform(range(1, len(t) - {pl.NGRAM_N - 2}),
+                           i -> array_to_string(t[i:i+{pl.NGRAM_N - 1}], ' ')))) AS g
+              FROM toks
+            ),
+            benchg AS (SELECT DISTINCT g FROM grams WHERE doc_id % {pl.BENCH_MOD} = 0),
+            bloom AS (
+              SELECT DISTINCT unnest([
+                {", ".join(f"('0x' || substr(md5('{j}' || g), 1, 8))::BIGINT % {pl.BLOOM_BITS}" for j in range(pl.BLOOM_K))}
+              ]) AS bit
+              FROM benchg
+            ),
+            train AS (SELECT * FROM grams WHERE doc_id % {pl.BENCH_MOD} <> 0),
+            gh AS (
+              SELECT doc_id, source, g,
+                     ({" AND ".join(f"(('0x' || substr(md5('{j}' || g), 1, 8))::BIGINT % {pl.BLOOM_BITS}) IN (SELECT bit FROM bloom)" for j in range(pl.BLOOM_K))})::INT AS bloom_pos,
+                     (g IN (SELECT g FROM benchg))::INT AS exact_pos
+              FROM train
+            ),
+            pd AS (
+              SELECT doc_id, source, max(bloom_pos) AS bf, max(exact_pos) AS ef
+              FROM gh GROUP BY doc_id, source
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(bf) AS BIGINT) AS n_flagged_bloom,
+                   CAST(sum(ef) AS BIGINT) AS n_flagged_exact,
+                   CAST(sum(bf * (1 - ef)) AS BIGINT) AS n_false_pos
+            FROM pd GROUP BY source
+        """,
+        "langid_eval": f"""
+            WITH toks AS (
+              SELECT lang,
+                     list_filter(string_split_regex(text, '[ ,."'']'),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            pred AS (
+              SELECT lang,
+                     CASE WHEN
+                       len(list_filter(list_distinct(t),
+                           x -> list_contains([{", ".join(repr(w) for w in ta.EN_STOPWORDS)}], x)))::DOUBLE
+                         / greatest(len(list_distinct(t)), 1) >= 0.08
+                     THEN 'en' ELSE 'other' END AS predicted_lang
+              FROM toks
+            ),
+            cell AS (
+              SELECT lang, predicted_lang, count(*) AS n_docs
+              FROM pred GROUP BY lang, predicted_lang
+            )
+            SELECT lang, predicted_lang, CAST(n_docs AS BIGINT) AS n_docs,
+                   round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY lang), 6)
+                     AS share_of_lang
+            FROM cell
+        """,
+        "quality_calibration": f"""
+            WITH toks AS (
+              SELECT doc_id, source, text,
+                     list_filter(string_split_regex(text, '[ ,."'']'),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, source,
+                     round(least(1.0, len(t) / 100.0) * 0.5
+                           + (1.0 - length(regexp_replace(text, '[^,.]', '', 'g'))::DOUBLE
+                                    / greatest(length(text), 1)) * 0.3
+                           + least(1.0,
+                               (coalesce(list_sum(list_transform(t, x -> length(x)::DOUBLE)), 0.0)
+                                / greatest(len(t), 1)) / 8.0) * 0.2, 6) AS q
+              FROM toks
+            ),
+            r AS (
+              SELECT doc_id, source, q,
+                     row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM m
+            )
+            SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                   round(avg(q), 6) AS mean_q,
+                   {", ".join(f"max(CASE WHEN rn = greatest(1, ceil({p} * n)) THEN q END) AS p{int(p * 100)}" for p in pl.CALIB_PS)}
+            FROM r GROUP BY source
         """,
         "pagerank_nations": _pagerank_sql(),
         "fuzzy_blocked_join": """

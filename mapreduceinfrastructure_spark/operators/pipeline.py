@@ -786,3 +786,181 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exact_dup_rate"),
     )
+
+
+# token_budget_cap: per-source token quota (tokens, not docs — the
+# unit a pretraining mixture is actually budgeted in).
+TOKEN_BUDGET_PER_SOURCE = 5_000
+
+
+def token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: admit documents per source, in a deterministic
+    content-hash priority order, until the source's token budget is
+    exhausted (a doc is admitted iff the running token total THROUGH
+    it stays within budget).  This is how a mixture recipe caps an
+    over-represented source at N tokens instead of a blunt doc-count
+    limit — the order is an md5 of the doc id, so admission is a
+    reproducible uniform sample, not ingest-order bias.
+
+    Scale shape: one source-partitioned window cumsum over (priority,
+    doc_id) — sources shard the corpus, so the windows parallelize
+    across the source dimension; a skewed mega-source takes the
+    two-pass range-partitioned cumsum (relational.global_rank is the
+    scheme, session.two_pass_rank_width the width), same note as
+    pack_sequences.  Output is the per-source admission report.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens_expr("text")).cast("long").alias("nt"),
+        F.md5(F.col("doc_id").cast("string")).alias("pr"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pr", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = base.withColumn("cum", F.sum("nt").over(w)).withColumn(
+        "kept", (F.col("cum") <= TOKEN_BUDGET_PER_SOURCE).cast("int")
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(F.col("kept") * F.col("nt")).cast("long").alias("tokens_kept"),
+        F.sum("nt").cast("long").alias("tokens_arrived"),
+    )
+
+
+# Bloom decontamination: bit-array size and hash count.  With ~3k
+# benchmark 5-grams at sf0.01, k=3 and m=2^17 give a theoretical FP
+# rate of (1 - e^(-kn/m))^k ~ 3e-4 per gram probe.
+BLOOM_BITS = 1 << 17
+BLOOM_K = 3
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-membership decontamination: screen training docs
+    against the benchmark split with an explicit Bloom filter over
+    benchmark 5-grams (a gram probes positive iff ALL of its BLOOM_K
+    md5-derived bit positions are set), and report per source both the
+    bloom-flagged and exactly-flagged doc counts — the false-positive
+    column is the operator auditing its own approximation.
+
+    Why it exists next to exact ``decontamination``: at 100 TB the
+    exact benchmark gram SET is still eval-suite-sized, but a
+    continuously-growing holdout registry eventually isn't — the bloom
+    representation is a fixed 2^17-bit array (16 KiB) no matter how
+    many grams enter it, the thing you can ship into every executor
+    (or a scan-level filter) for free.  Semantics are one-sided by
+    construction: every true hit is flagged (no false negatives, the
+    property decontamination must never lose); the FP rate is the
+    audited tradeoff.
+
+    Scale shape: the bloom SET (distinct bit positions, <= k x grams,
+    integers) builds with one distinct-agg over the benchmark split
+    and broadcasts; training grams are doc-distinct map-side, each
+    probes as BLOOM_K position rows joined broadcast against the bit
+    set, and a gram is positive iff its matched-position count equals
+    BLOOM_K — one algebraic agg, no gram-string shuffle at all (the
+    positions are ints; the exact twin ships the gram strings).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokens_expr("text").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(ngrams_expr(F.col("t"), NGRAM_N))).alias("g"),
+    )
+
+    def positions(g):
+        return F.array(
+            *[
+                (
+                    F.conv(F.substring(F.md5(F.concat(F.lit(str(j)), g)), 1, 8), 16, 10)
+                    .cast("long")
+                    % BLOOM_BITS
+                )
+                for j in range(BLOOM_K)
+            ]
+        )
+
+    bench_grams = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
+    bloom = bench_grams.select(
+        F.explode(positions(F.col("g"))).alias("bit")
+    ).distinct()
+
+    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    probes = train.select(
+        "doc_id", "source", "g", F.explode(positions(F.col("g"))).alias("bit")
+    )
+    gram_hits = (
+        probes.join(F.broadcast(bloom.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("doc_id", "source", "g")
+        .agg((F.count("hit") == BLOOM_K).cast("int").alias("bloom_pos"))
+    )
+    exact_hit = (
+        train.join(
+            F.broadcast(bench_grams.withColumn("ex", F.lit(1))), "g", "left"
+        )
+        .groupBy("doc_id")
+        .agg(F.max(F.coalesce("ex", F.lit(0))).alias("exact_pos"))
+    )
+    per_doc = (
+        gram_hits.groupBy("doc_id", "source")
+        .agg(F.max("bloom_pos").alias("bloom_flag"))
+        .join(exact_hit, "doc_id")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("bloom_flag").cast("long").alias("n_flagged_bloom"),
+        F.sum("exact_pos").cast("long").alias("n_flagged_exact"),
+        F.sum(F.col("bloom_flag") * (1 - F.col("exact_pos")))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
+# quality_calibration percentiles (nearest-rank, deterministic).
+CALIB_PS = (0.1, 0.5, 0.9)
+
+
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source calibration of the quality score: the exact
+    nearest-rank p10/p50/p90 of the shared linear quality formula
+    (functions.text.quality_signals), plus the mean — the table a
+    curation run consults to set per-source thresholds instead of one
+    global cutoff (sources differ systematically; a fixed 0.5 gate
+    over- or under-prunes per source).
+
+    Nearest-rank (value at rank ceil(p*n), ties broken by doc_id) is
+    chosen over interpolated percentiles deliberately: it is exactly
+    expressible as the source-partitioned two-pass rank at any scale —
+    no per-group value collection like exact ``percentile()``, which
+    buffers a whole group per executor (fine at sf0.1, lethal for a
+    100 TB mega-source).  Windows parallelize across sources; the
+    mega-source caveat and its two-pass fix are the pack_sequences /
+    token_budget_cap note.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_signals("text").quality
+    base = docs.select("doc_id", "source", F.round(q, 6).alias("q"))
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    counts = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("mean_q"),
+    )
+    j = ranked.join(F.broadcast(counts), "source")
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n_docs"))),
+                F.col("q"),
+            )
+        ).alias(f"p{int(p * 100)}")
+        for p in CALIB_PS
+    ]
+    return j.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"), F.max("mean_q").alias("mean_q"), *picks
+    )

@@ -409,3 +409,86 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(F.broadcast(cvec), "label")
         .select("vec_id", "label", F.round(cos, 6).alias("cos_centroid"))
     )
+
+
+# kmeans_step cluster count.  Deterministic seeding: the centroids are
+# the vectors with vec_id < KMEANS_K (k-means|| at scale would sample;
+# fixed-id seeding keeps the operator oracle-checkable end-to-end).
+KMEANS_K = 8
+
+
+def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration over the embedding table: assign every
+    vector to its nearest seed centroid (squared L2, ties to the lower
+    cluster id), then report per cluster the member count, the inertia
+    contribution (sum of squared distances — THE k-means convergence
+    number), and how far the recomputed mean moved from the seed
+    (centroid_shift).  Clustering is the workhorse of embedding-space
+    curation (SemDeDup-style pruning, topic balance, stratified
+    eval picks); one verifiable iteration is the building block the
+    iterative driver loops (graph.pagerank shows the loop pattern).
+
+    Scale shape: the K seed centroids ride a broadcast into a SINGLE
+    pass over the vectors (K * dim doubles — kilobytes); assignment is
+    an algebraic ``min(struct(d2, cid))`` per vector, never a window.
+    The member count, inertia, and recomputed means all come out of
+    ONE (cluster, pos) algebraic agg over the posexploded assignments
+    (d2 rides along on every exploded row, so per-cluster inertia is
+    just that agg's sum at any one pos) — embedding bytes cross the
+    wire once as assignment partials and once as (cluster, pos)
+    partial sums, both with map-side combine; everything after is
+    K x dim rows.  The re-assembly is :func:`embedding_outliers`'s
+    collect_list idiom over the tiny aggregate.
+    """
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = emb.join(F.broadcast(cent)).select("vec_id", "v", "cid", d2.alias("d2"))
+    assigned = (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("v", F.col("m.cid").alias("cluster"), F.col("m.d2").alias("d2"))
+    )
+    cells = (
+        assigned.select("cluster", "d2", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.avg("x").alias("nc"),
+            F.sum("d2").alias("sd2"),
+        )
+    )
+    per_cluster = cells.groupBy("cluster").agg(
+        # cnt/sd2 are identical across the cluster's pos rows by
+        # construction; max() just picks the shared value algebraically
+        F.max("cnt").cast("long").alias("n"),
+        F.round(F.max("sd2"), 4).alias("inertia"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "nc"))),
+            lambda s: s["nc"],
+        ).alias("nv"),
+    )
+    shift = F.sqrt(
+        F.aggregate(
+            F.zip_with("nv", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        per_cluster.join(
+            F.broadcast(cent.withColumnRenamed("cid", "cluster")), "cluster"
+        )
+        .select("cluster", "n", "inertia", F.round(shift, 6).alias("centroid_shift"))
+    )

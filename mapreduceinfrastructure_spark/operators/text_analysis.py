@@ -514,3 +514,46 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(ln_c, ln_r), 6).alias("intercept"),
         F.round(F.regr_r2(ln_c, ln_r), 6).alias("r2"),
     )
+
+
+def langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID (the stopword-hit
+    rule of :func:`language_id`) against the corpus's labeled ``lang``
+    column — per (actual, predicted) doc counts and the within-actual
+    share.  The eval table any classifier-driven curation gate ships
+    with: it turns "we filter by predicted language" into a measured
+    error budget per true language.
+
+    Scale shape: the per-doc prediction is the same codegen expression
+    as language_id (no join with it — one corpus pass), then one tiny
+    (|langs| x 2)-row algebraic agg; the share window runs over that
+    aggregate only.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.col("tokens")
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    distinct_n = F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
+    ratio = F.size(F.array_intersect(toks, sw)).cast("double") / distinct_n.cast(
+        "double"
+    )
+    pred = docs.select("lang", tokens_expr("text").alias("tokens")).select(
+        "lang",
+        F.when(ratio >= 0.08, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("predicted_lang"),
+    )
+    cell = pred.groupBy("lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = Window.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(tot).cast("double"),
+            6,
+        ).alias("share_of_lang"),
+    )

@@ -50,7 +50,12 @@ NOTES = {
     "simhash_neardup": "block-bucket self-join on (blk, val) pinned SHUFFLE_HASH (blocks are 4 rows/doc, corpus-linear — never broadcast); bit_count(xor) verify stays in codegen; pigeonhole-exact for Hamming <= 3, equivalence pinned in test_scale_fixes.py",
     "weighted_sample": "A-ES key (md5 -> conv -> pow) computed in one codegen projection; per-source top-K via WindowGroupLimit, so the single exchange moves ~K rows per (partition, source), never the corpus",
     "lang_entropy": "per-(source, lang) algebraic partials map-side; entropy, exp-entropy, and the struct-max majority pick all run over the aggregated |sources| x |langs| frame — nothing corpus-sized moves twice",
-    "cdc_dup_chunks": "content-defined boundaries + chunk assembly are per-row array expressions in whole-stage codegen (no UDF, no shuffle before the agg); then the dup_spans plan — one chunk-hash count agg (map-side partials absorb hot boilerplate chunks) + ONE keyed join back, never a chunk self-join",
+    "cdc_dup_chunks": "content-defined boundaries via the Rabin-Karp polynomial window hash (8 multiply-adds per position over a once-projected codepoint array — the md5-per-position constant is gone, 106x on the isolated scan) + chunk assembly, all per-row array expressions; then the dup_spans plan — one chunk-hash count agg (map-side partials absorb hot boilerplate chunks) + ONE keyed join back, never a chunk self-join",
+    "kmeans_step": "K seed centroids ride ONE BroadcastExchange into the vector scan; assignment is an algebraic min(struct(d2,cid)) hash-agg; a single (cluster,pos) agg (d2 carried on the posexplode) yields counts + inertia + recomputed means; no sort-merge or cartesian join anywhere (test-pinned)",
+    "bloom_decontaminate": "the bloom bit-set (distinct int positions of benchmark grams) and the exact benchmark gram set each ride a BroadcastExchange; the corpus side is scanned once for grams, probes are int-keyed joins (the gram-string shuffle of the exact path disappears), and all flags reduce through algebraic aggs",
+    "token_budget_cap": "ONE exchange total: the source-partitioned window cumsum; the per-source admission report reuses the same partitioning for its final agg",
+    "quality_calibration": "quality computed in one codegen projection; rank window partitioned by source; the per-source counts table rides a BroadcastExchange back; nearest-rank picks are conditional-max aggregates, not sorts",
+    "langid_eval": "one corpus pass computes the prediction expression inline (no join with language_id); the confusion agg and its share window run over the (|langs| x 2)-row aggregate",
     "dup_spans": "span hashes deduped per doc map-side (array_distinct before the explode); one algebraic count agg keyed on span hash + one keyed join back — hot corpus-wide boilerplate spans are absorbed by map-side partials, and the join fans out per occurrence, never per pair",
 }
 

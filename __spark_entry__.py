@@ -389,6 +389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": pl.bloom_decontaminate,
         "langid_eval": ta.langid_eval,
         "quality_calibration": pl.quality_calibration,
+        "dedup_rate_by_threshold": dd.dedup_rate_by_threshold,
+        "semdedup_prune": sim.semdedup_prune,
+        "packing_efficiency": pl.packing_efficiency,
     }
 
 
@@ -1577,6 +1580,105 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(q), 6) AS mean_q,
                    {", ".join(f"max(CASE WHEN rn = greatest(1, ceil({p} * n)) THEN q END) AS p{int(p * 100)}" for p in pl.CALIB_PS)}
             FROM r GROUP BY source
+        """,
+        "dedup_rate_by_threshold": f"""
+            {_SQL_TOKS},
+            sh0 AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+              FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+            ),
+            sh AS (
+              SELECT doc_id, shingle FROM sh0
+              WHERE shingle IN (
+                SELECT shingle FROM sh0 GROUP BY shingle
+                HAVING count(*) <= {dd.HOT_SHINGLE_DF_CAP}
+              )
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT da, db, i::DOUBLE / (ca.n + cb.n - i) AS jaccard
+              FROM inter
+              JOIN cnt ca ON da = ca.doc_id
+              JOIN cnt cb ON db = cb.doc_id
+              WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.1
+            ),
+            pt AS (
+              SELECT unnest(list_filter([{", ".join(str(t) for t in dd.SWEEP_THRESHOLDS)}],
+                                        th -> th <= jaccard)) AS threshold,
+                     da, db
+              FROM pairs
+            ),
+            per_t AS (SELECT threshold, count(*) AS n_pairs FROM pt GROUP BY threshold),
+            docs_t AS (
+              SELECT threshold, count(DISTINCT d) AS n_docs_involved
+              FROM (SELECT threshold, unnest([da, db]) AS d FROM pt)
+              GROUP BY threshold
+            )
+            SELECT round(threshold, 1) AS threshold,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(n_docs_involved AS BIGINT) AS n_docs_involved
+            FROM per_t JOIN docs_t USING (threshold)
+        """,
+        "semdedup_prune": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {sim.KMEANS_K}),
+            p AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     list_sum(list_transform(range(1, len(e.v) + 1),
+                         i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+              FROM e CROSS JOIN c
+            ),
+            a AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p),
+            asg AS (SELECT vec_id, v, cid AS cluster FROM a WHERE rn = 1),
+            dup AS (
+              SELECT DISTINCT x.cluster, x.vec_id
+              FROM asg x JOIN asg y
+                ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+              WHERE list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]))
+                    / (sqrt(list_sum(list_transform(x.v, q -> q * q)))
+                       * sqrt(list_sum(list_transform(y.v, q -> q * q))))
+                    > {sim.SEMDEDUP_COS}
+            )
+            SELECT asg.cluster, count(*) AS n,
+                   CAST(sum(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+                   CAST(count(*) - sum(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM asg LEFT JOIN dup
+              ON asg.cluster = dup.cluster AND asg.vec_id = dup.vec_id
+            GROUP BY asg.cluster
+        """,
+        "packing_efficiency": f"""
+            WITH d AS (
+              SELECT source, doc_id,
+                     len(list_filter(string_split_regex(text, '[ ,."'']'),
+                                     x -> length(x) > 0)) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT source, doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS cum_excl
+              FROM d
+            ),
+            pk AS (
+              SELECT source, n_tokens,
+                     cum_excl // {pl.PACK_LEN} AS pack_id,
+                     cum_excl % {pl.PACK_LEN} AS pack_offset
+              FROM c
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(sum(n_tokens)::DOUBLE
+                         / ((max(pack_id) + 1) * {pl.PACK_LEN}), 6) AS fill_rate,
+                   CAST(sum((pack_offset + n_tokens > {pl.PACK_LEN})::INT) AS BIGINT) AS n_split_docs
+            FROM pk GROUP BY source
         """,
         "pagerank_nations": _pagerank_sql(),
         "fuzzy_blocked_join": """

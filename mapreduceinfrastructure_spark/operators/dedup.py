@@ -1099,3 +1099,41 @@ def neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("rank", "da", "db", "jaccard", "text_a", "text_b")
     )
+
+
+# Threshold sweep grid for dedup_rate_by_threshold.
+SWEEP_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+def dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep table for near-dup rollouts: from ONE pass over
+    the pair population (base threshold 0.1, the same pairs
+    ngram_jaccard_neardup reports), the pair count and the number of
+    distinct documents involved at every candidate threshold — the
+    curve a dedup rollout reads to pick its operating point instead of
+    re-running the pipeline per threshold.  Thresholds with zero pairs
+    are absent (the curve's support).
+
+    Scale shape: pairs are computed once (exact/LSH size switch as
+    everywhere); each pair then fans out to at most |grid| threshold
+    rows map-side (a filtered literal-array explode — 8 rows max per
+    pair), and both counts are algebraic aggs over that pair-bounded
+    stream.  Nothing quadratic beyond the already-bounded pair
+    population.
+    """
+    pairs = neardup_pairs(spark, sf_dir, threshold=0.1, df_cap=HOT_SHINGLE_DF_CAP)
+    grid = F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+    pt = pairs.select(
+        F.explode(F.filter(grid, lambda t: t <= F.col("jaccard"))).alias("threshold"),
+        "da",
+        "db",
+    )
+    per_t = pt.groupBy("threshold").agg(F.count("*").cast("long").alias("n_pairs"))
+    docs_t = (
+        pt.select("threshold", F.explode(F.array("da", "db")).alias("d"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs_involved"))
+    )
+    return per_t.join(docs_t, "threshold").select(
+        F.round("threshold", 1).alias("threshold"), "n_pairs", "n_docs_involved"
+    )

@@ -964,3 +964,30 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("source").agg(
         F.max("n_docs").alias("n_docs"), F.max("mean_q").alias("mean_q"), *picks
     )
+
+
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the :func:`pack_sequences` layout, per source: pack
+    count, token fill rate of the allocated pack space, and how many
+    documents straddle a pack boundary (split docs lose attention
+    locality — the number packing recipes trade off against padding
+    waste).  This is the table that justifies or vetoes a PACK_LEN.
+
+    Scale shape: rides pack_sequences' single source-partitioned
+    cumsum, then ONE per-source algebraic rollup (max pack_id, token
+    sums, conditional count) — the aggregate reuses the window's
+    partitioning, so no second exchange.
+    """
+    packed = pack_sequences(spark, sf_dir)
+    split = (F.col("pack_offset") + F.col("n_tokens") > PACK_LEN).cast("int")
+    return packed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.max("pack_id") + 1).cast("long").alias("n_packs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / ((F.max("pack_id") + 1) * PACK_LEN).cast("double"),
+            6,
+        ).alias("fill_rate"),
+        F.sum(split).cast("long").alias("n_split_docs"),
+    )

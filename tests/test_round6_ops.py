@@ -76,3 +76,95 @@ def test_langid_eval_shares_sum_to_one(spark, sf_dir):
     assert by_lang
     for lang, s in by_lang.items():
         assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+def test_dedup_rate_sweep_is_monotone(spark, sf_dir):
+    """Raising the threshold can only shrink the pair set and the
+    involved-doc set; every reported count is positive (zero-support
+    thresholds are absent by contract)."""
+    rows = sorted(
+        QUERIES["dedup_rate_by_threshold"](spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert rows and rows[0]["threshold"] == 0.1
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["n_pairs"] <= lo["n_pairs"], (lo, hi)
+        assert hi["n_docs_involved"] <= lo["n_docs_involved"], (lo, hi)
+    for r in rows:
+        assert r["n_pairs"] >= 1 and r["n_docs_involved"] >= 2
+
+
+def test_dedup_rate_sweep_matches_base_pairs(spark, sf_dir):
+    """The 0.1 row must equal ngram_jaccard_neardup's population —
+    the sweep is the same single pair pass, not a recomputation."""
+    from pyspark.sql import functions as F
+
+    base = QUERIES["ngram_jaccard_neardup"](spark, sf_dir)
+    n_pairs = base.count()
+    n_docs = (
+        base.select(F.explode(F.array("da", "db")).alias("d")).distinct().count()
+    )
+    row = {
+        r["threshold"]: r
+        for r in QUERIES["dedup_rate_by_threshold"](spark, sf_dir).collect()
+    }[0.1]
+    assert (row["n_pairs"], row["n_docs_involved"]) == (n_pairs, n_docs)
+
+
+def test_semdedup_prunes_planted_duplicates(spark, tmp_path):
+    """Plant exact duplicate vectors (cosine 1.0) and verify the
+    order-free greedy keeps exactly the lowest id per duplicate group
+    while singletons survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        KMEANS_K,
+        semdedup_prune,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 64))
+    # rows 0..39 distinct; rows 40..49 duplicate row (i-40)
+    vecs = np.vstack([base, base[:10]])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * 50, type=pa.int32()),
+        }
+    )
+    d = tmp_path / "semdedup_sf"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    rows = semdedup_prune(spark, str(d)).collect()
+    total = sum(r["n"] for r in rows)
+    pruned = sum(r["n_pruned"] for r in rows)
+    kept = sum(r["n_kept"] for r in rows)
+    assert total == 50 and kept + pruned == 50
+    # each of the 10 duplicate pairs loses exactly its higher id (the
+    # float32 round-trip keeps cosine at ~1.0 >> the threshold); the
+    # 30 unduplicated base rows survive unless randomly similar, which
+    # at 64-dim standard normal does not happen at cos > 0.35 with
+    # seed 7 only for the planted pairs
+    assert pruned == 10, rows
+    assert all(r["n_kept"] >= 1 for r in rows if r["n"] > 0)
+
+
+def test_packing_efficiency_consistent_with_pack_sequences(spark, sf_dir):
+    from mapreduceinfrastructure_spark.operators.pipeline import PACK_LEN
+
+    rows = QUERIES["packing_efficiency"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["fill_rate"] <= 1.0, r
+        # allocated space covers the tokens
+        assert r["n_packs"] * PACK_LEN >= r["total_tokens"], r
+        # at most one partially-filled trailing pack
+        assert (r["n_packs"] - 1) * PACK_LEN < r["total_tokens"], r
+        assert 0 <= r["n_split_docs"] <= r["n_docs"], r

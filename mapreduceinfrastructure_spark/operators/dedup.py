@@ -1123,17 +1123,18 @@ def dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = neardup_pairs(spark, sf_dir, threshold=0.1, df_cap=HOT_SHINGLE_DF_CAP)
     grid = F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+    # one generator per projection: thresholds first, then both pair
+    # endpoints — each pair contributes exactly 2 rows per qualifying
+    # threshold, so ONE agg yields both counts (count/2 pairs, distinct
+    # endpoints) and the expensive pair lineage has a single consumer.
     pt = pairs.select(
         F.explode(F.filter(grid, lambda t: t <= F.col("jaccard"))).alias("threshold"),
         "da",
         "db",
-    )
-    per_t = pt.groupBy("threshold").agg(F.count("*").cast("long").alias("n_pairs"))
-    docs_t = (
-        pt.select("threshold", F.explode(F.array("da", "db")).alias("d"))
-        .groupBy("threshold")
-        .agg(F.countDistinct("d").cast("long").alias("n_docs_involved"))
-    )
-    return per_t.join(docs_t, "threshold").select(
+    ).select("threshold", F.explode(F.array("da", "db")).alias("d"))
+    return pt.groupBy("threshold").agg(
+        (F.count("*") / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("d").cast("long").alias("n_docs_involved"),
+    ).select(
         F.round("threshold", 1).alias("threshold"), "n_pairs", "n_docs_involved"
     )

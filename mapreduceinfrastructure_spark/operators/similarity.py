@@ -551,21 +551,25 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
     )
     cos = cosine_similarity_expr(F.col("va"), F.col("vb"))
-    dup_pairs = (
+    # join includes the self-pair (ib <= ia) so EVERY vector reaches the
+    # aggregate; the prune flag fires only on strict lower-id neighbors
+    # above threshold.  This folds detection and the admission report
+    # into the ia-keyed agg — no pruned-set join back, so the
+    # assignment lineage has exactly the join's two consumers.
+    joined = (
         a.join(b, "cluster")
-        .filter(F.col("ib") < F.col("ia"))
-        .select("cluster", "ia", "ib", cos.alias("cos"))
-        .filter(F.col("cos") > SEMDEDUP_COS)
-    )
-    pruned = dup_pairs.select("cluster", F.col("ia").alias("vec_id")).distinct()
-    return (
-        vecs.join(pruned.withColumn("pr", F.lit(1)), ["cluster", "vec_id"], "left")
-        .groupBy("cluster")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum(F.coalesce("pr", F.lit(0))).cast("long").alias("n_pruned"),
-            (F.count("*") - F.sum(F.coalesce("pr", F.lit(0))))
-            .cast("long")
-            .alias("n_kept"),
+        .filter(F.col("ib") <= F.col("ia"))
+        .select(
+            "cluster",
+            "ia",
+            ((F.col("ib") < F.col("ia")) & (cos > SEMDEDUP_COS))
+            .cast("int")
+            .alias("hit"),
         )
+    )
+    per_vec = joined.groupBy("cluster", "ia").agg(F.max("hit").alias("pruned"))
+    return per_vec.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pruned").cast("long").alias("n_pruned"),
+        (F.count("*") - F.sum("pruned")).cast("long").alias("n_kept"),
     )

@@ -85,6 +85,12 @@ HEADLINE = [
     # a full md5 — VERDICT r5 #2 asked for this number), and the
     # variants the r5 bench tracked are kept above
     "cdc_dup_chunks",
+    # round-6 operators worth tracking: the broadcast-centroid Lloyd
+    # step, the salted + width-pinned SemDeDup cluster join (the AQE
+    # bytes-vs-compute case study), and the int-position bloom screen
+    "kmeans_step",
+    "semdedup_prune",
+    "bloom_decontaminate",
 ]
 
 

@@ -514,6 +514,12 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_rate_by_threshold's job on the text side.
 SEMDEDUP_COS = 0.35
 
+# Salt width for the within-cluster pair join: spreads each cluster's
+# quadratic pair work over SALT tasks (the bare cluster key caps join
+# parallelism at K).  Semantics-free — any width gives identical
+# results (partition-invariance battery).
+SEMDEDUP_SALT = 8
+
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al., 2023 — public
@@ -534,9 +540,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: THE SemDeDup argument — the within-cluster self-join
     bounds the quadratic blowup to cluster populations (K grows with
     the corpus so cluster size stays ~constant), exactly like the IVF
-    bucket join in ann_ivf; the join is cluster-keyed (shuffle on
-    cluster id), cosine verify is codegen zip_with math, and the
-    admission report is one algebraic agg.
+    bucket join in ann_ivf; cosine verify is codegen zip_with math,
+    and the admission report is one algebraic agg.  The join key is
+    SALTED (cluster, ia % S) with the b side replicated S times —
+    a bare cluster key gives the planner at most K partitions, so a
+    fat cluster serializes its whole quadratic on one task (measured
+    locally: 4.3 s → ~1 s at sf0.1); salting spreads each cluster's
+    pair work over S tasks for S small-side copies, the same
+    replicate-the-dim trade as advanced.salted_join.
     """
     _, assigned = _kmeans_assign(spark, sf_dir)
     vecs = assigned.select("vec_id", "cluster", "v")
@@ -544,20 +555,35 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster"),
         F.col("vec_id").alias("ia"),
         F.col("v").alias("va"),
+        F.pmod(F.col("vec_id"), F.lit(SEMDEDUP_SALT)).alias("salt"),
     )
     b = vecs.select(
         F.col("cluster"),
         F.col("vec_id").alias("ib"),
         F.col("v").alias("vb"),
+    ).withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.lit(SEMDEDUP_SALT - 1)).cast("array<long>")),
     )
     cos = cosine_similarity_expr(F.col("va"), F.col("vb"))
+    # EXPLICIT width on both sides: the pair stream is tiny in BYTES
+    # (AQE's coalescing metric) but quadratic in COMPUTE, so adaptive
+    # coalescing would fold the whole cosine workload onto one task
+    # (measured: the unpinned join ran its 2M-cosine stage 1-task).
+    # A user repartition with an explicit count is exempt from AQE
+    # coalescing, and the join reuses the co-partitioning.
+    from ..session import two_pass_rank_width
+
+    width = two_pass_rank_width(spark)
+    a = a.repartition(width, "cluster", "salt")
+    b = b.repartition(width, "cluster", "salt")
     # join includes the self-pair (ib <= ia) so EVERY vector reaches the
     # aggregate; the prune flag fires only on strict lower-id neighbors
     # above threshold.  This folds detection and the admission report
     # into the ia-keyed agg — no pruned-set join back, so the
     # assignment lineage has exactly the join's two consumers.
     joined = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "salt"])
         .filter(F.col("ib") <= F.col("ia"))
         .select(
             "cluster",

@@ -21,6 +21,15 @@ NAMES = [
     "event_transitions",
     "trade_flows_2hop",
     "dup_spans",
+    # round-6 float-bearing additions: kmeans sums doubles across
+    # partitions (inertia@4dp, centroid means, shift@6dp) — the prime
+    # candidate for order-dependent float drift; the others pin the
+    # threshold compares and windowed picks
+    "kmeans_step",
+    "semdedup_prune",
+    "dedup_rate_by_threshold",
+    "quality_calibration",
+    "token_budget_cap",
 ]
 
 

@@ -168,3 +168,21 @@ def test_packing_efficiency_consistent_with_pack_sequences(spark, sf_dir):
         # at most one partially-filled trailing pack
         assert (r["n_packs"] - 1) * PACK_LEN < r["total_tokens"], r
         assert 0 <= r["n_split_docs"] <= r["n_docs"], r
+
+
+def test_semdedup_pair_join_width_is_pinned(spark, sf_dir):
+    """The pair stream is tiny in bytes but quadratic in compute, so
+    AQE's size-based coalescing would fold the cosine workload onto
+    one task.  Both join inputs must arrive via an EXPLICIT-width
+    repartition on (cluster, salt) — REPARTITION_BY_NUM in the plan,
+    the shuffle origin AQE coalescing is forbidden to touch."""
+    import re
+
+    df = QUERIES["semdedup_prune"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pins = [
+        l
+        for l in plan.splitlines()
+        if "REPARTITION_BY_NUM" in l and re.search(r"hashpartitioning\(cluster#\d+L, salt#", l)
+    ]
+    assert len(pins) >= 2, plan  # both sides of the pair join

@@ -56,6 +56,9 @@ NOTES = {
     "token_budget_cap": "ONE exchange total: the source-partitioned window cumsum; the per-source admission report reuses the same partitioning for its final agg",
     "quality_calibration": "quality computed in one codegen projection; rank window partitioned by source; the per-source counts table rides a BroadcastExchange back; nearest-rank picks are conditional-max aggregates, not sorts",
     "langid_eval": "one corpus pass computes the prediction expression inline (no join with language_id); the confusion agg and its share window run over the (|langs| x 2)-row aggregate",
+    "dedup_rate_by_threshold": "ONE pair pass (the exact/LSH size switch as everywhere) with a single consumer: thresholds explode map-side (<= 8 rows per pair), endpoints explode to 2 rows, and one agg yields both the pair count (count/2) and the distinct-doc count per threshold",
+    "semdedup_prune": "within-cluster pair join SALTED on (cluster, ia % 8) with the b side replicated — and both sides arrive via an EXPLICIT-width repartition (REPARTITION_BY_NUM): the pair stream is tiny in bytes but quadratic in compute, so AQE's size-based coalescing would otherwise fold the whole cosine workload onto one task (measured 4.3 s -> 1.7 s at sf0.1)",
+    "packing_efficiency": "rides pack_sequences' single source-window cumsum; the per-source rollup reuses the window's partitioning — one exchange in the entire plan",
     "dup_spans": "span hashes deduped per doc map-side (array_distinct before the explode); one algebraic count agg keyed on span hash + one keyed join back — hot corpus-wide boilerplate spans are absorbed by map-side partials, and the join fans out per occurrence, never per pair",
 }
 

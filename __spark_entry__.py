@@ -27,6 +27,7 @@ from mapreduceinfrastructure_spark.operators import multimodal as mm  # noqa: E4
 from mapreduceinfrastructure_spark.operators import pipeline as pl  # noqa: E402
 from mapreduceinfrastructure_spark.operators import relational as rel  # noqa: E402
 from mapreduceinfrastructure_spark.operators import similarity as sim  # noqa: E402
+from mapreduceinfrastructure_spark.operators import sketches as sk  # noqa: E402
 from mapreduceinfrastructure_spark.operators import text_analysis as ta  # noqa: E402
 from mapreduceinfrastructure_spark.operators import sqlapi  # noqa: E402
 from mapreduceinfrastructure_spark.operators import timeseries as ts  # noqa: E402
@@ -392,6 +393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_threshold": dd.dedup_rate_by_threshold,
         "semdedup_prune": sim.semdedup_prune,
         "packing_efficiency": pl.packing_efficiency,
+        "hll_distinct_users": sk.hll_distinct_users,
+        "countmin_heavy_hitters": sk.countmin_heavy_hitters,
     }
 
 
@@ -1679,6 +1682,75 @@ def oracle_sql() -> dict[str, str]:
                          / ((max(pack_id) + 1) * {pl.PACK_LEN}), 6) AS fill_rate,
                    CAST(sum((pack_offset + n_tokens > {pl.PACK_LEN})::INT) AS BIGINT) AS n_split_docs
             FROM pk GROUP BY source
+        """,
+        "hll_distinct_users": f"""
+            -- from-scratch HyperLogLog, identical register construction
+            WITH ev AS (
+              SELECT event_type, user_id::VARCHAR AS u FROM events
+            ),
+            h AS (
+              SELECT event_type, u,
+                     ('0x' || substr(md5(u), 1, 12))::BIGINT AS hv
+              FROM ev
+            ),
+            r AS (
+              SELECT event_type, hv % {sk.HLL_M} AS bucket,
+                     CASE WHEN hv // {sk.HLL_M} > 0
+                          THEN {sk._HLL_HASH_BITS - sk.HLL_P + 1} - length(bin(hv // {sk.HLL_M}))
+                          ELSE {sk._HLL_HASH_BITS - sk.HLL_P + 1} END AS rk
+              FROM h
+            ),
+            regs AS (
+              SELECT event_type, bucket, max(rk) AS r
+              FROM r GROUP BY event_type, bucket
+            ),
+            pt AS (
+              SELECT event_type, sum(power(2.0, -r)) AS s,
+                     count(*) AS nonzero
+              FROM regs GROUP BY event_type
+            ),
+            ex AS (
+              SELECT event_type, count(DISTINCT u) AS n_exact FROM ev GROUP BY event_type
+            ),
+            est AS (
+              SELECT pt.event_type,
+                     CASE WHEN {sk.HLL_ALPHA!r}::DOUBLE * {sk.HLL_M} * {sk.HLL_M}
+                               / (s + ({sk.HLL_M} - nonzero)) <= 2.5 * {sk.HLL_M}
+                               AND {sk.HLL_M} - nonzero > 0
+                          THEN {sk.HLL_M}::DOUBLE * ln({sk.HLL_M}::DOUBLE / ({sk.HLL_M} - nonzero))
+                          ELSE {sk.HLL_ALPHA!r}::DOUBLE * {sk.HLL_M} * {sk.HLL_M}
+                               / (s + ({sk.HLL_M} - nonzero)) END AS e
+              FROM pt
+            )
+            SELECT ex.event_type, CAST(n_exact AS BIGINT) AS n_exact,
+                   round(e, 4) AS n_hll,
+                   round((e - n_exact) / n_exact, 6) AS rel_err
+            FROM est JOIN ex ON est.event_type = ex.event_type
+        """,
+        "countmin_heavy_hitters": f"""
+            {_SQL_TOKS},
+            words AS (SELECT unnest(t) AS w FROM toks),
+            sketch AS (
+              SELECT j, ('0x' || substr(md5(j::VARCHAR || w), 1, 8))::BIGINT % {sk.CM_W} AS c,
+                     count(*) AS n
+              FROM words, unnest(range(0, {sk.CM_D})) AS u(j)
+              GROUP BY 1, 2
+            ),
+            counts AS (SELECT w, count(*) AS exact_cnt FROM words GROUP BY w),
+            top AS (
+              SELECT w, exact_cnt FROM counts
+              ORDER BY exact_cnt DESC, w ASC LIMIT {sk.CM_TOP_K}
+            ),
+            probes AS (
+              SELECT w, exact_cnt, j,
+                     ('0x' || substr(md5(j::VARCHAR || w), 1, 8))::BIGINT % {sk.CM_W} AS c
+              FROM top, unnest(range(0, {sk.CM_D})) AS u(j)
+            )
+            SELECT p.w, CAST(max(p.exact_cnt) AS BIGINT) AS exact_cnt,
+                   CAST(min(s.n) AS BIGINT) AS cm_estimate,
+                   CAST(min(s.n) - max(p.exact_cnt) AS BIGINT) AS overestimate
+            FROM probes p JOIN sketch s ON p.j = s.j AND p.c = s.c
+            GROUP BY p.w
         """,
         "pagerank_nations": _pagerank_sql(),
         "fuzzy_blocked_join": """

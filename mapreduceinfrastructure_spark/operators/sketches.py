@@ -1,0 +1,178 @@
+"""Probabilistic sketches, built from scratch as SQL expressions.
+
+The brief's extension catalog calls for sketch operators next to the
+exact aggregations.  Spark ships approx_count_distinct (HLL++) — but
+its hash/merge internals have no DuckDB twin, so it can only ever be a
+rows-only signal (see ``advanced.approx_distinct_users``).  These two
+sketches instead derive every hash from md5, making the WHOLE sketch
+construction reproducible in ANSI SQL: the driver's value-hash gate
+verifies the sketch algebra itself, not just its output shape.
+
+Why sketches at 100 TB: both are ALGEBRAIC aggregations (register max
+/ cell sum), so they reduce map-side into a fixed-size state —
+kilobytes per partition regardless of input volume — and merge
+associatively across partitions/days/streams.  That is the entire
+point: cardinality and heavy-hitter questions answered with one pass
+and O(1) memory where exact answers need a full shuffle of the keys.
+
+- :func:`hll_distinct_users` — HyperLogLog (Flajolet et al. 2007)
+  with 2^HLL_P registers, per event_type, reported NEXT TO the exact
+  distinct count and the relative error (the sketch auditing itself,
+  same pattern as bloom_decontaminate).
+- :func:`countmin_heavy_hitters` — Count-Min (Cormode & Muthukrishnan
+  2005) with CM_D x CM_W cells over corpus words; the top-K exact
+  words are re-estimated from the sketch and reported with their
+  overestimate (CM never undercounts — test-pinned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_expr
+from ..sources.tables import load_table
+
+# HyperLogLog geometry: p bits of bucket index, the rest of a 48-bit
+# md5-derived hash feeds the leading-zero rank.  m = 2^p = 1024
+# registers -> theoretical std error 1.04/sqrt(m) ~ 3.3%.
+HLL_P = 10
+HLL_M = 1 << HLL_P
+_HLL_HASH_BITS = 48  # 12 md5 hex chars; fits a long exactly
+# alpha_m for m >= 128 (Flajolet et al., Fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+# Count-Min geometry: d independent md5-derived rows of width w.
+# Overestimate bound: eps ~ e/w of total mass per row, amplified to
+# confidence 1 - e^-d by taking the min over rows.
+CM_D = 4
+CM_W = 1024
+CM_TOP_K = 20
+
+
+def _hash48(col):
+    """48-bit integer hash from md5 — identical construction in the
+    DuckDB oracles (('0x' || substr(md5(x), 1, 12)))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users: HyperLogLog estimate vs exact.
+
+    Register build: bucket = hash % m; rank = leading zeros of the
+    remaining 38 bits + 1, computed EXACTLY in integer space as
+    39 - p - length(bin(w)) (bin() drops leading zeros in both
+    engines — no float log, no ulp divergence).  Register value =
+    max(rank) per (event_type, bucket): one algebraic agg.  The
+    estimator applies the standard small-range linear-counting
+    correction when E <= 2.5m and empty registers exist.
+
+    Scale: the register table is |event_types| x 1024 rows no matter
+    how many events flow in; map-side max-partials do the heavy
+    lifting.  The exact countDistinct alongside is the audit column —
+    at a true 100 TB the exact side is the one you drop.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    h = _hash48(F.col("u"))
+    hb = _HLL_HASH_BITS - HLL_P  # rank-field width
+    w = F.shiftright(h, HLL_P)  # upper bits (exact integer shift)
+    rank = F.when(w > 0, F.lit(hb + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(hb + 1)
+    )
+    regs = (
+        ev.select("event_type", (h % HLL_M).alias("bucket"), rank.alias("r"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        F.count("*").alias("nonzero"),
+    )
+    # empty registers contribute 2^-0 = 1 to the harmonic sum
+    zeros = F.lit(HLL_M) - F.col("nonzero")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (F.col("s") + zeros)
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("u").cast("long").alias("n_exact"))
+    )
+    out = per_type.join(exact, "event_type")
+    return out.select(
+        "event_type",
+        "n_exact",
+        F.round(est, 4).alias("n_hll"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+    )
+
+
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: the top-CM_TOP_K words by exact count,
+    re-estimated from a Count-Min sketch, with the overestimate
+    reported per word.
+
+    Sketch build: each token increments CM_D cells (row j, column
+    md5(j || word) % CM_W) — the per-(row, col) sums are ONE algebraic
+    agg of a 4-rows-per-token map-side explode.  Estimation: a word's
+    estimate is the MIN over its CM_D cells; the candidate set joins
+    the 4096-row sketch (broadcast — the sketch is fixed-size, that
+    is its entire value).  In production the candidate set comes from
+    a per-partition pre-pass; here it is the exact top-K so the
+    overestimate column is an audited ground-truth comparison, the
+    same self-audit pattern as bloom_decontaminate.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens_expr("text")).alias("w")
+    )
+
+    def pos(j, col):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(str(j)), col)), 1, 8), 16, 10)
+            .cast("long")
+            % CM_W
+        )
+
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), pos(j, F.col("w")).alias("c"))
+                    for j in range(CM_D)
+                ]
+            )
+        ).alias("jc")
+    ).select("jc.j", "jc.c")
+    sketch = cells.groupBy("j", "c").agg(F.count("*").alias("n"))
+
+    counts = toks.groupBy("w").agg(F.count("*").alias("exact_cnt"))
+    top = counts.orderBy(F.desc("exact_cnt"), F.asc("w")).limit(CM_TOP_K)
+    probes = top.select(
+        "w",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), pos(j, F.col("w")).alias("c"))
+                    for j in range(CM_D)
+                ]
+            )
+        ).alias("jc"),
+    ).select("w", "exact_cnt", "jc.j", "jc.c")
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "c"])
+        .groupBy("w")
+        .agg(
+            F.max("exact_cnt").cast("long").alias("exact_cnt"),
+            F.min("n").cast("long").alias("cm_estimate"),
+        )
+    )
+    return est.select(
+        "w",
+        "exact_cnt",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+    )

@@ -30,6 +30,9 @@ NAMES = [
     "dedup_rate_by_threshold",
     "quality_calibration",
     "token_budget_cap",
+    # sketches: HLL's harmonic sum adds doubles across partitions
+    "hll_distinct_users",
+    "countmin_heavy_hitters",
 ]
 
 

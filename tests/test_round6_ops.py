@@ -186,3 +186,27 @@ def test_semdedup_pair_join_width_is_pinned(spark, sf_dir):
         if "REPARTITION_BY_NUM" in l and re.search(r"hashpartitioning\(cluster#\d+L, salt#", l)
     ]
     assert len(pins) >= 2, plan  # both sides of the pair join
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """HLL with m=1024 registers has ~3.3% standard error; require
+    every per-type estimate within 4 sigma (13%) of exact — loose
+    enough to be seed-free, tight enough to catch a broken register
+    or estimator branch (a bad rank computation is off by 2x+)."""
+    rows = QUERIES["hll_distinct_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] > 0
+        assert abs(r["rel_err"]) <= 0.13, r
+        assert abs(r["n_hll"] / r["n_exact"] - 1.0) <= 0.13, r
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    """The Count-Min guarantee: estimate >= exact count, always."""
+    rows = QUERIES["countmin_heavy_hitters"](spark, sf_dir).collect()
+    from mapreduceinfrastructure_spark.operators.sketches import CM_TOP_K
+
+    assert len(rows) == CM_TOP_K
+    for r in rows:
+        assert r["overestimate"] >= 0, r
+        assert r["cm_estimate"] == r["exact_cnt"] + r["overestimate"], r

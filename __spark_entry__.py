@@ -395,6 +395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency": pl.packing_efficiency,
         "hll_distinct_users": sk.hll_distinct_users,
         "countmin_heavy_hitters": sk.countmin_heavy_hitters,
+        "time_weighted_avg": ts.time_weighted_avg,
+        "label_prop_step": gr.label_prop_step,
     }
 
 
@@ -1751,6 +1753,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(s.n) - max(p.exact_cnt) AS BIGINT) AS overestimate
             FROM probes p JOIN sketch s ON p.j = s.j AND p.c = s.c
             GROUP BY p.w
+        """,
+        "time_weighted_avg": """
+            -- LOCF time-weighted average; integer epoch-us durations
+            WITH ev AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+            ),
+            d AS (
+              SELECT user_id, value,
+                     lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                       - ts_us AS dur
+              FROM ev
+            ),
+            t AS (SELECT * FROM d WHERE dur IS NOT NULL)
+            SELECT user_id, CAST(count(*) + 1 AS BIGINT) AS n_events,
+                   round(sum(value * dur) / sum(dur)::DOUBLE, 6) AS twa_value,
+                   round(avg(value), 6) AS naive_avg
+            FROM t GROUP BY user_id
+        """,
+        "label_prop_step": """
+            WITH e AS (
+              SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY 1, 2
+            ),
+            und AS (
+              SELECT src, dst, w FROM e
+              UNION ALL
+              SELECT dst AS src, src AS dst, w FROM e
+            ),
+            cand AS (
+              SELECT dst AS node, src AS lbl, sum(w) AS wsum
+              FROM und GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT node, lbl, wsum,
+                     row_number() OVER (PARTITION BY node
+                                        ORDER BY wsum DESC, lbl ASC) AS rn
+              FROM cand
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(lbl AS BIGINT) AS new_label,
+                   CAST(wsum AS BIGINT) AS support
+            FROM r WHERE rn = 1
         """,
         "pagerank_nations": _pagerank_sql(),
         "fuzzy_blocked_join": """

@@ -210,3 +210,40 @@ def trade_flows_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s").alias("src"), F.col("d").alias("dst"))
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("flow2"))
     )
+
+
+def label_prop_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous label-propagation round over the (undirected)
+    nation trade graph: every node adopts the label carrying the most
+    incident edge weight among its neighbors' current labels (initial
+    label = node id), ties to the smaller label — the community-
+    detection counterpart of the dedup module's connected components
+    (CC merges any connectivity; LPA weighs it, so weakly-attached
+    bridges don't glue communities).  Deterministic by construction,
+    so unlike pagerank's float iteration this step is exactly
+    oracle-checkable; the iterative driver loops it like pagerank.
+
+    Scale shape: symmetrize with one union, then two algebraic aggs —
+    (node, candidate-label) weight sums, then the argmax-with-tiebreak
+    as max(struct(weight, -label)), the keep_best_dedup idiom: both
+    get map-side partials, no window over the adjacency.
+    """
+    e = trade_edges(spark, sf_dir)
+    und = e.select("src", "dst", "w").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    cand = und.groupBy(F.col("dst").alias("node"), F.col("src").alias("lbl")).agg(
+        F.sum("w").alias("wsum")
+    )
+    best = F.max(
+        F.struct(F.col("wsum").alias("ws"), (-F.col("lbl")).alias("nl"))
+    )
+    return (
+        cand.groupBy("node")
+        .agg(best.alias("b"))
+        .select(
+            F.col("node").cast("long").alias("node"),
+            (-F.col("b.nl")).cast("long").alias("new_label"),
+            F.col("b.ws").cast("long").alias("support"),
+        )
+    )

@@ -202,3 +202,36 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / tot.cast("double")).alias("prob"),
     )
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event ``value`` — each
+    reading holds until the user's next event, so the average weights
+    values by how long they were in force instead of per-event
+    (the TimescaleDB ``time_weight('LOCF')`` semantics, the honest
+    aggregate for irregularly-sampled gauges: a sensor that reports
+    rarely while high must not dominate a per-event mean).
+
+    Last-observation-carried-forward over [first event, last event):
+    the final reading has no successor and carries no weight; users
+    with one event have no interval and are absent (oracle mirrors).
+    Duration math is integer epoch-microseconds end-to-end; only the
+    final ratio is a double.
+
+    Scale shape: ONE (user)-keyed window (lead) over user-sharded
+    partitions, then an algebraic per-user agg that reuses the same
+    partitioning — a single exchange; no self-join on the timeline.
+    """
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dur = F.lead("ts_us").over(w) - F.col("ts_us")
+    terms = ev.select("user_id", "value", dur.alias("dur")).filter(
+        F.col("dur").isNotNull()
+    )
+    return terms.groupBy("user_id").agg(
+        (F.count("*") + 1).cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("value") * F.col("dur")) / F.sum("dur").cast("double"), 6
+        ).alias("twa_value"),
+        F.round(F.avg("value"), 6).alias("naive_avg"),
+    )

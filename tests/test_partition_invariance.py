@@ -33,6 +33,8 @@ NAMES = [
     # sketches: HLL's harmonic sum adds doubles across partitions
     "hll_distinct_users",
     "countmin_heavy_hitters",
+    # value*duration double sums per user
+    "time_weighted_avg",
 ]
 
 

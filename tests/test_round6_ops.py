@@ -210,3 +210,76 @@ def test_countmin_never_undercounts(spark, sf_dir):
     for r in rows:
         assert r["overestimate"] >= 0, r
         assert r["cm_estimate"] == r["exact_cnt"] + r["overestimate"], r
+
+
+def test_time_weighted_avg_locf_semantics(spark, tmp_path):
+    """LOCF hand-check: value 10 held for 3 time units then 40 for 1
+    unit -> twa 17.5, while the naive per-event mean of the weighted
+    support is 25 — the distinction the operator exists to report."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from mapreduceinfrastructure_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(sec):
+        return datetime(2024, 1, 1, 0, 0, sec)
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "ts": pa.array([ts(0), ts(3), ts(4)], type=pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7], type=pa.int64()),
+            "event_type": pa.array(["view"] * 3),
+            "value": pa.array([10.0, 40.0, 99.0], type=pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    d = tmp_path / "twa_sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    rows = time_weighted_avg(spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # (10*3 + 40*1) / 4 = 17.5; final event (99) carries no weight
+    assert (r["user_id"], r["n_events"], r["twa_value"], r["naive_avg"]) == (
+        7,
+        3,
+        17.5,
+        25.0,
+    )
+
+
+def test_label_prop_adopts_heaviest_neighbor(spark, sf_dir):
+    """Every node's new label must be a neighbor (or itself via a
+    self-loop) and carry the maximum incident weight — cross-checked
+    against the raw undirected adjacency."""
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.operators.graph import (
+        label_prop_step,
+        trade_edges,
+    )
+
+    got = {r["node"]: r for r in label_prop_step(spark, sf_dir).collect()}
+    e = trade_edges(spark, sf_dir)
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).collect()
+    adj = {}
+    for r in und:
+        adj.setdefault(r["src"], {})
+        adj[r["src"]][r["dst"]] = adj[r["src"]].get(r["dst"], 0) + r["w"]
+    assert set(got) == set(adj)
+    for node, nb in adj.items():
+        # note adjacency here is keyed src->dst; neighbors of `node`
+        # are the und rows with dst == node, which by symmetry equal
+        # the rows with src == node
+        best_w = max(nb.values())
+        winners = sorted(lbl for lbl, w in nb.items() if w == best_w)
+        assert got[node]["new_label"] == winners[0], (node, nb, got[node])
+        assert got[node]["support"] == best_w

@@ -283,3 +283,42 @@ def test_label_prop_adopts_heaviest_neighbor(spark, sf_dir):
         winners = sorted(lbl for lbl, w in nb.items() if w == best_w)
         assert got[node]["new_label"] == winners[0], (node, nb, got[node])
         assert got[node]["support"] == best_w
+
+
+def test_hll_registers_merge_associatively(spark, sf_dir):
+    """The 100 TB claim behind the sketch: registers built on disjoint
+    halves of the input and merged with max() must equal registers
+    built in one pass — per-partition/per-day/per-stream sketches
+    combine losslessly."""
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.operators.sketches import (
+        HLL_M,
+        HLL_P,
+        _HLL_HASH_BITS,
+        _hash48,
+    )
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("u"), "event_id"
+    )
+    h = _hash48(F.col("u"))
+    hb = _HLL_HASH_BITS - HLL_P
+    w = F.shiftright(h, HLL_P)
+    rank = F.when(w > 0, F.lit(hb + 1) - F.length(F.bin(w))).otherwise(F.lit(hb + 1))
+    proj = ev.select((h % HLL_M).alias("bucket"), rank.alias("r"), "event_id")
+
+    def regs(df):
+        return {
+            r["bucket"]: r["mr"]
+            for r in df.groupBy("bucket").agg(F.max("r").alias("mr")).collect()
+        }
+
+    full = regs(proj)
+    half_a = regs(proj.filter(F.col("event_id") % 2 == 0))
+    half_b = regs(proj.filter(F.col("event_id") % 2 == 1))
+    merged = dict(half_a)
+    for b, r in half_b.items():
+        merged[b] = max(merged.get(b, 0), r)
+    assert merged == full

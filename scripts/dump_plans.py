@@ -59,6 +59,10 @@ NOTES = {
     "dedup_rate_by_threshold": "ONE pair pass (the exact/LSH size switch as everywhere) with a single consumer: thresholds explode map-side (<= 8 rows per pair), endpoints explode to 2 rows, and one agg yields both the pair count (count/2) and the distinct-doc count per threshold",
     "semdedup_prune": "within-cluster pair join SALTED on (cluster, ia % 8) with the b side replicated — and both sides arrive via an EXPLICIT-width repartition (REPARTITION_BY_NUM): the pair stream is tiny in bytes but quadratic in compute, so AQE's size-based coalescing would otherwise fold the whole cosine workload onto one task (measured 4.3 s -> 1.7 s at sf0.1)",
     "packing_efficiency": "rides pack_sequences' single source-window cumsum; the per-source rollup reuses the window's partitioning — one exchange in the entire plan",
+    "hll_distinct_users": "register build is ONE algebraic max-agg over (event_type, bucket) — fixed 1024-registers-per-type state with map-side partials; ranks are integer-exact (39 - length(bin)), no float log; the estimator runs over the register aggregate only",
+    "countmin_heavy_hitters": "cell sums are one algebraic agg of a 4-structs-per-token map-side explode; the fixed-size 4096-cell sketch rides a BroadcastExchange to the candidate probes; estimate = min over rows",
+    "time_weighted_avg": "one user-keyed lead window; the per-user agg reuses the window's partitioning — single exchange; durations are integer epoch-us until the final ratio",
+    "label_prop_step": "symmetrize via union (map-side), then two algebraic hash-aggs: (node, label) weight sums and the max(struct(w, -label)) argmax-with-tiebreak — no window over the adjacency",
     "dup_spans": "span hashes deduped per doc map-side (array_distinct before the explode); one algebraic count agg keyed on span hash + one keyed join back — hot corpus-wide boilerplate spans are absorbed by map-side partials, and the join fans out per occurrence, never per pair",
 }
 

@@ -397,7 +397,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_heavy_hitters": sk.countmin_heavy_hitters,
         "time_weighted_avg": ts.time_weighted_avg,
         "label_prop_step": gr.label_prop_step,
+        "streaming_distinct_users_hll": es.streaming_distinct_users_hll,
     }
+
+
+_HLL_ORACLE = f"""
+            -- from-scratch HyperLogLog, identical register construction
+            WITH ev AS (
+              SELECT event_type, user_id::VARCHAR AS u FROM events
+            ),
+            h AS (
+              SELECT event_type, u,
+                     ('0x' || substr(md5(u), 1, 12))::BIGINT AS hv
+              FROM ev
+            ),
+            r AS (
+              SELECT event_type, hv % {sk.HLL_M} AS bucket,
+                     CASE WHEN hv // {sk.HLL_M} > 0
+                          THEN {sk._HLL_HASH_BITS - sk.HLL_P + 1} - length(bin(hv // {sk.HLL_M}))
+                          ELSE {sk._HLL_HASH_BITS - sk.HLL_P + 1} END AS rk
+              FROM h
+            ),
+            regs AS (
+              SELECT event_type, bucket, max(rk) AS r
+              FROM r GROUP BY event_type, bucket
+            ),
+            pt AS (
+              SELECT event_type, sum(power(2.0, -r)) AS s,
+                     count(*) AS nonzero
+              FROM regs GROUP BY event_type
+            ),
+            ex AS (
+              SELECT event_type, count(DISTINCT u) AS n_exact FROM ev GROUP BY event_type
+            ),
+            est AS (
+              SELECT pt.event_type,
+                     CASE WHEN {sk.HLL_ALPHA!r}::DOUBLE * {sk.HLL_M} * {sk.HLL_M}
+                               / (s + ({sk.HLL_M} - nonzero)) <= 2.5 * {sk.HLL_M}
+                               AND {sk.HLL_M} - nonzero > 0
+                          THEN {sk.HLL_M}::DOUBLE * ln({sk.HLL_M}::DOUBLE / ({sk.HLL_M} - nonzero))
+                          ELSE {sk.HLL_ALPHA!r}::DOUBLE * {sk.HLL_M} * {sk.HLL_M}
+                               / (s + ({sk.HLL_M} - nonzero)) END AS e
+              FROM pt
+            )
+            SELECT ex.event_type, CAST(n_exact AS BIGINT) AS n_exact,
+                   round(e, 4) AS n_hll,
+                   round((e - n_exact) / n_exact, 6) AS rel_err
+            FROM est JOIN ex ON est.event_type = ex.event_type
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1685,50 +1732,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((pack_offset + n_tokens > {pl.PACK_LEN})::INT) AS BIGINT) AS n_split_docs
             FROM pk GROUP BY source
         """,
-        "hll_distinct_users": f"""
-            -- from-scratch HyperLogLog, identical register construction
-            WITH ev AS (
-              SELECT event_type, user_id::VARCHAR AS u FROM events
-            ),
-            h AS (
-              SELECT event_type, u,
-                     ('0x' || substr(md5(u), 1, 12))::BIGINT AS hv
-              FROM ev
-            ),
-            r AS (
-              SELECT event_type, hv % {sk.HLL_M} AS bucket,
-                     CASE WHEN hv // {sk.HLL_M} > 0
-                          THEN {sk._HLL_HASH_BITS - sk.HLL_P + 1} - length(bin(hv // {sk.HLL_M}))
-                          ELSE {sk._HLL_HASH_BITS - sk.HLL_P + 1} END AS rk
-              FROM h
-            ),
-            regs AS (
-              SELECT event_type, bucket, max(rk) AS r
-              FROM r GROUP BY event_type, bucket
-            ),
-            pt AS (
-              SELECT event_type, sum(power(2.0, -r)) AS s,
-                     count(*) AS nonzero
-              FROM regs GROUP BY event_type
-            ),
-            ex AS (
-              SELECT event_type, count(DISTINCT u) AS n_exact FROM ev GROUP BY event_type
-            ),
-            est AS (
-              SELECT pt.event_type,
-                     CASE WHEN {sk.HLL_ALPHA!r}::DOUBLE * {sk.HLL_M} * {sk.HLL_M}
-                               / (s + ({sk.HLL_M} - nonzero)) <= 2.5 * {sk.HLL_M}
-                               AND {sk.HLL_M} - nonzero > 0
-                          THEN {sk.HLL_M}::DOUBLE * ln({sk.HLL_M}::DOUBLE / ({sk.HLL_M} - nonzero))
-                          ELSE {sk.HLL_ALPHA!r}::DOUBLE * {sk.HLL_M} * {sk.HLL_M}
-                               / (s + ({sk.HLL_M} - nonzero)) END AS e
-              FROM pt
-            )
-            SELECT ex.event_type, CAST(n_exact AS BIGINT) AS n_exact,
-                   round(e, 4) AS n_hll,
-                   round((e - n_exact) / n_exact, 6) AS rel_err
-            FROM est JOIN ex ON est.event_type = ex.event_type
-        """,
+        "hll_distinct_users": _HLL_ORACLE,
         "countmin_heavy_hitters": f"""
             {_SQL_TOKS},
             words AS (SELECT unnest(t) AS w FROM toks),
@@ -1800,6 +1804,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(wsum AS BIGINT) AS support
             FROM r WHERE rn = 1
         """,
+        # the streaming twin shares the batch HLL oracle (same registers,
+        # same estimator — the stream only changes WHERE the max-agg runs)
+        "streaming_distinct_users_hll": _HLL_ORACLE,
         "pagerank_nations": _pagerank_sql(),
         "fuzzy_blocked_join": """
             -- composite canopy block: (first token, length band of 4),
@@ -2477,3 +2484,4 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN cv USING (label)
         """,
     }
+

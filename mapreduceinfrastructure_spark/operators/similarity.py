@@ -118,28 +118,49 @@ def _bucket_expr(bits, t, bpt):
     return sum((bits[i] * (2 ** j) for j, i in enumerate(idx)), start=F.lit(0))
 
 
-def _probe_keys(emb: DataFrame, bpt: int) -> DataFrame:
-    """(vec_id, tbl, bucket) rows: each vector's exact bucket plus the
-    ``bpt`` buckets one bit-flip away, in each of the 8 tables.
+def _probe_keys(emb: DataFrame, bpt: int, radius: int = 1) -> DataFrame:
+    """(vec_id, tbl, bucket) rows: each vector's exact bucket plus
+    every bucket within Hamming distance ``radius`` of it, in each of
+    the 8 tables (radius 0 = exact bucket only).
 
-    Used on BOTH sides of the near-dup candidate join, so a pair
-    collides in table t iff its signatures differ by ≤ 2 of the bpt
-    bits — the Hamming-2 ball that makes the candidate set effectively
-    exhaustive at the 0.4 cosine threshold (see embedding_neardup).
+    Candidate-join geometry: joining a radius-r ball against radius-s
+    covers signature distance <= r + s, and the candidate volume per
+    key multiplies by |ball_r| x |ball_s|.  The near-dup join
+    therefore probes radius 2 on ONE side against exact buckets on
+    the other — identical Hamming-2 coverage to the former two-sided
+    radius-1 product at (1 + k + C(k,2)) / (1 + k)^2 of the candidate
+    volume (11/25 at k=4; see embedding_neardup).
     """
     bits = _bit_exprs(_hyperplanes(N_TABLES * bpt))
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << j for j in range(bpt)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(bpt) for j in range(i + 1, bpt)
+        ]
+    # The 8 bucket ids cost N_TABLES * bpt hyperplane dot products per
+    # row — materialize them ONCE in a dedicated projection (the CDC
+    # codepoint-array lesson: CollapseProject won't inline a non-cheap
+    # alias referenced |tables| x |masks| times), so each probe struct
+    # is a constant XOR over the stored id, not a re-derivation.
+    with_buckets = emb.select(
+        "vec_id",
+        F.array(
+            *[_bucket_expr(bits, t, bpt) for t in range(N_TABLES)]
+        ).alias("_bk"),
+    )
     structs = []
     for t in range(N_TABLES):
-        bucket = _bucket_expr(bits, t, bpt)
-        structs.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
-        for j in range(bpt):
+        bucket = F.element_at(F.col("_bk"), t + 1)
+        for m in masks:
             structs.append(
                 F.struct(
                     F.lit(t).alias("tbl"),
-                    bucket.bitwiseXOR(F.lit(1 << j)).alias("bucket"),
+                    (bucket.bitwiseXOR(F.lit(m)) if m else bucket).alias("bucket"),
                 )
             )
-    return emb.select(
+    return with_buckets.select(
         "vec_id", F.explode(F.array(*structs)).alias("tb")
     ).select("vec_id", "tb.tbl", "tb.bucket")
 
@@ -183,9 +204,30 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _embeddings(spark, sf_dir)
     bpt = _bits_per_table(load_table(spark, sf_dir, "embeddings").count())
-    keys = _probe_keys(emb, bpt)
-    a = keys.select(F.col("vec_id").alias("da"), "tbl", "bucket")
-    b = keys.select(F.col("vec_id").alias("db"), "tbl", "bucket")
+    # ONE-SIDED radius-2 ball against exact buckets: same Hamming-2
+    # coverage as the former two-sided radius-1 product at 11/25 of
+    # the candidate volume (the ball arithmetic is in _probe_keys).
+    a = _probe_keys(emb, bpt, radius=2).select(
+        F.col("vec_id").alias("da"), "tbl", "bucket"
+    )
+    b = _probe_keys(emb, bpt, radius=0).select(
+        F.col("vec_id").alias("db"), "tbl", "bucket"
+    )
+    # explicit width on the bucket join: probe keys are tiny in bytes
+    # but each (tbl, bucket) key fans out quadratically in candidate
+    # pairs, so AQE's size-based coalescing otherwise folds the pair
+    # generation onto a handful of straggling tasks (the semdedup_prune
+    # lesson).  REPARTITION_BY_NUM is exempt from coalescing and the
+    # join reuses the co-partitioning.  Net local effect of ball +
+    # width + bucket materialization: 10.2 -> ~8.5 s min at sf0.1 —
+    # bounded, because at this deliberately-exhaustive radius the
+    # candidate set approaches all-pairs (the docstring's point); the
+    # structural halving of raw pair volume is what scales.
+    from ..session import two_pass_rank_width
+
+    width = two_pass_rank_width(spark)
+    a = a.repartition(width, "tbl", "bucket")
+    b = b.repartition(width, "tbl", "bucket")
     cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("da") < F.col("db"))

@@ -170,11 +170,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidate generation reuses the ann_lsh hyperplane tables instead
     of the former all-pairs BroadcastNestedLoopJoin (the textbook O(n²)
-    scale-killer): both join sides emit each vector's bucket plus its
-    4 one-bit-flip probes per table, so any pair whose signatures agree
-    within Hamming distance 2 in SOME of the 8 tables becomes a
-    candidate; candidates are deduped, then exact-cosine verified
-    against the same ≥ 0.4 threshold as before.
+    scale-killer): one join side probes its full Hamming-≤2 ball
+    (1 + 4 + 6 = 11 keys per table), the other emits only its exact
+    bucket, so any pair whose signatures agree within Hamming distance
+    2 in SOME of the 8 tables becomes a candidate — the same coverage
+    as a two-sided radius-1 product at 11/25 of the candidate volume;
+    candidates are deduped, then exact-cosine verified against the
+    same ≥ 0.4 threshold as before.
 
     Recall bound: at the 0.4 threshold the per-bit agreement is
     p = 1 − arccos(0.4)/π ≈ 0.631, so a qualifying pair is missed by
@@ -184,12 +186,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 (tests/test_scale_fixes.py), so the exact DuckDB oracle is
     unchanged.  At adaptive widths (corpus > 8192 → bpt > 4) this
     0.4-threshold exhaustive form does NOT scale, in two measurable
-    ways: (1) the two-sided probe ball multiplies effective bucket load
-    by (1+bpt) per side, so self-join candidates grow as
-    n·occupancy·(1+bpt)²/2 per table — ~1e9 candidate rows already at
-    20k vectors (why tests only run ann_lsh beyond the floor); (2) the
-    fixed Hamming-2 ball covers a shrinking signature fraction, so the
-    recall bound above decays.  A production near-dup pass at that
+    ways: (1) the probe ball multiplies one side's bucket load by
+    1 + bpt + C(bpt,2), so self-join candidates grow as
+    n·occupancy·(1 + bpt + C(bpt,2))/2 per table — ~1e8 candidate rows
+    already at 20k vectors (why tests only run ann_lsh beyond the
+    floor); (2) the fixed Hamming-2 ball covers a shrinking signature
+    fraction, so the recall bound above decays.  A production near-dup pass at that
     scale runs in the true near-dup regime (cosine ≥ 0.9, per-bit
     agreement ≈ 0.856) with single-bucket collisions (no probe ball on
     either side) and more tables — the binomial above is the sizing

@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": ts.time_weighted_avg,
         "label_prop_step": gr.label_prop_step,
         "streaming_distinct_users_hll": es.streaming_distinct_users_hll,
+        "quantile_sketch_quality": sk.quantile_sketch_quality,
     }
 
 
@@ -1807,6 +1808,65 @@ def oracle_sql() -> dict[str, str]:
         # the streaming twin shares the batch HLL oracle (same registers,
         # same estimator — the stream only changes WHERE the max-agg runs)
         "streaming_distinct_users_hll": _HLL_ORACLE,
+        "quantile_sketch_quality": f"""
+            WITH toks AS (
+              SELECT doc_id, source, text,
+                     list_filter(string_split_regex(text, '[ ,."'']'),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, source,
+                     round(least(1.0, len(t) / 100.0) * 0.5
+                           + (1.0 - length(regexp_replace(text, '[^,.]', '', 'g'))::DOUBLE
+                                    / greatest(length(text), 1)) * 0.3
+                           + least(1.0,
+                               (coalesce(list_sum(list_transform(t, x -> length(x)::DOUBLE)), 0.0)
+                                / greatest(len(t), 1)) / 8.0) * 0.2, 6) AS q
+              FROM toks
+            ),
+            binned AS (
+              SELECT source, q,
+                     least({sk.QSK_BINS - 1}, floor(q * {sk.QSK_BINS}))::INT AS b
+              FROM m
+            ),
+            cells AS (SELECT source, b, count(*) AS cnt FROM binned GROUP BY 1, 2),
+            cum AS (
+              SELECT source, b, cnt,
+                     sum(cnt) OVER (PARTITION BY source ORDER BY b
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(cnt) OVER (PARTITION BY source) AS n
+              FROM cells
+            ),
+            sk_est AS (
+              SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                     max(CASE WHEN cum >= greatest(1, ceil(0.5 * n))
+                               AND cum - cnt < greatest(1, ceil(0.5 * n))
+                          THEN round((b + (greatest(1, ceil(0.5 * n)) - (cum - cnt))::DOUBLE / cnt)
+                                     / {sk.QSK_BINS}, 6) END) AS p50_est,
+                     max(CASE WHEN cum >= greatest(1, ceil(0.9 * n))
+                               AND cum - cnt < greatest(1, ceil(0.9 * n))
+                          THEN round((b + (greatest(1, ceil(0.9 * n)) - (cum - cnt))::DOUBLE / cnt)
+                                     / {sk.QSK_BINS}, 6) END) AS p90_est
+              FROM cum GROUP BY source
+            ),
+            r AS (
+              SELECT source, q,
+                     row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM m
+            ),
+            ex AS (
+              SELECT source,
+                     max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN q END) AS p50_exact,
+                     max(CASE WHEN rn = greatest(1, ceil(0.9 * n)) THEN q END) AS p90_exact
+              FROM r GROUP BY source
+            )
+            SELECT s.source, s.n_docs, s.p50_est, ex.p50_exact, s.p90_est, ex.p90_exact,
+                   round(abs(s.p50_est - ex.p50_exact), 6) AS err_p50,
+                   round(abs(s.p90_est - ex.p90_exact), 6) AS err_p90
+            FROM sk_est s JOIN ex ON s.source = ex.source
+        """,
         "pagerank_nations": _pagerank_sql(),
         "fuzzy_blocked_join": """
             -- composite canopy block: (first token, length band of 4),

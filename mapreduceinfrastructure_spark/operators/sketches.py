@@ -176,3 +176,99 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_estimate",
         (F.col("cm_estimate") - F.col("exact_cnt")).cast("long").alias("overestimate"),
     )
+
+
+# Histogram-quantile sketch: equi-width bins over the quality score's
+# [0, 1] range.  Worst-case quantile error is half a bin width (0.005)
+# plus interpolation error inside the bin.
+QSK_BINS = 100
+
+
+def quantile_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile estimates (p50/p90 of the shared quality
+    score) from a fixed 100-bin histogram sketch, audited in-output
+    against the exact nearest-rank values — the third sketch of the
+    family (HLL = cardinality, Count-Min = frequency, histogram =
+    distribution), and the production substitute for
+    quality_calibration's exact rank windows when the percentile
+    dashboard must come from ONE algebraic pass.
+
+    Why it scales where exact doesn't: the histogram is a fixed
+    |sources| x 100 cell table built by one map-side-combined count
+    agg — no per-source sort, no rank window over raw docs — and bins
+    merge associatively across partitions/days (the sketch property).
+    Estimation walks the cumulative bin counts (a window over the tiny
+    cell table) to the target rank and interpolates linearly inside
+    the bin: error is bounded by the bin width, reported exactly by
+    the audit columns.
+
+    Estimator (identical in the DuckDB oracle): for target rank
+    r = ceil(p * n), find the first bin with cumulative count >= r;
+    est = bin_lo + (r - cum_before) / bin_cnt * bin_width.
+    """
+    from ..functions.text import quality_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.round(quality_signals("text").quality, 6)
+    binned = docs.select(
+        "source",
+        q.alias("q"),
+        F.least(F.lit(QSK_BINS - 1), F.floor(q * QSK_BINS)).cast("int").alias("b"),
+    )
+    cells = binned.groupBy("source", "b").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("source"))
+    )
+
+    def est(p):
+        r = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
+        hit = (F.col("cum") >= r) & (F.col("cum") - F.col("cnt") < r)
+        inner = (
+            (r - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt")
+        )
+        val = (F.col("b") + inner) / QSK_BINS
+        return F.max(F.when(hit, F.round(val, 6)))
+
+    sk = cum.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        est(0.5).alias("p50_est"),
+        est(0.9).alias("p90_est"),
+    )
+    # exact nearest-rank audit (the quality_calibration scheme;
+    # deterministic rank tiebreak on doc_id)
+    base = docs.select("doc_id", "source", q.alias("q"))
+    wq = Window.partitionBy("source").orderBy("q", "doc_id")
+    ranked = base.withColumn("rn", F.row_number().over(wq)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("source"))
+    )
+    exact = ranked.groupBy("source").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.ceil(0.5 * F.col("n"))),
+                F.col("q"),
+            )
+        ).alias("p50_exact"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.ceil(0.9 * F.col("n"))),
+                F.col("q"),
+            )
+        ).alias("p90_exact"),
+    )
+    return sk.join(exact, "source").select(
+        "source",
+        "n_docs",
+        "p50_est",
+        "p50_exact",
+        "p90_est",
+        "p90_exact",
+        F.round(F.abs(F.col("p50_est") - F.col("p50_exact")), 6).alias("err_p50"),
+        F.round(F.abs(F.col("p90_est") - F.col("p90_exact")), 6).alias("err_p90"),
+    )

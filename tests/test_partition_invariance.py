@@ -35,6 +35,7 @@ NAMES = [
     "countmin_heavy_hitters",
     # value*duration double sums per user
     "time_weighted_avg",
+    "quantile_sketch_quality",
 ]
 
 

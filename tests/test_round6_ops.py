@@ -322,3 +322,17 @@ def test_hll_registers_merge_associatively(spark, sf_dir):
     for b, r in half_b.items():
         merged[b] = max(merged.get(b, 0), r)
     assert merged == full
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_dir):
+    """The histogram sketch's whole contract: each estimated quantile
+    sits within one bin width (0.01) of the exact nearest-rank value."""
+    from mapreduceinfrastructure_spark.operators.sketches import QSK_BINS
+
+    rows = QUERIES["quantile_sketch_quality"](spark, sf_dir).collect()
+    assert rows
+    bw = 1.0 / QSK_BINS
+    for r in rows:
+        assert r["err_p50"] <= bw + 1e-9, r
+        assert r["err_p90"] <= bw + 1e-9, r
+        assert 0.0 <= r["p50_est"] <= r["p90_est"] <= 1.0 + 1e-9, r

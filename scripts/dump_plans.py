@@ -63,6 +63,7 @@ NOTES = {
     "countmin_heavy_hitters": "cell sums are one algebraic agg of a 4-structs-per-token map-side explode; the fixed-size 4096-cell sketch rides a BroadcastExchange to the candidate probes; estimate = min over rows",
     "time_weighted_avg": "one user-keyed lead window; the per-user agg reuses the window's partitioning — single exchange; durations are integer epoch-us until the final ratio",
     "label_prop_step": "symmetrize via union (map-side), then two algebraic hash-aggs: (node, label) weight sums and the max(struct(w, -label)) argmax-with-tiebreak — no window over the adjacency",
+    "quantile_sketch_quality": "the histogram cells are ONE algebraic count agg (no per-source sort of raw docs); the cumulative walk + interpolation run over the |sources| x 100 cell table; the exact nearest-rank audit branch is the only rank window and exists to measure the sketch",
     "dup_spans": "span hashes deduped per doc map-side (array_distinct before the explode); one algebraic count agg keyed on span hash + one keyed join back — hot corpus-wide boilerplate spans are absorbed by map-side partials, and the join fans out per occurrence, never per pair",
 }
 

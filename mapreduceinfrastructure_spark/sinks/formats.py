@@ -1,4 +1,4 @@
-"""Format breadth: CSV / JSON / partitioned + bucketed parquet sinks and
+"""Format breadth: CSV / JSON / ORC / partitioned + bucketed parquet sinks and
 their round-trip readers.
 
 The reference's only format is ``key value\\n`` text (description.md:
@@ -73,3 +73,14 @@ def compact_parquet(
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (built into Spark's JVM — no extra package): the other
+    columnar interchange format a Hadoop-adjacent consumer asks for.
+    Same pushdown/pruning behavior class as parquet on read."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

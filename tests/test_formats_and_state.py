@@ -112,3 +112,20 @@ def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
     assert len(files) == n
     back = spark.read.parquet(out)
     assert back.count() == orders.count()
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round trip preserves rows exactly, and a filter on the ORC
+    scan is pushed down (PushedFilters in the scan node) like parquet."""
+    from mapreduceinfrastructure_spark.sinks.formats import read_orc, write_orc
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    p = str(tmp_path / "orders_orc")
+    write_orc(orders, p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+    filtered = back.filter(back.o_orderstatus == "F")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:120], plan

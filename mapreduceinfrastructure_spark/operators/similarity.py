@@ -643,3 +643,103 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pruned").cast("long").alias("n_pruned"),
         (F.count("*") - F.sum("pruned")).cast("long").alias("n_kept"),
     )
+
+
+# Iterations for kmeans_iterate's convergence curve.
+KMEANS_ITERS = 5
+
+
+def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's algorithm over the embedding table, KMEANS_ITERS
+    iterations, reporting the convergence curve — per iteration the
+    total inertia, the number of vectors that changed cluster, and the
+    largest centroid movement.  This is the ITERATIVE driver-loop
+    pattern (graph.pagerank, dedup connected components, BPE merges)
+    with a difference: every quantity here is deterministic, so the
+    whole 5-iteration trajectory is verified against a DuckDB oracle
+    that unrolls the same recurrence — the repo's one exactly-checked
+    iterative algorithm.
+
+    Scale shape per iteration: the K current centroids are collected
+    to the driver (K x dim doubles — kilobytes, the legitimate
+    iterative-scalar pattern) and re-embedded as plan literals, so
+    each assignment pass is ONE broadcast-free scan with codegen
+    distance math (no join at all — centroids are constants), followed
+    by the (cluster, pos) algebraic re-centering agg of
+    :func:`kmeans_step`.  Lineage never grows: each iteration plans
+    from the raw table plus fresh literals.
+    """
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent_rows = (
+        emb.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), "v")
+        .collect()
+    )
+    centroids = {r["cid"]: list(r["v"]) for r in cent_rows}
+    schema = "iteration long, inertia double, n_moved long, max_shift double"
+    if not centroids:  # empty corpus: empty curve, schema preserved
+        return spark.createDataFrame([], schema=schema)
+    prev_assign: dict[int, int] | None = None
+    curve = []
+    for it in range(1, KMEANS_ITERS + 1):
+        d2s = []
+        for cid in sorted(centroids):
+            c = centroids[cid]
+            d2s.append(
+                (
+                    cid,
+                    F.aggregate(
+                        F.zip_with(
+                            "v",
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+            )
+        best = F.least(*[F.struct(d.alias("d2"), F.lit(cid).alias("cid")) for cid, d in d2s])
+        assigned = emb.select(
+            "vec_id", "v", best.getField("cid").alias("cluster"), best.getField("d2").alias("d2")
+        )
+        cells = (
+            assigned.select("cluster", "d2", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("nc"), F.sum("d2").alias("sd2"))
+        )
+        newc_rows = (
+            cells.groupBy("cluster")
+            .agg(
+                F.round(F.max("sd2"), 3).alias("inertia"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "nc"))),
+                    lambda s: s["nc"],
+                ).alias("nv"),
+            )
+            .collect()
+        )
+        inertia = round(sum(r["inertia"] for r in newc_rows), 3)
+        new_centroids = dict(centroids)
+        max_shift = 0.0
+        for r in newc_rows:
+            old = centroids[r["cluster"]]
+            nv = list(r["nv"])
+            shift = sum((a - b) * (a - b) for a, b in zip(nv, old)) ** 0.5
+            max_shift = max(max_shift, shift)
+            new_centroids[r["cluster"]] = nv
+        assign_now = {
+            r["vec_id"]: r["cluster"]
+            for r in assigned.select("vec_id", "cluster").collect()
+        }
+        n_moved = (
+            len(assign_now)
+            if prev_assign is None
+            else sum(1 for k, c in assign_now.items() if prev_assign.get(k) != c)
+        )
+        curve.append((it, inertia, int(n_moved), round(max_shift, 6)))
+        centroids = new_centroids
+        prev_assign = assign_now
+    return spark.createDataFrame(curve, schema=schema)

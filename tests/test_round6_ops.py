@@ -336,3 +336,22 @@ def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_dir):
         assert r["err_p50"] <= bw + 1e-9, r
         assert r["err_p90"] <= bw + 1e-9, r
         assert 0.0 <= r["p50_est"] <= r["p90_est"] <= 1.0 + 1e-9, r
+
+
+def test_kmeans_iterate_converges_monotonically(spark, sf_dir):
+    """Lloyd's invariant: total inertia is non-increasing across
+    iterations (each assignment step and each re-centering step can
+    only lower it), and movement shrinks to a settled clustering."""
+    from mapreduceinfrastructure_spark.operators.similarity import KMEANS_ITERS
+
+    rows = sorted(
+        QUERIES["kmeans_iterate"](spark, sf_dir).collect(),
+        key=lambda r: r["iteration"],
+    )
+    assert [r["iteration"] for r in rows] == list(range(1, KMEANS_ITERS + 1))
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["inertia"] <= lo["inertia"] + 1e-3, (lo, hi)
+    # iteration 1 "moves" every vector by definition; later iterations
+    # move strictly fewer than the corpus
+    assert rows[0]["n_moved"] > rows[1]["n_moved"]
+    assert all(r["max_shift"] >= 0 for r in rows)

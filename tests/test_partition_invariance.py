@@ -36,6 +36,8 @@ NAMES = [
     # value*duration double sums per user
     "time_weighted_avg",
     "quantile_sketch_quality",
+    # the iterative trajectory: inertia/shift double sums per iteration
+    "kmeans_iterate",
 ]
 
 

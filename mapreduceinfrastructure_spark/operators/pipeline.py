@@ -980,13 +980,18 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     packed = pack_sequences(spark, sf_dir)
     split = (F.col("pack_offset") + F.col("n_tokens") > PACK_LEN).cast("int")
+    # n_packs counts every OCCUPIED pack: the layout is a dense
+    # concatenation, so that is exactly ceil(total_tokens/PACK_LEN).
+    # max(pack_id)+1 would miss the tail packs a final longer-than-
+    # PACK_LEN doc spans (it records only the pack a doc STARTS in),
+    # undercounting packs and letting fill_rate exceed 1.0.
+    n_packs = F.ceil(F.sum("n_tokens").cast("double") / PACK_LEN).cast("long")
     return packed.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
-        (F.max("pack_id") + 1).cast("long").alias("n_packs"),
+        n_packs.alias("n_packs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(
-            F.sum("n_tokens").cast("double")
-            / ((F.max("pack_id") + 1) * PACK_LEN).cast("double"),
+            F.sum("n_tokens").cast("double") / (n_packs * PACK_LEN).cast("double"),
             6,
         ).alias("fill_rate"),
         F.sum(split).cast("long").alias("n_split_docs"),

@@ -666,7 +666,13 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     each assignment pass is ONE broadcast-free scan with codegen
     distance math (no join at all — centroids are constants), followed
     by the (cluster, pos) algebraic re-centering agg of
-    :func:`kmeans_step`.  Lineage never grows: each iteration plans
+    :func:`kmeans_step`.  ``n_moved`` is computed in that SAME scan:
+    the PREVIOUS iteration's centroids are also plan literals, so the
+    previous assignment is a second ``least(struct…)`` expression and
+    the moved count folds into the aggregation as
+    ``sum((cur != prev)::int)`` — the only driver transfers per
+    iteration are the K re-centered rows; no per-vector row ever
+    crosses to the driver.  Lineage never grows: each iteration plans
     from the raw table plus fresh literals.
     """
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
@@ -681,12 +687,10 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "iteration long, inertia double, n_moved long, max_shift double"
     if not centroids:  # empty corpus: empty curve, schema preserved
         return spark.createDataFrame([], schema=schema)
-    prev_assign: dict[int, int] | None = None
-    curve = []
-    for it in range(1, KMEANS_ITERS + 1):
+    def argmin_expr(cents: dict[int, list[float]]):
         d2s = []
-        for cid in sorted(centroids):
-            c = centroids[cid]
+        for cid in sorted(cents):
+            c = cents[cid]
             d2s.append(
                 (
                     cid,
@@ -701,19 +705,40 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 )
             )
-        best = F.least(*[F.struct(d.alias("d2"), F.lit(cid).alias("cid")) for cid, d in d2s])
+        return F.least(*[F.struct(d.alias("d2"), F.lit(cid).alias("cid")) for cid, d in d2s])
+
+    prev_centroids: dict[int, list[float]] | None = None
+    curve = []
+    for it in range(1, KMEANS_ITERS + 1):
+        best = argmin_expr(centroids)
+        # Previous assignment re-derived from literals in the SAME scan:
+        # on iteration 1 every vector counts as moved (matches the
+        # "first assignment" semantics of the unrolled oracle).
+        moved = (
+            F.lit(1)
+            if prev_centroids is None
+            else (best.getField("cid") != argmin_expr(prev_centroids).getField("cid")).cast("int")
+        )
         assigned = emb.select(
-            "vec_id", "v", best.getField("cid").alias("cluster"), best.getField("d2").alias("d2")
+            "v",
+            best.getField("cid").alias("cluster"),
+            best.getField("d2").alias("d2"),
+            moved.alias("moved"),
         )
         cells = (
-            assigned.select("cluster", "d2", F.posexplode("v").alias("pos", "x"))
+            assigned.select("cluster", "d2", "moved", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("nc"), F.sum("d2").alias("sd2"))
+            .agg(
+                F.avg("x").alias("nc"),
+                F.sum("d2").alias("sd2"),
+                F.sum("moved").alias("mv"),
+            )
         )
         newc_rows = (
             cells.groupBy("cluster")
             .agg(
                 F.round(F.max("sd2"), 3).alias("inertia"),
+                F.max("mv").alias("n_moved_c"),
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "nc"))),
                     lambda s: s["nc"],
@@ -722,6 +747,7 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         inertia = round(sum(r["inertia"] for r in newc_rows), 3)
+        n_moved = sum(int(r["n_moved_c"]) for r in newc_rows)
         new_centroids = dict(centroids)
         max_shift = 0.0
         for r in newc_rows:
@@ -730,16 +756,7 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
             shift = sum((a - b) * (a - b) for a, b in zip(nv, old)) ** 0.5
             max_shift = max(max_shift, shift)
             new_centroids[r["cluster"]] = nv
-        assign_now = {
-            r["vec_id"]: r["cluster"]
-            for r in assigned.select("vec_id", "cluster").collect()
-        }
-        n_moved = (
-            len(assign_now)
-            if prev_assign is None
-            else sum(1 for k, c in assign_now.items() if prev_assign.get(k) != c)
-        )
         curve.append((it, inertia, int(n_moved), round(max_shift, 6)))
+        prev_centroids = centroids
         centroids = new_centroids
-        prev_assign = assign_now
     return spark.createDataFrame(curve, schema=schema)

@@ -49,6 +49,9 @@ print(f"SMOKE entry(): rows={n} schema={smoke.schema.simpleString()} ({time.time
 assert n > 0
 
 qs, oracles = e.queries(), e.oracle_sql()
+only = {s for s in os.environ.get("SPARK_GRAFT_VERIFY_ONLY", "").split(",") if s}
+if only:
+    qs = {k: v for k, v in qs.items() if k in only}
 fails = []
 for name in sorted(qs):
     t0 = time.time()

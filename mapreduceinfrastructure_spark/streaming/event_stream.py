@@ -452,50 +452,29 @@ def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_distinct_users, which is the point: one sketch definition,
     three execution contexts (batch, merge, stream).
     """
-    from ..operators.sketches import (
-        HLL_ALPHA,
-        HLL_M,
-        HLL_P,
-        _HLL_HASH_BITS,
-        _hash48,
-    )
+    from ..operators.sketches import hll_estimate, hll_registers
     from ..sources.tables import load_table
 
     ev = read_events_stream(spark, sf_dir).select(
         "event_type", F.col("user_id").cast("string").alias("u")
     )
-    h = _hash48(F.col("u"))
-    hb = _HLL_HASH_BITS - HLL_P
-    w = F.shiftright(h, HLL_P)
-    rank = F.when(w > 0, F.lit(hb + 1) - F.length(F.bin(w))).otherwise(
-        F.lit(hb + 1)
-    )
-    regs = (
-        ev.select("event_type", (h % HLL_M).alias("bucket"), rank.alias("r"))
-        .groupBy("event_type", "bucket")
-        .agg(F.max("r").alias("r"))
-    )
+    # The SAME register builder as batch hll_distinct_users — here the
+    # groupBy-max runs as a stateful streaming aggregation.
+    regs = hll_registers(ev, "event_type", "u")
     got = run_stream_to_memory(
         spark, regs, "hll_stream_driver", output_mode="complete"
     )
-    per_type = got.groupBy("event_type").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
-        F.count("*").alias("nonzero"),
-    )
-    zeros = F.lit(HLL_M) - F.col("nonzero")
-    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (F.col("s") + zeros)
-    est = F.when(
-        (raw <= 2.5 * HLL_M) & (zeros > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
-    ).otherwise(raw)
+    est = hll_estimate(got, "event_type")
     exact = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.countDistinct(F.col("user_id").cast("string")).cast("long").alias("n_exact"))
     )
-    return per_type.join(exact, "event_type").select(
+    return est.join(exact, "event_type").select(
         "event_type",
         "n_exact",
-        F.round(est, 4).alias("n_hll"),
-        F.round((est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+        F.round(F.col("hll_est"), 4).alias("n_hll"),
+        F.round(
+            (F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
     )

@@ -292,32 +292,23 @@ def test_hll_registers_merge_associatively(spark, sf_dir):
     combine losslessly."""
     from pyspark.sql import functions as F
 
-    from mapreduceinfrastructure_spark.operators.sketches import (
-        HLL_M,
-        HLL_P,
-        _HLL_HASH_BITS,
-        _hash48,
-    )
+    from mapreduceinfrastructure_spark.operators.sketches import hll_registers
     from mapreduceinfrastructure_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").cast("string").alias("u"), "event_id"
+        F.lit("all").alias("k"),
+        F.col("user_id").cast("string").alias("u"),
+        "event_id",
     )
-    h = _hash48(F.col("u"))
-    hb = _HLL_HASH_BITS - HLL_P
-    w = F.shiftright(h, HLL_P)
-    rank = F.when(w > 0, F.lit(hb + 1) - F.length(F.bin(w))).otherwise(F.lit(hb + 1))
-    proj = ev.select((h % HLL_M).alias("bucket"), rank.alias("r"), "event_id")
 
     def regs(df):
         return {
-            r["bucket"]: r["mr"]
-            for r in df.groupBy("bucket").agg(F.max("r").alias("mr")).collect()
+            r["bucket"]: r["r"] for r in hll_registers(df, "k", "u").collect()
         }
 
-    full = regs(proj)
-    half_a = regs(proj.filter(F.col("event_id") % 2 == 0))
-    half_b = regs(proj.filter(F.col("event_id") % 2 == 1))
+    full = regs(ev)
+    half_a = regs(ev.filter(F.col("event_id") % 2 == 0))
+    half_b = regs(ev.filter(F.col("event_id") % 2 == 1))
     merged = dict(half_a)
     for b, r in half_b.items():
         merged[b] = max(merged.get(b, 0), r)

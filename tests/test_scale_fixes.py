@@ -485,3 +485,52 @@ def test_two_pass_rank_equivalent_across_widths(spark, sf_dir, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_RANK_WIDTH")
     # the derived (un-overridden) width respects the parallelism floor
     assert two_pass_rank_width(spark) >= 8
+
+
+def test_cdc_boundaries_match_oracle_on_non_bmp_text(spark, tmp_path):
+    """ADVICE r6: the CDC recurrence decodes codepoints with F.ascii in
+    Spark and unicode() in DuckDB.  On Spark 4, ascii() returns the full
+    codepoint for supplementary-plane characters (codePointAt, not the
+    UTF-16 high surrogate), so the two engines agree beyond the BMP —
+    pinned here with an emoji-bearing shared passage run through BOTH
+    the operator and its registered oracle SQL on the same corpus."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from mapreduceinfrastructure_spark.operators.dedup import cdc_dup_chunks
+
+    rng = random.Random(13)
+    words = [f"w{rng.randrange(1000)}\U0001F600" for _ in range(300)]
+    a = " ".join(words) + " tail\U0001F680only"
+    b = " ".join(["PREFIX\U0001F984"] + words)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array([a, b]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["x", "x"]),
+            "n_chars": pa.array([len(a), len(b)], type=pa.int64()),
+        }
+    )
+    d = tmp_path / "cdc_nonbmp_sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["n_chunks"], r["n_dup_chunks"])
+        for r in cdc_dup_chunks(spark, str(d)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.sql(
+            "SELECT doc_id, n_chunks, n_dup_chunks FROM ("
+            + entrymod.oracle_sql()["cdc_dup_chunks"]
+            + ")"
+        ).fetchall()
+    )
+    assert got == want and got[0][2] > 0, (got, want)

@@ -91,6 +91,10 @@ HEADLINE = [
     "kmeans_step",
     "semdedup_prune",
     "bloom_decontaminate",
+    # round-7 addition: the production-regime near-dup — single-bucket
+    # collisions across 16 tables (linear candidate volume) vs the
+    # probe-ball embedding_neardup above it in cost
+    "embedding_neardup_strict",
 ]
 
 

@@ -444,6 +444,62 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curated_shards_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated-shard projection both sinks write: surviving docs
+    joined back to their text, annotated with the pack each doc's
+    first token lands in (pack_sequences arithmetic)."""
+    kept = curated_docs(spark, sf_dir)
+    text = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("nt").over(w), F.lit(0)).cast("long")
+    return kept.join(text, "doc_id").select(
+        "doc_id",
+        "source",
+        F.col("nt").alias("n_tokens"),
+        F.floor(cum_excl / F.lit(PACK_LEN)).cast("long").alias("pack_id"),
+        "text",
+    )
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORC twin of :func:`shard_manifest` (VERDICT r6 #6 — promote
+    the pytest-only ORC path into the driver-verified surface): the
+    curated shards are written to ORC partitioned by source, read back
+    through the ORC reader with the explicit shard schema, and the
+    per-source manifest — doc/token/pack counts plus the doc_id span —
+    is aggregated from the READ-BACK files, so a green row certifies
+    the ORC write→read round trip end-to-end (values, partition
+    discovery, schema mapping), not just that files appeared.  The
+    DuckDB oracle recomputes the same numbers from ``documents``.
+
+    Scale: identical consumer shape to the parquet path — the
+    aggregate reads only (source, n_tokens, pack_id, doc_id) via ORC
+    column pruning, text is never re-read, and partition pruning on
+    ``source`` works exactly as for parquet (same Hive layout).
+    """
+    import tempfile
+
+    out_path = os.path.join(
+        tempfile.gettempdir(),
+        f"mri_curated_orc_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    curated_shards_df(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "source"
+    ).orc(out_path)
+    back = spark.read.schema(SHARD_SCHEMA).orc(out_path)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def write_curated_shards(
     spark: SparkSession, sf_dir: str, out_path: str
 ) -> dict[str, int]:
@@ -458,21 +514,7 @@ def write_curated_shards(
     doc_id order so sequential packing is reproducible.  Returns
     {"n_docs": ..., "n_tokens": ...} totals for the manifest.
     """
-    kept = curated_docs(spark, sf_dir)
-    text = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_excl = F.coalesce(F.sum("nt").over(w), F.lit(0)).cast("long")
-    shards = kept.join(text, "doc_id").select(
-        "doc_id",
-        "source",
-        F.col("nt").alias("n_tokens"),
-        F.floor(cum_excl / F.lit(PACK_LEN)).cast("long").alias("pack_id"),
-        "text",
-    )
+    shards = curated_shards_df(spark, sf_dir)
     shards.write.mode("overwrite").partitionBy("source").parquet(out_path)
     # explicit schema: a zero-survivor corpus writes no part files and
     # schema inference has nothing to read (empty-input edge case);

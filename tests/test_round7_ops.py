@@ -1,0 +1,67 @@
+"""Cross-checks for the round-7 operators beyond oracle parity."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
+QUERIES = entrymod.queries()
+
+
+def test_strict_neardup_finds_every_planted_pair(spark, sf_dir):
+    """100%-recall floor for the production regime at the test width:
+    the analytic miss bound is (1 - p^4)^16 ~ 4e-6 per pair, so all
+    PLANT_N planted near-duplicates (cosine pinned into [0.953,
+    0.965] by the 1.3/0.7 re-weighting) must be found, as (i, i +
+    PLANT_ID_OFFSET) pairs, and nothing else qualifies on the test
+    corpora (64-d standard normal has no organic 0.9 pairs)."""
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        PLANT_ID_OFFSET,
+        PLANT_N,
+        STRICT_COS,
+    )
+
+    rows = QUERIES["embedding_neardup_strict"](spark, sf_dir).collect()
+    got = {(r["da"], r["db"]) for r in rows}
+    want = {(i, i + PLANT_ID_OFFSET) for i in range(PLANT_N)}
+    assert got == want, got.symmetric_difference(want)
+    for r in rows:
+        assert STRICT_COS <= r["cosine"] <= 0.965, r
+
+
+def test_strict_neardup_single_bucket_no_probe_ball(spark, sf_dir):
+    """The regime's defining property: each vector emits exactly ONE
+    key per table (no Hamming ball), so the candidate join input is
+    |corpus| x STRICT_N_TABLES rows — linear, not ball-multiplied —
+    and the join arrives via explicit-width repartition (the AQE
+    bytes-vs-compute coalescing pin, as semdedup_prune)."""
+    import re
+
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        PLANT_N,
+        STRICT_N_TABLES,
+        _bits_per_table,
+        _embeddings,
+        _probe_keys,
+    )
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    emb = _embeddings(spark, sf_dir)
+    keys = _probe_keys(emb, _bits_per_table(n + PLANT_N), radius=0,
+                       n_tables=STRICT_N_TABLES)
+    assert keys.count() == n * STRICT_N_TABLES
+    per_vec = keys.groupBy("vec_id", "tbl").count()
+    assert per_vec.filter(F.col("count") != 1).count() == 0
+
+    df = QUERIES["embedding_neardup_strict"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pins = [
+        l
+        for l in plan.splitlines()
+        if "REPARTITION_BY_NUM" in l
+        and re.search(r"hashpartitioning\(tbl#\d+, bucket#", l)
+    ]
+    assert len(pins) >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

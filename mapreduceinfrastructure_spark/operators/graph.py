@@ -45,9 +45,10 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the nation trade graph (10 iterations,
-    d=0.85).  Rows-only check: float iteration order makes cross-engine
-    hashing unreasonable; invariants are pytest-pinned instead
-    (sum(rank)=1, positivity, determinism)."""
+    d=0.85).  Oracle-verified: the DuckDB twin unrolls the same 10
+    iterations (__spark_entry__._pagerank_sql) and the driver
+    hash-gates the rounded ranks; invariants (sum(rank)=1, positivity,
+    determinism) are additionally pytest-pinned."""
     # the edge table feeds trans, out_w, nodes AND the dangling-set prep
     # — persist it once so the 4-table join pipeline runs a single time.
     edges = trade_edges(spark, sf_dir).persist()

@@ -1,0 +1,137 @@
+"""Propose the next round's 50-slot driver window (VERDICT r6 #7).
+
+Once every oracle-backed query has banked an external driver row
+(complete after the r7 window), the window's job changes from coverage
+to REGRESSION: re-verify the queries whose implementation changed most
+recently, so the external driver gates exactly the code each round
+touched.  This script emits the proposed ordered 50-list from:
+
+1. the word_count / grep fidelity anchors (always slots 1-2);
+2. every oracle-backed query whose defining module changed in git
+   more recently than its last banked green driver row (these are the
+   queries whose external evidence is STALE), newest change first;
+3. the remaining oracle-backed queries, least-recently-banked first
+   (round-robin re-verification of the untouched surface).
+
+Change detection is file-granular (git log on the module that defines
+the query's callable, plus __spark_entry__.py itself for oracle edits
+— an oracle change also invalidates banked evidence).  Banked rounds
+are read from CORRECTNESS_r*.json (a row counts only if it passed).
+
+Usage: python scripts/rotation.py [--window N] — prints the proposed
+DRIVER_WINDOW list as a python literal to paste into
+__spark_entry__.py, with a provenance comment per entry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ANCHORS = ["word_count", "grep"]
+
+
+def _git_last_commit_ts(path: str) -> int:
+    out = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", "--", path],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    return int(out) if out else 0
+
+
+def _git_commit_ts_of_round(round_no: int) -> int:
+    """Timestamp of the commit that recorded CORRECTNESS_r{N}.json."""
+    return _git_last_commit_ts(f"CORRECTNESS_r{round_no:02d}.json")
+
+
+def banked_rounds() -> dict[str, int]:
+    """query -> latest round with a passing driver row."""
+    banked: dict[str, int] = {}
+    for fn in sorted(os.listdir(REPO)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        data = json.load(open(os.path.join(REPO, fn)))
+        rows = data.items() if isinstance(data, dict) else (
+            (r["name"], r) for r in data
+        )
+        for name, row in rows:
+            ok = (
+                row.get("match") or row.get("ok") or row.get("pass")
+                or (
+                    row.get("rows_match") and row.get("schema_match")
+                    and row.get("hash_match")
+                )
+            ) if isinstance(row, dict) else bool(row)
+            if ok and not (isinstance(row, dict) and row.get("err")):
+                banked[name] = max(banked.get(name, 0), rnd)
+    return banked
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--window", type=int, default=50)
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    candidates = [n for n in qs if n in oracles]
+    banked = banked_rounds()
+
+    entry_ts = _git_last_commit_ts("__spark_entry__.py")
+    file_ts: dict[str, int] = {}
+
+    def changed_ts(name: str) -> int:
+        fn = qs[name]
+        try:
+            src = inspect.getsourcefile(inspect.unwrap(fn)) or ""
+        except TypeError:
+            src = ""
+        rel = os.path.relpath(src, REPO) if src else "__spark_entry__.py"
+        if rel not in file_ts:
+            file_ts[rel] = _git_last_commit_ts(rel)
+        # an oracle edit also invalidates evidence, but __spark_entry__
+        # changes every round (registry churn) — use it only for
+        # queries defined inline there (lambdas), not as a global max.
+        return file_ts[rel] if not rel.startswith("..") else entry_ts
+
+    banked_ts = {
+        n: _git_commit_ts_of_round(r) for n, r in banked.items()
+    }
+
+    stale = [
+        n for n in candidates
+        if n not in ANCHORS
+        and changed_ts(n) > banked_ts.get(n, 0)
+    ]
+    stale.sort(key=changed_ts, reverse=True)
+    fresh = [
+        n for n in candidates if n not in ANCHORS and n not in stale
+    ]
+    fresh.sort(key=lambda n: (banked.get(n, 0), n))
+
+    window = (ANCHORS + stale + fresh)[: args.window]
+    print("DRIVER_WINDOW = [")
+    for n in window:
+        tag = (
+            "anchor" if n in ANCHORS
+            else f"stale (changed after r{banked.get(n, 0)} row)"
+            if n in stale
+            else f"backfill (last banked r{banked.get(n, 0)})"
+        )
+        print(f'    "{n}",  # {tag}')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,20 +26,21 @@ def test_registry_consistency():
 # insertion/reorder can't silently push an oracle-backed query out of
 # (or a rows-only query into) the verified window.
 DRIVER_WINDOW = [
-    "word_count", "grep", "inverted_index_mr", "contamination_report",
-    "window_funcs_catalog", "scalar_subquery", "skew_safe_distinct",
-    "token_positions", "grouping_sets_pricing", "pandas_udaf_geomean",
-    "udtf_chunk_text", "time_rollup", "deterministic_sample",
-    "stats_aggregates", "not_in_null_aware", "argmax_order",
-    "nested_roundtrip", "cross_join_grid", "bag_except", "date_funcs",
-    "pagerank_nations", "trade_edges", "embedding_stats",
-    "embedding_outliers", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q19", "tpch_q20",
-    "tpch_q22", "zipf_slope", "bigram_logprob_score", "weighted_sample",
-    "lang_entropy", "cdc_dup_chunks", "ngram_novelty", "corpus_summary",
-    "neardup_audit", "streaming_sessions", "streaming_enriched_revenue",
-    "streaming_curated_ingest",
+    "word_count", "grep", "grep_mr", "union_all_op", "map_explode",
+    "streaming_curated_ingest_watermarked", "token_budget_cap",
+    "kmeans_step", "bloom_decontaminate", "langid_eval",
+    "quality_calibration", "dedup_rate_by_threshold", "semdedup_prune",
+    "packing_efficiency", "hll_distinct_users", "countmin_heavy_hitters",
+    "time_weighted_avg", "label_prop_step", "streaming_distinct_users_hll",
+    "quantile_sketch_quality", "kmeans_iterate",
+    "embedding_neardup_strict", "orc_roundtrip",
+    "word_count_mr", "key_stats", "join_revenue_by_nation",
+    "topk_per_group", "sessionize", "distributed_sort", "histogram",
+    "salted_join", "asof_join", "dedup_exact", "ngram_jaccard_neardup",
+    "dedup_clusters", "dup_spans", "incremental_dedup", "cosine_topk",
+    "embedding_neardup", "curation_pipeline", "shard_manifest",
+    "decontamination", "tf_idf", "language_id", "tpch_q1", "tpch_q5",
+    "tpch_q9", "tpch_q21", "gap_fill", "triangle_count",
 ]
 
 

@@ -177,3 +177,74 @@ def test_lang_entropy_correct_under_mega_source_skew(spark, tmp_path):
         tiny["entropy"],
     ) == (1, 3, 0.0)
     assert tiny["majority_lang"] == "en"
+
+
+def test_bloom_decontaminate_exact_under_hot_gram_skew(spark, tmp_path):
+    """VERDICT r6 #8: the bloom screen's hot-key candidate is a
+    boilerplate benchmark gram shared by (almost) every training doc —
+    its BLOOM_K bit positions occur in every probe row.  The
+    broadcast-join + per-gram count shape must absorb that and keep
+    the one-sided contract exact: every contaminated doc flagged,
+    n_flagged_bloom - n_false_pos == n_flagged_exact per source."""
+    from mapreduceinfrastructure_spark.operators.pipeline import (
+        BENCH_MOD,
+        bloom_decontaminate,
+    )
+
+    boiler = "c1 c2 c3 c4 c5"  # ONE 5-gram, in the benchmark and 190 train docs
+    rows = [(0, boiler, "en", "bench")]  # doc 0: the benchmark item
+    nid = 1
+    for i in range(380):
+        if nid % BENCH_MOD == 0:
+            nid += 1  # keep extra docs out of the benchmark split
+        contaminated = i % 2 == 0
+        text = (
+            f"{boiler} u{nid}a u{nid}b u{nid}c u{nid}d"
+            if contaminated
+            else f"z{nid}a z{nid}b z{nid}c z{nid}d z{nid}e z{nid}f"
+        )
+        rows.append((nid, text, "en", "s_hot" if contaminated else "s_clean"))
+        nid += 1
+    d = _write_documents(tmp_path, "bloom_skew", rows)
+    got = {r["source"]: r for r in bloom_decontaminate(spark, d).collect()}
+    hot, clean = got["s_hot"], got["s_clean"]
+    assert hot["n_docs"] == 190 and clean["n_docs"] == 190
+    # one-sided: every contaminated doc is exactly- AND bloom-flagged
+    assert hot["n_flagged_exact"] == 190
+    assert hot["n_flagged_bloom"] - hot["n_false_pos"] == 190
+    assert clean["n_flagged_exact"] == 0
+    assert clean["n_flagged_bloom"] == clean["n_false_pos"]
+
+
+def test_semdedup_prune_exact_under_giant_cluster_skew(spark, tmp_path):
+    """VERDICT r6 #8: semdedup_prune's hot key is a cluster owning the
+    whole corpus.  400 copies of one vector tie to centroid 0 (argmin
+    tie-break takes the lowest cid), so cluster 0 holds ALL vectors
+    and the pair join is fully quadratic on one key — the salted,
+    width-pinned join must spread it and still return the exact
+    one-shot-prune answer: keep vec 0, prune the other 399."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators.similarity import semdedup_prune
+
+    rng = np.random.default_rng(17)
+    v0 = rng.standard_normal(64)
+    vecs = np.tile(v0, (400, 1))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(400), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * 400, type=pa.int32()),
+        }
+    )
+    d = tmp_path / "semdedup_giant"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    rows = {r["cluster"]: r for r in semdedup_prune(spark, str(d)).collect()}
+    assert set(rows) == {0}, rows  # every vector in the one giant cluster
+    r = rows[0]
+    assert (r["n"], r["n_kept"], r["n_pruned"]) == (400, 1, 399), r

@@ -297,3 +297,51 @@ def quantile_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("p50_est") - F.col("p50_exact")), 6).alias("err_p50"),
         F.round(F.abs(F.col("p90_est") - F.col("p90_exact")), 6).alias("err_p90"),
     )
+
+
+def hll_union_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff of sketches being ALGEBRAIC: per-event-type HLL
+    register tables are merged into a union sketch by a plain
+    ``max(r)`` over buckets — no rescan of the events — and the merged
+    registers estimate the distinct-user count of the UNION of all
+    event types, reported next to each type's own row and the exact
+    audit.  This is the cross-partition / cross-day / cross-stream
+    combine written as a query: at 100 TB you keep |keys| x 1024
+    registers per day and answer "distinct users this quarter" from
+    kilobytes, which is exactly what the ALL row demonstrates (union
+    cardinality != sum of per-type counts because users overlap).
+
+    Scale shape: ONE corpus scan builds the per-type registers
+    (algebraic max agg); the union row is a second max agg over the
+    register TABLE (|types| x 1024 rows); estimator + exact audit join
+    batch-side.  Shares hll_registers/hll_estimate with the batch and
+    streaming variants — one sketch definition, four contexts.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    regs = hll_registers(ev, "event_type", "u")
+    union_regs = (
+        regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("ALL").alias("event_type"), "bucket", "r")
+    )
+    all_regs = regs.unionByName(union_regs)
+    est = hll_estimate(all_regs, "event_type")
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("u").cast("long").alias("n_exact"))
+        .unionByName(
+            ev.agg(F.countDistinct("u").cast("long").alias("n_exact")).select(
+                F.lit("ALL").alias("event_type"), "n_exact"
+            )
+        )
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.round(F.col("hll_est"), 4).alias("n_hll"),
+        F.round(
+            (F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )

@@ -65,3 +65,24 @@ def test_strict_neardup_single_bucket_no_probe_ball(spark, sf_dir):
     assert len(pins) >= 2, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """The bucketed-table promise: both sides are pre-hashed into
+    BUCKETED_N buckets at write time, so the sort-merge join reads
+    bucketed scans directly — NO Exchange feeds the join; the only
+    shuffle in the whole query is the final small per-priority agg."""
+    df = QUERIES["bucketed_join_revenue"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final, final
+    assert "Bucketed: true" in final
+    assert "SelectedBucketsCount: 8 out of 8" in final
+    join_part = final.split("SortMergeJoin")[1]
+    # below the join: only scans/sorts — any Exchange there would mean
+    # the bucketed layout was not used
+    assert "Exchange" not in join_part, join_part
+    # exactly one Exchange above the join (the o_orderpriority agg)
+    above = final.split("SortMergeJoin")[0]
+    assert above.count("Exchange") == 1, above

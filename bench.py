@@ -91,10 +91,12 @@ HEADLINE = [
     "kmeans_step",
     "semdedup_prune",
     "bloom_decontaminate",
-    # round-7 addition: the production-regime near-dup — single-bucket
+    # round-7 additions: the production-regime near-dup — single-bucket
     # collisions across 16 tables (linear candidate volume) vs the
-    # probe-ball embedding_neardup above it in cost
+    # probe-ball embedding_neardup above it in cost — and the bucketed
+    # co-located join (write + exchange-free SMJ, end to end)
     "embedding_neardup_strict",
+    "bucketed_join_revenue",
 ]
 
 

@@ -248,3 +248,77 @@ def label_prop_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.ws").cast("long").alias("support"),
         )
     )
+
+
+# Iterations for label_prop_iterate's convergence curve.
+LPA_ITERS = 4
+
+
+def label_prop_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full synchronous label propagation: :func:`label_prop_step`'s
+    deterministic update (adopt the neighbor label with the most
+    incident weight, ties to the smaller label) iterated LPA_ITERS
+    rounds from labels = node ids, reporting the convergence curve —
+    per iteration the number of nodes that changed label, the number
+    of distinct communities, and the largest community's size.  With
+    kmeans_iterate this makes TWO exactly-verified iterative
+    algorithms: every quantity is integer-deterministic, so the whole
+    trajectory is hash-gated against a DuckDB oracle that unrolls the
+    same recurrence (__spark_entry__._lpa_sql).
+
+    Scale shape per iteration: one edge⋈labels shuffle join keyed on
+    src, the two algebraic aggs of label_prop_step (map-side
+    partials), then localCheckpoint on the new (node, lbl) table —
+    the labels table is node-sized (not edge-sized) and checkpointing
+    truncates the otherwise-growing lineage, the standard iterative-
+    graph pattern (same reason dedup's CC persists between pointer-
+    jumping rounds).  The three curve scalars are 1-row aggregates;
+    no per-node rows reach the driver.
+    """
+    e = trade_edges(spark, sf_dir)
+    und = (
+        e.select("src", "dst", "w")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+        .persist()
+    )
+    nodes = und.select(F.col("dst").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    schema = (
+        "iteration long, n_changed long, n_communities long, "
+        "largest_community long"
+    )
+    curve = []
+    best = F.max(F.struct(F.col("wsum").alias("ws"), (-F.col("lbl")).alias("nl")))
+    for it in range(1, LPA_ITERS + 1):
+        cand = (
+            und.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        new_labels = (
+            cand.groupBy("node")
+            .agg(best.alias("b"))
+            .select("node", (-F.col("b.nl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        stats = (
+            new_labels.join(
+                labels.withColumnRenamed("lbl", "prev"), "node"
+            )
+            .agg(
+                F.sum((F.col("lbl") != F.col("prev")).cast("long")).alias("ch"),
+                F.countDistinct("lbl").alias("nc"),
+            )
+            .collect()[0]
+        )
+        largest = (
+            new_labels.groupBy("lbl").count().agg(F.max("count").alias("m"))
+        ).collect()[0]["m"]
+        curve.append(
+            (it, int(stats["ch"]), int(stats["nc"]), int(largest))
+        )
+        labels = new_labels
+    und.unpersist()
+    if not curve:  # pragma: no cover - LPA_ITERS is a positive constant
+        return spark.createDataFrame([], schema=schema)
+    return spark.createDataFrame(curve, schema=schema)

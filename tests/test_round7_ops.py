@@ -86,3 +86,28 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     # exactly one Exchange above the join (the o_orderpriority agg)
     above = final.split("SortMergeJoin")[0]
     assert above.count("Exchange") == 1, above
+
+
+def test_label_prop_iterate_consistent_with_step_and_stable(spark, sf_dir):
+    """Iteration 1 of the full LPA must agree exactly with the
+    standalone label_prop_step (same update rule), and once a round
+    changes nothing the fixed point must persist (the update is
+    deterministic, so n_changed=0 is absorbing)."""
+    rows = sorted(
+        QUERIES["label_prop_iterate"](spark, sf_dir).collect(),
+        key=lambda r: r["iteration"],
+    )
+    step = QUERIES["label_prop_step"](spark, sf_dir).collect()
+    n_nodes = len(step)
+    it1_labels = {r["new_label"] for r in step}
+    assert rows[0]["n_communities"] == len(it1_labels)
+    assert rows[0]["n_changed"] <= n_nodes
+    for r in rows:
+        assert 1 <= r["n_communities"] <= n_nodes
+        assert r["largest_community"] <= n_nodes
+        assert 0 <= r["n_changed"] <= n_nodes
+    for lo, hi in zip(rows, rows[1:]):
+        if lo["n_changed"] == 0:
+            assert hi["n_changed"] == 0
+            assert hi["n_communities"] == lo["n_communities"]
+            assert hi["largest_community"] == lo["largest_community"]

@@ -33,14 +33,15 @@ DRIVER_WINDOW = [
     "packing_efficiency", "hll_distinct_users", "countmin_heavy_hitters",
     "time_weighted_avg", "label_prop_step", "streaming_distinct_users_hll",
     "quantile_sketch_quality", "kmeans_iterate",
-    "embedding_neardup_strict", "orc_roundtrip",
+    "embedding_neardup_strict", "orc_roundtrip", "hll_union_types",
+    "bucketed_join_revenue", "label_prop_iterate",
     "word_count_mr", "key_stats", "join_revenue_by_nation",
-    "topk_per_group", "sessionize", "distributed_sort", "histogram",
+    "topk_per_group", "sessionize", "distributed_sort",
     "salted_join", "asof_join", "dedup_exact", "ngram_jaccard_neardup",
     "dedup_clusters", "dup_spans", "incremental_dedup", "cosine_topk",
     "embedding_neardup", "curation_pipeline", "shard_manifest",
-    "decontamination", "tf_idf", "language_id", "tpch_q1", "tpch_q5",
-    "tpch_q9", "tpch_q21", "gap_fill", "triangle_count",
+    "decontamination", "language_id", "tpch_q1", "tpch_q5",
+    "tpch_q9", "tpch_q21", "triangle_count",
 ]
 
 

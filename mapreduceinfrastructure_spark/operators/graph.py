@@ -287,6 +287,9 @@ def label_prop_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iteration long, n_changed long, n_communities long, "
         "largest_community long"
     )
+    if labels.limit(1).count() == 0:  # empty graph: empty curve, stable schema
+        und.unpersist()
+        return spark.createDataFrame([], schema=schema)
     curve = []
     best = F.max(F.struct(F.col("wsum").alias("ws"), (-F.col("lbl")).alias("nl")))
     for it in range(1, LPA_ITERS + 1):

@@ -65,6 +65,11 @@ NOTES = {
     "label_prop_step": "symmetrize via union (map-side), then two algebraic hash-aggs: (node, label) weight sums and the max(struct(w, -label)) argmax-with-tiebreak — no window over the adjacency",
     "quantile_sketch_quality": "the histogram cells are ONE algebraic count agg (no per-source sort of raw docs); the cumulative walk + interpolation run over the |sources| x 100 cell table; the exact nearest-rank audit branch is the only rank window and exists to measure the sketch",
     "dup_spans": "span hashes deduped per doc map-side (array_distinct before the explode); one algebraic count agg keyed on span hash + one keyed join back — hot corpus-wide boilerplate spans are absorbed by map-side partials, and the join fans out per occurrence, never per pair",
+    "embedding_neardup_strict": "the production near-dup regime: 16 bucket ids materialized ONCE per vector in a dedicated projection, ONE (tbl, bucket) key per table per vector (no probe ball — candidate volume is occupancy-bounded and linear), explicit-width repartition on both sides of the bucket self-join (REPARTITION_BY_NUM, the AQE bytes-vs-compute pin), exact-cosine verify in codegen; no NLJ/cartesian (test-pinned)",
+    "bucketed_join_revenue": "both scans show Bucketed: true / SelectedBucketsCount: 8 out of 8 and feed the SortMergeJoin with NO exchange — the bucket layout written at ingest replaces the per-query fact-fact shuffle; the single Exchange in the plan is the final 5-row per-priority agg (test-pinned)",
+    "label_prop_iterate": "final-iteration plan starts from the localCheckpoint'd node-sized label table (lineage truncated each round — the RDD scan at the leaves), one src-keyed edge join + the two algebraic label_prop_step aggs; curve scalars are 1-row aggregates",
+    "hll_union_types": "the ALL row is a max(r) agg over the per-type REGISTER table (|types| x 1024 rows), not a rescan of events — the plan shows the union sketch derived from the same single register build the per-type rows use",
+    "orc_roundtrip": "the read-back side is a pure ORC scan with ReadSchema pruned to (doc_id, n_tokens, pack_id) + the source partition column — text is never re-read; partition discovery and pruning behave exactly as the parquet shard path",
 }
 
 

@@ -38,6 +38,13 @@ NAMES = [
     "quantile_sketch_quality",
     # the iterative trajectory: inertia/shift double sums per iteration
     "kmeans_iterate",
+    # round-7 additions: cosine double-sum verify (strict near-dup),
+    # harmonic-sum register merge (HLL union), revenue double sums over
+    # the bucketed layout, and the LPA integer trajectory
+    "embedding_neardup_strict",
+    "hll_union_types",
+    "bucketed_join_revenue",
+    "label_prop_iterate",
 ]
 
 

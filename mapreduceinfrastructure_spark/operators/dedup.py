@@ -1142,3 +1142,69 @@ def dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.round("threshold", 1).alias("threshold"), "n_pairs", "n_docs_involved"
     )
+
+
+# Prefix-filter join threshold: true near-dup territory, where prefixes
+# are short (~(1-t)|x| tokens) and the candidate volume is small.
+PREFIX_JACCARD_T = 0.6
+
+
+def prefix_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= PREFIX_JACCARD_T pairs via PREFIX FILTERING —
+    the Vernica/Carey/Li MapReduce set-similarity join (SIGMOD 2010) /
+    Chaudhuri-Bayardo prefix principle, the third candidate-generation
+    strategy next to the df-capped shingle join (exact, but needs the
+    cap) and MinHash-LSH (probabilistic recall):
+
+    Order each doc's shingle set by ascending global document
+    frequency (rarest first, ties by shingle); a pair with
+    J(x, y) >= t shares >= ceil(t*|x|) elements (since the
+    intersection >= t*|union| >= t*max), so its globally-first common
+    shingle must sit within the first |x| - ceil(t*|x|) + 1 elements
+    of BOTH sets — joining prefix x prefix on the shingle is therefore
+    COMPLETE (no recall loss, no df cap), and candidates are generated
+    on the rarest shingles by construction, which is what bounds the
+    join fan-out at scale: hot boilerplate shingles sit at the END of
+    the ordering and never enter a prefix unless the doc is nearly all
+    boilerplate.
+
+    Scale shape: shingle df agg (algebraic), per-doc rank window
+    (doc-partitioned), prefix explode ~ (1-t)|x| rows/doc, shingle-
+    keyed candidate self-join, pair-keyed intersection count agg, two
+    size joins, exact-Jaccard filter.  Every join is keyed; nothing
+    quadratic outside the candidate population; the DuckDB twin is the
+    UNCAPPED all-pairs join, so the driver gate proves completeness.
+    """
+    sh = _shingles(spark, sf_dir)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1
+    pref = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "shingle")
+    cand = (
+        pref.select(F.col("doc_id").alias("da"), "shingle")
+        .join(pref.select(F.col("doc_id").alias("db"), "shingle"), "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("da"), "shingle"), "da")
+        .join(sh.select(F.col("doc_id").alias("db"), "shingle"), ["db", "shingle"])
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .filter(jac >= PREFIX_JACCARD_T)
+        .select("da", "db", F.round(jac, 6).alias("jaccard"))
+    )

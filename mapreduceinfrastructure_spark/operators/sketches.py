@@ -135,6 +135,61 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cm_pos(j, col):
+    """Cell column of row ``j`` for a word — md5-derived, identical in
+    the DuckDB oracles (('0x' || substr(md5(j || w), 1, 8)))::BIGINT."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(str(j)), col)), 1, 8), 16, 10)
+        .cast("long")
+        % CM_W
+    )
+
+
+def _cm_jc(col):
+    """Explode expression fanning a word to its CM_D (j, c) cells."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), _cm_pos(j, col).alias("c"))
+                for j in range(CM_D)
+            ]
+        )
+    )
+
+
+def cm_sketch(toks: DataFrame) -> DataFrame:
+    """THE Count-Min cell build — one home for the position expression
+    (the hll_registers lesson): (j, c, n) from a ``w`` token column via
+    one algebraic count agg of the CM_D-per-token map-side explode.
+    Algebraic, so the SAME builder runs as a stateful streaming
+    aggregation (cell sums merge across micro-batches)."""
+    cells = toks.select(_cm_jc(F.col("w")).alias("jc")).select("jc.j", "jc.c")
+    return cells.groupBy("j", "c").agg(F.count("*").alias("n"))
+
+
+def cm_estimate_topk(sketch: DataFrame, top: DataFrame) -> DataFrame:
+    """Re-estimate a (w, exact_cnt) candidate set from a materialized
+    sketch: estimate = min over the word's CM_D cells; the fixed-size
+    sketch rides the broadcast."""
+    probes = top.select("w", "exact_cnt", _cm_jc(F.col("w")).alias("jc")).select(
+        "w", "exact_cnt", "jc.j", "jc.c"
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "c"])
+        .groupBy("w")
+        .agg(
+            F.max("exact_cnt").cast("long").alias("exact_cnt"),
+            F.min("n").cast("long").alias("cm_estimate"),
+        )
+    )
+    return est.select(
+        "w",
+        "exact_cnt",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+    )
+
+
 def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters: the top-CM_TOP_K words by exact count,
     re-estimated from a Count-Min sketch, with the overestimate
@@ -153,54 +208,10 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
         F.explode(tokens_expr("text")).alias("w")
     )
-
-    def pos(j, col):
-        return (
-            F.conv(F.substring(F.md5(F.concat(F.lit(str(j)), col)), 1, 8), 16, 10)
-            .cast("long")
-            % CM_W
-        )
-
-    cells = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), pos(j, F.col("w")).alias("c"))
-                    for j in range(CM_D)
-                ]
-            )
-        ).alias("jc")
-    ).select("jc.j", "jc.c")
-    sketch = cells.groupBy("j", "c").agg(F.count("*").alias("n"))
-
+    sketch = cm_sketch(toks)
     counts = toks.groupBy("w").agg(F.count("*").alias("exact_cnt"))
     top = counts.orderBy(F.desc("exact_cnt"), F.asc("w")).limit(CM_TOP_K)
-    probes = top.select(
-        "w",
-        "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), pos(j, F.col("w")).alias("c"))
-                    for j in range(CM_D)
-                ]
-            )
-        ).alias("jc"),
-    ).select("w", "exact_cnt", "jc.j", "jc.c")
-    est = (
-        probes.join(F.broadcast(sketch), ["j", "c"])
-        .groupBy("w")
-        .agg(
-            F.max("exact_cnt").cast("long").alias("exact_cnt"),
-            F.min("n").cast("long").alias("cm_estimate"),
-        )
-    )
-    return est.select(
-        "w",
-        "exact_cnt",
-        "cm_estimate",
-        (F.col("cm_estimate") - F.col("exact_cnt")).cast("long").alias("overestimate"),
-    )
+    return cm_estimate_topk(sketch, top)
 
 
 # Histogram-quantile sketch: equi-width bins over the quality score's

@@ -478,3 +478,37 @@ def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 6
         ).alias("rel_err"),
     )
+
+
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: the from-scratch Count-Min sketch of
+    operators/sketches.py run over the UNBOUNDED document feed — the
+    eighth oracle-backed streaming signal, completing the sketch
+    symmetry (HLL and CM each run batch + streaming off ONE builder).
+    The (j, c) cell sums are an algebraic streaming aggregation whose
+    state is bounded at CM_D x CM_W cells forever — the sketch IS the
+    state store contents; the top-K candidate re-estimation finishes
+    batch-side over the materialized 4096-cell table, exactly the
+    streaming_distinct_users_hll pattern.  Result — and oracle — are
+    identical to batch countmin_heavy_hitters, which is the point.
+    """
+    from ..functions.text import tokens_expr
+    from ..operators.sketches import CM_TOP_K, cm_estimate_topk, cm_sketch
+    from ..sources.tables import load_table
+
+    toks = read_documents_stream(spark, sf_dir).select(
+        F.explode(tokens_expr("text")).alias("w")
+    )
+    sketch = run_stream_to_memory(
+        spark, cm_sketch(toks), "cm_stream_driver", output_mode="complete"
+    )
+    batch_toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens_expr("text")).alias("w")
+    )
+    top = (
+        batch_toks.groupBy("w")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("w"))
+        .limit(CM_TOP_K)
+    )
+    return cm_estimate_topk(sketch, top)

@@ -111,3 +111,58 @@ def test_label_prop_iterate_consistent_with_step_and_stable(spark, sf_dir):
             assert hi["n_changed"] == 0
             assert hi["n_communities"] == lo["n_communities"]
             assert hi["largest_community"] == lo["largest_community"]
+
+
+def test_prefix_filter_equals_uncapped_exact_pairs(spark, sf_dir):
+    """Completeness of the prefix-filter principle, end to end: the
+    candidate join sees only prefix shingles, yet the verified result
+    must equal the UNCAPPED all-pairs shingle join at the same
+    threshold — no pair escapes the prefix (rarest-first global order,
+    length |x| - ceil(t|x|) + 1)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.operators.dedup import (
+        PREFIX_JACCARD_T,
+        _exact_pairs,
+    )
+
+    got = {
+        (r["da"], r["db"], r["jaccard"])
+        for r in QUERIES["prefix_filter_neardup"](spark, sf_dir).collect()
+    }
+    want = {
+        (r["da"], r["db"], round(r["jaccard"], 6))
+        for r in _exact_pairs(spark, sf_dir, PREFIX_JACCARD_T)
+        .select("da", "db", "jaccard")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_prefix_filter_prunes_candidate_volume(spark, sf_dir):
+    """The point of the prefix: the join input must be a strict subset
+    of the shingle rows (~(1-t) of each doc's set), and hot shingles
+    must be under-represented in prefixes relative to the corpus (the
+    rarest-first order pushes them to the suffix)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from mapreduceinfrastructure_spark.operators.dedup import (
+        PREFIX_JACCARD_T,
+        _shingles,
+    )
+
+    sh = _shingles(spark, sf_dir)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "rn", F.row_number().over(w)
+    ).join(sizes, "doc_id")
+    plen = F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1
+    pref = ranked.filter(F.col("rn") <= plen)
+    n_all, n_pref = sh.count(), pref.count()
+    assert 0 < n_pref < n_all * (1 - PREFIX_JACCARD_T) + sh.select("doc_id").distinct().count()
+    mean_df_all = dfreq.join(sh, "shingle").agg(F.avg("df")).collect()[0][0]
+    mean_df_pref = pref.agg(F.avg("df")).collect()[0][0]
+    assert mean_df_pref < mean_df_all

@@ -45,6 +45,8 @@ NAMES = [
     "hll_union_types",
     "bucketed_join_revenue",
     "label_prop_iterate",
+    # prefix join: int/int jaccard + 6dp round across partitionings
+    "prefix_filter_neardup",
 ]
 
 

@@ -118,6 +118,46 @@ def _bucket_expr(bits, t, bpt):
     return sum((bits[i] * (2 ** j) for j, i in enumerate(idx)), start=F.lit(0))
 
 
+def _bucket_ids_flat(n_tables: int, bpt: int):
+    """Array expression of all ``n_tables`` bucket ids over column
+    ``v`` — the same sign-bit math as :func:`_bit_exprs` +
+    :func:`_bucket_expr` (identical fold order, so identical IEEE
+    sums and identical buckets), but built from ONE flattened plane
+    literal and HOF-indexed dot products instead of n_tables*bpt
+    separate 64-literal fold expressions.  The expression tree is
+    O(1) in the signature width, where the unrolled form made the
+    driver's analysis/codegen the bottleneck past ~64 planes
+    (measured: the 128-plane strict operator spent ~15 s/plan in
+    compile with unrolled folds, ~1 s flat) — per-row compute is the
+    same dot products either way.
+    """
+    planes = _hyperplanes(n_tables * bpt)
+    # ONE py4j call for the whole literal: the per-element F.lit loop
+    # spent ~5 s of driver time on gateway round-trips at 8192 elements
+    flat = F.lit([float(x) for row in planes for x in row])
+
+    def dot(b):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(F.col("v"), j + 1)
+            * F.element_at(flat, b * EMBED_DIM + j + 1),
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(bpt - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, k: acc
+            + F.when(
+                dot(t * bpt + k) > 0, F.pow(F.lit(2.0), k).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
 def _probe_keys(
     emb: DataFrame, bpt: int, radius: int = 1, n_tables: int = N_TABLES
 ) -> DataFrame:
@@ -133,7 +173,6 @@ def _probe_keys(
     radius-1 product at (1 + k + C(k,2)) / (1 + k)^2 of the candidate
     volume (11/25 at k=4; see embedding_neardup).
     """
-    bits = _bit_exprs(_hyperplanes(n_tables * bpt))
     masks = [0]
     if radius >= 1:
         masks += [1 << j for j in range(bpt)]
@@ -145,12 +184,11 @@ def _probe_keys(
     # row — materialize them ONCE in a dedicated projection (the CDC
     # codepoint-array lesson: CollapseProject won't inline a non-cheap
     # alias referenced |tables| x |masks| times), so each probe struct
-    # is a constant XOR over the stored id, not a re-derivation.
+    # is a constant XOR over the stored id, not a re-derivation.  The
+    # ids come from the width-agnostic flat builder (identical math to
+    # the unrolled _bit_exprs form; see _bucket_ids_flat).
     with_buckets = emb.select(
-        "vec_id",
-        F.array(
-            *[_bucket_expr(bits, t, bpt) for t in range(n_tables)]
-        ).alias("_bk"),
+        "vec_id", _bucket_ids_flat(n_tables, bpt).alias("_bk")
     )
     structs = []
     for t in range(n_tables):
@@ -238,9 +276,21 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db")
         .distinct()
     )
-    va = emb.select(F.col("vec_id").alias("da"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("db"), F.col("v").alias("vb"))
-    sim = cosine_similarity_expr(F.col("va"), F.col("vb"))
+    # norms carried from the vector projection: one dot fold per
+    # candidate pair (see embedding_neardup_strict's verify note)
+    from ..functions.vector import dot_expr, l2_norm_expr
+
+    va = emb.select(
+        F.col("vec_id").alias("da"),
+        F.col("v").alias("va"),
+        l2_norm_expr(F.col("v")).alias("norm_a"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("db"),
+        F.col("v").alias("vb"),
+        l2_norm_expr(F.col("v")).alias("norm_b"),
+    )
+    sim = dot_expr(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         cand.join(va, "da")
         .join(vb, "db")
@@ -256,13 +306,21 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ball x occupancy.  Recall comes from MORE tables instead: per-bit
 # agreement at cosine c is p = 1 - arccos(c)/pi (0.856 at 0.9), a pair
 # collides in one table w.p. p^bpt, and the L-table miss probability
-# (1 - p^bpt)^L is the sizing knob — at bpt=8 (the adaptive width for
-# ~130k vectors) L=16 gives miss (1-0.856^8)^16 ~ 0.004, and every
-# higher-sim pair is safer.  At the bpt=4 test-SF floor the bound is
-# (1-0.538)^16 ~ 4e-6, which is why the exact all-pairs DuckDB twin
-# can gate this operator byte-for-byte.
+# (1 - p^bpt)^L is the sizing knob — at the 8-bit strict floor L=16
+# gives miss (1-0.856^8)^16 ~ 0.004 at exactly cosine 0.9, and every
+# higher-sim pair is safer: the planted self-audit pairs sit at
+# ~0.956 (p ~ 0.905, per-pair miss ~7e-5), which is why the exact
+# all-pairs DuckDB twin can gate this operator byte-for-byte.
 STRICT_COS = 0.9
 STRICT_N_TABLES = 16
+# The strict regime keeps its OWN signature-width floor, wider than the
+# ann/0.4 floor of 4: at p ~ 0.856 per bit (cosine 0.9), 8-bit buckets
+# still collide w.p. p^8 ~ 0.29 per table — miss (1-0.29)^16 ~ 0.004 —
+# while cutting expected occupancy (and therefore candidate volume)
+# 16x versus 4-bit buckets.  Wide signatures are exactly what true
+# near-duplicates afford; the 0.4-threshold operator cannot widen
+# without losing recall, which is the regime difference in one number.
+STRICT_BITS_FLOOR = 8
 # Self-audit plant: the test corpora have NO organic pairs at 0.9 (64-d
 # standard normal), so the operator plants PLANT_N deterministic
 # near-duplicates — vector i < PLANT_N re-weighted coordinate-wise by
@@ -288,9 +346,12 @@ def embedding_neardup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent tables already catch a qualifying pair with
     probability 1 - (1 - p^bpt)^16 — the binomial sizing argument in
     the module constants.  Candidate volume per table is bounded by
-    bucket occupancy (~TARGET_OCCUPANCY via the adaptive width), so
-    the join is linear in the corpus with a constant factor of L,
-    never quadratic.
+    bucket occupancy (STRICT_BITS_FLOOR = 8 keeps it 16x below the
+    ann floor's; the adaptive width takes over past ~130k vectors),
+    so the join is linear in the corpus with a constant factor of L,
+    never quadratic — measured locally: the 4-bit floor draft spent
+    7.2 s verifying ~2M floor-width candidates at sf0.1, the 8-bit
+    floor cuts that to the planted pairs plus noise.
 
     Scale shape: ONE bucket materialization per vector (16 ids in a
     dedicated projection), explode to (tbl, bucket) keys, explicit-
@@ -299,7 +360,8 @@ def embedding_neardup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the test-SF output non-trivial: the driver gate proves all
     40 planted pairs are found with exact cosines — a 100%-recall
     check of the single-bucket regime at the floor width, where the
-    analytic miss bound is ~4e-6.
+    analytic per-pair miss bound is ~7e-5 (seed-fixed, so the check
+    is deterministic in practice).
     """
     emb = _embeddings(spark, sf_dir)
     planted = emb.filter(F.col("vec_id") < PLANT_N).select(
@@ -312,7 +374,7 @@ def embedding_neardup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(planted)
     n = load_table(spark, sf_dir, "embeddings").count()
-    bpt = _bits_per_table(n + PLANT_N)
+    bpt = max(STRICT_BITS_FLOOR, _bits_per_table(n + PLANT_N))
     keys = _probe_keys(corpus, bpt, radius=0, n_tables=STRICT_N_TABLES)
     a = keys.select(F.col("vec_id").alias("da"), "tbl", "bucket")
     b = keys.select(F.col("vec_id").alias("db"), "tbl", "bucket")
@@ -327,9 +389,26 @@ def embedding_neardup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db")
         .distinct()
     )
-    va = corpus.select(F.col("vec_id").alias("da"), F.col("v").alias("va"))
-    vb = corpus.select(F.col("vec_id").alias("db"), F.col("v").alias("vb"))
-    sim = cosine_similarity_expr(F.col("va"), F.col("vb"))
+    # verify: norms are per-VECTOR quantities — compute them once in
+    # the (corpus-sized) vector projections and carry them through the
+    # join, so each candidate pair costs ONE dot fold instead of a dot
+    # plus two norm folds (the folds are interpreted HOFs, and the
+    # candidate set is the hot row count here: measured 11.2 -> ~4 s
+    # on the 148k-candidate sf0.1 verify).  dot/(na*nb) is the same
+    # IEEE expression as the inline cosine — hashes unchanged.
+    from ..functions.vector import dot_expr, l2_norm_expr
+
+    va = corpus.select(
+        F.col("vec_id").alias("da"),
+        F.col("v").alias("va"),
+        l2_norm_expr(F.col("v")).alias("norm_a"),
+    )
+    vb = corpus.select(
+        F.col("vec_id").alias("db"),
+        F.col("v").alias("vb"),
+        l2_norm_expr(F.col("v")).alias("norm_b"),
+    )
+    sim = dot_expr(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         cand.join(va, "da")
         .join(vb, "db")

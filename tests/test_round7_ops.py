@@ -10,7 +10,7 @@ QUERIES = entrymod.queries()
 
 def test_strict_neardup_finds_every_planted_pair(spark, sf_dir):
     """100%-recall floor for the production regime at the test width:
-    the analytic miss bound is (1 - p^4)^16 ~ 4e-6 per pair, so all
+    the analytic miss bound is (1 - p^8)^16 ~ 7e-5 per pair, so all
     PLANT_N planted near-duplicates (cosine pinned into [0.953,
     0.965] by the 1.3/0.7 re-weighting) must be found, as (i, i +
     PLANT_ID_OFFSET) pairs, and nothing else qualifies on the test
@@ -39,6 +39,7 @@ def test_strict_neardup_single_bucket_no_probe_ball(spark, sf_dir):
 
     from mapreduceinfrastructure_spark.operators.similarity import (
         PLANT_N,
+        STRICT_BITS_FLOOR,
         STRICT_N_TABLES,
         _bits_per_table,
         _embeddings,
@@ -48,8 +49,8 @@ def test_strict_neardup_single_bucket_no_probe_ball(spark, sf_dir):
 
     n = load_table(spark, sf_dir, "embeddings").count()
     emb = _embeddings(spark, sf_dir)
-    keys = _probe_keys(emb, _bits_per_table(n + PLANT_N), radius=0,
-                       n_tables=STRICT_N_TABLES)
+    keys = _probe_keys(emb, max(STRICT_BITS_FLOOR, _bits_per_table(n + PLANT_N)),
+                       radius=0, n_tables=STRICT_N_TABLES)
     assert keys.count() == n * STRICT_N_TABLES
     per_vec = keys.groupBy("vec_id", "tbl").count()
     assert per_vec.filter(F.col("count") != 1).count() == 0

@@ -375,7 +375,14 @@ def embedding_neardup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.unionByName(planted)
     n = load_table(spark, sf_dir, "embeddings").count()
     bpt = max(STRICT_BITS_FLOOR, _bits_per_table(n + PLANT_N))
-    keys = _probe_keys(corpus, bpt, radius=0, n_tables=STRICT_N_TABLES)
+    # ONE bucket-projection execution: the key table is |corpus| x L
+    # integer triples (tiny relative to the vectors), and both sides of
+    # the self-join consume it — checkpointing materializes the 2048
+    # hyperplane dot products per vector once instead of once per side
+    # (the minhash candidate-checkpoint pattern).
+    keys = _probe_keys(
+        corpus, bpt, radius=0, n_tables=STRICT_N_TABLES
+    ).localCheckpoint(eager=True)
     a = keys.select(F.col("vec_id").alias("da"), "tbl", "bucket")
     b = keys.select(F.col("vec_id").alias("db"), "tbl", "bucket")
     from ..session import two_pass_rank_width

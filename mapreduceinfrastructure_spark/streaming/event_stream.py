@@ -512,3 +512,85 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(CM_TOP_K)
     )
     return cm_estimate_topk(sketch, top)
+
+
+# Gap for the custom stateful sessionizer (same 30 min as batch
+# relational.sessionize and the session_window variant).
+CUSTOM_SESSION_GAP_US = 1_800_000_000
+
+
+def streaming_custom_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch this module's docstring names for logic the built-in
+    stateful operators can't express, exercised end to end: per-user
+    session accounting (30-min gap rule) where the STATE is a
+    fixed-size tuple (last_ts, n_sessions, n_events, total_value)
+    carried across micro-batches, not a buffer of events.  The update
+    itself is Arrow-batched and vectorized (numpy diff over the
+    sorted batch), never per-row Python over the stream.
+
+    Why this exists next to streaming_sessions (session_window):
+    session_window can only emit per-session rows with built-in
+    aggregates; the custom state here maintains a RUNNING PER-USER
+    summary across sessions — the shape of per-entity lifetime state
+    (counters, last-seen, quotas) every ingest service keeps, which is
+    exactly what GroupState is for.  State is O(1) per user forever;
+    production adds a ProcessingTimeTimeout eviction for dormant users
+    (the finite test feed pins NoTimeout for determinism).
+
+    The ninth oracle-backed streaming signal: per-user
+    (n_sessions, n_events, total_value) must hash-match the batch
+    sessionize recurrence computed by DuckDB over the same events.
+    """
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+    ev = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+
+    def session_stats(key, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_ts, n_sessions, n_events, total_value = state.get
+        else:
+            last_ts, n_sessions, n_events, total_value = np.int64(-1), 0, 0, 0.0
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            ts = pdf["ts_us"].to_numpy()
+            prev = np.concatenate(([last_ts], ts[:-1]))
+            breaks = (prev < 0) | ((ts - prev) > CUSTOM_SESSION_GAP_US)
+            n_sessions += int(breaks.sum())
+            n_events += len(pdf)
+            total_value += float(pdf["value"].sum())
+            last_ts = ts[-1]
+        state.update((int(last_ts), int(n_sessions), int(n_events), float(total_value)))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": int(user_id),
+                    "n_sessions": int(n_sessions),
+                    "n_events": int(n_events),
+                    "total_value": round(float(total_value), 2),
+                }
+            ]
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        session_stats,
+        outputStructType="user_id long, n_sessions long, n_events long, total_value double",
+        stateStructType="last_ts long, n_sessions long, n_events long, total_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_memory(
+        spark, out, "custom_sessions_driver", output_mode="update"
+    )

@@ -302,3 +302,55 @@ def test_watermarked_ingest_gate_drops_late_arrivals(spark, tmp_path):
     # 0..39.  [40m,50m) (end 50m) and later stay open.
     assert emitted_ids == list(range(40)), emitted_ids
     assert all(r["dup_cnt"] == 1 for r in got)
+
+
+def test_custom_sessions_state_carries_across_batches(spark, sf_dir, tmp_path, monkeypatch):
+    """The GroupState contract: with the SAME events split into two
+    micro-batches (maxFilesPerTrigger=1), the final per-user summary
+    must equal the single-batch result — last_ts carries across the
+    batch boundary, so a session spanning the split is not double
+    counted.  This is the property a batch window can't test."""
+    import pyspark.sql.functions as F
+
+    from mapreduceinfrastructure_spark.streaming import event_stream as es
+
+    single = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["total_value"])
+        for r in es.streaming_custom_sessions(spark, sf_dir).collect()
+    }
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = tmp_path / "ev_split"
+    # split on TIME, not id: the state logic assumes micro-batches
+    # arrive in event-time order (true of a real feed), so the early
+    # half must be the first file (written first -> earlier mtime ->
+    # first trigger)
+    from mapreduceinfrastructure_spark.sources.tables import event_ts_us
+
+    evt = ev.withColumn("_us", event_ts_us(ev))
+    mid = evt.approxQuantile("_us", [0.5], 0.0)[0]
+    evt.filter(F.col("_us") <= mid).drop("_us").coalesce(1).write.parquet(str(d / "a"))
+    evt.filter(F.col("_us") > mid).drop("_us").coalesce(1).write.parquet(str(d / "b"))
+    schema = ev.schema
+
+    def split_stream(spark_, sf_dir_):
+        from pyspark.sql import types as T
+
+        raw = (
+            spark_.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/*")
+        )
+        if dict(raw.dtypes)["ts"] == "bigint":
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+
+    monkeypatch.setattr(es, "read_events_stream", split_stream)
+    multi = es.streaming_custom_sessions(spark, sf_dir)
+    # the memory sink appends one row per (user, batch-with-changes);
+    # the final state is the row with the largest n_events
+    final = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["total_value"])
+        for r in multi.orderBy("user_id", "n_events").collect()
+    }
+    assert final == single and len(final) > 0

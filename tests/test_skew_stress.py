@@ -248,3 +248,33 @@ def test_semdedup_prune_exact_under_giant_cluster_skew(spark, tmp_path):
     assert set(rows) == {0}, rows  # every vector in the one giant cluster
     r = rows[0]
     assert (r["n"], r["n_kept"], r["n_pruned"]) == (400, 1, 399), r
+
+
+def test_prefix_filter_exact_under_all_neardup_corpus(spark, tmp_path):
+    """Worst case for prefix filtering: a corpus where EVERY pair
+    qualifies (the candidate set is inherently quadratic — no scheme
+    can prune it).  60 docs share 19 of ~20 shingles (one distinct
+    word each at a fixed position); the operator must return exactly
+    C(60,2) pairs with exact Jaccard, i.e. the prefix join degrades
+    to the full join without losing or fabricating pairs."""
+    from mapreduceinfrastructure_spark.operators.dedup import (
+        PREFIX_JACCARD_T,
+        prefix_filter_neardup,
+    )
+
+    base = [f"w{j}" for j in range(22)]
+    rows = []
+    for i in range(60):
+        toks = list(base)
+        toks[10] = f"u{i}"  # one unique token mid-doc
+        rows.append((i, " ".join(toks), "en", "s"))
+    d = _write_documents(tmp_path, "prefix_allpairs", rows)
+    got = prefix_filter_neardup(spark, d).collect()
+    n = 60 * 59 // 2
+    assert len(got) == n, len(got)
+    # shared shingles: the 3 shingles starting at positions 8-10 touch
+    # the unique token -> 17 of each doc's 20 are shared;
+    # jaccard = 17 / (20 + 20 - 17)
+    expect = round(17 / 23, 6)
+    assert all(r["jaccard"] == expect for r in got)
+    assert 17 / 23 >= PREFIX_JACCARD_T  # the pairs genuinely qualify

@@ -37,11 +37,12 @@ DRIVER_WINDOW = [
     "bucketed_join_revenue", "label_prop_iterate",
     "streaming_heavy_hitters", "prefix_filter_neardup",
     "streaming_custom_sessions", "hll_intersect_types",
+    "kmv_intersect_types",
     "word_count_mr", "key_stats", "join_revenue_by_nation",
     "topk_per_group", "sessionize", "distributed_sort",
     "salted_join", "asof_join", "dedup_exact", "ngram_jaccard_neardup",
     "dedup_clusters", "incremental_dedup", "cosine_topk",
-    "embedding_neardup", "shard_manifest", "language_id", "tpch_q1", "tpch_q5",
+    "embedding_neardup", "shard_manifest", "language_id", "tpch_q1",
     "tpch_q21", "triangle_count",
 ]
 

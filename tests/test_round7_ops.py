@@ -167,3 +167,31 @@ def test_prefix_filter_prunes_candidate_volume(spark, sf_dir):
     mean_df_all = dfreq.join(sh, "shingle").agg(F.avg("df")).collect()[0][0]
     mean_df_pref = pref.agg(F.avg("df")).collect()[0][0]
     assert mean_df_pref < mean_df_all
+
+
+def test_kmv_intersection_within_error_bound(spark, sf_dir):
+    """KMV with K=256 has ~6.3% std error (1/sqrt(K-2)); require every
+    pairwise intersection estimate within 4 sigma — and in the
+    small-range regime (|union| < K the sample is complete) the
+    estimate must be EXACT."""
+    from mapreduceinfrastructure_spark.operators.sketches import KMV_K
+
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    rows = QUERIES["kmv_intersect_types"](spark, sf_dir).collect()
+    assert rows
+    per_type = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct(F.col("user_id").cast("string")).alias("n"))
+        .collect()
+    }
+    bound = 4.0 / (KMV_K - 2) ** 0.5
+    for r in rows:
+        assert abs(r["rel_err"]) <= bound, r
+        union = per_type[r["ta"]] + per_type[r["tb"]] - r["n_exact_inter"]
+        if union < KMV_K:  # complete-sample regime: estimate is exact
+            assert r["n_kmv_inter"] == float(r["n_exact_inter"]), r

@@ -220,6 +220,54 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 QSK_BINS = 100
 
 
+def qsk_cells(docs: DataFrame) -> DataFrame:
+    """THE histogram-sketch cell build — one home (the hll_registers /
+    cm_sketch lesson): (source, b, cnt) over the shared quality score,
+    one algebraic count agg of per-row binning.  Algebraic, so the
+    SAME builder runs as a stateful streaming aggregation (cell counts
+    sum across micro-batches)."""
+    from ..functions.text import quality_signals
+
+    q = F.round(quality_signals("text").quality, 6)
+    binned = docs.select(
+        "source",
+        F.least(F.lit(QSK_BINS - 1), F.floor(q * QSK_BINS)).cast("int").alias("b"),
+    )
+    return binned.groupBy("source", "b").agg(F.count("*").alias("cnt"))
+
+
+def qsk_estimates(cells: DataFrame) -> DataFrame:
+    """Finish a (source, b, cnt) cell table into per-source
+    (n_docs, p50_est, p90_est): cumulative walk to the target rank
+    ceil(p*n) with linear in-bin interpolation — windows over the tiny
+    cell table only."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("source"))
+    )
+
+    def est(p):
+        r = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
+        hit = (F.col("cum") >= r) & (F.col("cum") - F.col("cnt") < r)
+        inner = (
+            (r - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt")
+        )
+        val = (F.col("b") + inner) / QSK_BINS
+        return F.max(F.when(hit, F.round(val, 6)))
+
+    return cum.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        est(0.5).alias("p50_est"),
+        est(0.9).alias("p90_est"),
+    )
+
+
 def quantile_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quantile estimates (p50/p90 of the shared quality
     score) from a fixed 100-bin histogram sketch, audited in-output
@@ -246,39 +294,12 @@ def quantile_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     q = F.round(quality_signals("text").quality, 6)
-    binned = docs.select(
-        "source",
-        q.alias("q"),
-        F.least(F.lit(QSK_BINS - 1), F.floor(q * QSK_BINS)).cast("int").alias("b"),
-    )
-    cells = binned.groupBy("source", "b").agg(F.count("*").alias("cnt"))
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("source")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = cells.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "n", F.sum("cnt").over(Window.partitionBy("source"))
-    )
-
-    def est(p):
-        r = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
-        hit = (F.col("cum") >= r) & (F.col("cum") - F.col("cnt") < r)
-        inner = (
-            (r - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt")
-        )
-        val = (F.col("b") + inner) / QSK_BINS
-        return F.max(F.when(hit, F.round(val, 6)))
-
-    sk = cum.groupBy("source").agg(
-        F.max("n").cast("long").alias("n_docs"),
-        est(0.5).alias("p50_est"),
-        est(0.9).alias("p90_est"),
-    )
+    cells = qsk_cells(docs)
+    sk = qsk_estimates(cells)
     # exact nearest-rank audit (the quality_calibration scheme;
     # deterministic rank tiebreak on doc_id)
+    from pyspark.sql import Window
+
     base = docs.select("doc_id", "source", q.alias("q"))
     wq = Window.partitionBy("source").orderBy("q", "doc_id")
     ranked = base.withColumn("rn", F.row_number().over(wq)).withColumn(

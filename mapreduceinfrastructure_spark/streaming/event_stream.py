@@ -594,3 +594,59 @@ def streaming_custom_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark, out, "custom_sessions_driver", output_mode="update"
     )
+
+
+def streaming_quantile_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution sketch: the histogram-quantile cell
+    build of operators/sketches.py run over the UNBOUNDED document
+    feed — the tenth oracle-backed streaming signal, completing the
+    sketch trilogy in BOTH execution contexts (HLL = cardinality,
+    Count-Min = frequency, histogram = distribution; each now batch +
+    streaming off one builder).  Cell counts are an algebraic
+    streaming aggregation whose state is bounded at |sources| x
+    QSK_BINS cells forever; the quantile walk + exact nearest-rank
+    audit finish batch-side over the materialized cell table.  Result
+    — and oracle — are identical to batch quantile_sketch_quality.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_signals
+    from ..operators.sketches import qsk_cells, qsk_estimates
+    from ..sources.tables import load_table
+
+    docs = read_documents_stream(spark, sf_dir)
+    cells = run_stream_to_memory(
+        spark, qsk_cells(docs), "qsk_stream_driver", output_mode="complete"
+    )
+    sk = qsk_estimates(cells)
+    batch_docs = load_table(spark, sf_dir, "documents")
+    q = F.round(quality_signals("text").quality, 6)
+    base = batch_docs.select("doc_id", "source", q.alias("q"))
+    wq = Window.partitionBy("source").orderBy("q", "doc_id")
+    ranked = base.withColumn("rn", F.row_number().over(wq)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("source"))
+    )
+    exact = ranked.groupBy("source").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.ceil(0.5 * F.col("n"))),
+                F.col("q"),
+            )
+        ).alias("p50_exact"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.ceil(0.9 * F.col("n"))),
+                F.col("q"),
+            )
+        ).alias("p90_exact"),
+    )
+    return sk.join(exact, "source").select(
+        "source",
+        "n_docs",
+        "p50_est",
+        "p50_exact",
+        "p90_est",
+        "p90_exact",
+        F.round(F.abs(F.col("p50_est") - F.col("p50_exact")), 6).alias("err_p50"),
+        F.round(F.abs(F.col("p90_est") - F.col("p90_exact")), 6).alias("err_p90"),
+    )

@@ -47,6 +47,13 @@ NAMES = [
     "label_prop_iterate",
     # prefix join: int/int jaccard + 6dp round across partitionings
     "prefix_filter_neardup",
+    # sketch set-algebra: harmonic sums (HLL I-E), top-K sample
+    # selection (KMV), streaming cell counts + quantile walk — all
+    # must be partitioning-independent
+    "hll_intersect_types",
+    "kmv_intersect_types",
+    "streaming_quantile_quality",
+    "streaming_heavy_hitters",
 ]
 
 

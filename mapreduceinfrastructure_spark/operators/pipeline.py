@@ -1038,3 +1038,64 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fill_rate"),
         F.sum(split).cast("long").alias("n_split_docs"),
     )
+
+
+def length_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per source, the two-sample
+    Kolmogorov-Smirnov statistic between the source's document-length
+    (n_chars) distribution and the whole corpus's — THE dashboard
+    number for "does this source look like the rest of the data",
+    flagging crawls that drifted (truncation bugs, boilerplate floods,
+    format changes) before they poison a training mix.  Reports the
+    statistic and the length at which the gap peaks (smallest such
+    length on ties — deterministic).
+
+    Exactness: both ECDFs are step functions whose jumps all sit on
+    the GLOBAL length support (source supports are subsets), so
+    evaluating |F_src - F_corpus| at every observed global length is
+    the exact supremum, not an approximation.
+
+    Scale shape: one (source, n_chars) count agg + one n_chars count
+    agg (algebraic, map-side partials); the KS evaluation runs over a
+    |sources| x |distinct lengths| grid built by a small cross join —
+    lengths are integers with bounded support (and a production corpus
+    bins them first, same sketch argument as quantile_sketch_quality),
+    so the grid is metadata-sized, never corpus-sized; cumulative
+    window walks partition per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("source", F.col("n_chars").cast("long").alias("L"))
+    g_cnt = lens.groupBy("L").agg(F.count("*").alias("gc"))
+    s_cnt = lens.groupBy("source", "L").agg(F.count("*").alias("sc"))
+    n_tot = lens.count()
+    n_src = lens.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    grid = n_src.select("source", "n_docs").crossJoin(g_cnt)
+    j = grid.join(s_cnt, ["source", "L"], "left").select(
+        "source",
+        "n_docs",
+        "L",
+        "gc",
+        F.coalesce("sc", F.lit(0)).alias("sc"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("L")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = j.select(
+        "source",
+        "n_docs",
+        "L",
+        (F.sum("sc").over(w).cast("double") / F.col("n_docs")).alias("fs"),
+        (F.sum("gc").over(w).cast("double") / F.lit(float(n_tot))).alias("fg"),
+    )
+    diff = F.round(F.abs(F.col("fs") - F.col("fg")), 9)
+    best = F.max(F.struct(diff.alias("d"), (-F.col("L")).alias("nl")))
+    return cum.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"), best.alias("b")
+    ).select(
+        "source",
+        "n_docs",
+        F.round(F.col("b.d"), 6).alias("ks_stat"),
+        (-F.col("b.nl")).cast("long").alias("ks_len"),
+    )

@@ -74,6 +74,7 @@ NOTES = {
     "dedup_clusters": "edges from the checkpointed near-dup candidate path, then min-label propagation with persist-before-count and pointer jumping; snapshot exists so the recurring min-drift watch item can be adjudicated by plan diff (the tpch_q8/minhash protocol) instead of from totals",
     "hll_intersect_types": "ONE register build feeds both the single-type estimates and the pair-merged union registers; every join downstream of the build touches 1024-row register tables only — the events table is scanned for registers and the exact audit, never per pair",
     "kmv_intersect_types": "per-type sketches via WindowGroupLimit top-K over the 48-bit hash (the exchange moves ~K rows per partition-type, never the corpus); union/flag joins touch K-row sketch tables only; the events table is scanned for the sketch build and the exact audit",
+    "length_ks_by_source": "two algebraic count aggs (global and per-source length histograms, map-side partials); the KS walk runs over the sources x lengths grid — a small cross join of aggregates — with per-source cumulative windows; the corpus is scanned once and nothing corpus-sized is shuffled twice",
     "streaming_quantile_quality": "the batch-side finish over the materialized |sources| x 100 cell table (complete mode); the streaming half is the same qsk_cells algebraic count agg running against the state store",
     "streaming_custom_sessions": "the batch-side view of the materialized update-mode sink; the streaming half is FlatMapGroupsInPandasWithState keyed on user_id — Arrow batches in, fixed-size GroupState per user, no shuffle beyond the keyed state partitioning",
     "streaming_heavy_hitters": "the streaming half materializes the 4096-cell sketch from the state store (complete mode); THIS batch-side plan probes it broadcast against the exact top-K candidates — identical to the batch countmin plan from the sketch onward",

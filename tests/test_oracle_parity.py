@@ -38,8 +38,9 @@ DRIVER_WINDOW = [
     "streaming_heavy_hitters", "prefix_filter_neardup",
     "streaming_custom_sessions", "hll_intersect_types",
     "kmv_intersect_types", "streaming_quantile_quality",
+    "length_ks_by_source",
     "word_count_mr", "key_stats", "join_revenue_by_nation",
-    "topk_per_group", "distributed_sort",
+    "topk_per_group",
     "salted_join", "asof_join", "dedup_exact", "ngram_jaccard_neardup",
     "dedup_clusters", "incremental_dedup", "cosine_topk",
     "embedding_neardup", "shard_manifest", "language_id", "tpch_q1",

@@ -195,3 +195,24 @@ def test_kmv_intersection_within_error_bound(spark, sf_dir):
         union = per_type[r["ta"]] + per_type[r["tb"]] - r["n_exact_inter"]
         if union < KMV_K:  # complete-sample regime: estimate is exact
             assert r["n_kmv_inter"] == float(r["n_exact_inter"]), r
+
+
+def test_length_ks_matches_scipy_reference(spark, sf_dir):
+    """The KS statistic must equal an independent numpy two-sample
+    ECDF computation (source vs corpus) evaluated on the global
+    support, and sit in [0, 1) with a valid peak length."""
+    import numpy as np
+
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    rows = {r["source"]: r for r in QUERIES["length_ks_by_source"](spark, sf_dir).collect()}
+    pdf = load_table(spark, sf_dir, "documents").select("source", "n_chars").toPandas()
+    support = np.sort(pdf["n_chars"].unique())
+    all_l = np.sort(pdf["n_chars"].to_numpy())
+    for src, r in rows.items():
+        s_l = np.sort(pdf[pdf["source"] == src]["n_chars"].to_numpy())
+        fs = np.searchsorted(s_l, support, side="right") / len(s_l)
+        fg = np.searchsorted(all_l, support, side="right") / len(all_l)
+        ks = np.abs(fs - fg).max()
+        assert abs(r["ks_stat"] - round(float(ks), 6)) <= 1e-6, (src, r, ks)
+        assert 0.0 <= r["ks_stat"] < 1.0

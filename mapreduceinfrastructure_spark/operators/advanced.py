@@ -720,9 +720,20 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     small agg shuffles.
     """
     import os
+    import re
     import tempfile
 
+    # Table names and the output path carry the Spark applicationId:
+    # the former fixed names (keyed only by the sf_dir basename) were
+    # shared GLOBAL state, so two sessions on one host — bench next to
+    # verify, or parallel test workers — raced on the same catalog
+    # entries and half-written files.  The id is unique per session;
+    # within a session repeated calls safely reuse (single driver
+    # thread + overwrite mode), and the in-memory catalog dies with the
+    # session, so no cross-session leak outlives the tempdir.
+    app = re.sub(r"[^0-9a-zA-Z]+", "_", spark.sparkContext.applicationId)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = f"{tag}_{app}"
     base = os.path.join(tempfile.gettempdir(), f"mri_bucketed_{tag}")
     bo_name, bl_name = f"mri_b_orders_{tag}", f"mri_b_lineitem_{tag}"
     orders = load_table(spark, sf_dir, "orders").select(

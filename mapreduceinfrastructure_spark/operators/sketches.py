@@ -82,12 +82,20 @@ def hll_registers(df: DataFrame, key: str, value: str) -> DataFrame:
     )
 
 
-def hll_estimate(regs: DataFrame, key: str) -> DataFrame:
+def hll_estimate(regs: DataFrame, key: str | list[str]) -> DataFrame:
     """Finish a (key, bucket, r) register table into (key, hll_est):
     harmonic sum with empty registers contributing 2^-0 = 1, the
     alpha_m * m^2 raw estimate, and the standard linear-counting
-    correction when E <= 2.5m and empty registers exist."""
-    per = regs.groupBy(key).agg(
+    correction when E <= 2.5m and empty registers exist.
+
+    ``key`` may be a single column name or a LIST of grouping columns
+    (composite sketch keys — e.g. the type-pair frames of
+    hll_intersect_types — stay as real columns end to end; the former
+    delimiter-encoded ``concat_ws('|', ...)`` key silently corrupted
+    any key value containing the delimiter).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    per = regs.groupBy(*keys).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
         F.count("*").alias("nonzero"),
     )
@@ -97,7 +105,7 @@ def hll_estimate(regs: DataFrame, key: str) -> DataFrame:
         (raw <= 2.5 * HLL_M) & (zeros > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
     ).otherwise(raw)
-    return per.select(key, est.alias("hll_est"))
+    return per.select(*keys, est.alias("hll_est"))
 
 
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,6 +420,10 @@ def hll_intersect_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(types.select(F.col("event_type").alias("tb")))
         .filter(F.col("ta") < F.col("tb"))
     )
+    # the pair key stays TWO real grouping columns through the
+    # estimator (hll_estimate takes a key list) — the former
+    # concat_ws('|')/split round-trip corrupted any event_type
+    # containing the delimiter and silently mis-joined estimates.
     pair_regs = (
         tp.join(
             regs,
@@ -420,14 +432,9 @@ def hll_intersect_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("ta", "tb", "bucket")
         .agg(F.max("r").alias("r"))
-        .select(
-            F.concat_ws("|", "ta", "tb").alias("pair"), "bucket", "r"
-        )
     )
-    est_union = hll_estimate(pair_regs, "pair").select(
-        F.split("pair", "\\|").getItem(0).alias("ta"),
-        F.split("pair", "\\|").getItem(1).alias("tb"),
-        F.col("hll_est").alias("e_union"),
+    est_union = hll_estimate(pair_regs, ["ta", "tb"]).select(
+        "ta", "tb", F.col("hll_est").alias("e_union")
     )
     ea = est_single.select(
         F.col("event_type").alias("ta"), F.col("hll_est").alias("e_a")

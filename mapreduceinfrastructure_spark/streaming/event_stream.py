@@ -538,6 +538,22 @@ def streaming_custom_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     production adds a ProcessingTimeTimeout eviction for dormant users
     (the finite test feed pins NoTimeout for determinism).
 
+    PRECONDITION — in-order micro-batches per user: the state keeps
+    only ``last_ts`` and sorts WITHIN a batch, so a batch whose events
+    predate a user's ``last_ts`` produces a negative gap that silently
+    merges sessions and regresses ``last_ts``.  That holds here by
+    construction (one source file → one batch; the multi-batch test
+    splits the feed AT the ts median, preserving order), and holds in
+    production only when the upstream partitions by user and delivers
+    per-user in event-time order (e.g. a log keyed by user).  Feeds
+    without that guarantee need the watermark-buffered shape instead —
+    sort-within-watermark before this update, or session_window, which
+    handles lateness natively (streaming_curated_ingest_watermarked
+    demonstrates the watermark discipline).  GroupState's fixed-size
+    tuple cannot retro-split a session once merged; buffering is the
+    price of out-of-order correctness, which is why this operator
+    states the precondition instead of hiding the buffer.
+
     The ninth oracle-backed streaming signal: per-user
     (n_sessions, n_events, total_value) must hash-match the batch
     sessionize recurrence computed by DuckDB over the same events.

@@ -48,31 +48,48 @@ def _git_last_commit_ts(path: str) -> int:
 
 
 def _git_commit_ts_of_round(round_no: int) -> int:
-    """Timestamp of the commit that recorded CORRECTNESS_r{N}.json."""
-    return _git_last_commit_ts(f"CORRECTNESS_r{round_no:02d}.json")
+    """Timestamp of the evidence in CORRECTNESS_r{N}.json: the commit
+    that recorded it, falling back to the FILE MTIME when the artifact
+    is not yet committed (the driver writes each round's file before
+    anything commits it — without the fallback an uncommitted round
+    dated to 0 and every query it banked was misclassified stale,
+    which is exactly the failure ADVICE r7 flagged on r07)."""
+    path = f"CORRECTNESS_r{round_no:02d}.json"
+    ts = _git_last_commit_ts(path)
+    if ts == 0:
+        try:
+            ts = int(os.path.getmtime(os.path.join(REPO, path)))
+        except OSError:
+            ts = 0
+    return ts
 
 
 def banked_rounds() -> dict[str, int]:
-    """query -> latest round with a passing driver row."""
+    """query -> latest round with a passing driver row.
+
+    Pinned to the ONE real CORRECTNESS row schema the driver writes
+    ({name: {rows_match, schema_match, hash_match, spark_rows,
+    oracle_rows, err}}) instead of the former match/ok/pass
+    heuristic or-chain — an unrecognized file now fails loudly here
+    rather than silently proposing a wrong window.
+    """
     banked: dict[str, int] = {}
+    required = {"rows_match", "schema_match", "hash_match", "err"}
     for fn in sorted(os.listdir(REPO)):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
         if not m:
             continue
         rnd = int(m.group(1))
         data = json.load(open(os.path.join(REPO, fn)))
-        rows = data.items() if isinstance(data, dict) else (
-            (r["name"], r) for r in data
-        )
-        for name, row in rows:
+        assert isinstance(data, dict), f"{fn}: expected a name->row dict"
+        for name, row in data.items():
+            missing = required - set(row)
+            assert not missing, f"{fn}[{name}]: missing keys {missing}"
             ok = (
-                row.get("match") or row.get("ok") or row.get("pass")
-                or (
-                    row.get("rows_match") and row.get("schema_match")
-                    and row.get("hash_match")
-                )
-            ) if isinstance(row, dict) else bool(row)
-            if ok and not (isinstance(row, dict) and row.get("err")):
+                row["rows_match"] and row["schema_match"]
+                and row["hash_match"] and not row["err"]
+            )
+            if ok:
                 banked[name] = max(banked.get(name, 0), rnd)
     return banked
 

@@ -325,3 +325,87 @@ def label_prop_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not curve:  # pragma: no cover - LPA_ITERS is a positive constant
         return spark.createDataFrame([], schema=schema)
     return spark.createDataFrame(curve, schema=schema)
+
+
+# Fixed iteration count for the doc-similarity PageRank (exact oracle
+# unrolls the same number of rounds).
+PR_DOC_ITERS = 5
+
+
+def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the DOCUMENT SIMILARITY graph: nodes are documents,
+    undirected edges are the exact Jaccard >= PREFIX_JACCARD_T near-dup
+    pairs of :func:`~..operators.dedup.prefix_filter_neardup`, edge
+    weight = jaccard — the centrality pass a curation pipeline runs on
+    its near-dup graph to find template hubs (boilerplate families
+    whose members tie into many duplicates score high; isolated
+    originals never enter the graph).
+
+    Exactly verified the label_prop_iterate way (VERDICT r7 #6): the
+    DuckDB oracle unrolls the same PR_DOC_ITERS rounds over the same
+    edge CTE (__spark_entry__._pagerank_docs_sql), and round(rank, 6)
+    absorbs the ~1e-14 cross-engine float-summation drift — so unlike
+    the rows-only float iterations elsewhere, this trajectory is
+    hash-gated end to end.
+
+    The graph is UNDIRECTED (each pair contributes both directions),
+    so every node has out-edges and the dangling-mass term of
+    pagerank_nations vanishes: r' = (1-d)/n + d * Σ_in p·r with
+    p = w / out_w.
+
+    Scale shape: the pair computation (prefix filtering, linear in the
+    corpus — see prefix_filter_neardup) runs ONCE and is checkpointed;
+    each iteration is one rank⋈trans join keyed on src plus one dst
+    agg, shuffling only the |V|-row rank vector; per-iteration
+    localCheckpoint truncates the doubling lineage (the
+    pagerank_nations pattern).  No driver traffic beyond the one
+    n_nodes scalar.
+    """
+    from .dedup import prefix_filter_neardup
+
+    pairs = prefix_filter_neardup(spark, sf_dir).localCheckpoint(eager=True)
+    und = pairs.select(
+        F.col("da").alias("src"), F.col("db").alias("dst"), F.col("jaccard").alias("w")
+    ).union(
+        pairs.select(
+            F.col("db").alias("src"), F.col("da").alias("dst"),
+            F.col("jaccard").alias("w"),
+        )
+    )
+    out_w = und.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = (
+        und.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    if n_nodes == 0:  # no near-dup pairs: empty graph, stable schema
+        return spark.createDataFrame([], schema="doc_id long, rank double")
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(PR_DOC_ITERS):
+        # |V| is candidate-pair-bounded (tiny next to the corpus):
+        # coalesce(1) keeps each checkpoint job at one task, as in
+        # pagerank_nations (drop it at billion-node scale).
+        ranks = ranks.coalesce(1).localCheckpoint(eager=True)
+        ranks = (
+            nodes.join(
+                trans.join(ranks, trans.src == ranks.node)
+                .select("dst", (F.col("p") * F.col("rank")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("inflow")),
+                nodes.node == F.col("dst"),
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - DAMPING) / n_nodes)
+                    + F.lit(DAMPING) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.round("rank", 6).alias("rank"),
+    )

@@ -500,6 +500,86 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE-ON-READ certified end to end (VERDICT r7 #7):
+    a base + delta shard layout is written for real, the merged state
+    is expressed as a QUERY over both (no table format jars needed —
+    this is the merge-on-read a Delta/Iceberg reader performs), the
+    merged result is COMPACTED through sinks.formats.compact_parquet,
+    and the per-source accounting is aggregated from the READ-BACK
+    compacted files — so a green row certifies write → merge-on-read →
+    compaction rewrite → read, with the DuckDB oracle recomputing the
+    expected merged state directly from ``documents``.
+
+    Layout: base = every document at version 0; the delta carries
+    upserts (doc_id % 7 == 0, text amended, version 1) and tombstones
+    (doc_id % 13 == 0, op='delete', version 1) — disjoint sets so the
+    merge is unambiguous.  The merged read is one union + the
+    keep_best argmax idiom (max over (version, op, source, text)
+    structs per doc_id — algebraic agg, no window) + a tombstone
+    filter: exactly how a merge-on-read scan resolves row versions.
+
+    Why it matters at 100 TB: ingest appends deltas cheaply all day;
+    readers pay the merge until a compaction pass folds deltas into
+    the base — the maintenance query every long-lived table needs.
+    Compaction here sizes output files from real footer bytes
+    (compact_parquet), and the summary reads only pruned columns of
+    the compacted files.
+    """
+    import tempfile
+
+    from ..sinks.formats import compact_parquet
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"mri_mor_{os.path.basename(os.path.normpath(sf_dir))}_{app}",
+    )
+    base_p, delta_p, out_p = (
+        os.path.join(root, d) for d in ("base", "delta", "compacted")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    docs.select(
+        "doc_id", "source", "text",
+        F.lit(0).alias("version"), F.lit("base").alias("op"),
+    ).write.mode("overwrite").parquet(base_p)
+    upserts = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0)
+    ).select(
+        "doc_id", "source",
+        F.concat("text", F.lit(" [revised]")).alias("text"),
+        F.lit(1).alias("version"), F.lit("upsert").alias("op"),
+    )
+    deletes = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", "source", F.lit(None).cast("string").alias("text"),
+        F.lit(1).alias("version"), F.lit("delete").alias("op"),
+    )
+    upserts.unionByName(deletes).write.mode("overwrite").parquet(delta_p)
+
+    # the merge-on-read query: latest version per doc wins, tombstones
+    # drop out.  Struct max resolves on version first (base 0 < delta
+    # 1; upsert/delete doc sets are disjoint, so ties cannot happen).
+    both = spark.read.parquet(base_p, delta_p)
+    merged = (
+        both.groupBy("doc_id")
+        .agg(F.max(F.struct("version", "op", "source", "text")).alias("b"))
+        .filter(F.col("b.op") != "delete")
+        .select("doc_id", "b.source", "b.text", "b.version", "b.op")
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(root, "merged"))
+    compact_parquet(spark, os.path.join(root, "merged"), out_p)
+    back = spark.read.schema(
+        "doc_id long, source string, text string, version int, op string"
+    ).parquet(out_p)
+    return back.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("version") == 1).cast("long")).alias("n_updated"),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+    )
+
+
 def write_curated_shards(
     spark: SparkSession, sf_dir: str, out_path: str
 ) -> dict[str, int]:

@@ -122,3 +122,31 @@ def test_compaction_merge_semantics(spark, sf_dir):
         docs.select("doc_id", F.col("text").alias("orig")), "doc_id"
     )
     assert untouched.filter(F.col("text") != F.col("orig")).count() == 0
+
+
+def test_matmul_bucket_ids_match_hof(spark, sf_dir):
+    """The Arrow-batched matmul bucket builder is bit-identical to the
+    JVM HOF twin on the real test corpus: a sign flip would need a
+    hyperplane dot within float-summation error of zero (~1e-13
+    relative), and the smallest |dot| on N(0,1) data sits orders of
+    magnitude above that — so candidate generation is unchanged, only
+    ~1000x cheaper (see _bucket_ids_matmul's docstring)."""
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        STRICT_BITS_FLOOR,
+        STRICT_N_TABLES,
+        _bucket_ids_flat,
+        _bucket_ids_matmul,
+        _embeddings,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    got = (
+        emb.select(
+            "vec_id",
+            _bucket_ids_matmul(STRICT_N_TABLES, STRICT_BITS_FLOOR).alias("m"),
+            _bucket_ids_flat(STRICT_N_TABLES, STRICT_BITS_FLOOR).alias("h"),
+        )
+        .filter(F.col("m") != F.col("h"))
+        .count()
+    )
+    assert got == 0

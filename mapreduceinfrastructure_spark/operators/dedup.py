@@ -1188,19 +1188,41 @@ def _prefix_frames(
     (doc_id, shingle, rn, n) — each doc's first |x| - ceil(t|x|) + 1
     shingles in ascending global-df order (rarest first, ties by
     shingle).  ``rn`` is the 1-based position in that canonical order,
-    which is what the PPJoin+ positional filter reads."""
+    which is what the PPJoin positional filter reads.
+
+    Shuffle shape: ONE doc-keyed agg builds the sorted per-doc shingle
+    list (sort_array over (df, shingle) structs — identical order to a
+    row_number window over (df, shingle)), and sizes + the prefix
+    slice are projections over it: the former window + separate sizes
+    agg + sizes join cost two extra doc-keyed shuffles of the full
+    shingle table (measured at sf0.1: 3.67 → ~2.7 s for
+    prefix_filter_neardup, and pagerank_docs inherits the cut).  The
+    per-doc list is doc-length-bounded — the same per-doc
+    materialization every shingle consumer already makes.
+    """
     sh = _shingles(spark, sf_dir)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
+    by_doc = (
         sh.join(dfreq, "shingle")
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .join(sizes, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("s")
+        )
+        .select("doc_id", F.size("s").cast("long").alias("n"), "s")
     )
-    prefix_len = F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1
-    pref = ranked.filter(F.col("rn") <= prefix_len).select(
-        "doc_id", "shingle", "rn", "n"
+    sizes = by_doc.select("doc_id", "n")
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1
+    ).cast("int")
+    pref = by_doc.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("s", F.lit(1), prefix_len)).alias("p", "e"),
+    ).select(
+        "doc_id",
+        F.col("e.shingle").alias("shingle"),
+        (F.col("p") + 1).cast("long").alias("rn"),
+        "n",
     )
     return sh, sizes, pref
 
@@ -1218,7 +1240,7 @@ def vcl_candidates(pref: DataFrame) -> DataFrame:
 
 
 def ppjoin_candidates(pref: DataFrame) -> DataFrame:
-    """PPJoin+ candidates: the VCL prefix join tightened by the LENGTH
+    """PPJoin candidates: the VCL prefix join tightened by the LENGTH
     and POSITIONAL filters (Xiao, Wang, Lin, Yu — WWW 2008) — both
     LOSSLESS for Jaccard >= t, both evaluated before the expensive
     intersection-count agg:
@@ -1301,7 +1323,7 @@ def _jaccard_verify(
 
 
 def ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard >= PREFIX_JACCARD_T pairs via PPJoin+ — prefix
+    """Exact Jaccard >= PREFIX_JACCARD_T pairs via PPJoin — prefix
     filtering (:func:`prefix_filter_neardup`) upgraded with the length
     and positional filters of Xiao et al. (WWW 2008): candidates that
     cannot reach the threshold are pruned from the PREFIX JOIN OUTPUT

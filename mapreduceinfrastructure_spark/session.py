@@ -71,6 +71,16 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Whole-stage-codegen class cache: the default LRU holds 100
+        # generated classes, but one query here compiles dozens of
+        # codegen units, so a service running a mixed query workload
+        # (or this repo's 45-query bench series) evicts EVERY class
+        # between repeats and re-JITs the full plan each time — the
+        # root cause of the r5->r7 dedup_clusters bench drift (3.03 ->
+        # 4.35 s on untouched code, tracking the growing bench list):
+        # measured, an interleaved re-run costs 5.1 s at 100 entries
+        # and 3.6 s at 10000 (static conf, set before session start).
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

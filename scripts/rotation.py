@@ -131,7 +131,11 @@ def main() -> None:
         if n not in ANCHORS
         and changed_ts(n) > banked_ts.get(n, 0)
     ]
-    stale.sort(key=changed_ts, reverse=True)
+    # never-banked queries first (no external evidence AT ALL beats
+    # stale evidence — without this, a new operator sharing a module
+    # mtime with many stale siblings can tie-sort past the window cut),
+    # then most-recently-changed first.
+    stale.sort(key=lambda n: (n in banked, -changed_ts(n)))
     fresh = [
         n for n in candidates if n not in ANCHORS and n not in stale
     ]
@@ -142,9 +146,11 @@ def main() -> None:
     for n in window:
         tag = (
             "anchor" if n in ANCHORS
-            else f"stale (changed after r{banked.get(n, 0)} row)"
+            else "never banked"
+            if n not in banked
+            else f"stale (changed after r{banked[n]} row)"
             if n in stale
-            else f"backfill (last banked r{banked.get(n, 0)})"
+            else f"backfill (last banked r{banked[n]})"
         )
         print(f'    "{n}",  # {tag}')
     print("]")

@@ -16,10 +16,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_contract_smoke():
+    import tempfile
+
+    full_path = os.path.join(
+        tempfile.mkdtemp(prefix="mri_bench_smoke_"), "BENCH_FULL.json"
+    )
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-        SPARK_GRAFT_BENCH_REPS="1",
+        SPARK_GRAFT_BENCH_SERIES="1",
+        SPARK_GRAFT_BENCH_RERUNS="0",
+        # keep the smoke run from clobbering the round's recorded
+        # BENCH_FULL.json diagnostics
+        SPARK_GRAFT_BENCH_FULL=full_path,
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -34,6 +43,10 @@ def test_bench_contract_smoke():
         l for l in proc.stdout.splitlines() if l.strip().startswith("{")
     ]
     assert len(json_lines) == 1, proc.stdout[-2000:]
+    # the recording harness keeps only the LAST 2000 chars of stdout —
+    # a line past that is unparseable in the round artifact (the r6/r7
+    # regression this guards against)
+    assert len(json_lines[0]) < 1900, len(json_lines[0])
     out = json.loads(json_lines[0])
     assert out["metric"] == "headline_queries_total_sec"
     assert out["unit"] == "sec"
@@ -42,4 +55,8 @@ def test_bench_contract_smoke():
     bad = [k for k, v in out["queries"].items() if v is None]
     assert not bad, f"headline queries with no timing: {bad}"
     assert len(out["queries"]) >= 29
-    assert set(out["queries_min"]) == set(out["queries"])
+    # full diagnostics land in the BENCH_FULL.json side file
+    full = json.load(open(full_path))
+    assert set(full["queries_median"]) == set(out["queries"])
+    assert set(full["samples"]) == set(out["queries"])
+    assert all(len(v) >= 1 for v in full["samples"].values())

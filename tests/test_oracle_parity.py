@@ -26,25 +26,21 @@ def test_registry_consistency():
 # insertion/reorder can't silently push an oracle-backed query out of
 # (or a rows-only query into) the verified window.
 DRIVER_WINDOW = [
-    "word_count", "grep", "grep_mr", "union_all_op", "map_explode",
-    "streaming_curated_ingest_watermarked", "token_budget_cap",
-    "kmeans_step", "bloom_decontaminate", "langid_eval",
-    "quality_calibration", "dedup_rate_by_threshold", "semdedup_prune",
-    "packing_efficiency", "hll_distinct_users", "countmin_heavy_hitters",
-    "time_weighted_avg", "label_prop_step", "streaming_distinct_users_hll",
-    "quantile_sketch_quality", "kmeans_iterate",
-    "embedding_neardup_strict", "orc_roundtrip", "hll_union_types",
-    "bucketed_join_revenue", "label_prop_iterate",
-    "streaming_heavy_hitters", "prefix_filter_neardup",
-    "streaming_custom_sessions", "hll_intersect_types",
-    "kmv_intersect_types", "streaming_quantile_quality",
-    "length_ks_by_source",
-    "word_count_mr", "key_stats", "join_revenue_by_nation",
-    "topk_per_group",
-    "salted_join", "asof_join", "dedup_exact", "ngram_jaccard_neardup",
-    "dedup_clusters", "incremental_dedup", "cosine_topk",
-    "embedding_neardup", "shard_manifest", "language_id", "tpch_q1",
-    "tpch_q21", "triangle_count",
+    "word_count", "grep", "ppjoin_neardup", "pagerank_docs",
+    "compaction_roundtrip", "kmeans_step", "semdedup_prune", "kmeans_iterate",
+    "embedding_neardup_strict", "cosine_topk", "embedding_neardup",
+    "embedding_stats", "embedding_outliers", "token_budget_cap",
+    "bloom_decontaminate", "quality_calibration", "dedup_rate_by_threshold",
+    "packing_efficiency", "label_prop_step", "orc_roundtrip",
+    "label_prop_iterate", "prefix_filter_neardup", "length_ks_by_source",
+    "dedup_exact", "ngram_jaccard_neardup", "dedup_clusters",
+    "incremental_dedup", "shard_manifest", "triangle_count",
+    "contamination_report", "pagerank_nations", "trade_edges",
+    "bigram_logprob_score", "weighted_sample", "lang_entropy",
+    "cdc_dup_chunks", "ngram_novelty", "corpus_summary", "neardup_audit",
+    "dup_spans", "fuzzy_blocked_join", "decontamination", "data_mixture",
+    "repetition_filter", "unigram_logprob_score", "pack_sequences",
+    "split_assign", "curation_pipeline", "source_overlap", "trade_flows_2hop",
 ]
 
 

@@ -9,7 +9,7 @@ QUERIES = entrymod.queries()
 
 
 def test_ppjoin_prunes_strictly_more_than_vcl(spark, sf_dir):
-    """The point of PPJoin+ (VERDICT r7 #5): on the same corpus the
+    """The point of PPJoin (VERDICT r7 #5): on the same corpus the
     length + positional filters admit STRICTLY fewer candidate pairs
     into the intersection-count agg than the VCL prefix join — and
     every pruned pair was a true negative (the result set is

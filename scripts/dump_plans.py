@@ -65,12 +65,15 @@ NOTES = {
     "label_prop_step": "symmetrize via union (map-side), then two algebraic hash-aggs: (node, label) weight sums and the max(struct(w, -label)) argmax-with-tiebreak — no window over the adjacency",
     "quantile_sketch_quality": "the histogram cells are ONE algebraic count agg (no per-source sort of raw docs); the cumulative walk + interpolation run over the |sources| x 100 cell table; the exact nearest-rank audit branch is the only rank window and exists to measure the sketch",
     "dup_spans": "span hashes deduped per doc map-side (array_distinct before the explode); one algebraic count agg keyed on span hash + one keyed join back — hot corpus-wide boilerplate spans are absorbed by map-side partials, and the join fans out per occurrence, never per pair",
-    "embedding_neardup_strict": "the production near-dup regime: 16 bucket ids materialized ONCE per vector in a dedicated projection, ONE (tbl, bucket) key per table per vector (no probe ball — candidate volume is occupancy-bounded and linear), explicit-width repartition on both sides of the bucket self-join (REPARTITION_BY_NUM, the AQE bytes-vs-compute pin), exact-cosine verify in codegen; no NLJ/cartesian (test-pinned)",
+    "embedding_neardup_strict": "the production near-dup regime: 16 bucket ids materialized ONCE per vector via the ArrowEvalPython matmul projection (one numpy matmul per Arrow batch — the HOF-fold form cost 6.5-9 s in interpretation for the same 16M flops; bit-identical, test-pinned), ONE (tbl, bucket) key per table per vector (no probe ball — candidate volume is occupancy-bounded and linear), explicit-width repartition on both sides of the bucket self-join (REPARTITION_BY_NUM, the AQE bytes-vs-compute pin), exact-cosine verify in codegen; no NLJ/cartesian (test-pinned)",
     "bucketed_join_revenue": "both scans show Bucketed: true / SelectedBucketsCount: 8 out of 8 and feed the SortMergeJoin with NO exchange — the bucket layout written at ingest replaces the per-query fact-fact shuffle; the single Exchange in the plan is the final 5-row per-priority agg (test-pinned)",
     "label_prop_iterate": "final-iteration plan starts from the localCheckpoint'd node-sized label table (lineage truncated each round — the RDD scan at the leaves), one src-keyed edge join + the two algebraic label_prop_step aggs; curve scalars are 1-row aggregates",
     "hll_union_types": "the ALL row is a max(r) agg over the per-type REGISTER table (|types| x 1024 rows), not a rescan of events — the plan shows the union sketch derived from the same single register build the per-type rows use",
     "orc_roundtrip": "the read-back side is a pure ORC scan with ReadSchema pruned to (doc_id, n_tokens, pack_id) + the source partition column — text is never re-read; partition discovery and pruning behave exactly as the parquet shard path",
-    "prefix_filter_neardup": "df agg + per-doc rank window (doc-partitioned) produce the rarest-first prefixes; the candidate self-join keys on the prefix shingle only (~(1-t) of each set), then a pair-keyed intersection count agg and two size joins — every join keyed, the uncapped exact result with no all-pairs stage",
+    "prefix_filter_neardup": "df agg + ONE doc-keyed sort_array agg produce the rarest-first prefixes (sizes and the prefix slice are projections over the same agg — the former window + sizes agg + join cost two extra doc-keyed shuffles); the candidate self-join keys on the prefix shingle only (~(1-t) of each set), then a pair-keyed intersection count agg and two size joins — every join keyed, the uncapped exact result with no all-pairs stage",
+    "ppjoin_neardup": "same prefix frame, but candidates pass the LENGTH filter per matched prefix row (pruned pairs never form a group) and the POSITIONAL upper bound as one algebraic (da,db,na,nb) agg before the intersection-count verify — strictly fewer candidates than the VCL join feed the expensive stage (pytest-pinned), with zero recall loss (same uncapped oracle)",
+    "pagerank_docs": "pair generation (the prefix-filter plan above) runs once and is eagerly checkpointed; the final-iteration plan starts from the checkpointed |V|-row rank vector — one src-keyed join against the checkpointed transition table + one dst agg per round, nothing pair-generation-sized recomputes per iteration",
+    "compaction_roundtrip": "the accounting side is a pure parquet scan of the COMPACTED files with ReadSchema pruned to (doc_id, source, version) + length(text) — the merge-on-read union + argmax-struct + tombstone filter happened at write time, so readers of the compacted table pay none of it",
     "dedup_clusters": "edges from the checkpointed near-dup candidate path, then min-label propagation with persist-before-count and pointer jumping; snapshot exists so the recurring min-drift watch item can be adjudicated by plan diff (the tpch_q8/minhash protocol) instead of from totals",
     "hll_intersect_types": "ONE register build feeds both the single-type estimates and the pair-merged union registers; every join downstream of the build touches 1024-row register tables only — the events table is scanned for registers and the exact audit, never per pair",
     "kmv_intersect_types": "per-type sketches via WindowGroupLimit top-K over the 48-bit hash (the exchange moves ~K rows per partition-type, never the corpus); union/flag joins touch K-row sketch tables only; the events table is scanned for the sketch build and the exact audit",

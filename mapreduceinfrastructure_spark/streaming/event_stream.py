@@ -666,3 +666,79 @@ def streaming_quantile_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("p50_est") - F.col("p50_exact")), 6).alias("err_p50"),
         F.round(F.abs(F.col("p90_est") - F.col("p90_exact")), 6).alias("err_p90"),
     )
+
+
+# view -> purchase attribution window for the stream-stream join.
+FUNNEL_JOIN_GAP = "30 minutes"
+
+
+def streaming_funnel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join, driver-verified — the one Structured
+    Streaming feature class that had only a unit-tested helper
+    (:func:`streaming_interval_join`) and no oracle-backed end-to-end
+    signal (aggregations, session windows, custom GroupState, and
+    stream-static enrichment all have one; joining two unbounded
+    sides is its own state machine): every ``view`` is attributed to
+    every ``purchase`` by the same user within FUNNEL_JOIN_GAP after
+    it, both sides watermarked so the join state is provably bounded.
+
+    Why the time bounds matter at 100 TB: an unconstrained
+    stream-stream join must buffer BOTH streams forever (any future
+    row might match any past row).  The watermark plus the two-sided
+    time-range predicate (p_ts in [v_ts, v_ts + gap]) lets Spark
+    evict a buffered view once the purchase watermark passes
+    v_ts + gap and a buffered purchase once the view watermark passes
+    p_ts — state is (watermark horizon x arrival rate) rows per side,
+    independent of stream age.  That eviction arithmetic is exactly
+    what this signal certifies against the batch twin: the DuckDB
+    oracle runs the same self-join as ordinary SQL, so a green row
+    proves no pair was dropped by state cleanup and none was
+    fabricated or duplicated by the buffering.
+
+    Eleventh oracle-backed streaming signal.  Inner joins emit in
+    append mode as matches arrive; epoch-us columns keep the hash
+    timezone-independent (the module convention).
+    """
+    pairs = funnel_pairs_stream(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(
+        spark, pairs, "funnel_pairs_driver", output_mode="append"
+    )
+
+
+def funnel_pairs_stream(ev: DataFrame) -> DataFrame:
+    """The stream-stream join core over an unbounded events frame —
+    factored so tests can feed a multi-file stream and prove a view
+    buffered in batch N still pairs with a purchase arriving in batch
+    N+k (the cross-batch buffering the watermark bounds)."""
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {FUNNEL_JOIN_GAP}")),
+        "inner",
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+        F.round("value", 2).alias("purchase_value"),
+    )

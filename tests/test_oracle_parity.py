@@ -27,20 +27,21 @@ def test_registry_consistency():
 # (or a rows-only query into) the verified window.
 DRIVER_WINDOW = [
     "word_count", "grep", "ppjoin_neardup", "pagerank_docs",
-    "compaction_roundtrip", "kmeans_step", "semdedup_prune", "kmeans_iterate",
-    "embedding_neardup_strict", "cosine_topk", "embedding_neardup",
-    "embedding_stats", "embedding_outliers", "token_budget_cap",
-    "bloom_decontaminate", "quality_calibration", "dedup_rate_by_threshold",
+    "compaction_roundtrip", "streaming_funnel_pairs",
+    "dedup_rate_by_threshold", "prefix_filter_neardup", "dedup_exact",
+    "ngram_jaccard_neardup", "dedup_clusters", "incremental_dedup",
+    "cdc_dup_chunks", "neardup_audit", "dup_spans", "fuzzy_blocked_join",
+    "source_overlap", "frame_offsets", "kmeans_step", "semdedup_prune",
+    "kmeans_iterate", "embedding_neardup_strict", "cosine_topk",
+    "embedding_neardup", "embedding_stats", "embedding_outliers",
+    "token_budget_cap", "bloom_decontaminate", "quality_calibration",
     "packing_efficiency", "label_prop_step", "orc_roundtrip",
-    "label_prop_iterate", "prefix_filter_neardup", "length_ks_by_source",
-    "dedup_exact", "ngram_jaccard_neardup", "dedup_clusters",
-    "incremental_dedup", "shard_manifest", "triangle_count",
-    "contamination_report", "pagerank_nations", "trade_edges",
-    "bigram_logprob_score", "weighted_sample", "lang_entropy",
-    "cdc_dup_chunks", "ngram_novelty", "corpus_summary", "neardup_audit",
-    "dup_spans", "fuzzy_blocked_join", "decontamination", "data_mixture",
+    "label_prop_iterate", "length_ks_by_source", "shard_manifest",
+    "triangle_count", "contamination_report", "pagerank_nations",
+    "trade_edges", "bigram_logprob_score", "weighted_sample", "lang_entropy",
+    "ngram_novelty", "corpus_summary", "decontamination", "data_mixture",
     "repetition_filter", "unigram_logprob_score", "pack_sequences",
-    "split_assign", "curation_pipeline", "source_overlap", "trade_flows_2hop",
+    "split_assign",
 ]
 
 

@@ -54,6 +54,12 @@ NAMES = [
     "kmv_intersect_types",
     "streaming_quantile_quality",
     "streaming_heavy_hitters",
+    # round-8 additions: double rank sums iterated 5 rounds (the prime
+    # order-dependence candidate), the positional-filter agg + jaccard
+    # rounding, and the merge-on-read argmax + compacted-file re-read
+    "pagerank_docs",
+    "ppjoin_neardup",
+    "compaction_roundtrip",
 ]
 
 

@@ -150,3 +150,62 @@ def test_matmul_bucket_ids_match_hof(spark, sf_dir):
         .count()
     )
     assert got == 0
+
+
+def test_funnel_pairs_join_across_micro_batches(spark, sf_dir, tmp_path):
+    """The property that makes a stream-stream join its own state
+    machine: a view buffered in micro-batch 1 must still pair with a
+    purchase arriving in micro-batch 2 (and vice versa for purchases
+    preceding late-arriving views within the same batch split).  Feed
+    the same events as TWO files split at the time median with
+    maxFilesPerTrigger=1 and require the exact pair set the one-batch
+    run (and the batch SQL oracle) produces."""
+    import os
+
+    from mapreduceinfrastructure_spark.sources.tables import (
+        event_ts_us,
+        load_table,
+    )
+    from mapreduceinfrastructure_spark.streaming.event_stream import (
+        funnel_pairs_stream,
+        run_stream_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev_us = ev.withColumn("ts_us", event_ts_us(ev))
+    median_us = ev_us.approxQuantile("ts_us", [0.5], 0.0)[0]
+    d = tmp_path / "funnel_stream"
+    d.mkdir()
+    ev_us.filter(F.col("ts_us") <= median_us).drop("ts_us").toPandas().to_parquet(
+        d / "f1.parquet"
+    )
+    ev_us.filter(F.col("ts_us") > median_us).drop("ts_us").toPandas().to_parquet(
+        d / "f2.parquet"
+    )
+    os.utime(d / "f1.parquet", (1_000, 1_000))  # oldest-first processing
+    os.utime(d / "f2.parquet", (2_000, 2_000))
+    schema = spark.read.parquet(str(d / "f1.parquet")).schema
+    ds = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    # pandas writes ts as TIMESTAMP(NANOS); under nanosAsLong the
+    # stream sees a bigint — the read_events_stream branch, mirrored
+    if dict(ds.dtypes)["ts"] == "bigint":
+        ds = ds.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ds = ds.withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        tuple(r)
+        for r in run_stream_to_memory(
+            spark, funnel_pairs_stream(ds), "funnel_xbatch", output_mode="append"
+        ).collect()
+    }
+    import __spark_entry__ as e
+
+    want = {
+        tuple(r) for r in e.queries()["streaming_funnel_pairs"](spark, sf_dir).collect()
+    }
+    assert got == want, got.symmetric_difference(want)
+    assert want, "test corpora have view->purchase pairs in the gap"

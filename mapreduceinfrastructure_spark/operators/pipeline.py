@@ -483,9 +483,13 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
+    # applicationId in the path: two sessions on one host (bench next
+    # to verify) must not interleave overwrites of the same directory
+    # (the bucketed_join_revenue race class, ADVICE r7)
+    app = spark.sparkContext.applicationId.replace("-", "_")
     out_path = os.path.join(
         tempfile.gettempdir(),
-        f"mri_curated_orc_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"mri_curated_orc_{os.path.basename(os.path.normpath(sf_dir))}_{app}",
     )
     curated_shards_df(spark, sf_dir).write.mode("overwrite").partitionBy(
         "source"
@@ -623,9 +627,11 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
+    # per-session path for the same race-class reason as orc_roundtrip
+    app = spark.sparkContext.applicationId.replace("-", "_")
     out_path = os.path.join(
         tempfile.gettempdir(),
-        f"mri_curated_shards_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"mri_curated_shards_{os.path.basename(os.path.normpath(sf_dir))}_{app}",
     )
     write_curated_shards(spark, sf_dir, out_path)
     back = spark.read.schema(SHARD_SCHEMA).parquet(out_path)

@@ -769,3 +769,43 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_items"),
         F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
     )
+
+
+def runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join shaped for Catalyst's RUNTIME BLOOM-FILTER
+    injection (InjectRuntimeFilter, on by default via
+    spark.sql.optimizer.runtime.bloomFilter.enabled): the selective
+    predicate lives on the orders side, so the optimizer plants a
+    bloom_filter_agg over the filtered o_orderkey stream and rewrites
+    the lineitem scan's filter to might_contain(bloom, xxhash64(key))
+    — a semi-join reduction that drops non-matching fact rows BEFORE
+    the shuffle instead of after the join.
+
+    Why this is a first-class 100 TB lever: with a 1-in-5 selective
+    dim-side predicate, four fifths of the fact table's shuffle bytes
+    are wasted work in the plain plan; the runtime filter prunes them
+    at scan cost.  The injection is size-gated (creation side under
+    ~10 MB, application side over ~10 GB scanned), so it triggers
+    exactly in the regime it pays for — test SFs sit below the gate,
+    which is why tests/test_round8_ops.py pins the rewrite with the
+    thresholds lowered rather than relying on data size
+    (`might_contain` + `bloom_filter_agg` must appear in the
+    optimized plan, and the result must be identical with the filter
+    on and off).  The registry query runs ungated — at production
+    sizes the same plan acquires the filter automatically.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return j.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+    )

@@ -26,22 +26,23 @@ def test_registry_consistency():
 # insertion/reorder can't silently push an oracle-backed query out of
 # (or a rows-only query into) the verified window.
 DRIVER_WINDOW = [
-    "word_count", "grep", "ppjoin_neardup", "pagerank_docs",
-    "compaction_roundtrip", "streaming_funnel_pairs",
+    "word_count", "grep", "compaction_roundtrip", "streaming_funnel_pairs",
+    "ppjoin_neardup", "pagerank_docs", "runtime_filter_join",
+    "token_budget_cap", "bloom_decontaminate", "quality_calibration",
+    "packing_efficiency", "orc_roundtrip", "length_ks_by_source",
+    "shard_manifest", "contamination_report", "bigram_logprob_score",
+    "weighted_sample", "lang_entropy", "ngram_novelty", "corpus_summary",
+    "decontamination", "data_mixture", "repetition_filter",
+    "unigram_logprob_score", "pack_sequences", "split_assign",
+    "curation_pipeline", "keep_best_dedup", "mixture_weights",
+    "frame_offsets", "streaming_sessions", "streaming_enriched_revenue",
+    "streaming_curated_ingest", "streaming_active_users",
+    "streaming_hourly_counts", "streaming_curated_ingest_watermarked",
+    "streaming_distinct_users_hll", "streaming_heavy_hitters",
+    "streaming_custom_sessions", "streaming_quantile_quality",
     "dedup_rate_by_threshold", "prefix_filter_neardup", "dedup_exact",
     "ngram_jaccard_neardup", "dedup_clusters", "incremental_dedup",
     "cdc_dup_chunks", "neardup_audit", "dup_spans", "fuzzy_blocked_join",
-    "source_overlap", "frame_offsets", "kmeans_step", "semdedup_prune",
-    "kmeans_iterate", "embedding_neardup_strict", "cosine_topk",
-    "embedding_neardup", "embedding_stats", "embedding_outliers",
-    "token_budget_cap", "bloom_decontaminate", "quality_calibration",
-    "packing_efficiency", "label_prop_step", "orc_roundtrip",
-    "label_prop_iterate", "length_ks_by_source", "shard_manifest",
-    "triangle_count", "contamination_report", "pagerank_nations",
-    "trade_edges", "bigram_logprob_score", "weighted_sample", "lang_entropy",
-    "ngram_novelty", "corpus_summary", "decontamination", "data_mixture",
-    "repetition_filter", "unigram_logprob_score", "pack_sequences",
-    "split_assign",
 ]
 
 

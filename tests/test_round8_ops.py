@@ -209,3 +209,35 @@ def test_funnel_pairs_join_across_micro_batches(spark, sf_dir, tmp_path):
     }
     assert got == want, got.symmetric_difference(want)
     assert want, "test corpora have view->purchase pairs in the gap"
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """With the size gates lowered to the test SF, Catalyst must plant
+    the runtime bloom filter on runtime_filter_join's fact side — a
+    bloom_filter_agg over the filtered orders keys and a might_contain
+    probe pushed into the lineitem scan filter — and the result must
+    be byte-identical with the rewrite on and off (the filter is pure
+    pruning; the oracle gate proves the same thing externally)."""
+    import __spark_entry__ as e
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: conf.get(k) for k in keys}
+    try:
+        conf.set(keys[0], "0")
+        conf.set(keys[1], "-1")  # broadcast would bypass the injection gate
+        df = e.queries()["runtime_filter_join"](spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        gated = {tuple(r) for r in df.collect()}
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    plain_df = e.queries()["runtime_filter_join"](spark, sf_dir)
+    plain_plan = plain_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" not in plain_plan  # gate respected at test SF
+    assert {tuple(r) for r in plain_df.collect()} == gated

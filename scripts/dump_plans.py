@@ -73,6 +73,7 @@ NOTES = {
     "prefix_filter_neardup": "df agg + ONE doc-keyed sort_array agg produce the rarest-first prefixes (sizes and the prefix slice are projections over the same agg — the former window + sizes agg + join cost two extra doc-keyed shuffles); the candidate self-join keys on the prefix shingle only (~(1-t) of each set), then a pair-keyed intersection count agg and two size joins — every join keyed, the uncapped exact result with no all-pairs stage",
     "ppjoin_neardup": "same prefix frame, but candidates pass the LENGTH filter per matched prefix row (pruned pairs never form a group) and the POSITIONAL upper bound as one algebraic (da,db,na,nb) agg before the intersection-count verify — strictly fewer candidates than the VCL join feed the expensive stage (pytest-pinned), with zero recall loss (same uncapped oracle)",
     "pagerank_docs": "pair generation (the prefix-filter plan above) runs once and is eagerly checkpointed; the final-iteration plan starts from the checkpointed |V|-row rank vector — one src-keyed join against the checkpointed transition table + one dst agg per round, nothing pair-generation-sized recomputes per iteration",
+    "runtime_filter_join": "at test SF the plan is the plain gated join (the runtime bloom filter needs >= ~10 GB scanned on the application side — tests pin the injected bloom_filter_agg/might_contain form with the gates lowered); what THIS snapshot shows is the baseline the filter improves on: the full lineitem scan feeding the join shuffle",
     "compaction_roundtrip": "the accounting side is a pure parquet scan of the COMPACTED files with ReadSchema pruned to (doc_id, source, version) + length(text) — the merge-on-read union + argmax-struct + tombstone filter happened at write time, so readers of the compacted table pay none of it",
     "dedup_clusters": "edges from the checkpointed near-dup candidate path, then min-label propagation with persist-before-count and pointer jumping; snapshot exists so the recurring min-drift watch item can be adjudicated by plan diff (the tpch_q8/minhash protocol) instead of from totals",
     "hll_intersect_types": "ONE register build feeds both the single-type estimates and the pair-merged union registers; every join downstream of the build touches 1024-row register tables only — the events table is scanned for registers and the exact audit, never per pair",

@@ -1175,30 +1175,32 @@ def prefix_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic outside the candidate population; the DuckDB twin is the
     UNCAPPED all-pairs join, so the driver gate proves completeness.
     """
-    sh, sizes, pref = _prefix_frames(spark, sf_dir)
+    by_doc, pref = _prefix_frames(spark, sf_dir)
     cand = vcl_candidates(pref)
-    return _jaccard_verify(cand, sh, sizes, PREFIX_JACCARD_T)
+    return _jaccard_verify(cand, by_doc, PREFIX_JACCARD_T)
 
 
 def _prefix_frames(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Shared machinery of the prefix-filter family: the distinct
-    shingle sets, per-doc sizes, and the df-ranked PREFIX frame
-    (doc_id, shingle, rn, n) — each doc's first |x| - ceil(t|x|) + 1
-    shingles in ascending global-df order (rarest first, ties by
-    shingle).  ``rn`` is the 1-based position in that canonical order,
-    which is what the PPJoin positional filter reads.
+) -> tuple[DataFrame, DataFrame]:
+    """Shared machinery of the prefix-filter family: the per-doc
+    SORTED shingle list frame ``by_doc`` (doc_id, n, s) and the
+    df-ranked PREFIX frame (doc_id, shingle, rn, n) — each doc's
+    first |x| - ceil(t|x|) + 1 shingles in ascending global-df order
+    (rarest first, ties by shingle).  ``rn`` is the 1-based position
+    in that canonical order, which is what the PPJoin positional
+    filter reads.
 
     Shuffle shape: ONE doc-keyed agg builds the sorted per-doc shingle
     list (sort_array over (df, shingle) structs — identical order to a
-    row_number window over (df, shingle)), and sizes + the prefix
-    slice are projections over it: the former window + separate sizes
+    row_number window over (df, shingle)); sizes and the prefix slice
+    are projections over it, where the former window + separate sizes
     agg + sizes join cost two extra doc-keyed shuffles of the full
     shingle table (measured at sf0.1: 3.67 → ~2.7 s for
     prefix_filter_neardup, and pagerank_docs inherits the cut).  The
     per-doc list is doc-length-bounded — the same per-doc
-    materialization every shingle consumer already makes.
+    materialization every shingle consumer already makes — and the
+    verify stage consumes it directly (see _jaccard_verify).
     """
     sh = _shingles(spark, sf_dir)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -1210,7 +1212,6 @@ def _prefix_frames(
         )
         .select("doc_id", F.size("s").cast("long").alias("n"), "s")
     )
-    sizes = by_doc.select("doc_id", "n")
     prefix_len = (
         F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1
     ).cast("int")
@@ -1224,7 +1225,7 @@ def _prefix_frames(
         (F.col("p") + 1).cast("long").alias("rn"),
         "n",
     )
-    return sh, sizes, pref
+    return by_doc, pref
 
 
 def vcl_candidates(pref: DataFrame) -> DataFrame:
@@ -1300,25 +1301,39 @@ def ppjoin_candidates(pref: DataFrame) -> DataFrame:
 
 
 def _jaccard_verify(
-    cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
+    cand: DataFrame, by_doc: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact-Jaccard verify of a candidate pair set: intersection
-    count from two shingle joins, sizes joined in, int/int division
-    (bit-identical across engines, no rounding needed pre-filter)."""
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("da"), "shingle"), "da")
-        .join(sh.select(F.col("doc_id").alias("db"), "shingle"), ["db", "shingle"])
-        .groupBy("da", "db")
-        .agg(F.count("*").cast("long").alias("i"))
+    """Exact-Jaccard verify of a candidate pair set, ARRAY form: each
+    candidate pair joins the two per-doc sorted shingle lists (already
+    materialized by _prefix_frames) and the intersection is one
+    map-side ``size(array_intersect(sa, sb))`` — int/int division
+    after it, bit-identical across engines, no rounding pre-filter.
+
+    Why this beats the explode-join verify (two shingle joins + a
+    pair-keyed count agg, measured 2.43 → 1.95 s min at sf0.1 on the
+    ppjoin candidates, identical output): the explode form shuffles
+    the ENTIRE corpus shingle table into both candidate joins, while
+    this form moves only the shingle lists of docs that actually
+    appear in candidates — at 100 TB that is (candidate docs ×
+    doc length) bytes versus two corpus-wide shuffles, and the
+    per-pair intersect is a linear hash probe inside codegen instead
+    of a shuffled fan-out row per matching shingle.
+    """
+    lists = by_doc.select("doc_id", F.col("s.shingle").alias("ss"), "n")
+    la = lists.select(
+        F.col("doc_id").alias("da"), F.col("ss").alias("sa"), F.col("n").alias("na")
     )
-    na = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    lb = lists.select(
+        F.col("doc_id").alias("db"), F.col("ss").alias("sb"), F.col("n").alias("nb")
+    )
+    i = F.size(F.array_intersect("sa", "sb")).cast("long")
+    jac = i / (F.col("na") + F.col("nb") - i)
     return (
-        inter.join(na, "da")
-        .join(nb, "db")
-        .filter(jac >= threshold)
-        .select("da", "db", F.round(jac, 6).alias("jaccard"))
+        cand.join(la, "da")
+        .join(lb, "db")
+        .select("da", "db", jac.alias("j"))
+        .filter(F.col("j") >= threshold)
+        .select("da", "db", F.round("j", 6).alias("jaccard"))
     )
 
 
@@ -1348,6 +1363,6 @@ def ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (da, db)-keyed agg; nothing new shuffles more than the candidate
     stream itself.
     """
-    sh, sizes, pref = _prefix_frames(spark, sf_dir)
+    by_doc, pref = _prefix_frames(spark, sf_dir)
     cand = ppjoin_candidates(pref)
-    return _jaccard_verify(cand, sh, sizes, PREFIX_JACCARD_T)
+    return _jaccard_verify(cand, by_doc, PREFIX_JACCARD_T)

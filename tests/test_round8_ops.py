@@ -20,7 +20,7 @@ def test_ppjoin_prunes_strictly_more_than_vcl(spark, sf_dir):
         vcl_candidates,
     )
 
-    _, _, pref = _prefix_frames(spark, sf_dir)
+    _, pref = _prefix_frames(spark, sf_dir)
     pref = pref.localCheckpoint(eager=True)  # one shingle pass, two consumers
     n_vcl = vcl_candidates(pref).count()
     n_pp = ppjoin_candidates(pref).count()
@@ -46,7 +46,7 @@ def test_ppjoin_candidates_superset_of_result(spark, sf_dir):
         ppjoin_candidates,
     )
 
-    _, _, pref = _prefix_frames(spark, sf_dir)
+    _, pref = _prefix_frames(spark, sf_dir)
     cand = {
         (r["da"], r["db"]) for r in ppjoin_candidates(pref).collect()
     }

@@ -1366,3 +1366,88 @@ def ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_doc, pref = _prefix_frames(spark, sf_dir)
     cand = ppjoin_candidates(pref)
     return _jaccard_verify(cand, by_doc, PREFIX_JACCARD_T)
+
+
+# Hop cap for cluster_diameter's BFS (clusters wider than this report
+# DIAMETER_HOP_CAP + 1 — "chained deeper than the audit bound").
+DIAMETER_HOP_CAP = 4
+
+
+def cluster_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster CHAIN AUDIT: per near-dup cluster, the doc count,
+    edge count, and hop-capped DIAMETER of the pair graph — the
+    diagnostic for transitive closure's classic failure mode.  CC
+    merges A~B and B~C into one cluster even when A and C share
+    nothing (similarity is not transitive); a cluster whose diameter
+    approaches its size is such a CHAIN — dropping all-but-one doc
+    from it deletes documents that were never near-duplicates of the
+    keeper — while a true duplicate family is a near-clique with
+    diameter 1-2.  This table is what a dedup rollout reads before
+    trusting cluster-level keep-one deletion (the audit complement of
+    neardup_audit's edge-level view).
+
+    diameter = max over in-cluster (a < b) pairs of min-hop distance,
+    computed by DIAMETER_HOP_CAP rounds of min-plus BFS; if any pair
+    is still unreached the cluster reports DIAMETER_HOP_CAP + 1
+    (deeper than the audit bound — integer-deterministic either way,
+    so the whole table is exactly oracle-checkable against a bounded
+    recursive CTE computing the same capped distances).
+
+    Scale shape: the pair table is computed ONCE and checkpointed
+    (edges feed the BFS K times plus the CC labeling); each BFS round
+    is one keyed join + a min agg over (a, b) — state is the
+    reachable-pair set, bounded by cluster sizes, never the corpus;
+    per-round localCheckpoint truncates the iterative lineage (the
+    connected_components discipline).  All outputs are integers.
+    """
+    pairs = neardup_pairs(
+        spark, sf_dir, threshold=0.5, df_cap=HOT_SHINGLE_DF_CAP
+    ).select("da", "db").localCheckpoint(eager=True)
+    und = pairs.select(F.col("da").alias("a"), F.col("db").alias("b")).union(
+        pairs.select(F.col("db").alias("a"), F.col("da").alias("b"))
+    )
+    cl = connected_components(und).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    dist = und.withColumn("d", F.lit(1).cast("long")).localCheckpoint(eager=True)
+    for _ in range(DIAMETER_HOP_CAP - 1):
+        step = (
+            dist.alias("x")
+            .join(und.alias("e"), F.col("x.b") == F.col("e.a"))
+            .select(
+                F.col("x.a").alias("a"),
+                F.col("e.b").alias("b"),
+                (F.col("x.d") + 1).alias("d"),
+            )
+            .filter(F.col("a") != F.col("b"))
+        )
+        dist = (
+            dist.union(step)
+            .groupBy("a", "b")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    sizes = cl.groupBy("cluster_id").agg(F.count("*").cast("long").alias("n_docs"))
+    n_edges = (
+        pairs.join(cl.select(F.col("doc_id").alias("da"), "cluster_id"), "da")
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    reach = (
+        dist.filter(F.col("a") < F.col("b"))
+        .join(cl.select(F.col("doc_id").alias("a"), "cluster_id"), "a")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.max("d").cast("long").alias("max_d"),
+        )
+    )
+    all_pairs = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long")
+    diameter = F.when(
+        F.col("n_reached") == all_pairs, F.col("max_d")
+    ).otherwise(F.lit(DIAMETER_HOP_CAP + 1).cast("long"))
+    return (
+        sizes.join(n_edges, "cluster_id")
+        .join(reach, "cluster_id")
+        .select("cluster_id", "n_docs", "n_edges", diameter.alias("diameter"))
+    )

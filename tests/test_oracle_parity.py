@@ -26,23 +26,21 @@ def test_registry_consistency():
 # insertion/reorder can't silently push an oracle-backed query out of
 # (or a rows-only query into) the verified window.
 DRIVER_WINDOW = [
-    "word_count", "grep", "compaction_roundtrip", "streaming_funnel_pairs",
-    "ppjoin_neardup", "pagerank_docs", "runtime_filter_join",
-    "token_budget_cap", "bloom_decontaminate", "quality_calibration",
-    "packing_efficiency", "orc_roundtrip", "length_ks_by_source",
-    "shard_manifest", "contamination_report", "bigram_logprob_score",
-    "weighted_sample", "lang_entropy", "ngram_novelty", "corpus_summary",
-    "decontamination", "data_mixture", "repetition_filter",
-    "unigram_logprob_score", "pack_sequences", "split_assign",
-    "curation_pipeline", "keep_best_dedup", "mixture_weights",
-    "frame_offsets", "streaming_sessions", "streaming_enriched_revenue",
-    "streaming_curated_ingest", "streaming_active_users",
-    "streaming_hourly_counts", "streaming_curated_ingest_watermarked",
-    "streaming_distinct_users_hll", "streaming_heavy_hitters",
-    "streaming_custom_sessions", "streaming_quantile_quality",
-    "dedup_rate_by_threshold", "prefix_filter_neardup", "dedup_exact",
-    "ngram_jaccard_neardup", "dedup_clusters", "incremental_dedup",
-    "cdc_dup_chunks", "neardup_audit", "dup_spans", "fuzzy_blocked_join",
+    "word_count", "grep", "ppjoin_neardup", "cluster_diameter",
+    "runtime_filter_join", "compaction_roundtrip", "streaming_funnel_pairs",
+    "pagerank_docs", "dedup_rate_by_threshold", "prefix_filter_neardup",
+    "dedup_exact", "ngram_jaccard_neardup", "dedup_clusters",
+    "incremental_dedup", "cdc_dup_chunks", "neardup_audit", "dup_spans",
+    "fuzzy_blocked_join", "source_overlap", "frame_offsets",
+    "window_funcs_catalog", "scalar_subquery", "skew_safe_distinct",
+    "token_positions", "grouping_sets_pricing", "pandas_udaf_geomean",
+    "udtf_chunk_text", "time_rollup", "deterministic_sample",
+    "stats_aggregates", "not_in_null_aware", "argmax_order",
+    "nested_roundtrip", "cross_join_grid", "bag_except", "date_funcs",
+    "join_outer", "join_full_outer", "salted_join", "asof_join",
+    "range_join_events", "merge_upsert", "window_frames", "unpivot_measures",
+    "percentile_by_brand", "json_extract_agg", "cube_pricing", "scalar_funcs",
+    "except_op", "prior_order",
 ]
 
 

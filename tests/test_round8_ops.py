@@ -241,3 +241,27 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     plain_plan = plain_df._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" not in plain_plan  # gate respected at test SF
     assert {tuple(r) for r in plain_df.collect()} == gated
+
+
+def test_cluster_diameter_consistency(spark, sf_dir):
+    """Structural invariants against dedup_clusters on the same edges:
+    same cluster ids and sizes; every diameter within [1, cap+1];
+    diameter 1 iff the cluster is a clique (n_edges == n(n-1)/2); a
+    2-doc cluster is always diameter 1."""
+    from mapreduceinfrastructure_spark.operators.dedup import DIAMETER_HOP_CAP
+
+    rows = QUERIES["cluster_diameter"](spark, sf_dir).collect()
+    assert rows
+    cl = QUERIES["dedup_clusters"](spark, sf_dir).collect()
+    sizes = {}
+    for r in cl:
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    assert {r["cluster_id"] for r in rows} == set(sizes)
+    for r in rows:
+        assert r["n_docs"] == sizes[r["cluster_id"]]
+        assert 1 <= r["diameter"] <= DIAMETER_HOP_CAP + 1, r
+        clique_edges = r["n_docs"] * (r["n_docs"] - 1) // 2
+        assert r["n_edges"] <= clique_edges
+        assert (r["diameter"] == 1) == (r["n_edges"] == clique_edges), r
+        if r["n_docs"] == 2:
+            assert r["diameter"] == 1

@@ -127,6 +127,9 @@ HEADLINE = [
     "ppjoin_neardup",
     "pagerank_docs",
     "compaction_roundtrip",
+    # the hop-capped BFS chain audit (df-capped pair gen + 3 min-plus
+    # rounds + 3 cluster aggs) — the other iterative round-8 entry
+    "cluster_diameter",
 ]
 
 

@@ -1421,10 +1421,14 @@ def cluster_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("a") != F.col("b"))
         )
+        # the reachable-pair frame is cluster-size-bounded (tiny next
+        # to the corpus): coalesce(1) keeps each checkpoint job at one
+        # task, as in pagerank_docs (drop it at billion-pair scale)
         dist = (
             dist.union(step)
             .groupBy("a", "b")
             .agg(F.min("d").alias("d"))
+            .coalesce(1)
             .localCheckpoint(eager=True)
         )
     sizes = cl.groupBy("cluster_id").agg(F.count("*").cast("long").alias("n_docs"))

@@ -353,17 +353,21 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pagerank_nations vanishes: r' = (1-d)/n + d * Σ_in p·r with
     p = w / out_w.
 
-    Scale shape: the pair computation (prefix filtering, linear in the
-    corpus — see prefix_filter_neardup) runs ONCE and is checkpointed;
+    Scale shape: the pair computation runs ONCE and is checkpointed —
+    via :func:`~..operators.dedup.ppjoin_neardup`, whose length +
+    positional filters produce the IDENTICAL pair set to
+    prefix_filter_neardup (both lossless — the driver gate on each
+    proves it) from strictly fewer candidates (measured: the swap cut
+    this query's pair-generation stage by the full VCL-vs-PPJoin gap);
     each iteration is one rank⋈trans join keyed on src plus one dst
     agg, shuffling only the |V|-row rank vector; per-iteration
     localCheckpoint truncates the doubling lineage (the
     pagerank_nations pattern).  No driver traffic beyond the one
     n_nodes scalar.
     """
-    from .dedup import prefix_filter_neardup
+    from .dedup import ppjoin_neardup
 
-    pairs = prefix_filter_neardup(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = ppjoin_neardup(spark, sf_dir).localCheckpoint(eager=True)
     und = pairs.select(
         F.col("da").alias("src"), F.col("db").alias("dst"), F.col("jaccard").alias("w")
     ).union(

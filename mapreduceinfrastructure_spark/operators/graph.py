@@ -413,3 +413,145 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("doc_id"),
         F.round("rank", 6).alias("rank"),
     )
+
+
+# Round cap for star contraction: the alternating algorithm needs
+# O(log^2 n) rounds in the worst case (Kiveris et al., SoCC 2014) —
+# 16 covers any graph this engine will ever see; the fixpoint probe
+# exits early long before it on real near-dup graphs.
+STAR_MAX_ROUNDS = 16
+
+
+def star_contraction(edges: DataFrame, max_rounds: int = STAR_MAX_ROUNDS) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii —
+    "Connected Components in MapReduce and Beyond", SoCC 2014): the
+    published shuffle-native CC whose round count is O(log² n)
+    INDEPENDENT OF GRAPH DIAMETER — the scale counterpart of
+    :func:`~..operators.dedup.connected_components`' min-label
+    propagation, whose pre-jumping rounds scale with diameter.  On a
+    100 TB corpus whose duplicate graph contains long template-drift
+    chains (each doc near-dups only its neighbors in a revision
+    chain), label propagation pays O(diameter) shuffles before pointer
+    jumping engages, while star contraction halves chain depth every
+    round from the start.
+
+    - large-star(u): connect every neighbor v > u to m(u) =
+      min(Γ(u) ∪ {u}) — applied to ALL nodes in one edge-keyed
+      groupBy + join, no per-node logic.
+    - small-star(u): orient each edge toward its larger endpoint,
+      connect u and its smaller neighbors to their minimum.
+
+    Both operations preserve connectivity and only ever lower the
+    smaller endpoint of any edge (proofs in the paper); the fixpoint
+    is a star forest rooted at each component's minimum node.  The
+    convergence probe is the same trick connected_components uses:
+    Σ(min endpoint) strictly decreases until fixpoint, so one
+    (count, sum, sum) agg over the canonical edge table replaces an
+    edge-set equality join.
+
+    Input: symmetric (a, b) edge table (both orientations, no self
+    loops).  Output: (node, label) with label = component minimum —
+    bit-identical to connected_components on any input (pinned by
+    tests/test_round8_ops.py on the near-dup graph, a long chain, and
+    a star).
+
+    Scale shape per round: one groupBy("a").min + one keyed join for
+    each star op — two shuffles of the CURRENT edge set, which only
+    shrinks toward |V| as chains contract; per-round localCheckpoint
+    truncates the iterative lineage; partition count follows the edge
+    volume (1-task stages on metadata-sized dedup graphs, sharded at
+    cluster scale — the connected_components policy).
+    """
+    spark = edges.sparkSession
+    staged = edges.persist()
+    n_edges = staged.count()
+    n_parts = max(
+        1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1)
+    )
+    nodes = (
+        staged.select(F.col("a").alias("node"))
+        .distinct()
+        .coalesce(n_parts)
+        .localCheckpoint(eager=True)
+    )
+    cur = staged.coalesce(n_parts).localCheckpoint(eager=True)
+    staged.unpersist()
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: m(u) = min(Γ(u) ∪ {u}); every v > u re-attaches
+        # to m(u).  v > u ≥ m(u), so no self loops by construction.
+        m = cur.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        large = (
+            cur.filter(F.col("b") > F.col("a"))
+            .join(m, "a")
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        )
+        sym = (
+            large.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .union(large.select(F.col("v").alias("a"), F.col("u").alias("b")))
+            .distinct()
+        )
+        # small-star: orient toward the larger endpoint (a > b), group
+        # its smaller neighbors, re-attach them (and a) to the minimum.
+        small_src = sym.filter(F.col("b") < F.col("a"))
+        sm = small_src.groupBy("a").agg(F.min("b").alias("m"))
+        small = small_src.join(sm, "a").select(
+            F.col("b").alias("u"), F.col("m").alias("v")
+        ).filter(F.col("u") != F.col("v")).union(
+            sm.select(F.col("a").alias("u"), F.col("m").alias("v"))
+        )
+        cur = (
+            small.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .union(small.select(F.col("v").alias("a"), F.col("u").alias("b")))
+            .distinct()
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+        sig = cur.agg(
+            F.count("*"), F.sum(F.least("a", "b")), F.sum(F.greatest("a", "b"))
+        ).collect()[0]
+        sig = tuple(sig)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint = star forest: every non-root points at its component
+    # minimum; roots (and the paranoid no-edge case) label themselves.
+    lbl = (
+        cur.filter(F.col("b") < F.col("a"))
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("label"))
+    )
+    return nodes.join(lbl, "node", "left").select(
+        "node", F.coalesce("label", "node").alias("label")
+    )
+
+
+def cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via STAR CONTRACTION — byte-identical output
+    to :func:`~..operators.dedup.dedup_clusters` (same neardup_pairs
+    edge generation, same (doc_id, cluster_id = component min) frame,
+    same DuckDB recursive-CTE oracle) computed by the diameter-
+    independent algorithm of :func:`star_contraction` instead of
+    min-label propagation.
+
+    Having BOTH CC algorithms driver-gated against one oracle is the
+    point: at 100 TB the engine picks propagation for shallow
+    duplicate graphs (cheaper per round — one shuffle vs two) and
+    star contraction for chain-heavy ones (O(log² n) rounds vs
+    O(diameter)); cluster_diameter is the audit that tells a corpus
+    operator which regime they are in.
+    """
+    from .dedup import HOT_SHINGLE_DF_CAP, neardup_pairs
+
+    pairs = neardup_pairs(
+        spark, sf_dir, threshold=0.5, df_cap=HOT_SHINGLE_DF_CAP
+    )
+    edges = (
+        pairs.select(F.col("da").alias("a"), F.col("db").alias("b"))
+        .union(pairs.select(F.col("db").alias("a"), F.col("da").alias("b")))
+        .distinct()
+    )
+    return star_contraction(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -265,3 +265,40 @@ def test_cluster_diameter_consistency(spark, sf_dir):
         assert (r["diameter"] == 1) == (r["n_edges"] == clique_edges), r
         if r["n_docs"] == 2:
             assert r["diameter"] == 1
+
+
+def test_cc_star_equals_label_propagation(spark, sf_dir):
+    """The two CC algorithms (min-label propagation + pointer jumping
+    vs alternating large-star/small-star) must produce the identical
+    (doc_id, cluster_id) frame on the real near-dup graph."""
+    star = {tuple(r) for r in QUERIES["cc_star"](spark, sf_dir).collect()}
+    prop = {tuple(r) for r in QUERIES["dedup_clusters"](spark, sf_dir).collect()}
+    assert star == prop, star.symmetric_difference(prop)
+
+
+def test_star_contraction_synthetic_graphs(spark):
+    """The shapes that separate the algorithms: a long CHAIN (the
+    O(diameter) worst case for label propagation — star contraction
+    must still converge inside its round cap and label everything with
+    the chain minimum) and a STAR plus a disjoint TRIANGLE (multiple
+    components, hub not the minimum)."""
+    from mapreduceinfrastructure_spark.operators.graph import star_contraction
+
+    def sym(pairs):
+        df = spark.createDataFrame(pairs, "a long, b long")
+        return df.union(df.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    chain = sym([(i, i + 1) for i in range(1, 60)])
+    got = {tuple(r) for r in star_contraction(chain).collect()}
+    assert got == {(i, 1) for i in range(1, 61)}
+
+    # star hub=50 with leaves 51..60 plus leaf 7 (the true minimum),
+    # and a disjoint triangle 100-101-102
+    star = sym(
+        [(50, x) for x in [7, *range(51, 61)]]
+        + [(100, 101), (101, 102), (100, 102)]
+    )
+    got = {tuple(r) for r in star_contraction(star).collect()}
+    want = {(50, 7), (7, 7)} | {(x, 7) for x in range(51, 61)}
+    want |= {(100, 100), (101, 100), (102, 100)}
+    assert got == want

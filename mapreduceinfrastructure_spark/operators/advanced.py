@@ -809,3 +809,107 @@ def runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
     )
+
+
+# Z-order layout constants: 16 bits per dimension (exact in 64-bit
+# integer arithmetic in both engines), 64 output files (top 6 bits of
+# the 32-bit interleaved key).
+Z_BITS = 16
+Z_FILES_LOG2 = 6
+
+
+def _zvalue(x: "F.Column", y: "F.Column") -> "F.Column":
+    """Bit-interleave two Z_BITS-wide non-negative ints into the
+    Morton / Z-order key: bit i of x lands at position 2i, bit i of y
+    at 2i+1.  Pure shift/and/or arithmetic — identical semantics in
+    Spark and ANSI SQL, so the oracle reproduces it bit for bit
+    (generated by __spark_entry__._zvalue_sql from the same spec)."""
+    z = F.lit(0).cast("long")
+    for i in range(Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data layout certified end to end: lineitem is laid out
+    on the Morton interleave of (ship day, partkey), written to
+    parquet as one file per Z-range, read back, and the per-file
+    (min, max) envelope of BOTH dimensions — the exact numbers a
+    min/max-pruning reader (parquet row-group stats, Delta/Iceberg
+    file skipping) consults — is aggregated from the READ-BACK files.
+    The DuckDB oracle recomputes every envelope from ``lineitem``
+    with the same integer bit arithmetic, so a green row certifies
+    the full write→discover→scan→stat path, not just that files
+    appeared.
+
+    Why this is a first-class 100 TB operator: a single-column sort
+    layout prunes scans on ONE predicate column only — a date-sorted
+    100 TB lineitem answers "last week" by reading ~0.1% of files but
+    "this part" by reading ALL of them.  The Z-order curve bounds
+    each file's envelope in EVERY interleaved dimension at once
+    (each file spans ~2^-(k/2) of each dim's range for k prefix
+    bits), so both predicate families skip most files — this is the
+    layout lever behind Delta/Databricks OPTIMIZE ZORDER and
+    Iceberg's sort-order rewrite, built here from plain column
+    arithmetic + repartition + partitionBy.
+    tests/test_round8_ops.py quantifies it: on the written layout,
+    an average ship-day range predicate AND an average partkey range
+    predicate each overlap well under half the files, while a
+    date-sorted twin layout cannot prune partkey predicates at all.
+
+    Scale shape: two scans of the two layout columns (one min/max
+    agg broadcast back as literals via a 1-row crossJoin, one
+    projection computing the key), one repartition shuffle keyed on
+    the Z-range (the write's only movement), and a read-back agg
+    that touches just the layout columns through parquet column
+    pruning.  The 16-bit grid bounds integer magnitudes at 2^32 —
+    exact in doubles and bigints everywhere.
+    """
+    import os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff("l_shipdate", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("ship_day"),
+        F.col("l_partkey").cast("long").alias("partkey"),
+    )
+    mm = li.agg(
+        F.min("ship_day").alias("d_lo"),
+        F.max("ship_day").alias("d_hi"),
+        F.min("partkey").alias("p_lo"),
+        F.max("partkey").alias("p_hi"),
+    )
+    scaled = li.crossJoin(F.broadcast(mm)).select(
+        "ship_day",
+        "partkey",
+        F.expr(
+            f"(ship_day - d_lo) * {1 << Z_BITS} div (d_hi - d_lo + 1)"
+        ).alias("dx"),
+        F.expr(
+            f"(partkey - p_lo) * {1 << Z_BITS} div (p_hi - p_lo + 1)"
+        ).alias("dy"),
+    )
+    zb = F.shiftright(_zvalue(F.col("dx"), F.col("dy")), 2 * Z_BITS - Z_FILES_LOG2)
+    laid = scaled.select("ship_day", "partkey", zb.alias("zb"))
+    # applicationId in the path: two sessions on one host (bench next
+    # to verify) must not interleave overwrites of the same directory
+    # (the bucketed_join_revenue race class, ADVICE r7)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    out_path = os.path.join(
+        tempfile.gettempdir(),
+        f"mri_zorder_{os.path.basename(os.path.normpath(sf_dir))}_{app}",
+    )
+    # one shuffle keyed on the Z-range → exactly one file per zb dir
+    laid.repartition(1 << Z_FILES_LOG2, "zb").write.mode(
+        "overwrite"
+    ).partitionBy("zb").parquet(out_path)
+    back = spark.read.parquet(out_path)
+    return back.groupBy(F.col("zb").cast("long").alias("zb")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("ship_day").alias("min_day"),
+        F.max("ship_day").alias("max_day"),
+        F.min("partkey").alias("min_part"),
+        F.max("partkey").alias("max_part"),
+    )

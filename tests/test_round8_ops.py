@@ -302,3 +302,70 @@ def test_star_contraction_synthetic_graphs(spark):
     want = {(50, 7), (7, 7)} | {(x, 7) for x in range(51, 61)}
     want |= {(100, 100), (101, 100), (102, 100)}
     assert got == want
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir):
+    """The point of the Z-order layout: per-file (min, max) envelopes
+    stay narrow in BOTH interleaved dimensions, so range predicates on
+    EITHER column skip most files — while a ship_day-sorted layout of
+    the same rows into the same file count prunes only ship_day
+    predicates (its partkey envelopes span essentially the full
+    domain).  Overlap fractions are computed against 8 equal-width
+    range predicates per dimension, straight from the envelope frames."""
+    from pyspark.sql import Window
+
+    from mapreduceinfrastructure_spark.operators.advanced import Z_FILES_LOG2
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    zstats = QUERIES["zorder_layout"](spark, sf_dir).collect()
+    n_files = 1 << Z_FILES_LOG2
+    assert len(zstats) == n_files
+    assert sum(r["n_rows"] for r in zstats) == load_table(
+        spark, sf_dir, "lineitem"
+    ).count()
+
+    # ship_day-sorted twin: same rows, same file count, 1-D layout
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff("l_shipdate", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("ship_day"),
+        F.col("l_partkey").cast("long").alias("partkey"),
+    )
+    n = li.count()
+    w = Window.orderBy("ship_day", "partkey")
+    sorted_stats = (
+        li.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("f", (F.col("rn") * n_files / n).cast("long"))
+        .groupBy("f")
+        .agg(
+            F.min("ship_day").alias("min_day"),
+            F.max("ship_day").alias("max_day"),
+            F.min("partkey").alias("min_part"),
+            F.max("partkey").alias("max_part"),
+        )
+        .collect()
+    )
+
+    def overlap_fraction(stats, lo_k, hi_k):
+        los = [r[lo_k] for r in stats]
+        his = [r[hi_k] for r in stats]
+        lo, hi = min(los), max(his)
+        span = (hi - lo + 1) / 8
+        fracs = []
+        for q in range(8):
+            q_lo, q_hi = lo + q * span, lo + (q + 1) * span - 1
+            hit = sum(1 for l, h in zip(los, his) if h >= q_lo and l <= q_hi)
+            fracs.append(hit / len(stats))
+        return sum(fracs) / len(fracs)
+
+    z_day = overlap_fraction(zstats, "min_day", "max_day")
+    z_part = overlap_fraction(zstats, "min_part", "max_part")
+    s_day = overlap_fraction(sorted_stats, "min_day", "max_day")
+    s_part = overlap_fraction(sorted_stats, "min_part", "max_part")
+    # Z-order: BOTH dimensions prune well under half the files
+    assert z_day < 0.5, z_day
+    assert z_part < 0.5, z_part
+    # the 1-D layout prunes its own sort column fine ...
+    assert s_day < 0.5, s_day
+    # ... but cannot prune the other dimension at all
+    assert s_part > 0.9, s_part

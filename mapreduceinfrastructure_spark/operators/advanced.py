@@ -913,3 +913,102 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("partkey").alias("min_part"),
         F.max("partkey").alias("max_part"),
     )
+
+
+# Reducer count modeled by the skew audit (a typical target
+# parallelism for the profiled shuffle; the ratios scale linearly to
+# any real cluster width).
+SKEW_REDUCERS = 32
+
+# (output label, table, key column) — the join/agg keys a pipeline
+# over this star schema actually shuffles on, deliberately spanning
+# the regimes: two wide uniform fact keys, a mid-cardinality event
+# key, and a 5-value categorical (the salting candidate).
+SKEW_PROFILE_KEYS = [
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("events.user_id", "events", "user_id"),
+    ("events.event_type", "events", "event_type"),
+]
+
+
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-FLIGHT SHUFFLE SKEW AUDIT: for each candidate join/agg key,
+    the distribution facts that decide between a plain shuffle, a
+    broadcast, AQE skew-join, or salting — BEFORE the 100 TB shuffle
+    runs: key cardinality, the heaviest key's row share (the salting
+    signal: one key ≈ one reducer's entire input), and the modeled
+    reducer-load imbalance under hash partitioning into SKEW_REDUCERS
+    buckets (max-load ratio vs the uniform ideal, empty-reducer
+    count — the cardinality-starvation signal: fewer keys than
+    reducers caps effective parallelism no matter how uniform the
+    keys).  This is the measurement behind the engine's existing
+    remedies (salted_join, skew_safe_distinct, AQE skew handling in
+    session.py) — profile first, then pick the remedy.
+
+    The modeled partitioner is md5-based (the sketches.py idiom), NOT
+    Spark's internal Murmur3 — deliberately: the audit must be
+    engine-reproducible (the DuckDB oracle computes identical reducer
+    loads), and any uniform hash models hash-partition imbalance
+    equally well (imbalance comes from key mass, not hash choice).
+
+    Scale shape: one per-key count agg per profiled key (algebraic,
+    map-side partials — the only pass over each fact table, reading
+    just the key column), then all further arithmetic happens on the
+    per-KEY table (|keys| rows, metadata-sized next to the corpus);
+    the 1-row summaries cross-join broadcast-style into one 4-row
+    output.  Nothing collects to the driver.
+    """
+    rows = []
+    for label, table, col in SKEW_PROFILE_KEYS:
+        per_key = (
+            load_table(spark, sf_dir, table)
+            .select(
+                F.coalesce(F.col(col).cast("string"), F.lit("∅")).alias("k")
+            )
+            .groupBy("k")
+            .agg(F.count("*").alias("cnt"))
+        )
+        red = per_key.withColumn(
+            "r",
+            F.conv(F.substring(F.md5("k"), 1, 12), 16, 10).cast("long")
+            % SKEW_REDUCERS,
+        )
+        key_stats = per_key.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("cnt").alias("top_key_rows"),
+        )
+        load_stats = (
+            red.groupBy("r")
+            .agg(F.sum("cnt").alias("load"))
+            .agg(
+                F.max("load").alias("max_reducer_rows"),
+                F.count("*").alias("n_nonempty"),
+            )
+        )
+        rows.append(
+            key_stats.crossJoin(F.broadcast(load_stats)).select(
+                F.lit(label).alias("key_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_keys").cast("long").alias("n_keys"),
+                F.col("top_key_rows").cast("long").alias("top_key_rows"),
+                F.round(F.col("top_key_rows") / F.col("n_rows"), 6).alias(
+                    "top_share"
+                ),
+                F.col("max_reducer_rows").cast("long").alias("max_reducer_rows"),
+                (F.lit(SKEW_REDUCERS) - F.col("n_nonempty"))
+                .cast("long")
+                .alias("n_empty_reducers"),
+                F.round(
+                    F.col("max_reducer_rows")
+                    * SKEW_REDUCERS
+                    / F.col("n_rows"),
+                    6,
+                ).alias("skew_ratio"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

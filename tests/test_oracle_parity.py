@@ -26,21 +26,20 @@ def test_registry_consistency():
 # insertion/reorder can't silently push an oracle-backed query out of
 # (or a rows-only query into) the verified window.
 DRIVER_WINDOW = [
-    "word_count", "grep", "ppjoin_neardup", "cluster_diameter",
-    "runtime_filter_join", "compaction_roundtrip", "streaming_funnel_pairs",
-    "pagerank_docs", "dedup_rate_by_threshold", "prefix_filter_neardup",
-    "dedup_exact", "ngram_jaccard_neardup", "dedup_clusters",
-    "incremental_dedup", "cdc_dup_chunks", "neardup_audit", "dup_spans",
-    "fuzzy_blocked_join", "source_overlap", "frame_offsets",
-    "window_funcs_catalog", "scalar_subquery", "skew_safe_distinct",
-    "token_positions", "grouping_sets_pricing", "pandas_udaf_geomean",
-    "udtf_chunk_text", "time_rollup", "deterministic_sample",
-    "stats_aggregates", "not_in_null_aware", "argmax_order",
-    "nested_roundtrip", "cross_join_grid", "bag_except", "date_funcs",
-    "join_outer", "join_full_outer", "salted_join", "asof_join",
+    "word_count", "grep", "runtime_filter_join", "zorder_layout",
+    "skew_profile", "pagerank_docs", "cc_star", "ppjoin_neardup",
+    "cluster_diameter", "compaction_roundtrip", "streaming_funnel_pairs",
+    "frame_offsets", "window_funcs_catalog", "scalar_subquery",
+    "skew_safe_distinct", "token_positions", "grouping_sets_pricing",
+    "pandas_udaf_geomean", "udtf_chunk_text", "time_rollup",
+    "deterministic_sample", "stats_aggregates", "not_in_null_aware",
+    "argmax_order", "nested_roundtrip", "cross_join_grid", "bag_except",
+    "date_funcs", "join_outer", "join_full_outer", "salted_join", "asof_join",
     "range_join_events", "merge_upsert", "window_frames", "unpivot_measures",
     "percentile_by_brand", "json_extract_agg", "cube_pricing", "scalar_funcs",
-    "except_op", "prior_order",
+    "except_op", "prior_order", "union_all_op", "map_explode",
+    "bucketed_join_revenue", "pagerank_nations", "trade_edges",
+    "triangle_count", "trade_flows_2hop", "label_prop_step",
 ]
 
 

@@ -369,3 +369,23 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir):
     assert s_day < 0.5, s_day
     # ... but cannot prune the other dimension at all
     assert s_part > 0.9, s_part
+
+
+def test_skew_profile_separates_regimes(spark, sf_dir):
+    """The audit must actually separate the shuffle regimes it exists
+    to detect: the 5-value categorical key concentrates its mass on a
+    handful of reducers (high skew ratio, most reducers empty — the
+    salting/broadcast signal), while the wide uniform fact keys load
+    all reducers within a small factor of the ideal."""
+    from mapreduceinfrastructure_spark.operators.advanced import SKEW_REDUCERS
+
+    rows = {r["key_name"]: r for r in QUERIES["skew_profile"](spark, sf_dir).collect()}
+    cat = rows["events.event_type"]
+    assert cat["n_keys"] < SKEW_REDUCERS
+    assert cat["n_empty_reducers"] >= SKEW_REDUCERS - cat["n_keys"]
+    assert cat["skew_ratio"] > 4, cat
+    for uniform in ("lineitem.l_suppkey", "lineitem.l_partkey"):
+        r = rows[uniform]
+        assert r["n_empty_reducers"] == 0, r
+        assert r["skew_ratio"] < 2.5, r
+        assert r["top_share"] < 0.05, r

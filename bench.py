@@ -130,6 +130,12 @@ HEADLINE = [
     # the hop-capped BFS chain audit (df-capped pair gen + 3 min-plus
     # rounds + 3 cluster aggs) — the other iterative round-8 entry
     "cluster_diameter",
+    # late round-8 additions: the co-purchase self-join + 6 peel
+    # rounds (checkpoint-floor-bound), the user-windowed fold family
+    # representative, and the vocab-keyed divergence join
+    "kcore_peel",
+    "ewma_anomaly",
+    "kl_source_divergence",
 ]
 
 

@@ -875,6 +875,15 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ship_day"),
         F.col("l_partkey").cast("long").alias("partkey"),
     )
+    if li.limit(1).count() == 0:
+        # empty input: nothing to lay out, and partitionBy would write
+        # zero files (read-back then cannot infer a schema) — return
+        # the empty envelope table with the stable output schema
+        return spark.createDataFrame(
+            [],
+            schema="zb long, n_rows long, min_day long, max_day long, "
+            "min_part long, max_part long",
+        )
     mm = li.agg(
         F.min("ship_day").alias("d_lo"),
         F.max("ship_day").alias("d_hi"),
@@ -1012,3 +1021,77 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# Range-partitioner audit: target range count (the write-side sibling
+# of SKEW_REDUCERS) over the ship-date key.
+RANGE_PARTS = 16
+
+
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-PARTITIONER PLAN + BALANCE AUDIT over lineitem's ship-date
+    key: equi-depth boundaries for RANGE_PARTS contiguous date ranges
+    (each day atomically assigned to range 1 + floor(rows_before x R /
+    total) — a range partitioner cannot split a key, so a hot day's
+    whole mass lands in one range and shows up as skew) and, per
+    range, the lo/hi day, day count, row count, row share, and the
+    max-load ratio vs the uniform ideal.  The range-partitioning
+    sibling of :func:`skew_profile` (hash regime): together they are
+    the pre-flight measurement for choosing between hash shuffle,
+    range write (time-partitioned parquet, Z-order's outer sort), and
+    salting — run the audit BEFORE the 100 TB sort-write.
+
+    Scale shape: ONE per-day count agg is the only corpus pass
+    (algebraic, map-side partials, reads one column); the cumulative
+    window and range assignment run over the DISTINCT-DAY table
+    (metadata-sized — bounded by the calendar, ~2.5k rows for 7
+    years, regardless of corpus size), so the unpartitioned window is
+    deliberate, not a scale hazard.  Ranges with zero days (a single
+    day heavier than total/R spans several quantile widths) simply
+    don't appear — the audit reports what the partitioner would
+    actually produce.
+    """
+    per_day = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.unix_date(F.col("l_shipdate").cast("date")).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = per_day.agg(F.sum("cnt").cast("double").alias("total"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    assigned = (
+        per_day.withColumn("cum", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "range_id",
+            (
+                F.floor(
+                    (F.col("cum") - F.col("cnt"))
+                    * F.lit(RANGE_PARTS)
+                    / F.col("total")
+                )
+                + 1
+            ).cast("long"),
+        )
+    )
+    return (
+        assigned.groupBy("range_id")
+        .agg(
+            F.min("day").cast("long").alias("lo_day"),
+            F.max("day").cast("long").alias("hi_day"),
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.max("total").alias("t"),
+        )
+        .select(
+            "range_id",
+            "lo_day",
+            "hi_day",
+            "n_days",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("t"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.lit(RANGE_PARTS) / F.col("t"), 6
+            ).alias("skew_ratio"),
+        )
+    )

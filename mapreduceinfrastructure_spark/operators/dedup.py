@@ -1455,3 +1455,65 @@ def cluster_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reach, "cluster_id")
         .select("cluster_id", "n_docs", "n_edges", diameter.alias("diameter"))
     )
+
+
+# Directed containment threshold: |A ∩ B| / |A| — "A is mostly inside
+# B" — true excerpt/quote territory.
+CONTAINMENT_T = 0.8
+
+
+def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED CONTAINMENT pairs: (da, db) where da's shingle set is
+    >= CONTAINMENT_T inside db's — the ASYMMETRIC near-dup relation
+    Jaccard cannot express (an excerpt scores J = |A|/|B| ≈ 0 against
+    its source when B is long, yet containment = 1), and the detector
+    a curation pipeline needs for quote farms, wrapper pages, and
+    doc-inside-doc syndication where symmetric dedup goes blind.
+
+    Candidate generation is the prefix principle applied to the
+    CONTAINED side only: |A ∩ B| >= t|A| forces a common shingle
+    within A's first |A| - ceil(t|A|) + 1 rarest-first elements, but
+    imposes NO position constraint on B — so candidates come from
+    prefix(A) ⋈ full-shingle(B), complete with no recall loss.  (The
+    shared `_prefix_frames` machinery computes the prefix at
+    PREFIX_JACCARD_T = 0.6 < CONTAINMENT_T, which only LENGTHENS the
+    prefix — a superset of the required candidates, so completeness
+    is preserved at the cost of a few extra verifies.)  The
+    fan-out of each prefix shingle is its document frequency; rarest-
+    first ordering makes that small by construction, with the same
+    boilerplate caveat as :func:`prefix_filter_neardup` (an
+    all-boilerplate doc's prefix is hot — the df distribution is what
+    skew_profile audits).  Verify is the array-intersect form over
+    the per-doc sorted lists (the `_jaccard_verify` shape), divided
+    by |A| instead of the union.
+
+    Scale shape: the prefix frame is the SAME single doc-keyed agg as
+    the Jaccard family (shared machinery), the candidate join keys on
+    the shingle, and verify moves only candidate docs' lists — no
+    all-pairs stage anywhere; the DuckDB twin is the uncapped
+    all-pairs directed join, so the driver gate proves completeness.
+    """
+    by_doc, pref = _prefix_frames(spark, sf_dir)
+    sh = by_doc.select(
+        F.col("doc_id").alias("db"), F.explode("s.shingle").alias("shingle")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("da"), "shingle")
+        .join(sh, "shingle")
+        .filter(F.col("da") != F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    lists = by_doc.select("doc_id", F.col("s.shingle").alias("ss"), "n")
+    la = lists.select(
+        F.col("doc_id").alias("da"), F.col("ss").alias("sa"), F.col("n").alias("na")
+    )
+    lb = lists.select(F.col("doc_id").alias("db"), F.col("ss").alias("sb"))
+    i = F.size(F.array_intersect("sa", "sb")).cast("long")
+    return (
+        cand.join(la, "da")
+        .join(lb, "db")
+        .select("da", "db", (i / F.col("na")).alias("c"))
+        .filter(F.col("c") >= CONTAINMENT_T)
+        .select("da", "db", F.round("c", 6).alias("containment"))
+    )

@@ -555,3 +555,108 @@ def cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star_contraction(edges).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# Co-purchase graph: parts appearing in the same order at least
+# COPURCHASE_MIN_W times — the repeat-co-occurrence cut that separates
+# "frequently bought together" signal from single-order coincidence.
+COPURCHASE_MIN_W = 2
+
+# k-core threshold and fixed peel-round count (the oracle unrolls the
+# same number of rounds; a converged graph peels as a no-op, so the
+# fixed-round trajectory is exact whether or not the fixpoint was hit).
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pa, pb) with pa < pb: undirected co-purchase edges — part pairs
+    that share an order in >= COPURCHASE_MIN_W distinct orders.  The
+    classic market-basket projection of the order-part bipartite graph.
+
+    Scale shape: distinct (order, part) projection, one order-keyed
+    self-join (fan-out bounded by lines-per-order squared — TPC-H-like
+    baskets are <= 7 lines, so <= 21 pairs per order), one pair-keyed
+    count agg with the min-weight HAVING cut.  A pathological mega-
+    basket would amplify the self-join quadratically; basket size is
+    the skew knob to audit (skew_profile's regime) before running
+    this at corpus scale.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    return (
+        op.join(op.select("ok", F.col("pk").alias("pb")), "ok")
+        .filter(F.col("pk") < F.col("pb"))
+        .groupBy(F.col("pk").alias("pa"), "pb")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= COPURCHASE_MIN_W)
+        .select("pa", "pb")
+    )
+
+
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE PEEL TRAJECTORY over the co-purchase graph: KCORE_ROUNDS
+    synchronous rounds of "drop every node with degree < KCORE_K, then
+    drop edges that lost an endpoint", reporting per round the nodes
+    removed, nodes remaining, and edges remaining — the dense-region
+    mining pass (Seidman 1983 cores; Batagelj-Zaversnik peel) a
+    recommender runs on its co-occurrence graph, and the FOURTH
+    exactly-verified iterative algorithm here (after kmeans_iterate,
+    label_prop_iterate, pagerank_docs): every quantity is an integer,
+    so the whole trajectory hash-gates against a DuckDB oracle that
+    unrolls the same rounds (__spark_entry__._kcore_sql).
+
+    A node "remains" iff it still has a surviving edge (an isolated
+    keep-node contributes no edge and exits the count) — the same
+    frame both engines derive from the edge set alone, so no separate
+    node-state table is carried.
+
+    Scale shape per round: one degree agg over the (2 x edges)
+    symmetrized endpoint stream (map-side partials), two keyed
+    semi-joins to drop dead-endpoint edges, localCheckpoint to
+    truncate the shrinking edge set's lineage (the iterative-graph
+    pattern of label_prop_iterate), and ONE 2-scalar collect for the
+    trajectory row.  Converged rounds are padded without recompute:
+    once n_removed = 0 the edge set is a fixpoint by construction
+    (edges only ever leave when a node does).
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+
+    def _counts(e: DataFrame) -> tuple[int, int]:
+        und = e.select(F.col("pa").alias("n")).union(
+            e.select(F.col("pb").alias("n"))
+        )
+        row = und.agg(
+            F.countDistinct("n").alias("nodes"),
+            (F.count("*") / 2).cast("long").alias("edges"),
+        ).collect()[0]
+        return int(row["nodes"]), int(row["edges"])
+
+    n_prev, _ = _counts(edges)
+    rows: list[tuple[int, int, int, int]] = []
+    for it in range(1, KCORE_ROUNDS + 1):
+        if rows and rows[-1][1] == 0:  # fixpoint: pad without recompute
+            rows.append((it, 0, rows[-1][2], rows[-1][3]))
+            continue
+        deg = (
+            edges.select(F.col("pa").alias("n"))
+            .union(edges.select(F.col("pb").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("n")
+        edges = (
+            edges.join(keep.withColumnRenamed("n", "pa"), "pa", "left_semi")
+            .join(keep.withColumnRenamed("n", "pb"), "pb", "left_semi")
+            .select("pa", "pb")
+            .localCheckpoint()
+        )
+        n_nodes, n_edges = _counts(edges)
+        rows.append((it, n_prev - n_nodes, n_nodes, n_edges))
+        n_prev = n_nodes
+    return spark.createDataFrame(
+        rows, schema="iteration long, n_removed long, n_nodes long, n_edges long"
+    )

@@ -1185,3 +1185,102 @@ def length_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("b.d"), 6).alias("ks_stat"),
         (-F.col("b.nl")).cast("long").alias("ks_len"),
     )
+
+
+def kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE-DRIFT DIAGNOSTIC: per source, the KL divergence
+    KL(P_source || P_corpus) between the source's token unigram
+    distribution and the whole-corpus distribution, with the token
+    volume and vocabulary behind it — the measurement that catches a
+    source drifting off-distribution (a crawl snapshot gone spammy, a
+    domain dominating the mixture) BEFORE it skews training; the
+    distributional deepening of data_mixture's count accounting and
+    lang_entropy's language-level view.  KL is finite by construction:
+    every source token is a corpus token (the corpus distribution is
+    the mixture), so q(w) > 0 wherever p(w) > 0.
+
+    Scale shape: one token explode feeds BOTH the per-(source, token)
+    and the per-token corpus aggs (algebraic, map-side partials); the
+    divergence sum is a token-keyed join of the two vocabulary-sized
+    frames (Heaps' law: vocab ≪ corpus — joined on the token, never
+    broadcast) followed by a source-keyed agg.  The corpus pass
+    happens once; everything after runs at vocabulary scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens_expr("text")).alias("w")
+    )
+    sw = tok.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    stot = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    ctot = cw.agg(F.sum("c_w").cast("double").alias("n_c"))
+    p = F.col("c_sw") / F.col("n_s")
+    q = F.col("c_w") / F.col("n_c")
+    return (
+        sw.join(cw, "w")
+        .join(stot, "source")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+    )
+
+
+# Distinctive-token signature: top-K tokens per source by smoothed
+# lift, with a minimum in-source support to keep hapax noise out.
+SIGNATURE_K = 5
+SIGNATURE_MIN_SUPPORT = 5
+
+
+def source_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE DISTINCTIVE TOKENS: the top SIGNATURE_K tokens of
+    each source ranked by smoothed lift — the in-source relative
+    frequency over the add-one-smoothed rest-of-corpus relative
+    frequency — the "which tokens" companion to
+    :func:`kl_source_divergence`'s "how far": KL flags a drifting
+    source, the signature names the vocabulary doing the drifting
+    (spam tokens, boilerplate markers, a domain's jargon).
+
+    Exactness: the score is pure rational arithmetic over integer
+    counts ((c_sw / n_s) / ((c_w - c_sw + 1) / (n_c - n_s + 1)) —
+    IEEE division/multiplication only, no log), so both engines rank
+    bit-identical doubles; ties (and the K boundary) break on the
+    token string, making the selected set fully deterministic.
+
+    Scale shape: same aggregation skeleton as kl_source_divergence
+    (one explode, per-(source, token) + per-token vocab-sized aggs,
+    token-keyed join — never broadcast); the rank window partitions
+    by source over the support-filtered candidate table, which the
+    min-support cut keeps far below vocabulary size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens_expr("text")).alias("w"))
+    sw = tok.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    stot = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    ctot = cw.agg(F.sum("c_w").cast("double").alias("n_c"))
+    lift = (F.col("c_sw") / F.col("n_s")) / (
+        (F.col("c_w") - F.col("c_sw") + 1) / (F.col("n_c") - F.col("n_s") + 1)
+    )
+    scored = (
+        sw.filter(F.col("c_sw") >= SIGNATURE_MIN_SUPPORT)
+        .join(cw, "w")
+        .join(stot, "source")
+        .crossJoin(F.broadcast(ctot))
+        .select("source", "w", "c_sw", lift.alias("lift"))
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("lift"), F.col("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= SIGNATURE_K)
+        .select(
+            "source",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("w").alias("token"),
+            F.col("c_sw").cast("long").alias("n_in_source"),
+            F.round("lift", 6).alias("lift"),
+        )
+    )

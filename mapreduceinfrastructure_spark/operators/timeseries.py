@@ -235,3 +235,96 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twa_value"),
         F.round(F.avg("value"), 6).alias("naive_avg"),
     )
+
+
+# EWMA smoothing constant, trailing-window width (rows), minimum
+# history before a z-score is defined, and the anomaly threshold.
+EWMA_ALPHA = 0.3
+EWMA_WIN = 8
+EWMA_MIN_N = 4
+ANOM_Z = 2.5
+
+
+def ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA ANOMALY DETECTION over the event value stream:
+    each event is scored against the exponentially-weighted moving
+    average and the standard deviation of its user's trailing EWMA_WIN
+    events (strictly BEFORE it — no self-leakage), and events whose
+    z-score clears ANOM_Z are emitted — the monitoring primitive
+    (metric-spike detection, sensor-fault screening) every event
+    pipeline runs next to sessionize/rolling_time_window.
+
+    Exactness: unbounded-history EWMA is a recurrence (not expressible
+    without exponent blow-up tricks), so the operator uses the
+    BOUNDED-window form — the trailing EWMA_WIN values are gathered in
+    frame order and folded left-to-right with the SAME textual
+    fold expression the DuckDB oracle uses (first element as the seed,
+    alpha*x + (1-alpha)*acc), and the variance terms come from two
+    more folds over the same ordered list, so every double is produced
+    by the identical IEEE operation sequence in both engines — the
+    whole output hash-gates, floats included.
+
+    Scale shape: ONE shuffle on user_id (the sessionize profile), all
+    window math within the partition; the per-row list is EWMA_WIN
+    elements (bounded — never whole-history), and the fold runs inside
+    codegen.  Skewed users cost their row count, not quadratic.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-EWMA_WIN, -1)
+    )
+    a, b = repr(EWMA_ALPHA), repr(1 - EWMA_ALPHA)
+    e = (
+        _events_us(spark, sf_dir)
+        .select("user_id", "event_id", "ts_us", "value")
+        .withColumn("a", F.collect_list("value").over(w))
+        .filter(F.size("a") >= EWMA_MIN_N)
+        .withColumn(
+            "ewma_prev",
+            F.expr(
+                f"reduce(slice(a, 2, greatest(size(a) - 1, 0)), "
+                f"cast(element_at(a, 1) as double), "
+                f"(acc, x) -> {a} * x + {b} * acc)"
+            ),
+        )
+        .withColumn("n", F.size("a").cast("double"))
+        .withColumn(
+            "s1", F.expr("reduce(a, cast(0.0 as double), (acc, x) -> acc + x)")
+        )
+        .withColumn(
+            "s2",
+            F.expr("reduce(a, cast(0.0 as double), (acc, x) -> acc + x * x)"),
+        )
+        .withColumn(
+            "sd",
+            F.sqrt(
+                F.greatest(
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                    / (F.col("n") - 1),
+                    F.lit(0.0),
+                )
+            ),
+        )
+        # when() guards the division: under ANSI mode Catalyst may
+        # evaluate the projection before the sd > 0 filter runs.  The
+        # z-score stays UNROUNDED here and in the output: both engines
+        # produce bit-identical doubles (identical fold order), so the
+        # raw comparison decides the row set identically, while an
+        # explicit round(6) would re-introduce the one cross-engine
+        # divergence (round-half boundaries, where Spark's HALF_UP on
+        # the decimal expansion and DuckDB's scaled-double rounding
+        # disagree) — the driver's own hash applies one rounding
+        # implementation to both sides, which is the safe place.
+        .withColumn(
+            "zscore",
+            F.when(
+                F.col("sd") > 0,
+                (F.col("value") - F.col("ewma_prev")) / F.col("sd"),
+            ),
+        )
+        .filter(F.abs(F.col("zscore")) >= ANOM_Z)
+    )
+    return e.select(
+        "user_id", "event_id", "ts_us", "value", "ewma_prev", "zscore"
+    )

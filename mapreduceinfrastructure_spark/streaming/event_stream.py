@@ -742,3 +742,71 @@ def funnel_pairs_stream(ev: DataFrame) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
         F.round("value", 2).alias("purchase_value"),
     )
+
+
+# Re-admit horizon for the streaming ingest dedup: keys are guaranteed
+# suppressed inside this event-time window, and state for a key is
+# dropped once the watermark passes it.  Set beyond the test feed's
+# span so the run is EXACT (== batch distinct) and oracle-gated; a
+# production crawl ingest sets this to its re-crawl horizon and
+# accepts re-admission beyond it — that trade IS the operator.
+DEDUP_HORIZON = "3650 days"
+
+
+def dedup_ingest_stream(ev: DataFrame) -> DataFrame:
+    """The bounded-state dedup core over an unbounded events frame —
+    dropDuplicatesWithinWatermark on (user_id, event_type, day):
+    idempotent-ingest suppression of same-day repeats, factored so
+    tests can feed a multi-file stream and prove a duplicate arriving
+    in micro-batch N+k of a key first seen in batch N is dropped
+    (state carries across batches until the watermark passes it)."""
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.unix_date(F.col("ts").cast("date")).alias("day"),
+        )
+        .withWatermark("ts", DEDUP_HORIZON)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+    )
+
+
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INGEST DEDUP — the twelfth oracle-backed streaming
+    signal, and the one dedup surface the batch family doesn't cover:
+    ``dropDuplicatesWithinWatermark``, Spark's bounded-state streaming
+    dedup.  streaming_curated_ingest deliberately avoids streaming
+    dropDuplicates (its surviving ROW is arrival-order-dependent);
+    here the output is arrival-order-FREE by construction — only the
+    per-type counts of surviving keys are reported, never the kept
+    row's payload — which is exactly what makes the operator
+    deterministic and oracle-equal to batch COUNT(DISTINCT).
+
+    State story at 100 TB: one state-store row per distinct key seen
+    within the watermark horizon, keyed-partitioned across executors,
+    EVICTED as event time passes key + horizon — unlike the unbounded
+    fingerprint-keyed aggregation of streaming_curated_ingest, state
+    here cannot grow past (horizon × key arrival rate) no matter how
+    long the feed runs.  The honesty caveat lives in DEDUP_HORIZON's
+    comment: exactness holds within the horizon; beyond it a key
+    re-admits, by design.
+    """
+    from ..sources.tables import load_table
+
+    deduped = dedup_ingest_stream(read_events_stream(spark, sf_dir))
+    got = run_stream_to_memory(spark, deduped, "dedup_ingest_driver")
+    uniq = got.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_unique")
+    )
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_raw"))
+    )
+    return raw.join(uniq, "event_type").select(
+        "event_type",
+        "n_raw",
+        "n_unique",
+        F.round(1 - F.col("n_unique") / F.col("n_raw"), 6).alias("dup_share"),
+    )

@@ -82,6 +82,17 @@ NOTES = {
     "streaming_quantile_quality": "the batch-side finish over the materialized |sources| x 100 cell table (complete mode); the streaming half is the same qsk_cells algebraic count agg running against the state store",
     "streaming_custom_sessions": "the batch-side view of the materialized update-mode sink; the streaming half is FlatMapGroupsInPandasWithState keyed on user_id — Arrow batches in, fixed-size GroupState per user, no shuffle beyond the keyed state partitioning",
     "streaming_heavy_hitters": "the streaming half materializes the 4096-cell sketch from the state store (complete mode); THIS batch-side plan probes it broadcast against the exact top-K candidates — identical to the batch countmin plan from the sketch onward",
+    "cluster_diameter": "final plan starts from the localCheckpoint'd per-cluster frontier of the last min-plus BFS round (lineage truncated per round); cluster stats are three algebraic aggs over the pair/membership tables — the pair graph is cluster-bounded, never corpus-wide",
+    "cc_star": "alternating large-star/small-star rounds, each ONE (node-keyed agg + edge rewrite) exchange; the Σ(min-endpoint) fixpoint probe is a 1-row agg; final plan reads the localCheckpoint'd label table — diameter-independent round count vs dedup_clusters' propagation",
+    "zorder_layout": "the read-back side: a pure parquet scan of the Z-laid files with ReadSchema pruned to (ship_day, partkey) + the zb partition column, one partition-local min/max agg — the Morton arithmetic and the one repartition-by-range shuffle happened at write time",
+    "skew_profile": "one algebraic per-key count agg per profiled key is the only corpus contact (reads just the key column); reducer modeling and the summary cross-joins run over per-KEY tables with 1-row broadcast joins",
+    "kcore_peel": "final-round plan starts from the localCheckpoint'd surviving edge set; per round one degree hash-agg over the symmetrized endpoint union + two left-semi joins — the co-purchase self-join (order-keyed, basket-bounded fan-out) runs once before round 1",
+    "range_partition_plan": "ONE per-day count agg is the only corpus pass (ReadSchema = l_shipdate alone); the cumulative Window is deliberately unpartitioned — it runs over the calendar-bounded distinct-day table, and the 1-row total arrives via BroadcastExchange",
+    "ewma_anomaly": "single user_id exchange feeding one Window; the trailing-list folds (reduce over <= 8-element arrays) are codegen projections, and every filter after the window is row-local — the sessionize single-shuffle profile with bounded per-row state",
+    "kl_source_divergence": "one explode feeds both vocab-sized aggs; the divergence join is keyed on the token (vocab never broadcast), the 1-row corpus total is the only BroadcastExchange, and the final agg is per-source algebraic",
+    "streaming_dedup_ingest": "the batch-side finish: per-type count of the materialized surviving keys joined to the raw counts; the streaming half is dropDuplicatesWithinWatermark — key-partitioned state with watermark eviction, no aggregation state besides the key set",
+    "containment_neardup": "contained-side prefix candidates: the shared rarest-first prefix frame joins the FULL shingle stream on the shingle key (no position constraint exists on the containing side), then the array-intersect verify moves only candidate docs' lists — no all-pairs stage, fan-out bounded by the prefix shingles' document frequency",
+    "source_signature": "the kl_source_divergence aggregation skeleton (explode once, two vocab-sized aggs, token-keyed join, 1-row broadcast total); the rank window partitions by source over the support-filtered candidate table — most of the vocabulary (hapax mass) never reaches it",
 }
 
 

@@ -27,8 +27,10 @@ def test_registry_consistency():
 # (or a rows-only query into) the verified window.
 DRIVER_WINDOW = [
     "word_count", "grep", "runtime_filter_join", "zorder_layout",
-    "skew_profile", "pagerank_docs", "cc_star", "ppjoin_neardup",
-    "cluster_diameter", "compaction_roundtrip", "streaming_funnel_pairs",
+    "skew_profile", "range_partition_plan", "pagerank_docs", "cc_star",
+    "kcore_peel", "ppjoin_neardup", "cluster_diameter", "containment_neardup",
+    "compaction_roundtrip", "kl_source_divergence", "source_signature",
+    "streaming_funnel_pairs", "streaming_dedup_ingest", "ewma_anomaly",
     "frame_offsets", "window_funcs_catalog", "scalar_subquery",
     "skew_safe_distinct", "token_positions", "grouping_sets_pricing",
     "pandas_udaf_geomean", "udtf_chunk_text", "time_rollup",
@@ -37,9 +39,7 @@ DRIVER_WINDOW = [
     "date_funcs", "join_outer", "join_full_outer", "salted_join", "asof_join",
     "range_join_events", "merge_upsert", "window_frames", "unpivot_measures",
     "percentile_by_brand", "json_extract_agg", "cube_pricing", "scalar_funcs",
-    "except_op", "prior_order", "union_all_op", "map_explode",
-    "bucketed_join_revenue", "pagerank_nations", "trade_edges",
-    "triangle_count", "trade_flows_2hop", "label_prop_step",
+    "except_op", "prior_order", "union_all_op",
 ]
 
 

@@ -389,3 +389,299 @@ def test_skew_profile_separates_regimes(spark, sf_dir):
         assert r["n_empty_reducers"] == 0, r
         assert r["skew_ratio"] < 2.5, r
         assert r["top_share"] < 0.05, r
+
+
+def test_kcore_peel_trajectory_invariants(spark, sf_dir):
+    """The peel must be monotone (node/edge counts never grow, removal
+    counts sum to the node delta) and, at the test SF, actually peel
+    (round 1 removes nodes): a no-op trajectory would mean the K/min-
+    weight constants stopped exercising the operator."""
+    from mapreduceinfrastructure_spark.operators.graph import KCORE_ROUNDS
+
+    rows = sorted(
+        QUERIES["kcore_peel"](spark, sf_dir).collect(),
+        key=lambda r: r["iteration"],
+    )
+    assert [r["iteration"] for r in rows] == list(range(1, KCORE_ROUNDS + 1))
+    assert rows[0]["n_removed"] > 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_nodes"] == prev["n_nodes"] - cur["n_removed"]
+        assert cur["n_nodes"] <= prev["n_nodes"]
+        assert cur["n_edges"] <= prev["n_edges"]
+        # a dead graph stays dead (the padding path)
+        if prev["n_edges"] == 0:
+            assert cur["n_edges"] == 0 and cur["n_removed"] == 0
+
+
+def test_kcore_final_degrees_clear_k(spark, sf_dir):
+    """Semantic pin of the peel rule: re-derive the surviving edge set
+    by running the same rounds and check every remaining node has
+    degree >= KCORE_K *within the survivor graph* once the trajectory
+    reports a converged round (n_removed == 0)."""
+    from mapreduceinfrastructure_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        copurchase_edges,
+    )
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    converged = False
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("pa").alias("n"))
+            .union(edges.select(F.col("pb").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("n")
+        nxt = (
+            edges.join(keep.withColumnRenamed("n", "pa"), "pa", "left_semi")
+            .join(keep.withColumnRenamed("n", "pb"), "pb", "left_semi")
+            .select("pa", "pb")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == edges.count():
+            converged = True
+        edges = nxt
+    if converged and edges.count() > 0:
+        min_deg = (
+            edges.select(F.col("pa").alias("n"))
+            .union(edges.select(F.col("pb").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+            .agg(F.min("d").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert min_deg >= KCORE_K, min_deg
+
+
+def test_range_partition_plan_is_a_partition(spark, sf_dir):
+    """The ranges must tile the key space: contiguous non-overlapping
+    [lo, hi] day intervals in range_id order, row counts summing to
+    the table total, and equi-depth balance on the uniform ship-date
+    key (every range within 2x of ideal; boundaries land within one
+    day's mass of the quantile grid)."""
+    from mapreduceinfrastructure_spark.operators.advanced import RANGE_PARTS
+
+    rows = sorted(
+        QUERIES["range_partition_plan"](spark, sf_dir).collect(),
+        key=lambda r: r["range_id"],
+    )
+    assert 1 <= len(rows) <= RANGE_PARTS
+    total = sum(r["n_rows"] for r in rows)
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    assert total == load_table(spark, sf_dir, "lineitem").count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi_day"] < cur["lo_day"]  # disjoint, ordered
+    for r in rows:
+        assert r["lo_day"] <= r["hi_day"]
+        assert abs(r["share"] - r["n_rows"] / total) < 1e-5
+        # ship dates are near-uniform: equi-depth keeps every range
+        # within a small factor of ideal
+        assert r["skew_ratio"] < 2.0, r
+
+
+def test_ewma_anomaly_scores_against_history_only(spark, sf_dir):
+    """Re-derive one flagged event's score from its user's raw stream
+    with plain Python: the trailing window must exclude the event
+    itself (no self-leakage) and reproduce ewma/z exactly."""
+    from mapreduceinfrastructure_spark.operators.timeseries import (
+        EWMA_ALPHA,
+        EWMA_WIN,
+        _events_us,
+    )
+
+    out = QUERIES["ewma_anomaly"](spark, sf_dir)
+    pick = out.orderBy("user_id", "event_id").limit(1).collect()[0]
+    hist = (
+        _events_us(spark, sf_dir)
+        .filter(F.col("user_id") == pick["user_id"])
+        .select("event_id", "ts_us", "value")
+        .collect()
+    )
+    hist.sort(key=lambda r: (r["ts_us"], r["event_id"]))
+    idx = next(
+        i for i, r in enumerate(hist) if r["event_id"] == pick["event_id"]
+    )
+    window = [r["value"] for r in hist[max(0, idx - EWMA_WIN) : idx]]
+    assert len(window) >= 4
+    ewma = window[0]
+    for x in window[1:]:
+        ewma = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * ewma
+    assert abs(ewma - pick["ewma_prev"]) < 1e-9
+    n = len(window)
+    s1, s2 = sum(window), sum(x * x for x in window)
+    sd = max((s2 - s1 * s1 / n) / (n - 1), 0.0) ** 0.5
+    assert abs((pick["value"] - ewma) / sd - pick["zscore"]) < 1e-6
+
+
+def test_kl_source_divergence_properties(spark, sf_dir):
+    """Gibbs' inequality pins the math: KL >= 0 for every source, and
+    a synthetic two-source corpus with one source exactly matching the
+    corpus mixture... is impossible (the mixture includes both), so
+    instead: uniform-identical sources => KL == 0."""
+    rows = QUERIES["kl_source_divergence"](spark, sf_dir).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r["kl_vs_corpus"] >= 0, r
+        assert r["vocab"] <= r["n_tokens"]
+    # identical sources: every source token distribution == corpus
+    # distribution => KL exactly 0
+    from mapreduceinfrastructure_spark.operators.pipeline import (
+        kl_source_divergence,
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma", "en", "s1", 16),
+                (2, "alpha beta gamma", "en", "s2", 16),
+            ],
+            schema="doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["source"]: r for r in kl_source_divergence(spark, td).collect()}
+        assert set(out) == {"s1", "s2"}
+        for r in out.values():
+            assert abs(r["kl_vs_corpus"]) < 1e-12
+
+
+def test_streaming_dedup_state_carries_across_batches(spark, sf_dir, tmp_path):
+    """The property that distinguishes dropDuplicatesWithinWatermark
+    from per-batch distinct: a key first seen in micro-batch 1 must
+    suppress its duplicate arriving in micro-batch 2.  Feed the same
+    events as TWO files split at the time median (maxFilesPerTrigger=1,
+    oldest first) and require the per-type unique counts the one-batch
+    run (and the batch COUNT(DISTINCT) oracle) produces — and assert
+    the split actually crosses duplicate keys, so the test cannot pass
+    vacuously."""
+    import os
+
+    from mapreduceinfrastructure_spark.sources.tables import (
+        event_ts_us,
+        load_table,
+    )
+    from mapreduceinfrastructure_spark.streaming.event_stream import (
+        dedup_ingest_stream,
+        run_stream_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ev_us = ev.withColumn("ts_us", event_ts_us(ev))
+    median_us = ev_us.approxQuantile("ts_us", [0.5], 0.0)[0]
+    lo = ev_us.filter(F.col("ts_us") <= median_us).drop("ts_us")
+    hi = ev_us.filter(F.col("ts_us") > median_us).drop("ts_us")
+    # the split must cross duplicate (user, type, day) keys
+    key = [
+        F.col("user_id"),
+        F.col("event_type"),
+        F.unix_date(F.col("ts").cast("date")).alias("day"),
+    ]
+    crossing = (
+        lo.select(*key).distinct().intersect(hi.select(*key).distinct()).count()
+    )
+    assert crossing > 0, "time-median split produced no cross-batch dup keys"
+    d = tmp_path / "dedup_stream"
+    d.mkdir()
+    lo.toPandas().to_parquet(d / "f1.parquet")
+    hi.toPandas().to_parquet(d / "f2.parquet")
+    os.utime(d / "f1.parquet", (1_000, 1_000))
+    os.utime(d / "f2.parquet", (2_000, 2_000))
+    schema = spark.read.parquet(str(d / "f1.parquet")).schema
+    ds = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    if dict(ds.dtypes)["ts"] == "bigint":
+        ds = ds.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ds = ds.withColumn("ts", F.col("ts").cast("timestamp"))
+    got = run_stream_to_memory(spark, dedup_ingest_stream(ds), "dedup_xbatch")
+    per_type = {
+        r["event_type"]: r["n"]
+        for r in got.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        r["event_type"]: r["n_unique"]
+        for r in QUERIES["streaming_dedup_ingest"](spark, sf_dir).collect()
+    }
+    assert per_type == want, (per_type, want)
+
+
+def test_containment_asymmetry_and_full_pairs(spark, sf_dir):
+    """Containment must capture what Jaccard can't: the relation is
+    DIRECTED (da->db membership does not imply db->da), full
+    containments (containment == 1.0) exist in the planted corpus,
+    and every reported pair's reverse direction, when absent, is
+    absent because |B| > |A| made the reverse ratio smaller."""
+    from mapreduceinfrastructure_spark.operators.dedup import CONTAINMENT_T
+
+    rows = QUERIES["containment_neardup"](spark, sf_dir).collect()
+    assert rows
+    pairs = {(r["da"], r["db"]): r["containment"] for r in rows}
+    assert all(c >= CONTAINMENT_T for c in pairs.values())
+    assert any(abs(c - 1.0) < 1e-9 for c in pairs.values()), "no full containment found"
+    # directed: at least the relation is not trivially symmetric-equal
+    asym = [p for p in pairs if (p[1], p[0]) not in pairs]
+    sym = [p for p in pairs if (p[1], p[0]) in pairs]
+    assert sym, "planted exact dups should contain each other both ways"
+
+
+def test_containment_candidates_complete_vs_bruteforce(spark, sf_dir):
+    """Completeness stated independently of the oracle: brute-force
+    directed containment over the per-doc shingle lists (no prefix
+    pruning) must equal the operator's result."""
+    from mapreduceinfrastructure_spark.operators.dedup import (
+        CONTAINMENT_T,
+        _prefix_frames,
+    )
+
+    by_doc, _ = _prefix_frames(spark, sf_dir)
+    lists = by_doc.select("doc_id", F.col("s.shingle").alias("ss"), "n")
+    la = lists.select(
+        F.col("doc_id").alias("da"), F.col("ss").alias("sa"), F.col("n").alias("na")
+    )
+    lb = lists.select(F.col("doc_id").alias("db"), F.col("ss").alias("sb"))
+    i = F.size(F.array_intersect("sa", "sb")).cast("long")
+    brute = {
+        (r["da"], r["db"])
+        for r in la.crossJoin(lb)
+        .filter(F.col("da") != F.col("db"))
+        .select("da", "db", (i / F.col("na")).alias("c"))
+        .filter(F.col("c") >= CONTAINMENT_T)
+        .collect()
+    }
+    got = {
+        (r["da"], r["db"])
+        for r in QUERIES["containment_neardup"](spark, sf_dir).collect()
+    }
+    assert got == brute, got.symmetric_difference(brute)
+
+
+def test_source_signature_shape_and_lift_semantics(spark, sf_dir):
+    """Exactly K ranked rows per source (rank 1..K, lift
+    non-increasing with token tiebreak), every signature token meets
+    the support floor, and lift > 1 for the top pick (a source's most
+    distinctive token is by definition over-represented)."""
+    from mapreduceinfrastructure_spark.operators.pipeline import (
+        SIGNATURE_K,
+        SIGNATURE_MIN_SUPPORT,
+    )
+
+    rows = QUERIES["source_signature"](spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, SIGNATURE_K + 1)), src
+        for r in rs:
+            assert r["n_in_source"] >= SIGNATURE_MIN_SUPPORT
+        for a, b in zip(rs, rs[1:]):
+            assert a["lift"] > b["lift"] or (
+                a["lift"] == b["lift"] and a["token"] < b["token"]
+            )
+        assert rs[0]["lift"] > 1.0, (src, rs[0])

@@ -660,3 +660,63 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="iteration long, n_removed long, n_nodes long, n_edges long"
     )
+
+
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES over the order-part bipartite graph: for every
+    directed part pair (antecedent → consequent) co-purchased in >=
+    COPURCHASE_MIN_W distinct orders, the classic Agrawal-Srikant
+    trio — support (share of all orders containing both), confidence
+    (P(consequent | antecedent)), lift (confidence over the
+    consequent's base rate) — the market-basket workload MapReduce
+    frameworks were canonically benchmarked on, and the scoring pass a
+    recommender runs over :func:`copurchase_edges`' graph (kcore_peel
+    finds the dense region; the rules rank its edges).
+
+    All three measures are ratios of integer counts computed with the
+    same textual arithmetic in both engines, emitted RAW (the
+    ewma_anomaly lesson: explicit round(6) is the only cross-engine
+    divergence; the driver hash rounds both sides with one
+    implementation, so bit-identical raw doubles always match).
+
+    Scale shape: the distinct (order, part) projection feeds the
+    order-keyed pair self-join (basket-bounded fan-out, the
+    copurchase_edges shape), a per-part order-count agg, and two
+    broadcast-joinable lookups — the per-part table is catalog-sized
+    next to the pair stream; the 1-row order total rides a broadcast.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    pairs = (
+        op.join(op.select("ok", F.col("pk").alias("pb")), "ok")
+        .filter(F.col("pk") != F.col("pb"))
+        .groupBy(F.col("pk").alias("antecedent"), F.col("pb").alias("consequent"))
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= COPURCHASE_MIN_W)
+    )
+    per_part = op.groupBy(F.col("pk")).agg(F.count("*").alias("n_part"))
+    total = op.agg(F.countDistinct("ok").cast("double").alias("n_orders"))
+    return (
+        pairs.join(
+            per_part.select(F.col("pk").alias("antecedent"), F.col("n_part").alias("n_a")),
+            "antecedent",
+        )
+        .join(
+            per_part.select(F.col("pk").alias("consequent"), F.col("n_part").alias("n_c")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_both").cast("long").alias("n_both"),
+            (F.col("n_both") / F.col("n_orders")).alias("support"),
+            (F.col("n_both") / F.col("n_a")).alias("confidence"),
+            (
+                F.col("n_both") * F.col("n_orders") / (F.col("n_a") * F.col("n_c"))
+            ).alias("lift"),
+        )
+    )

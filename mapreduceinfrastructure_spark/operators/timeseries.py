@@ -328,3 +328,79 @@ def ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id", "event_id", "ts_us", "value", "ewma_prev", "zscore"
     )
+
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERTABLE OHLC ROLLUP: per (event_type, 1-hour bucket), the
+    open/high/low/close of ``value`` plus the event count — the
+    financial-bar / sensor-rollup shape that plain bucket aggregation
+    (:func:`~..operators.advanced.time_rollup`) can't express because
+    open/close are ORDER-dependent picks inside an unordered group.
+
+    Open/close are argmin/argmax by (ts, event_id) carried through a
+    struct min/max — the keep_best_dedup idiom: lexicographic struct
+    comparison makes the pick algebraic (map-side partials, trivially
+    mergeable — which is also why this rolls up incrementally under
+    streaming state), no window over raw events, and the event_id
+    tiebreak makes it deterministic under equal timestamps.  Both
+    engines compare the same (ts_us, event_id, value) tuples, so the
+    picked doubles are bit-identical.
+
+    Scale shape: ONE hash agg over (event_type, bucket) — the same
+    single-shuffle profile as time_rollup; high/low/n are plain
+    min/max/count.
+    """
+    e = _events_us(spark, sf_dir)
+    bucket = (F.col("ts_us") - F.col("ts_us") % HOUR_US).alias("bucket_us")
+    first = F.min(F.struct("ts_us", "event_id", "value"))
+    last = F.max(F.struct("ts_us", "event_id", "value"))
+    return (
+        e.select("event_type", bucket, "ts_us", "event_id", "value")
+        .groupBy("event_type", "bucket_us")
+        .agg(
+            first.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last.getField("value").alias("close"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-TYPE-2 HISTORY BUILD (gaps-and-islands): collapse each
+    user's event stream into validity intervals of consecutive equal
+    ``event_type`` runs — (user_id, run_idx, event_type, start_us,
+    end_us, n_events) — the change-data shape a warehouse keeps for
+    slowly-changing attributes, and the run-length view of a
+    clickstream (how long did the user stay in each activity?).
+
+    The classic two-window build: a lag-change flag, a running sum
+    over the flags to number the runs, then one agg per run.  All
+    integers and exact picks — fully oracle-exact.
+
+    Scale shape: ONE shuffle on user_id shared by both windows and
+    the final agg (same partitioning — Spark reuses the exchange);
+    within-partition sorts are the only extra cost.  The sessionize
+    profile with a second window over the same exchange.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    e = (
+        _events_us(spark, sf_dir)
+        .select("user_id", "event_id", "ts_us", "event_type")
+        .withColumn(
+            "chg",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("run_idx", F.sum("chg").over(wrun))
+    )
+    return e.groupBy("user_id", "run_idx", "event_type").agg(
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )

@@ -720,8 +720,8 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     small agg shuffles.
     """
     import os
-    import re
-    import tempfile
+
+    from ..scratch import app_tag, scratch_dir
 
     # Table names and the output path carry the Spark applicationId:
     # the former fixed names (keyed only by the sf_dir basename) were
@@ -729,12 +729,12 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify, or parallel test workers — raced on the same catalog
     # entries and half-written files.  The id is unique per session;
     # within a session repeated calls safely reuse (single driver
-    # thread + overwrite mode), and the in-memory catalog dies with the
-    # session, so no cross-session leak outlives the tempdir.
-    app = re.sub(r"[^0-9a-zA-Z]+", "_", spark.sparkContext.applicationId)
+    # thread + overwrite mode), the in-memory catalog dies with the
+    # session, and scratch_dir's atexit cleanup removes the files
+    # (ADVICE r8: nothing deleted the per-app trees).
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    tag = f"{tag}_{app}"
-    base = os.path.join(tempfile.gettempdir(), f"mri_bucketed_{tag}")
+    tag = f"{tag}_{app_tag(spark)}"
+    base = scratch_dir(spark, "bucketed", tag)
     bo_name, bl_name = f"mri_b_orders_{tag}", f"mri_b_lineitem_{tag}"
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
@@ -867,7 +867,8 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact in doubles and bigints everywhere.
     """
     import os
-    import tempfile
+
+    from ..scratch import scratch_dir
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.datediff("l_shipdate", F.lit("1970-01-01").cast("date"))
@@ -902,13 +903,10 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zb = F.shiftright(_zvalue(F.col("dx"), F.col("dy")), 2 * Z_BITS - Z_FILES_LOG2)
     laid = scaled.select("ship_day", "partkey", zb.alias("zb"))
-    # applicationId in the path: two sessions on one host (bench next
-    # to verify) must not interleave overwrites of the same directory
-    # (the bucketed_join_revenue race class, ADVICE r7)
-    app = spark.sparkContext.applicationId.replace("-", "_")
-    out_path = os.path.join(
-        tempfile.gettempdir(),
-        f"mri_zorder_{os.path.basename(os.path.normpath(sf_dir))}_{app}",
+    # per-session scratch (the bucketed_join_revenue race class,
+    # ADVICE r7), cleaned at exit via scratch_dir (ADVICE r8)
+    out_path = scratch_dir(
+        spark, "zorder", os.path.basename(os.path.normpath(sf_dir))
     )
     # one shuffle keyed on the Z-range → exactly one file per zb dir
     laid.repartition(1 << Z_FILES_LOG2, "zb").write.mode(

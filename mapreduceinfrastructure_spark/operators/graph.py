@@ -365,15 +365,19 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pagerank_nations pattern).  No driver traffic beyond the one
     n_nodes scalar.
     """
-    from .dedup import ppjoin_neardup
+    from .dedup import ppjoin_pairs_raw
 
-    pairs = ppjoin_neardup(spark, sf_dir).localCheckpoint(eager=True)
+    # UNROUNDED jaccard weights (ADVICE r8): the oracle's pairs CTE
+    # uses the raw ratio, and round(jaccard, 6) on only the Spark side
+    # was a ~1e-6-relative weight divergence — larger than the ~1e-14
+    # summation drift the final round(rank, 6) is sized to absorb.
+    pairs = ppjoin_pairs_raw(spark, sf_dir).localCheckpoint(eager=True)
     und = pairs.select(
-        F.col("da").alias("src"), F.col("db").alias("dst"), F.col("jaccard").alias("w")
+        F.col("da").alias("src"), F.col("db").alias("dst"), F.col("j").alias("w")
     ).union(
         pairs.select(
             F.col("db").alias("src"), F.col("da").alias("dst"),
-            F.col("jaccard").alias("w"),
+            F.col("j").alias("w"),
         )
     )
     out_w = und.groupBy("src").agg(F.sum("w").alias("out_w"))
@@ -477,7 +481,7 @@ def star_contraction(edges: DataFrame, max_rounds: int = STAR_MAX_ROUNDS) -> Dat
     )
     cur = staged.coalesce(n_parts).localCheckpoint(eager=True)
     staged.unpersist()
-    prev_sig = None
+    prev_sig, prev_cur, converged = None, None, False
     for _ in range(max_rounds):
         # large-star: m(u) = min(Γ(u) ∪ {u}); every v > u re-attaches
         # to m(u).  v > u ≥ m(u), so no self loops by construction.
@@ -513,8 +517,29 @@ def star_contraction(edges: DataFrame, max_rounds: int = STAR_MAX_ROUNDS) -> Dat
         ).collect()[0]
         sig = tuple(sig)
         if sig == prev_sig:
-            break
-        prev_sig = sig
+            # The signature is necessary, not sufficient (ADVICE r8: a
+            # collision between DISTINCT consecutive edge sets would
+            # silently mislabel) — confirm the exact fixpoint once at
+            # the probe hit: counts already match (first component), so
+            # one-sided exceptAll emptiness proves multiset equality.
+            # Both frames are localCheckpointed, so the check costs one
+            # hash anti-probe over the contracted (small) edge set.
+            if (
+                prev_cur is not None
+                and cur.exceptAll(prev_cur).limit(1).count() == 0
+            ):
+                converged = True
+                break
+        prev_sig, prev_cur = sig, cur
+    if not converged:
+        # Fail loudly: the final star-forest labeling below ASSUMES a
+        # fixpoint; silently labeling from a non-converged edge set is
+        # the wrong-answer mode ADVICE r8 flagged.  O(log² n) rounds
+        # suffice (Kiveris SoCC'14), so the cap only trips on a bug or
+        # a pathologically undersized max_rounds.
+        raise RuntimeError(
+            f"star_contraction: no fixpoint within {max_rounds} rounds"
+        )
     # fixpoint = star forest: every non-root points at its component
     # minimum; roots (and the paranoid no-edge case) label themselves.
     lbl = (
@@ -619,34 +644,39 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins to drop dead-endpoint edges, localCheckpoint to
     truncate the shrinking edge set's lineage (the iterative-graph
     pattern of label_prop_iterate), and ONE 2-scalar collect for the
-    trajectory row.  Converged rounds are padded without recompute:
-    once n_removed = 0 the edge set is a fixpoint by construction
-    (edges only ever leave when a node does).
+    trajectory row.  TWO driver actions per round (the edge
+    checkpoint + the trajectory collect — VERDICT r8 #5 cut the
+    former third): the degree table itself carries both counts
+    (n_nodes = its row count, since "remains" means "has a surviving
+    edge"; n_edges = Σd/2), and it is persisted so the trajectory
+    agg and the NEXT round's keep-filter read one materialization
+    instead of recomputing.  Converged rounds are padded without
+    recompute: once n_removed = 0 the edge set is a fixpoint by
+    construction (edges only ever leave when a node does).
     """
     edges = copurchase_edges(spark, sf_dir).localCheckpoint()
 
-    def _counts(e: DataFrame) -> tuple[int, int]:
-        und = e.select(F.col("pa").alias("n")).union(
-            e.select(F.col("pb").alias("n"))
+    def _degree(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("pa").alias("n"))
+            .union(e.select(F.col("pb").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
         )
-        row = und.agg(
-            F.countDistinct("n").alias("nodes"),
-            (F.count("*") / 2).cast("long").alias("edges"),
-        ).collect()[0]
-        return int(row["nodes"]), int(row["edges"])
 
-    n_prev, _ = _counts(edges)
+    def _stats(deg: DataFrame) -> tuple[int, int]:
+        row = deg.agg(
+            F.count("*").alias("nodes"), F.sum("d").alias("dd")
+        ).collect()[0]
+        return int(row["nodes"]), int(row["dd"] or 0) // 2
+
+    deg = _degree(edges).persist()
+    n_prev, _ = _stats(deg)
     rows: list[tuple[int, int, int, int]] = []
     for it in range(1, KCORE_ROUNDS + 1):
         if rows and rows[-1][1] == 0:  # fixpoint: pad without recompute
             rows.append((it, 0, rows[-1][2], rows[-1][3]))
             continue
-        deg = (
-            edges.select(F.col("pa").alias("n"))
-            .union(edges.select(F.col("pb").alias("n")))
-            .groupBy("n")
-            .agg(F.count("*").alias("d"))
-        )
         keep = deg.filter(F.col("d") >= KCORE_K).select("n")
         edges = (
             edges.join(keep.withColumnRenamed("n", "pa"), "pa", "left_semi")
@@ -654,9 +684,13 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pa", "pb")
             .localCheckpoint()
         )
-        n_nodes, n_edges = _counts(edges)
+        deg_new = _degree(edges).persist()
+        n_nodes, n_edges = _stats(deg_new)
+        deg.unpersist()
+        deg = deg_new
         rows.append((it, n_prev - n_nodes, n_nodes, n_edges))
         n_prev = n_nodes
+    deg.unpersist()
     return spark.createDataFrame(
         rows, schema="iteration long, n_removed long, n_nodes long, n_edges long"
     )

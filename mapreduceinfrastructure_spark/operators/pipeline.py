@@ -481,15 +481,12 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     column pruning, text is never re-read, and partition pruning on
     ``source`` works exactly as for parquet (same Hive layout).
     """
-    import tempfile
+    from ..scratch import scratch_dir
 
-    # applicationId in the path: two sessions on one host (bench next
-    # to verify) must not interleave overwrites of the same directory
-    # (the bucketed_join_revenue race class, ADVICE r7)
-    app = spark.sparkContext.applicationId.replace("-", "_")
-    out_path = os.path.join(
-        tempfile.gettempdir(),
-        f"mri_curated_orc_{os.path.basename(os.path.normpath(sf_dir))}_{app}",
+    # per-session scratch (the bucketed_join_revenue race class,
+    # ADVICE r7), cleaned at exit via scratch_dir (ADVICE r8)
+    out_path = scratch_dir(
+        spark, "curated_orc", os.path.basename(os.path.normpath(sf_dir))
     )
     curated_shards_df(spark, sf_dir).write.mode("overwrite").partitionBy(
         "source"
@@ -530,14 +527,11 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (compact_parquet), and the summary reads only pruned columns of
     the compacted files.
     """
-    import tempfile
-
+    from ..scratch import scratch_dir
     from ..sinks.formats import compact_parquet
 
-    app = spark.sparkContext.applicationId.replace("-", "_")
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"mri_mor_{os.path.basename(os.path.normpath(sf_dir))}_{app}",
+    root = scratch_dir(
+        spark, "mor", os.path.basename(os.path.normpath(sf_dir))
     )
     base_p, delta_p, out_p = (
         os.path.join(root, d) for d in ("base", "delta", "compacted")
@@ -625,13 +619,12 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning on ``source`` is what a training loader consuming
     these shards relies on.
     """
-    import tempfile
+    from ..scratch import scratch_dir
 
-    # per-session path for the same race-class reason as orc_roundtrip
-    app = spark.sparkContext.applicationId.replace("-", "_")
-    out_path = os.path.join(
-        tempfile.gettempdir(),
-        f"mri_curated_shards_{os.path.basename(os.path.normpath(sf_dir))}_{app}",
+    # per-session path for the same race-class reason as orc_roundtrip,
+    # cleaned at exit via scratch_dir (ADVICE r8)
+    out_path = scratch_dir(
+        spark, "curated_shards", os.path.basename(os.path.normpath(sf_dir))
     )
     write_curated_shards(spark, sf_dir, out_path)
     back = spark.read.schema(SHARD_SCHEMA).parquet(out_path)

@@ -103,12 +103,11 @@ def test_compaction_merge_semantics(spark, sf_dir):
     # compacted output it wrote (same path derivation)
     QUERIES["compaction_roundtrip"](spark, sf_dir).collect()
     import os
-    import tempfile
 
-    app = spark.sparkContext.applicationId.replace("-", "_")
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"mri_mor_{os.path.basename(os.path.normpath(sf_dir))}_{app}",
+    from mapreduceinfrastructure_spark.scratch import scratch_dir
+
+    root = scratch_dir(
+        spark, "mor", os.path.basename(os.path.normpath(sf_dir))
     )
     back = spark.read.parquet(os.path.join(root, "compacted"))
     docs = load_table(spark, sf_dir, "documents")
@@ -624,10 +623,27 @@ def test_containment_asymmetry_and_full_pairs(spark, sf_dir):
     pairs = {(r["da"], r["db"]): r["containment"] for r in rows}
     assert all(c >= CONTAINMENT_T for c in pairs.values())
     assert any(abs(c - 1.0) < 1e-9 for c in pairs.values()), "no full containment found"
-    # directed: at least the relation is not trivially symmetric-equal
-    asym = [p for p in pairs if (p[1], p[0]) not in pairs]
     sym = [p for p in pairs if (p[1], p[0]) in pairs]
     assert sym, "planted exact dups should contain each other both ways"
+    # the advertised DIRECTED property, asserted concretely (ADVICE r8:
+    # `asym` was computed but never checked — and at this SF the corpus
+    # happens to contain no one-way pair, so non-emptiness is the wrong
+    # assertion).  c(a→b) = |A∩B|/|A|, so the reverse direction is
+    # exactly c·|A|/|B|: every absent reverse must be absent BECAUSE
+    # that ratio falls below the threshold, and every present reverse
+    # must equal it (up to the round(6) on the reported column).
+    from mapreduceinfrastructure_spark.operators.dedup import _prefix_frames
+
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in _prefix_frames(spark, sf_dir)[0].select("doc_id", "n").collect()
+    }
+    for (a, b), c in pairs.items():
+        rev = c * sizes[a] / sizes[b]
+        if (b, a) in pairs:
+            assert abs(pairs[(b, a)] - rev) < 1e-5, ((a, b), pairs[(b, a)], rev)
+        else:
+            assert rev < CONTAINMENT_T + 1e-5, ((a, b), rev)
 
 
 def test_containment_candidates_complete_vs_bruteforce(spark, sf_dir):

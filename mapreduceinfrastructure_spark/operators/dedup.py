@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import glob
 import os
+import random
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -231,30 +232,71 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_BANDS = 8
 MINHASH_ROWS = 4
 
+# md5-derived universal hashing for the sketch family (VERDICT r8 #3):
+# ONE md5 per shingle yields a 48-bit integer x (first 12 hex chars —
+# the sketches._hash48 construction the HLL/Count-Min oracles already
+# recompute exactly), then the k minhash functions are the universal
+# family h_i(x) = (A_i·x + B_i) mod MH_PRIME with fixed pseudo-random
+# constants.  A_i < 2^14 keeps A_i·x < 2^62 — no BIGINT overflow in
+# either engine — and every step is integer arithmetic DuckDB
+# reproduces bit-identically (empirically cross-checked incl. the mod),
+# which is what retires this family's rows-only status: the former
+# xxhash64(shingle, seed) has no SQL twin, md5 does.  Band buckets use
+# the same arithmetic (a base-MH_BAND_MULT fold of the band's rows mod
+# MH_PRIME) so the full candidate generation is oracle-reproducible.
+MH_PRIME = 281_474_976_710_677  # smallest prime above 2^48
+MH_BAND_MULT = 10_007
+_MH_K = MINHASH_BANDS * MINHASH_ROWS
+_MH_RNG = random.Random(0x5EED2026)
+MH_A = [_MH_RNG.randrange(1, 1 << 14) for _ in range(_MH_K)]
+MH_B = [_MH_RNG.randrange(0, MH_PRIME) for _ in range(_MH_K)]
+
+
+def _hash48_sql_col(col: str) -> F.Column:
+    """48-bit md5-derived integer, identical to the DuckDB
+    ``('0x' || substr(md5(x), 1, 12))::BIGINT`` (sketches._hash48)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
 
 def minhash_signatures(
     spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — k=32 minhash signature from 3-word
-    shingles; hash_i(s) = xxhash64(s, seed=i) minimized per doc.
+    shingles; hash_i(s) = (A_i·hash48(s) + B_i) mod MH_PRIME minimized
+    per doc (md5-derived, so the DuckDB oracle recomputes signatures
+    bit-identically — VERDICT r8 #3).
 
-    One explode + one groupBy: at scale this is a single shuffle of
-    (doc_id, 32 longs) — constant size per doc regardless of doc length.
+    One md5 per shingle + k integer mul-adds, one groupBy: at scale
+    this is a single shuffle of (doc_id, 32 longs) — constant size per
+    doc regardless of doc length.
     """
     sh = shingles if shingles is not None else _shingles(spark, sf_dir)
-    k = MINHASH_BANDS * MINHASH_ROWS
+    hashed = sh.select("doc_id", _hash48_sql_col("shingle").alias("x"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)
+        F.min(
+            (F.lit(MH_A[i]) * F.col("x") + F.lit(MH_B[i])) % F.lit(MH_PRIME)
+        ).alias(f"h{i}")
+        for i in range(_MH_K)
     ]
-    agg = sh.groupBy("doc_id").agg(*mins)
+    agg = hashed.groupBy("doc_id").agg(*mins)
     return agg.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(_MH_K)]).alias("sig")
     )
+
+
+def _band_bucket(rows: list[F.Column]) -> F.Column:
+    """Base-MH_BAND_MULT fold of a band's signature rows mod MH_PRIME —
+    pure integer arithmetic (rows < 2^48, multiplier < 2^14, so every
+    intermediate < 2^62), reproduced verbatim in the SQL oracle."""
+    b = rows[0]
+    for h in rows[1:]:
+        b = (b * F.lit(MH_BAND_MULT) + h) % F.lit(MH_PRIME)
+    return b
 
 
 def _bands(sigs: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) LSH band table: 8 rows per document,
-    bucket = hash of the band's 4 signature rows."""
+    bucket = arithmetic fold of the band's 4 signature rows."""
     return sigs.select(
         "doc_id",
         F.explode(
@@ -262,8 +304,8 @@ def _bands(sigs: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.xxhash64(
-                            *[
+                        _band_bucket(
+                            [
                                 F.element_at("sig", band * MINHASH_ROWS + r + 1)
                                 for r in range(MINHASH_ROWS)
                             ]
@@ -393,26 +435,39 @@ def _lsh_verified_pairs(
     )
 
 
+# Exact-Jaccard report threshold for the explicit LSH operator.
+MINHASH_LSH_T = 0.5
+
+
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup pairs at threshold 0.5 — the explicit
-    banded operator (rows-only registry entry: its candidate set is a
-    property of the seeded xxhash64 banding, which has no DuckDB twin;
-    two-sided recall/precision bounds in tests/test_ann_recall.py)."""
-    return _lsh_verified_pairs(spark, sf_dir, threshold=0.5)
+    """MinHash + LSH near-dup pairs at threshold MINHASH_LSH_T — the
+    explicit banded operator, ORACLE-EXACT since the md5-derived
+    universal-hash switch (VERDICT r8 #3): the DuckDB twin recomputes
+    signatures, band buckets, candidates, and the exact verify
+    bit-identically, so the driver gate covers the banding itself
+    (recall at the threshold stays characterized by the two-sided
+    bounds in tests/test_ann_recall.py — banding at 0.5 is lossy by
+    design; the oracle proves the ENGINE computes that lossy set
+    exactly)."""
+    return _lsh_verified_pairs(spark, sf_dir, threshold=MINHASH_LSH_T)
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document — constant-size near-dup sketch.
 
-    Token → xxhash64 once; the 64 per-bit ±1 vote tallies are 64
-    algebraic ``sum`` columns over the exploded token stream — partial
-    aggregation runs map-side and everything stays in whole-stage
-    codegen.  (The previous doubly-nested higher-order-function fold
-    re-hashed every token 64× per row in interpreted expressions —
-    HOF lambdas never codegen; this formulation replaces it with one
-    tokenize + one shuffle of 64-long partial rows per doc.)
-    Bit i of the sketch is the vote majority; zero-token docs get
-    sketch 0, exactly like an empty fold.
+    Token → ONE md5, giving 64 hash bits as two integer segments (lo =
+    first 12 hex chars / 48 bits, hi = next 4 hex chars / 16 bits —
+    the sketches._hash48 construction extended by one segment), so the
+    DuckDB oracle recomputes every sketch bit-identically (VERDICT r8
+    #3; the former xxhash64 token hash had no SQL twin).  The 64
+    per-bit ±1 vote tallies are 64 algebraic ``sum`` columns over the
+    exploded token stream — partial aggregation runs map-side and
+    everything stays in whole-stage codegen.  (The original
+    doubly-nested higher-order-function fold re-hashed every token 64×
+    per row in interpreted expressions — HOF lambdas never codegen;
+    this formulation replaces it with one tokenize + one shuffle of
+    64-long partial rows per doc.)  Bit i of the sketch is the vote
+    majority; zero-token docs get sketch 0, exactly like an empty fold.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     toks = docs.select("doc_id", tokens_expr("text").alias("t"))
@@ -425,10 +480,18 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~2 s of driver time per plan build, measured) for an otherwise
     # identical expression tree.
     hashed = toks.select("doc_id", F.explode_outer("t").alias("tok")).selectExpr(
-        "doc_id", "tok IS NOT NULL AS has", "xxhash64(tok) AS h"
+        "doc_id",
+        "tok IS NOT NULL AS has",
+        # one md5 per token; lo carries hash bits 0..47, hi bits 48..63
+        "CAST(conv(substring(md5(tok), 1, 12), 16, 10) AS BIGINT) AS hlo",
+        "CAST(conv(substring(md5(tok), 13, 4), 16, 10) AS BIGINT) AS hhi",
     )
     votes = [
-        F.expr(f"sum(IF(has, (shiftright(h, {i}) & 1) * 2 - 1, 0)) AS b{i}")
+        F.expr(
+            f"sum(IF(has, (shiftright(hlo, {i}) & 1) * 2 - 1, 0)) AS b{i}"
+            if i < 48
+            else f"sum(IF(has, (shiftright(hhi, {i - 48}) & 1) * 2 - 1, 0)) AS b{i}"
+        )
         for i in range(64)
     ]
     n_tokens = F.expr("CAST(sum(IF(has, 1, 0)) AS BIGINT) AS n_tokens")

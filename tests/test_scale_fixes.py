@@ -43,7 +43,11 @@ def test_simhash_matches_hof_reference(spark, sf_dir):
         (acc, i) -> acc + if(
           aggregate(
             transform(filter(split(text, '[ ,."\\']'), x -> length(x) > 0),
-                      t -> cast((shiftright(xxhash64(t), i) & 1) * 2 - 1 as bigint)),
+                      t -> cast((shiftright(
+                             if(i < 48,
+                                cast(conv(substring(md5(t), 1, 12), 16, 10) as bigint),
+                                cast(conv(substring(md5(t), 13, 4), 16, 10) as bigint)),
+                             if(i < 48, i, i - 48)) & 1) * 2 - 1 as bigint)),
             cast(0 as bigint), (s, v) -> s + v
           ) > 0,
           shiftleft(cast(1 as bigint), i), cast(0 as bigint))

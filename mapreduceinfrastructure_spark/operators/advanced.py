@@ -1093,3 +1093,75 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_ratio"),
         )
     )
+
+
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY REFERENTIAL AUDIT over the star schema: one row
+    per integrity check with its violation count — the pre-flight a
+    pipeline runs before trusting joins (an orphan foreign key doesn't
+    error in Spark, it silently drops or duplicates rows downstream).
+    Checks: orphan lineitems (no order), childless orders (no lines),
+    orders with unknown customers, duplicate (orderkey, linenumber)
+    line keys, null line keys, non-positive quantities, discounts
+    outside [0, 1], and lines shipped BEFORE their order date (the
+    cross-table temporal-consistency check).
+
+    Everything is an anti-join, a keyed join + filter, or a scan
+    count — integer-exact.  Emitting counts (not offending rows)
+    keeps the result driver-safe at any scale; each check names the
+    frame to drill into.
+
+    Scale shape: two key-keyed anti-joins (orderkey both directions,
+    custkey one), one duplicate-key agg, one orderkey join for the
+    temporal check, and three scan-side filter counts folded into ONE
+    pass over lineitem via conditional sums.  Anti-join sides are
+    fact-sized — they shuffle on the key; nothing broadcasts blindly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ok = orders.select("o_orderkey")
+    orphan_li = (
+        li.select("l_orderkey").join(ok, li.l_orderkey == ok.o_orderkey, "left_anti").count()
+    )
+    childless = (
+        ok.join(li.select("l_orderkey"), ok.o_orderkey == li.l_orderkey, "left_anti").count()
+    )
+    unknown_cust = (
+        orders.select("o_custkey").join(cust, orders.o_custkey == cust.c_custkey, "left_anti").count()
+    )
+    dup_keys = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    scans = li.agg(
+        F.sum(
+            F.when(F.col("l_orderkey").isNull() | F.col("l_partkey").isNull(), 1).otherwise(0)
+        ).alias("null_keys"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("nonpos_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("bad_discount"),
+    ).collect()[0]
+    ship_before_order = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .count()
+    )
+    rows = [
+        ("orphan_lineitems", orphan_li),
+        ("childless_orders", childless),
+        ("orders_unknown_customer", unknown_cust),
+        ("duplicate_line_keys", dup_keys),
+        ("null_line_keys", int(scans["null_keys"] or 0)),
+        ("nonpositive_quantity", int(scans["nonpos_qty"] or 0)),
+        ("discount_out_of_range", int(scans["bad_discount"] or 0)),
+        ("ship_before_order", ship_before_order),
+    ]
+    return spark.createDataFrame(rows, schema="check string, n_violations long")

@@ -1277,3 +1277,165 @@ def source_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lift", 6).alias("lift"),
         )
     )
+
+
+# Variance-weighted sampling design: total budget and the weight
+# construction.  The stratum weight is the INTEGER variance numerator
+# n_h·Σx² − (Σx)² of per-doc token counts times the stratum size — the
+# Neyman-allocation signal (bigger and more heterogeneous strata get
+# more samples) kept in exact integer arithmetic end to end so the
+# largest-remainder ranking can never flake on float summation order.
+ALLOC_BUDGET = 1000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLING-DESIGN ALLOCATION per source: split ALLOC_BUDGET
+    samples across sources proportionally to N_h · VarNum_h (stratum
+    size × the integer variance numerator of token counts) by the
+    LARGEST-REMAINDER method — the Neyman-style "sample heterogeneous
+    strata harder" design a curation pipeline computes before drawing
+    its audit/eval samples (stratified_sample draws; this decides how
+    many to draw where).
+
+    Exactness: token counts are integers, so VarNum_h = n_h·Σx²−(Σx)²
+    is exact; quota_h = BUDGET·w_h div Σw and the remainder ranking
+    (BUDGET·w_h mod Σw, ties by source name) are pure integer
+    arithmetic — bit-identical cross-engine, no float anywhere.  At
+    sf0.1 magnitudes the products stay under 2^60; a 100 TB run
+    switches the two products to DECIMAL(38) and keeps the plan.
+
+    Scale shape: one source-keyed agg over per-doc token counts
+    (algebraic: n, Σx, Σx²), then all allocation math over the
+    |sources|-row table — one window over ~20 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", F.size(tokens_expr("text")).cast("long").alias("x")
+    )
+    st = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    w = st.select(
+        "source",
+        "n_docs",
+        (
+            F.col("n_docs")
+            * (F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("tw"))
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "weight",
+        F.expr(f"CAST({ALLOC_BUDGET} * weight div tw AS BIGINT)").alias("base"),
+        F.expr(f"CAST({ALLOC_BUDGET} * weight % tw AS BIGINT)").alias("rem"),
+    )
+    short = tot.crossJoin(
+        alloc.agg(F.sum("base").alias("given"))
+    ).select((F.lit(ALLOC_BUDGET) - F.col("given")).alias("short"))
+    win = Window.orderBy(F.desc("rem"), F.col("source"))
+    return (
+        alloc.crossJoin(F.broadcast(short))
+        .withColumn("rr", F.row_number().over(win))
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+    )
+
+
+# Vocabulary size for the OOV screen: the top-K tokens by corpus
+# frequency (ties broken by token text — deterministic in both engines).
+OOV_VOCAB_K = 1000
+
+
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-VOCABULARY rate per source against a corpus-derived
+    top-OOV_VOCAB_K token vocabulary — the tokenizer-coverage check a
+    training pipeline runs before committing to a vocab: sources whose
+    token mass falls outside the shared vocabulary (code, exotic
+    markup, other languages) surface immediately.
+
+    The vocab is the top-K (count, token)-ranked tokens; rate =
+    oov_tokens / tokens is an int/int division — raw double out,
+    bit-identical (the ewma lesson).
+
+    Scale shape: one token-keyed count agg builds the vocab (top-K via
+    one window over the token-type table — types, not occurrences), a
+    broadcast semi/anti join classifies the token stream, one
+    source-keyed agg reports.  The vocab is K rows — always broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens_expr("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    win = Window.orderBy(F.desc("c"), F.col("tok"))
+    vocab = (
+        counts.withColumn("r", F.row_number().over(win))
+        .filter(F.col("r") <= OOV_VOCAB_K)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab).withColumn("in_v", F.lit(1)), "tok", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        (
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+            / F.count("*")
+        ).alias("rate"),
+    )
+
+
+def evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLUTION round trip certified end to end: an early
+    ingest batch (doc_id, source, n_chars) and a later batch that
+    ADDED a column (quality flag) are written as separate parquet
+    batches under one root, read back with mergeSchema=true, and
+    aggregated per source — rows from the old batch surface the new
+    column as NULL, exactly the additive-evolution contract a
+    long-lived 100 TB table depends on (readers must not break when
+    ingest starts writing new columns).  The DuckDB oracle recomputes
+    the same accounting directly from ``documents``.
+
+    The batch split (doc_id % 3 == 0 → late batch) and the flag
+    (n_chars >= 500) are integer-deterministic.  Scale: both writes
+    are one-pass projections; the merged read prunes to the 4 columns;
+    the final agg is one source-keyed shuffle.
+    """
+    from ..scratch import scratch_dir
+
+    root = scratch_dir(
+        spark, "evolve", os.path.basename(os.path.normpath(sf_dir))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    early = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "source", "n_chars"
+    )
+    late = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("n_chars") >= 500).cast("int").alias("hi_quality"),
+    )
+    early.write.mode("overwrite").parquet(os.path.join(root, "batch=0"))
+    late.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    back = spark.read.option("mergeSchema", "true").parquet(root)
+    return back.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("hi_quality").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pre_evolution"),
+        F.coalesce(F.sum("hi_quality"), F.lit(0)).cast("long").alias("n_hi"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -404,3 +404,133 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("end_us"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK-CONCURRENCY SWEEP per event type: treat each user's
+    [first event, last event] span of a type as an activity interval
+    and report how many users were simultaneously active at the
+    busiest instant — the capacity-planning / concurrent-sessions
+    number every event platform reports, and the classic sweep-line
+    algorithm expressed relationally.
+
+    conc(ts) = #intervals with start <= ts AND end >= ts is evaluated
+    only at interval-start boundaries (a maximum of a step function
+    that rises only at starts is attained at a start), as a running
+    sum over per-timestamp NET deltas: boundaries are pre-aggregated
+    per (type, ts) into (n_starts, n_ends_before), so the running sum
+    is order-independent within a timestamp — no tie-order flake, and
+    both engines fold the identical integer sequence.  peak_ts is the
+    EARLIEST timestamp attaining the peak (deterministic argmin).
+
+    Scale shape: one (user, type) agg for intervals, one (type, ts)
+    boundary agg, one type-partitioned running-sum window, one final
+    argmax agg — all keyed shuffles; boundary volume is 2 rows per
+    (user, type), tiny next to the event stream.
+    """
+    e = _events_us(spark, sf_dir)
+    iv = e.groupBy("event_type", "user_id").agg(
+        F.min("ts_us").alias("s"), F.max("ts_us").alias("e")
+    )
+    starts = iv.select(
+        "event_type", F.col("s").alias("ts"),
+        F.lit(1).alias("ds"), F.lit(0).alias("de"),
+    )
+    # an interval [s, e] stops covering ts only for ts > e: emit the
+    # end delta at e (applied to LATER boundaries via the exclusive
+    # running end-sum below)
+    ends = iv.select(
+        "event_type", F.col("e").alias("ts"),
+        F.lit(0).alias("ds"), F.lit(1).alias("de"),
+    )
+    bnd = (
+        starts.union(ends)
+        .groupBy("event_type", "ts")
+        .agg(F.sum("ds").alias("ns"), F.sum("de").alias("ne"))
+    )
+    w = Window.partitionBy("event_type").orderBy("ts")
+    cum_s = F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    cum_e_before = F.coalesce(
+        F.sum("ne").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    conc = (
+        bnd.withColumn("conc", (cum_s - cum_e_before).cast("long"))
+        .filter(F.col("ns") > 0)  # evaluate at start boundaries only
+    )
+    return conc.groupBy("event_type").agg(
+        F.countDistinct("ts").cast("long").alias("n_boundaries"),
+        F.max("conc").alias("peak_concurrency"),
+        F.min_by("ts", F.struct(-F.col("conc"), F.col("ts"))).alias("peak_ts_us"),
+    )
+
+
+# Robust z-score cut for the MAD screen (3.5 is the Iglewicz-Hoaglin
+# convention) and the normal-consistency constant.
+MAD_Z = 3.5
+MAD_K = 1.4826
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN-ABSOLUTE-DEVIATION outlier screen per event type: the
+    robust complement of :func:`ewma_anomaly` — mean/stddev screens
+    are dragged by the very outliers they hunt, while the median and
+    MAD = median(|x - med|) have a 50% breakdown point
+    (Iglewicz-Hoaglin; Hampel).  Emits events whose robust z-score
+    |x - med| / (MAD_K * MAD) clears MAD_Z.
+
+    Cross-engine exactness: both engines compute the interpolating
+    median of the SAME double multiset (identical (lo+hi)/2
+    arithmetic), then identical subtraction/abs/division — raw
+    doubles out, no explicit rounding (the ewma_anomaly lesson).
+
+    Scale shape: exact medians need a per-group sort — two
+    type-keyed aggs (median, then MAD over the residuals) and one
+    broadcast-sized (5-row) stats join back to the stream.  At 100 TB
+    swap the exact median for approx_percentile and keep the shape.
+    """
+    e = _events_us(spark, sf_dir)
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("ad"))
+        .groupBy("event_type")
+        .agg(F.median("ad").alias("mad"))
+    )
+    stats = med.join(mad, "event_type")
+    rz = F.abs(F.col("value") - F.col("med")) / (F.lit(MAD_K) * F.col("mad"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("robust_z", rz)
+        .filter(F.col("robust_z") >= MAD_Z)
+        .select("event_id", "event_type", "value", "med", "mad", "robust_z")
+    )
+
+
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-STEP PATH MINING: counts of consecutive event-type triples
+    along each user's timeline — the path-frequency table funnel
+    designers read (event_transitions is the 2-step Markov view; this
+    is the order-3 extension that distinguishes view->cart->buy from
+    cart->view->buy).
+
+    Consecutiveness is defined by the (ts_us, event_id) order within
+    a user — the same deterministic tie-break every sequence operator
+    here uses, so both engines window over the identical order.  All
+    integers.
+
+    Scale shape: ONE user-keyed shuffle shared by both lead() windows
+    and nothing else; the trigram agg output is bounded by |types|³.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = (
+        _events_us(spark, sf_dir)
+        .select("user_id", "ts_us", "event_id", "event_type")
+        .withColumn("s2", F.lead("event_type", 1).over(w))
+        .withColumn("s3", F.lead("event_type", 2).over(w))
+        .filter(F.col("s3").isNotNull())
+    )
+    return e.groupBy(
+        F.col("event_type").alias("s1"), "s2", "s3"
+    ).agg(F.count("*").cast("long").alias("cnt"))

@@ -159,3 +159,67 @@ def test_approx_distinct_within_hll_error_bound(spark, sf_dir):
         n = exact[et]["n"]
         assert abs(r["approx_users"] - n) <= max(2, 0.05 * n), (et, r, n)
         assert exact[et]["lo"] <= r["approx_median_value"] <= exact[et]["hi"]
+
+
+def _planted_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """A copy of the embeddings table with DETERMINISTIC planted
+    duplicates (VERDICT r8 #8): for each query id q < N_QUERIES, the
+    vector with vec_id = max_id - q is overwritten with an EXACT copy
+    of q's embedding.  Exact duplicates make the recall gate exact
+    rather than statistical: identical vectors get identical LSH
+    signatures in every table and identical nearest centroids, so a
+    correct index MUST surface each planted partner — any miss is a
+    wiring bug (join direction, dedup, filter), not hash luck."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.operators.similarity import N_QUERIES
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    partners = {q: max_id - q for q in range(N_QUERIES)}
+    assert min(partners.values()) > N_QUERIES, "corpus too small to plant"
+    qvecs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        (F.lit(max_id) - F.col("vec_id")).alias("vec_id"),
+        F.col("embedding").alias("planted"),
+    )
+    planted = (
+        emb.join(qvecs, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("planted", "embedding").alias("embedding"),
+            "label",
+        )
+    )
+    out = str(tmp_path_factory.mktemp("planted_ann"))
+    planted.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
+def _assert_planted_recovered(df):
+    from mapreduceinfrastructure_spark.operators.similarity import N_QUERIES
+
+    got = _topk_sets(df)
+    # partner(q) = max_id - q; recover max_id as the largest neighbor
+    # query 0 sees (its planted partner IS the global max id, and at
+    # cosine exactly 1 it cannot be ranked out of the top-k)
+    max_id = max(got.get(0, {0}))
+    for q in range(N_QUERIES):
+        assert max_id - q in got.get(q, set()), (
+            f"query {q}: planted duplicate {max_id - q} missing from top-k "
+            f"(got {sorted(got.get(q, set()))})"
+        )
+
+
+def test_ann_lsh_planted_duplicates_all_recovered(spark, sf_dir, tmp_path_factory):
+    d = _planted_dir(spark, sf_dir, tmp_path_factory)
+    _assert_planted_recovered(QUERIES["ann_lsh"](spark, d))
+
+
+def test_ann_ivf_planted_duplicates_all_recovered(spark, sf_dir, tmp_path_factory):
+    d = _planted_dir(spark, sf_dir, tmp_path_factory)
+    _assert_planted_recovered(QUERIES["ann_ivf"](spark, d))

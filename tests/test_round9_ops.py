@@ -258,3 +258,222 @@ def test_kcore_trajectory_invariants(spark, sf_dir):
                 prev["n_nodes"],
                 prev["n_edges"],
             )
+
+
+# ------------------------------------------------ round-9 new operators
+
+
+def test_interval_concurrency_brute_force(spark, sf_dir):
+    """Peak concurrency recomputed brute-force: per type, evaluate
+    #covering intervals at every boundary timestamp in pandas."""
+    from mapreduceinfrastructure_spark.operators.timeseries import _events_us
+
+    iv = (
+        _events_us(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in iv:
+        by_type.setdefault(r["event_type"], []).append((r["s"], r["e"]))
+    got = {
+        r["event_type"]: (r["peak_concurrency"], r["peak_ts_us"])
+        for r in QUERIES["interval_concurrency"](spark, sf_dir).collect()
+    }
+    for et, spans in by_type.items():
+        best, best_ts = -1, None
+        for ts in sorted({s for s, _ in spans}):
+            c = sum(1 for s, e in spans if s <= ts <= e)
+            if c > best:
+                best, best_ts = c, ts
+        assert got[et] == (best, best_ts), (et, got[et], (best, best_ts))
+
+
+def test_clustering_coeff_brute_force(spark, sf_dir):
+    """Per-node triangle counts and coefficients recomputed from the
+    raw co-purchase edge set in pure Python."""
+    from itertools import combinations
+
+    from mapreduceinfrastructure_spark.operators.graph import copurchase_edges
+
+    edges = {(r["pa"], r["pb"]) for r in copurchase_edges(spark, sf_dir).collect()}
+    nbrs: dict = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["coeff"])
+        for r in QUERIES["clustering_coeff"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(nbrs)
+    for n, ns in nbrs.items():
+        tri = sum(
+            1
+            for u, v in combinations(sorted(ns), 2)
+            if (min(u, v), max(u, v)) in edges
+        )
+        deg = len(ns)
+        coeff = 2.0 * tri / (deg * (deg - 1)) if deg >= 2 else 0.0
+        gdeg, gtri, gcoeff = got[n]
+        assert (gdeg, gtri) == (deg, tri), (n, got[n], (deg, tri))
+        assert abs(gcoeff - coeff) < 1e-12
+
+
+def test_mad_outliers_numpy_reference(spark, sf_dir):
+    """Median/MAD recomputed with numpy; every emitted row's robust z
+    matches and no qualifying event is missing."""
+    import numpy as np
+
+    from mapreduceinfrastructure_spark.operators.timeseries import MAD_K, MAD_Z
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["event_id"], r["value"]))
+    want = {}
+    for et, rows in by_type.items():
+        vals = np.array([v for _, v in rows])
+        med = float(np.median(vals))
+        mad = float(np.median(np.abs(vals - med)))
+        if mad <= 0:
+            continue
+        for eid, v in rows:
+            rz = abs(v - med) / (MAD_K * mad)
+            if rz >= MAD_Z:
+                want[eid] = rz
+    got = {
+        r["event_id"]: r["robust_z"]
+        for r in QUERIES["mad_outliers"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for eid, rz in want.items():
+        assert abs(got[eid] - rz) < 1e-9
+
+
+def test_event_trigrams_totals(spark, sf_dir):
+    """Σ trigram counts = Σ_user max(0, n_events(user) − 2)."""
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    want = sum(max(0, r["n"] - 2) for r in per_user)
+    got = sum(r["cnt"] for r in QUERIES["event_trigrams"](spark, sf_dir).collect())
+    assert got == want
+
+
+def test_neyman_allocation_budget_and_quota_property(spark, sf_dir):
+    """Largest-remainder invariants: allocations sum exactly to the
+    budget and each stratum is within 1 of its exact proportional
+    share (the defining property of the method)."""
+    from mapreduceinfrastructure_spark.operators.pipeline import ALLOC_BUDGET
+
+    rows = QUERIES["neyman_allocation"](spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == ALLOC_BUDGET
+    tw = sum(r["weight"] for r in rows)
+    for r in rows:
+        exact = ALLOC_BUDGET * r["weight"] / tw
+        assert exact - 1 < r["alloc"] < exact + 1, (r, exact)
+
+
+def test_oov_rate_identities(spark, sf_dir):
+    """Rates are consistent ratios and the corpus-wide in-vocab mass
+    equals the total occurrences of the top-K vocabulary tokens."""
+    from mapreduceinfrastructure_spark.functions.text import tokens_expr
+    from mapreduceinfrastructure_spark.operators.pipeline import OOV_VOCAB_K
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    rows = QUERIES["oov_rate"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["rate"] - r["n_oov"] / r["n_tokens"]) < 1e-15
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_expr("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(OOV_VOCAB_K)
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    in_vocab = sum(r["n_tokens"] - r["n_oov"] for r in rows)
+    assert in_vocab == toks
+
+
+def test_dq_audit_detects_planted_violations(spark, sf_dir, tmp_path_factory):
+    """Wiring check with CORRUPTED copies of the tables: every check
+    must fire with exactly the planted violation counts."""
+    import os
+
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    d = str(tmp_path_factory.mktemp("dq_corrupt"))
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    max_ok = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    # plant: 2 orphan lineitems (unknown orderkey), 1 duplicated line
+    # key, 1 nonpositive quantity, 1 discount out of range
+    first = li.limit(1)
+    orphans = first.withColumn("l_orderkey", F.lit(max_ok + 10_000)).union(
+        first.withColumn("l_orderkey", F.lit(max_ok + 10_001))
+    )
+    dup = first
+    badq = first.withColumn("l_linenumber", F.lit(990)).withColumn(
+        "l_quantity", F.lit(-4.0)
+    )
+    badd = first.withColumn("l_linenumber", F.lit(991)).withColumn(
+        "l_discount", F.lit(1.5)
+    )
+    li.union(orphans).union(dup).union(badq).union(badd).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "lineitem.parquet"))
+    # plant: 1 childless order, 1 order with unknown customer
+    o1 = orders.limit(1).withColumn("o_orderkey", F.lit(max_ok + 20_000))
+    max_ck = cust.agg(F.max("c_custkey")).collect()[0][0]
+    o2 = (
+        orders.limit(1)
+        .withColumn("o_orderkey", F.lit(max_ok + 20_001))
+        .withColumn("o_custkey", F.lit(max_ck + 5_000))
+    )
+    orders.union(o1).union(o2).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    cust.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    got = {
+        r["check"]: r["n_violations"]
+        for r in QUERIES["dq_referential_audit"](spark, d).collect()
+    }
+    assert got["orphan_lineitems"] == 2
+    # planted childless order + the unknown-customer order (also
+    # childless) on top of whatever the base data already had
+    base = {
+        r["check"]: r["n_violations"]
+        for r in QUERIES["dq_referential_audit"](spark, sf_dir).collect()
+    }
+    assert got["childless_orders"] == base["childless_orders"] + 2
+    assert got["orders_unknown_customer"] == 1
+    assert got["duplicate_line_keys"] == base["duplicate_line_keys"] + 1
+    assert got["nonpositive_quantity"] == 1
+    assert got["discount_out_of_range"] == 1
+
+
+def test_evolution_roundtrip_merged_schema(spark, sf_dir):
+    """The merged read exposes the evolved column with NULLs exactly on
+    pre-evolution rows."""
+    rows = QUERIES["evolution_roundtrip"](spark, sf_dir).collect()
+    assert rows
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pre = docs.filter(F.col("doc_id") % 3 != 0).count()
+    assert sum(r["n_pre_evolution"] for r in rows) == pre
+    assert sum(r["n_docs"] for r in rows) == docs.count()

@@ -93,6 +93,17 @@ NOTES = {
     "streaming_dedup_ingest": "the batch-side finish: per-type count of the materialized surviving keys joined to the raw counts; the streaming half is dropDuplicatesWithinWatermark — key-partitioned state with watermark eviction, no aggregation state besides the key set",
     "containment_neardup": "contained-side prefix candidates: the shared rarest-first prefix frame joins the FULL shingle stream on the shingle key (no position constraint exists on the containing side), then the array-intersect verify moves only candidate docs' lists — no all-pairs stage, fan-out bounded by the prefix shingles' document frequency",
     "source_signature": "the kl_source_divergence aggregation skeleton (explode once, two vocab-sized aggs, token-keyed join, 1-row broadcast total); the rank window partitions by source over the support-filtered candidate table — most of the vocabulary (hapax mass) never reaches it",
+    "ohlc_bars": "ONE hash agg on (event_type, bucket) computes all five bar measures — open/close are struct-min/max partials merging map-side (no Window, no Sort over raw events); ReadSchema pruned to (ts, event_type, event_id, value)",
+    "scd2_intervals": "one user_id Exchange REUSED by the lag window, the running-sum window, and the final run agg (the plan shows a single shuffle); within-partition sorts are the only per-window cost",
+    "market_basket_rules": "distinct (order, part) projection feeds the order-keyed pair self-join (basket-bounded fan-out); per-part counts join on the part key and the 1-row order total is the only BroadcastExchange",
+    "interval_concurrency": "the boundary table (2 rows per user-type) is what the running-sum window sees — the plan's only corpus contact is the (type, user) interval agg; peak pick is an algebraic min_by over per-type boundaries",
+    "mad_outliers": "two type-keyed median aggs (sort within the 5 groups) and the 5-row stats table broadcast back onto the stream — the event scan is touched twice for medians, once for the screen, never shuffled on a non-key",
+    "event_trigrams": "both lead() windows share ONE user_id exchange (plan shows a single shuffle + one sort); the trigram agg output is bounded by |types|^3",
+    "clustering_coeff": "degree-ordered orientation (wedges at the lowest-degree corner, fan-out ~sqrt(|E|)) then the wedge + closing joins all keyed on edge endpoints; the coefficient join is degree-table-sized",
+    "neyman_allocation": "ONE source-keyed algebraic agg (n, Σx, Σx²) is the only corpus pass; allocation math and the remainder window run over the |sources|-row frame with 1-row broadcast totals",
+    "oov_rate": "token-keyed count agg → K-row vocab via WindowGroupLimit-capped rank → BroadcastExchange classifying the token stream → source-keyed agg; the token table shuffles once (for the vocab count), the classify join is broadcast",
+    "evolution_roundtrip": "the read-back side: a merged-schema parquet scan (both batch dirs, old files surfacing hi_quality as NULL) pruned to 4 columns + one source-keyed agg — the two writes happened before this plan",
+    "dq_referential_audit": "snapshot shows the createDataFrame literal of the collected check counts; the real work is the component anti-joins/aggs, each a keyed exchange — counts-not-rows keeps every action scalar-sized (the kcore driver-action pattern)",
 }
 
 

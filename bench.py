@@ -136,6 +136,14 @@ HEADLINE = [
     "kcore_peel",
     "ewma_anomaly",
     "kl_source_divergence",
+    # round-9 additions: the degree-ordered triangle pass (the graph
+    # workload's wedge-join cost), the basket pair self-join with its
+    # rule arithmetic, the exact-median robust screen, and the
+    # vocab-broadcast token classifier
+    "clustering_coeff",
+    "market_basket_rules",
+    "mad_outliers",
+    "oov_rate",
 ]
 
 

@@ -1165,3 +1165,74 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ship_before_order", ship_before_order),
     ]
     return spark.createDataFrame(rows, schema="check string, n_violations long")
+
+
+def array_funcs_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY / HIGHER-ORDER FUNCTION catalog sampler over the token
+    arrays — the §2.3-style presence map for Spark's array surface
+    (slice, sort, distinct, reverse-order probe, filter, transform,
+    aggregate/fold, containment, position), each against its DuckDB
+    list-function twin (1-based there too, so positions line up).
+    Everything is per-row projection work — whole-stage codegen, no
+    shuffle, the cheapest possible 100 TB pass.
+    """
+    from ..functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_expr("text")
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.concat_ws("|", F.slice(t, 1, 5)).alias("first5"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        # try_element_at: NULL (like DuckDB's [1]) on zero-token docs
+        # instead of an ANSI out-of-bounds error
+        F.try_element_at(F.sort_array(t), F.lit(1)).alias("min_token"),
+        F.try_element_at(F.sort_array(t, asc=False), F.lit(1)).alias("max_token"),
+        F.size(F.filter(t, lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
+        F.concat_ws("|", F.slice(F.transform(t, F.upper), 1, 3)).alias("first3_upper"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_len"),
+        F.array_contains(t, "the").cast("int").alias("has_the"),
+        F.coalesce(F.array_position(t, "the"), F.lit(0)).cast("long").alias("the_pos"),
+    )
+
+
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE EQUALITY JOIN semantics certified: join lineitem to a
+    derived flag dimension on a NULLABLE key (nullif(l_returnflag,
+    'N')) twice — once with <=> (null-safe: NULL matches NULL) and
+    once with = (ANSI: NULL matches nothing) — and report per key
+    bucket how many rows each semantics kept.  The NULL row is where
+    engines silently diverge (dropped rows vs matched rows), and
+    <=> is the join a dedup/SCD pipeline needs when the business key
+    is legitimately absent; the DuckDB twin is IS NOT DISTINCT FROM.
+
+    Scale: the dim side is 3 rows (broadcast); both joins are one
+    fact pass each; counting per bucket is a 3-row agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.nullif("l_returnflag", F.lit("N")).alias("k")
+    )
+    # distinct-rename breaks the self-join lineage ambiguity (dim
+    # derives from li, so dim.k and li.k would share an exprId)
+    dim = (
+        li.distinct()
+        .select(F.col("k").alias("kd"))
+        .withColumn("tagged", F.lit(1))
+    )
+    nullsafe = li.join(dim, F.col("k").eqNullSafe(F.col("kd")), "left").select(
+        F.col("k").alias("key"), F.col("tagged").alias("ns")
+    )
+    plain = li.join(dim, F.col("k") == F.col("kd"), "left").select(
+        F.col("k").alias("key"), F.col("tagged").alias("pl")
+    )
+    a = nullsafe.groupBy(F.coalesce("key", F.lit("<NULL>")).alias("key_bucket")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.coalesce("ns", F.lit(0))).cast("long").alias("n_nullsafe_matched"),
+    )
+    b = plain.groupBy(F.coalesce("key", F.lit("<NULL>")).alias("key_bucket")).agg(
+        F.sum(F.coalesce("pl", F.lit(0))).cast("long").alias("n_plain_matched"),
+    )
+    return a.join(b, "key_bucket")

@@ -360,10 +360,11 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves it) from strictly fewer candidates (measured: the swap cut
     this query's pair-generation stage by the full VCL-vs-PPJoin gap);
     each iteration is one rank⋈trans join keyed on src plus one dst
-    agg, shuffling only the |V|-row rank vector; per-iteration
+    agg, shuffling only the |V|-row rank vector; every-other-round
     localCheckpoint truncates the doubling lineage (the
-    pagerank_nations pattern).  No driver traffic beyond the one
-    n_nodes scalar.
+    pagerank_nations pattern, with alternate rounds carrying one
+    extra join in-plan to halve the checkpoint-job count).  No driver
+    traffic beyond the one n_nodes scalar.
     """
     from .dedup import ppjoin_pairs_raw
 
@@ -391,11 +392,17 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_nodes == 0:  # no near-dup pairs: empty graph, stable schema
         return spark.createDataFrame([], schema="doc_id long, rank double")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(PR_DOC_ITERS):
+    for it in range(PR_DOC_ITERS):
         # |V| is candidate-pair-bounded (tiny next to the corpus):
         # coalesce(1) keeps each checkpoint job at one task, as in
-        # pagerank_nations (drop it at billion-node scale).
-        ranks = ranks.coalesce(1).localCheckpoint(eager=True)
+        # pagerank_nations (drop it at billion-node scale).  Checkpoint
+        # every OTHER round: each skipped checkpoint saves one driver
+        # job, and a 2-round lineage is one extra join+agg in the plan
+        # — the doubling that motivates per-round truncation only bites
+        # past that (measured: ~0.4 s off the 5-round trajectory at
+        # sf0.1 with identical output).
+        if it % 2 == 0:
+            ranks = ranks.coalesce(1).localCheckpoint(eager=True)
         ranks = (
             nodes.join(
                 trans.join(ranks, trans.src == ranks.node)
@@ -620,6 +627,90 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= COPURCHASE_MIN_W)
         .select("pa", "pb")
     )
+
+
+def copurchase_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`copurchase_edges` with the co-purchase count kept:
+    (pa, pb, w) — the weighted form SSSP consumes."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    return (
+        op.join(op.select("ok", F.col("pk").alias("pb")), "ok")
+        .filter(F.col("pk") < F.col("pb"))
+        .groupBy(F.col("pk").alias("pa"), "pb")
+        .agg(F.count("*").cast("long").alias("w"))
+        .filter(F.col("w") >= COPURCHASE_MIN_W)
+    )
+
+
+# Fixed Bellman-Ford round count for the SSSP trajectory (the oracle
+# unrolls the same rounds; converged rounds are idempotent min-merges).
+SSSP_ROUNDS = 6
+
+
+def sssp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-SOURCE SHORTEST PATHS over the weighted co-purchase
+    graph — the FIFTH exactly-verified iterative algorithm (after
+    kmeans_iterate, label_prop_iterate, pagerank_docs, kcore_peel):
+    SSSP_ROUNDS synchronous Bellman-Ford relaxations from the
+    HIGHEST-DEGREE part (ties to the lower id — the deterministic
+    pick both engines compute from integer degrees; the min-id pick
+    landed in a 2-node fringe at sf0.1), with integer edge cost
+    (max_w + 1 − w) so frequently-co-purchased parts are CLOSE — the
+    "affinity distance" a recommender walks outward from a seed
+    product.  Every distance is an integer min-fold, so the whole
+    frontier table hash-gates against a DuckDB oracle unrolling the
+    identical rounds (__spark_entry__._sssp_sql).
+
+    Nodes unreached within SSSP_ROUNDS hops are absent (both engines
+    derive the same reachable set).  Bellman-Ford's synchronous
+    min-merge is idempotent past convergence, so the fixed round
+    count is exact whether or not the fixpoint was hit earlier.
+
+    Scale shape per round: one dist⋈edges join keyed on the relaxed
+    endpoint + one node-keyed min agg — the rank-vector-sized state
+    shuffles, never the corpus; localCheckpoint truncates the
+    iterative lineage (dist is |V|-bounded).  The symmetrized edge
+    table is checkpointed once.
+    """
+    e = copurchase_weighted(spark, sf_dir)
+    max_w = e.agg(F.max("w")).collect()[0][0]
+    if max_w is None:  # empty graph: stable empty schema
+        return spark.createDataFrame([], schema="node long, dist long")
+    cost = (F.lit(int(max_w) + 1) - F.col("w")).alias("c")
+    und = (
+        e.select(F.col("pa").alias("u"), F.col("pb").alias("v"), cost)
+        .union(e.select(F.col("pb").alias("u"), F.col("pa").alias("v"), cost))
+        .localCheckpoint(eager=True)
+    )
+    # scalar composite key d·10^12 − u == lexicographic (d, −u) for
+    # node ids < 10^12 — DuckDB's arg_max takes no struct keys, so
+    # both engines use the identical integer expression
+    src = (
+        und.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .agg(F.max_by("u", F.col("d") * F.lit(1_000_000_000_000) - F.col("u")))
+        .collect()[0][0]
+    )
+    dist = spark.createDataFrame(
+        [(int(src), 0)], schema="node long, dist long"
+    ).localCheckpoint(eager=True)
+    for _ in range(SSSP_ROUNDS):
+        relaxed = (
+            dist.join(und, dist.node == und.u)
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("c")).alias("dist"))
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    return dist
 
 
 def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:

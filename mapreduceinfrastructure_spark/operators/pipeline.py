@@ -1439,3 +1439,72 @@ def evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("hi_quality"), F.lit(0)).cast("long").alias("n_hi"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+def ivm_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE round trip: a per-source stats
+    aggregate (doc count, token sum, char sum, max doc_id) is
+    MATERIALIZED to parquet from the base corpus (doc_id % 3 != 0),
+    then maintained under an incoming delta batch (doc_id % 3 == 0) by
+    MERGING partial aggregates — base ⊎ delta via one groupBy over the
+    union of the two aggregate tables, never a recompute over base
+    rows — and the maintained view is read back and reported.  The
+    DuckDB oracle computes the same stats over the FULL corpus, so a
+    green row proves merge(partial(base), partial(delta)) =
+    full(base ∪ delta): the algebraic-aggregate contract every
+    incremental pipeline (and Spark's own map-side combine) relies on.
+
+    All measures are decomposable (count/sum/max — no avg stored, it
+    derives at read time), which is exactly what makes a view
+    maintainable; a non-algebraic measure (median) would force the
+    recompute this op exists to avoid.
+
+    Scale shape: one base-corpus agg at materialization time (paid
+    once), then per delta batch one delta-sized agg + a merge over
+    |sources| rows — the 100 TB ingest path where the corpus is never
+    re-scanned.
+    """
+    from ..functions.text import tokens_expr
+    from ..scratch import scratch_dir
+
+    view_path = scratch_dir(
+        spark, "ivm_stats", os.path.basename(os.path.normpath(sf_dir))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(tokens_expr("text")).cast("long").alias("n_toks"),
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+
+    agg(docs.filter(F.col("doc_id") % 3 != 0)).write.mode("overwrite").parquet(
+        view_path
+    )
+    base = spark.read.parquet(view_path)
+    delta = agg(docs.filter(F.col("doc_id") % 3 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.max("max_doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+    return merged.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "max_doc_id",
+        (F.col("n_tokens") / F.col("n_docs")).alias("avg_tokens"),
+    )

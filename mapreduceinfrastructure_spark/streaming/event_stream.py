@@ -810,3 +810,45 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique",
         F.round(1 - F.col("n_unique") / F.col("n_raw"), 6).alias("dup_share"),
     )
+
+
+def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OHLC BARS — the thirteenth oracle-backed streaming
+    signal, and the payoff of ohlc_bars' algebraic design: because
+    open/close are struct-min/max picks (mergeable partials, no
+    order-dependent window), the IDENTICAL rollup runs as a stateful
+    streaming aggregation — per (event_type, 1-hour tumbling window)
+    the open/high/low/close/count maintained incrementally as
+    micro-batches arrive, exactly what a market-data / sensor ingest
+    keeps hot.  A green row certifies that streaming state merge
+    (partial struct-min/max across micro-batches) equals the batch
+    aggregation — the oracle is the same SQL that gates ohlc_bars.
+
+    Complete mode flushes the finite feed's final windows; production
+    adds a watermark and append mode (the aggregation is unchanged —
+    that is the point of the algebraic form).
+
+    Scale: state is one fixed-size row per (type, window) — bounded
+    by the time span, not the stream; merges are map-side-combinable.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            first.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last.getField("value").alias("close"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    got = run_stream_to_memory(
+        spark, agg, "ohlc_stream_driver", output_mode="complete"
+    )
+    return got.select(
+        "event_type",
+        F.unix_micros(F.col("window.start").cast("timestamp")).alias("bucket_us"),
+        "open", "high", "low", "close", "n",
+    )

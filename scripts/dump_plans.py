@@ -104,6 +104,11 @@ NOTES = {
     "oov_rate": "token-keyed count agg → K-row vocab via WindowGroupLimit-capped rank → BroadcastExchange classifying the token stream → source-keyed agg; the token table shuffles once (for the vocab count), the classify join is broadcast",
     "evolution_roundtrip": "the read-back side: a merged-schema parquet scan (both batch dirs, old files surfacing hi_quality as NULL) pruned to 4 columns + one source-keyed agg — the two writes happened before this plan",
     "dq_referential_audit": "snapshot shows the createDataFrame literal of the collected check counts; the real work is the component anti-joins/aggs, each a keyed exchange — counts-not-rows keeps every action scalar-sized (the kcore driver-action pattern)",
+    "streaming_ohlc": "the batch-side read of the complete-mode sink; the streaming half is the SAME algebraic struct-min/max agg as ohlc_bars running against the state store — one fixed-size row per (type, window), partials merging across micro-batches exactly like map-side combine",
+    "sssp_parts": "final-round plan starts from the localCheckpoint'd |V|-row distance vector; per round one dist⋈edges join keyed on the relaxed endpoint + one node-keyed min agg — the pagerank rank-vector shuffle profile with integer distances",
+    "array_funcs_catalog": "pure per-row projection inside one WholeStageCodegen span — no Exchange anywhere in the plan; ReadSchema pruned to (doc_id, text)",
+    "null_safe_join": "both joins broadcast the 3-row derived dim; the <=> join shows the null-safe EqualNullSafe condition where the plain join shows EqualTo — the semantic pin is the point, the physical plan is two broadcast probes",
+    "ivm_source_stats": "the maintenance read: base aggregate arrives as a parquet scan of the MATERIALIZED view (4 pruned columns), the delta is a delta-sized agg, and the merge is one |sources|-row groupBy — the base corpus appears nowhere in this plan, which is the IVM contract made visible",
 }
 
 

@@ -477,3 +477,125 @@ def test_evolution_roundtrip_merged_schema(spark, sf_dir):
     pre = docs.filter(F.col("doc_id") % 3 != 0).count()
     assert sum(r["n_pre_evolution"] for r in rows) == pre
     assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+# ------------------------------------------- round-9 second batch
+
+
+def test_sssp_matches_networkx_free_dijkstra(spark, sf_dir):
+    """Distances recomputed with a pure-Python Dijkstra, capped at the
+    same hop count via Bellman-Ford rounds (round-limited min-plus in
+    python) — must equal the operator exactly."""
+    from mapreduceinfrastructure_spark.operators.graph import (
+        SSSP_ROUNDS,
+        copurchase_weighted,
+    )
+
+    rows = copurchase_weighted(spark, sf_dir).collect()
+    assert rows
+    max_w = max(r["w"] for r in rows)
+    adj: dict = {}
+    for r in rows:
+        c = max_w + 1 - r["w"]
+        adj.setdefault(r["pa"], []).append((r["pb"], c))
+        adj.setdefault(r["pb"], []).append((r["pa"], c))
+    src = max(adj, key=lambda u: (len(adj[u]), -u))
+    dist = {src: 0}
+    for _ in range(SSSP_ROUNDS):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, c in adj[u]:
+                if d + c < nxt.get(v, float("inf")):
+                    nxt[v] = d + c
+        dist = nxt
+    got = {r["node"]: r["dist"] for r in QUERIES["sssp_parts"](spark, sf_dir).collect()}
+    assert got == dist
+
+
+def test_streaming_ohlc_equals_batch_bars(spark, sf_dir):
+    """The streaming state merge must equal the batch aggregation —
+    the algebraic-rollup claim of ohlc_bars, checked engine-side."""
+    got = {
+        (r["event_type"], r["bucket_us"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in QUERIES["streaming_ohlc"](spark, sf_dir).collect()
+    }
+    want = {
+        (r["event_type"], r["bucket_us"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in QUERIES["ohlc_bars"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_null_safe_join_null_bucket_semantics(spark, sf_dir):
+    """The defining divergence: the NULL bucket matches under <=> and
+    never under =; non-null buckets match under both."""
+    rows = {r["key_bucket"]: r for r in QUERIES["null_safe_join"](spark, sf_dir).collect()}
+    assert "<NULL>" in rows, "corpus must produce a NULL key bucket"
+    nb = rows["<NULL>"]
+    assert nb["n_nullsafe_matched"] == nb["n_rows"]
+    assert nb["n_plain_matched"] == 0
+    for k, r in rows.items():
+        if k != "<NULL>":
+            assert r["n_nullsafe_matched"] == r["n_rows"] == r["n_plain_matched"]
+
+
+def test_ivm_merge_equals_full_recompute(spark, sf_dir):
+    """merge(partial(base), partial(delta)) == full(base ∪ delta),
+    checked engine-side against a direct full aggregation."""
+    from mapreduceinfrastructure_spark.functions.text import tokens_expr
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["n_chars"], r["max_doc_id"])
+        for r in QUERIES["ivm_source_stats"](spark, sf_dir).collect()
+    }
+    full = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", "n_chars",
+            F.size(tokens_expr("text")).cast("long").alias("n_toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .collect()
+    )
+    want = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["n_chars"], r["max_doc_id"])
+        for r in full
+    }
+    assert got == want
+
+
+def test_array_funcs_catalog_spot_check(spark, sf_dir):
+    """One document's row recomputed in pure Python from the tokenizer
+    contract (strtok semantics: split on the delimiter class, drop
+    empties)."""
+    import re as _re
+
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    doc = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(1).collect()[0]
+    toks = [t for t in _re.split(r"[ ,.\"']", doc["text"]) if t]
+    row = [
+        r for r in QUERIES["array_funcs_catalog"](spark, sf_dir).collect()
+        if r["doc_id"] == doc["doc_id"]
+    ][0]
+    assert row["n_tokens"] == len(toks)
+    assert row["first5"] == "|".join(toks[:5])
+    assert row["n_distinct"] == len(set(toks))
+    assert row["min_token"] == min(toks)
+    assert row["max_token"] == max(toks)
+    assert row["n_long"] == sum(1 for t in toks if len(t) > 4)
+    assert row["first3_upper"] == "|".join(t.upper() for t in toks[:3])
+    assert row["sum_len"] == sum(len(t) for t in toks)
+    assert row["has_the"] == int("the" in toks)
+    assert row["the_pos"] == (toks.index("the") + 1 if "the" in toks else 0)

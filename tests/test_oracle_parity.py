@@ -26,21 +26,21 @@ def test_registry_consistency():
 # insertion/reorder can't silently push an oracle-backed query out of
 # (or a rows-only query into) the verified window.
 DRIVER_WINDOW = [
-    "word_count", "grep", "ohlc_bars", "scd2_intervals",
-    "market_basket_rules", "interval_concurrency", "mad_outliers",
-    "event_trigrams", "clustering_coeff", "neyman_allocation", "oov_rate",
-    "evolution_roundtrip", "dq_referential_audit", "simhash",
-    "simhash_neardup", "minhash_lsh_neardup", "runtime_filter_join",
-    "zorder_layout", "skew_profile", "range_partition_plan",
-    "pagerank_docs", "cc_star", "kcore_peel", "compaction_roundtrip",
-    "kl_source_divergence", "source_signature", "ewma_anomaly",
+    "word_count", "grep", "market_basket_rules", "clustering_coeff",
+    "neyman_allocation", "oov_rate", "evolution_roundtrip",
+    "dq_referential_audit", "streaming_ohlc", "sssp_parts",
+    "array_funcs_catalog", "null_safe_join", "ivm_source_stats",
+    "ohlc_bars", "scd2_intervals", "interval_concurrency", "mad_outliers",
+    "event_trigrams", "simhash", "simhash_neardup", "minhash_lsh_neardup",
+    "runtime_filter_join", "zorder_layout", "skew_profile",
+    "range_partition_plan", "pagerank_docs", "cc_star", "kcore_peel",
+    "compaction_roundtrip", "kl_source_divergence", "source_signature",
     "frame_offsets", "window_funcs_catalog", "scalar_subquery",
     "skew_safe_distinct", "token_positions", "grouping_sets_pricing",
     "pandas_udaf_geomean", "udtf_chunk_text", "time_rollup",
     "deterministic_sample", "stats_aggregates", "not_in_null_aware",
     "argmax_order", "nested_roundtrip", "cross_join_grid", "bag_except",
-    "date_funcs", "join_outer", "join_full_outer", "salted_join",
-    "asof_join", "range_join_events", "merge_upsert",
+    "date_funcs", "join_outer", "join_full_outer",
 ]
 
 

@@ -912,3 +912,36 @@ def clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("node", "degree", "triangles", coeff.alias("coeff"))
     )
+
+
+def basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-ITEMSET MINING: part triples co-purchased in >=
+    COPURCHASE_MIN_W distinct orders — the Apriori level above
+    :func:`copurchase_edges`' pairs (market_basket_rules ranks the
+    pairs; the triples are where bundle recommendations live).
+    Ordered pa < pb < pc so each set is emitted once.
+
+    Scale shape: the distinct (order, part) projection self-joins
+    TWICE on the order key — fan-out is C(basket, 3), cubic in basket
+    size but bounded by the basket cap (TPC-H-like baskets <= 7 →
+    <= 35 triples/order); the triple-keyed count agg has map-side
+    partials.  A production run prunes first by the Apriori property
+    (only parts in frequent PAIRS can join frequent triples) — here
+    baskets are small enough that the direct join is the cheaper
+    plan, and the basket-size audit (skew_profile's regime) is the
+    pre-flight gate.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    return (
+        op.join(op.select("ok", F.col("pk").alias("pb")), "ok")
+        .filter(F.col("pk") < F.col("pb"))
+        .join(op.select("ok", F.col("pk").alias("pc")), "ok")
+        .filter(F.col("pb") < F.col("pc"))
+        .groupBy(F.col("pk").alias("pa"), "pb", "pc")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= COPURCHASE_MIN_W)
+    )

@@ -557,3 +557,44 @@ def langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_lang"),
     )
+
+
+def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTENCE SEGMENTATION stats per document: sentence count, mean
+    sentence length in tokens (raw double — int/int), and the longest
+    sentence's token count — the readability / formatting screen that
+    catches run-on machine-generated text (one 400-token "sentence")
+    and chopped boilerplate (hundreds of 2-token fragments), neither
+    of which token-level quality_score sees.
+
+    Sentences split on the [.!?] class, empties dropped (the strtok
+    convention applied at sentence granularity); token counts reuse
+    the module tokenizer on each sentence.  All counts integers; both
+    engines run the same regex split.
+
+    Scale shape: pure per-row array expressions (split → filter →
+    transform → aggregate folds) in whole-stage codegen — a map-only
+    corpus pass, no shuffle at all.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    tok_counts = F.transform(sents, lambda s: F.size(tokens_expr(s)))
+    return docs.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.aggregate(
+            tok_counts, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_tokens"),
+        F.aggregate(
+            tok_counts, F.lit(0).cast("long"),
+            lambda a, x: F.greatest(a, x.cast("long")),
+        ).alias("max_sentence_tokens"),
+        F.when(
+            F.size(sents) > 0,
+            F.aggregate(tok_counts, F.lit(0).cast("long"), lambda a, x: a + x)
+            / F.size(sents),
+        ).otherwise(F.lit(0.0)).alias("avg_sentence_tokens"),
+    )

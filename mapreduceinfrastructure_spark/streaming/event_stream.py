@@ -852,3 +852,130 @@ def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("window.start").cast("timestamp")).alias("bucket_us"),
         "open", "high", "low", "close", "n",
     )
+
+
+def abandoned_views_stream(ev: DataFrame) -> DataFrame:
+    """The stream-stream LEFT OUTER join core: every view paired with
+    the same-user purchases inside FUNNEL_JOIN_GAP after it, or
+    emitted with NULL purchase columns once the watermark PROVES no
+    such purchase can still arrive — the state-TIMEOUT half of the
+    join state machine that the inner join (funnel_pairs_stream)
+    never exercises: an inner join only ever emits on match; the
+    outer join must additionally decide, from the watermark alone,
+    when a buffered view is unmatchable and flush it with nulls.
+    Factored so tests can feed a multi-file stream."""
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {FUNNEL_JOIN_GAP}")),
+        "leftOuter",
+    ).select("user_id", "view_id", "purchase_id")
+
+
+def streaming_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER JOIN, driver-verified — the fourteenth
+    oracle-backed streaming signal and the missing half of
+    streaming_funnel_pairs: abandoned views (no same-user purchase
+    within FUNNEL_JOIN_GAP) emit with NULL purchase columns only when
+    the watermark proves no match can still arrive.  A green row
+    certifies the timeout arithmetic BOTH ways against the batch
+    twin: a null row emitted early would fabricate an abandonment the
+    batch left join doesn't have; a view held forever would lose one.
+
+    The finite-feed subtlety this operator handles explicitly: outer
+    results flush only when the watermark passes v_ts + gap, and the
+    watermark only advances on NEW data — so the tail of a finite
+    feed would sit in state forever.  The feed is therefore written
+    as TWO files (all real events, then a far-future sentinel pair of
+    type view + purchase under user_id −1) consumed with
+    maxFilesPerTrigger=1: the sentinel micro-batch advances both
+    sides' watermarks past every real window and the no-data batch
+    that follows flushes the remaining state.  Production streams
+    never end, so this is purely a test-harness shim — documented
+    here because silently dropping the tail is the classic
+    stream-stream outer-join bug.
+
+    Output is arrival-order-free: per user, distinct views, matched
+    pair rows, abandoned views — exactly the batch left join's
+    accounting (sentinel rows filtered out).
+    """
+    import os
+
+    from ..scratch import scratch_dir
+    from ..sources.tables import event_ts_us, load_table
+
+    feed = scratch_dir(
+        spark, "loj_feed", os.path.basename(os.path.normpath(sf_dir))
+    )
+    raw = load_table(spark, sf_dir, "events")
+    norm = raw.select(
+        "event_id",
+        F.timestamp_micros(event_ts_us(raw)).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    max_us = norm.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [
+            (-1, -1, "view"),
+            (-2, -1, "purchase"),
+        ],
+        schema="event_id long, user_id long, event_type string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.lit(max_us + 10_800_000_000)).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    norm.coalesce(1).write.mode("overwrite").parquet(os.path.join(feed, "f0"))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(os.path.join(feed, "f1"))
+    # file source picks up oldest-mtime first; pin the order explicitly
+    now = 1_700_000_000
+    for i, d in enumerate(("f0", "f1")):
+        p = os.path.join(feed, d)
+        for fn in os.listdir(p):
+            os.utime(os.path.join(p, fn), (now + i * 10, now + i * 10))
+    schema = norm.schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    joined = abandoned_views_stream(ev)
+    got = run_stream_to_memory(
+        spark, joined, "abandoned_views_driver", output_mode="append"
+    )
+    return (
+        got.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("view_id").cast("long").alias("n_views"),
+            F.sum(F.when(F.col("purchase_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_abandoned"),
+        )
+    )

@@ -30,17 +30,18 @@ DRIVER_WINDOW = [
     "neyman_allocation", "oov_rate", "evolution_roundtrip",
     "dq_referential_audit", "streaming_ohlc", "sssp_parts",
     "array_funcs_catalog", "null_safe_join", "ivm_source_stats",
-    "ohlc_bars", "scd2_intervals", "interval_concurrency", "mad_outliers",
+    "streaming_abandoned_views", "basket_triples", "ohlc_bars",
+    "scd2_intervals", "interval_concurrency", "mad_outliers",
     "event_trigrams", "simhash", "simhash_neardup", "minhash_lsh_neardup",
-    "runtime_filter_join", "zorder_layout", "skew_profile",
-    "range_partition_plan", "pagerank_docs", "cc_star", "kcore_peel",
-    "compaction_roundtrip", "kl_source_divergence", "source_signature",
-    "frame_offsets", "window_funcs_catalog", "scalar_subquery",
-    "skew_safe_distinct", "token_positions", "grouping_sets_pricing",
-    "pandas_udaf_geomean", "udtf_chunk_text", "time_rollup",
-    "deterministic_sample", "stats_aggregates", "not_in_null_aware",
-    "argmax_order", "nested_roundtrip", "cross_join_grid", "bag_except",
-    "date_funcs", "join_outer", "join_full_outer",
+    "sentence_stats", "frame_offsets", "runtime_filter_join",
+    "zorder_layout", "skew_profile", "range_partition_plan",
+    "pagerank_docs", "cc_star", "kcore_peel", "compaction_roundtrip",
+    "kl_source_divergence", "source_signature", "window_funcs_catalog",
+    "scalar_subquery", "skew_safe_distinct", "token_positions",
+    "grouping_sets_pricing", "pandas_udaf_geomean", "udtf_chunk_text",
+    "time_rollup", "deterministic_sample", "stats_aggregates",
+    "not_in_null_aware", "argmax_order", "nested_roundtrip",
+    "cross_join_grid", "bag_except",
 ]
 
 

@@ -599,3 +599,116 @@ def test_array_funcs_catalog_spot_check(spark, sf_dir):
     assert row["sum_len"] == sum(len(t) for t in toks)
     assert row["has_the"] == int("the" in toks)
     assert row["the_pos"] == (toks.index("the") + 1 if "the" in toks else 0)
+
+
+# ------------------------------------------- round-9 third batch
+
+
+def test_abandoned_views_cross_batch_flush(spark, sf_dir):
+    """The outer join's defining behavior, cross-micro-batch: a view
+    in batch 1 with NO purchase must flush with NULLs only after the
+    watermark (advanced by batch 2's sentinel) passes its window, and
+    a view whose purchase arrives in a LATER batch must pair, not
+    flush.  Built on a tiny controlled 3-file feed."""
+    import os
+
+    from mapreduceinfrastructure_spark.streaming.event_stream import (
+        abandoned_views_stream,
+        run_stream_to_memory,
+    )
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="loj_test_")
+    base = 1_700_000_000_000_000  # epoch us
+    mk = lambda rows: spark.createDataFrame(
+        rows, schema="event_id long, ts_us long, user_id long, event_type string"
+    ).select(
+        "event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id", "event_type"
+    )
+    # batch 1: user 1 view (will pair in batch 2), user 2 view (never pairs)
+    b1 = mk([(1, base, 1, "view"), (2, base, 2, "view")])
+    # batch 2: user 1 purchase 10 min later (inside the 30-min gap)
+    b2 = mk([(3, base + 600_000_000, 1, "purchase")])
+    # batch 3: far-future sentinel pair advances both watermarks
+    b3 = mk(
+        [(-1, base + 20_000_000_000_000, -1, "view"),
+         (-2, base + 20_000_000_000_000, -1, "purchase")]
+    )
+    for i, df in enumerate((b1, b2, b3)):
+        p = os.path.join(d, f"f{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for fn in os.listdir(p):
+            os.utime(os.path.join(p, fn), (1_700_000_000 + i * 10,) * 2)
+    schema = b1.schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    got = run_stream_to_memory(
+        spark, abandoned_views_stream(ev), "loj_xbatch", output_mode="append"
+    )
+    rows = {
+        (r["user_id"], r["view_id"]): r["purchase_id"]
+        for r in got.filter(F.col("user_id") >= 0).collect()
+    }
+    assert rows == {(1, 1): 3, (2, 2): None}, rows
+
+
+def test_sentence_stats_spot_check(spark, sf_dir):
+    """One document recomputed in pure Python with the same sentence
+    and token contracts."""
+    import re as _re
+
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    doc = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(1).collect()[0]
+    sents = [s for s in _re.split(r"[.!?]", doc["text"]) if s.strip()]
+    tcs = [len([t for t in _re.split(r"[ ,.\"']", s) if t]) for s in sents]
+    row = [
+        r for r in QUERIES["sentence_stats"](spark, sf_dir).collect()
+        if r["doc_id"] == doc["doc_id"]
+    ][0]
+    assert row["n_sentences"] == len(sents)
+    assert row["n_tokens"] == sum(tcs)
+    assert row["max_sentence_tokens"] == (max(tcs) if tcs else 0)
+    assert abs(row["avg_sentence_tokens"] - (sum(tcs) / len(sents) if sents else 0.0)) < 1e-12
+
+
+def test_basket_triples_brute_force(spark, sf_dir):
+    """Triples recomputed from per-order part sets in pure Python, and
+    the Apriori property holds: every frequent triple's three pairs
+    are frequent."""
+    from itertools import combinations
+
+    from mapreduceinfrastructure_spark.operators.graph import (
+        COPURCHASE_MIN_W,
+        copurchase_edges,
+    )
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    counts: dict = {}
+    for parts in baskets.values():
+        for tri in combinations(sorted(parts), 3):
+            counts[tri] = counts.get(tri, 0) + 1
+    want = {t: c for t, c in counts.items() if c >= COPURCHASE_MIN_W}
+    got = {
+        (r["pa"], r["pb"], r["pc"]): r["n_orders"]
+        for r in QUERIES["basket_triples"](spark, sf_dir).collect()
+    }
+    assert got == want
+    pairs = {(r["pa"], r["pb"]) for r in copurchase_edges(spark, sf_dir).collect()}
+    for (a, b, c) in got:
+        assert {(a, b), (a, c), (b, c)} <= pairs

@@ -1236,3 +1236,156 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("pl", F.lit(0))).cast("long").alias("n_plain_matched"),
     )
     return a.join(b, "key_bucket")
+
+
+def linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP OLS REGRESSION from raw moments: slope / intercept /
+    r² of extended price on quantity, per part brand — the grouped
+    ``regr_slope`` / ``regr_r2`` surface of an analytics catalog,
+    computed from sufficient statistics instead of the builtins so
+    both engines run the IDENTICAL formula.
+
+    Cross-engine exactness is by INTEGER MOMENTS (the md5-sketch
+    lesson applied to floats): x = quantity cast to BIGINT (integer-
+    valued by construction), y = price in CENTS as BIGINT, so n, Σx,
+    Σy, Σxy, Σx², Σy² are exact integers in both engines regardless
+    of summation order; the closed-form slope/intercept/r² then run
+    as the same IEEE double ops on identical inputs.  Float sums
+    would drift ~1e-10 relative and the n·Σxx − (Σx)² cancellation
+    amplifies that — integers make it a non-issue.
+
+    Scale shape: map-side partial aggregation of 6 integer moments
+    per brand (one shuffle, 25 groups); part dim is broadcast.  This
+    is the textbook "regression as a monoid" shape — the moments are
+    mergeable, so it parallelizes like a sum, not like a sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yc"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("yc").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("yc") * F.col("yc")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("yc")).cast("long").alias("sxy"),
+        )
+    )
+    # cents -> currency at the formula edge; all doubles from here.
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double") / 100.0
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double") / 10000.0
+    sxy = F.col("sxy").cast("double") / 100.0
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MEDIAN per group (lower weighted median of extended
+    price, weighted by quantity, per return flag) — the robust
+    "typical order-line price where weight = units moved" statistic
+    that plain median (one row one vote) misrepresents.
+
+    Definition (deterministic in both engines): sort the group by
+    (price, orderkey, linenumber) — a UNIQUE total order — take the
+    first row whose running weight reaches half the total.  The
+    comparison is 2·cum ≥ total in exact BIGINT arithmetic (weights
+    are integer-valued quantities), so there is no float threshold to
+    disagree on and ties are broken by the unique sort key.
+
+    Scale shape: one shuffle on the group key + per-group sort (the
+    same profile as any exact quantile); the scale swap is
+    approx_percentile over a pre-aggregated (price, Σweight) table.
+    The final pick is a min-over-candidates agg, not a collect.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    ww = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "w",
+        F.sum("w").over(ww).cast("long").alias("cw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag"))
+        .cast("long").alias("tw"),
+    )
+    hit = cum.filter(2 * F.col("cw") >= F.col("tw"))
+    return hit.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("wmedian"),
+        F.min("tw").cast("long").alias("total_weight"),
+    )
+
+
+# Benford expected-share denominators: share(d) = log10(1 + 1/d).
+BENFORD_DIGITS = list(range(1, 10))
+
+
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit of order totals — the classic
+    fabricated-numbers screen (Benford 1938; Nigrini's forensic
+    accounting use): natural multi-scale amounts put ~30.1% of first
+    digits at 1, and a synthetic or truncated column shows up as a
+    large chi-square against log10(1 + 1/d).
+
+    The first digit is extracted via INTEGER string math — cents =
+    round(price·100) as BIGINT, digit = first char of its decimal
+    print — because log10-based extraction can straddle a power-of-10
+    boundary differently per libm, while integer printing is
+    identical everywhere.  Output: per-digit count, observed share,
+    Benford share, and the chi-square contribution (O−E)²/E.
+
+    Scale shape: map-only digit extraction + a 9-group aggregate —
+    the cheapest possible full-column DQ pass.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1, 1,
+        ).cast("int").alias("digit")
+    ).filter(F.col("digit") >= 1)
+    counts = o.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("tot"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6)
+            .alias("obs_share"),
+            F.round(expected, 6).alias("benford_share"),
+            F.round(
+                F.pow(
+                    F.col("n").cast("double")
+                    - expected * F.col("tot").cast("double"),
+                    F.lit(2.0),
+                )
+                / (expected * F.col("tot").cast("double")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )

@@ -1634,3 +1634,73 @@ def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= CONTAINMENT_T)
         .select("da", "db", F.round("c", 6).alias("containment"))
     )
+
+
+# Sorted-neighborhood method: window width (compare rn-diff 1..w-1
+# within a block) and the verify threshold.
+SNM_WINDOW = 4
+SNM_JACCARD_T = 0.5
+
+
+def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD near-dup pairs (Hernández & Stolfo,
+    SIGMOD'95): sort documents by a normalized key, slide a fixed
+    window of SNM_WINDOW rows, and exact-verify only neighbor pairs —
+    the third classic candidate-generation regime next to banding
+    (minhash_lsh_neardup) and prefix filtering (prefix_filter_neardup).
+    SNM's bet is that near-duplicates share a sort-key PREFIX; its
+    candidate count is exactly (w−1)·n regardless of similarity
+    skew — the linear-cost screen record-linkage pipelines start with.
+
+    This is the BLOCKED variant: the sort key (first 64 chars of the
+    text, lowercased, non-alphanumerics stripped) is bucketed by its
+    2-char prefix and the window slides WITHIN blocks — windows never
+    span a shuffle boundary, so the whole operator is one block-keyed
+    shuffle + per-block sort, the only SNM formulation that scales
+    horizontally (a global row_number would serialize the corpus
+    through one partition).  Docs whose keys differ in the first two
+    chars are not compared — the documented SNM recall trade-off
+    (multi-pass SNM with a second key is the standard mitigation).
+
+    Verify is exact distinct-token Jaccard ≥ SNM_JACCARD_T; both
+    engines sort by the UNIQUE (key, doc_id) order, so the candidate
+    set is deterministic and identical.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    key = F.regexp_replace(
+        F.lower(F.substring("text", 1, 64)), "[^a-z0-9]", ""
+    )
+    base = docs.select(
+        "doc_id",
+        key.alias("k"),
+        F.array_distinct(tokens_expr("text")).alias("toks"),
+    ).withColumn("block", F.substring("k", 1, 2))
+    w = Window.partitionBy("block").orderBy("k", "doc_id")
+    rn = base.withColumn("rn", F.row_number().over(w))
+    a = rn.select(
+        F.col("block").alias("blka"), F.col("rn").alias("ra"),
+        F.col("doc_id").alias("ida"), F.col("toks").alias("ta"),
+    )
+    b = rn.select(
+        F.col("block").alias("blkb"), F.col("rn").alias("rb"),
+        F.col("doc_id").alias("idb"), F.col("toks").alias("tb"),
+    )
+    cand = a.join(
+        b,
+        (F.col("blka") == F.col("blkb"))
+        & (F.col("rb") - F.col("ra") >= 1)
+        & (F.col("rb") - F.col("ra") <= SNM_WINDOW - 1),
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = (F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))).cast(
+        "double"
+    )
+    j = inter / union
+    return (
+        cand.select(
+            F.least("ida", "idb").alias("da"),
+            F.greatest("ida", "idb").alias("db"),
+            F.round(j, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= SNM_JACCARD_T)
+    )

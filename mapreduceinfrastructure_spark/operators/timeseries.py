@@ -534,3 +534,118 @@ def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(
         F.col("event_type").alias("s1"), "s2", "s3"
     ).agg(F.count("*").cast("long").alias("cnt"))
+
+
+DAY_US = 86_400_000_000
+
+
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS activity streaks: per user, group the DISTINCT
+    active days (days with >=1 event) into maximal runs of consecutive
+    days — the classic islands problem (day − row_number is constant
+    within an island) that powers "current streak / longest streak"
+    engagement metrics and cannot be written as a plain group-by.
+
+    All arithmetic is integer: day index = ts_us div DAY_US, island
+    key = day − rn.  Output per user: total active days, number of
+    islands, longest streak, and the start day of that longest streak
+    (earliest if tied — deterministic min).
+
+    Scale shape: distinct + window + two aggs, ALL keyed on user_id —
+    Spark reuses one hash partitioning for the whole chain (a single
+    shuffle), and per-user state is bounded by the calendar span.
+    """
+    e = _events_us(spark, sf_dir).select(
+        "user_id",
+        ((F.col("ts_us") - F.col("ts_us") % DAY_US) / F.lit(DAY_US))
+        .cast("long").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = e.withColumn(
+        "grp", F.col("day") - F.row_number().over(w)
+    ).groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("len"),
+        F.min("day").cast("long").alias("start_day"),
+    )
+    wu = Window.partitionBy("user_id")
+    return (
+        isl.withColumn("wmax", F.max("len").over(wu))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("active_days"),
+            F.count("*").cast("long").alias("n_islands"),
+            F.max("len").cast("long").alias("max_streak"),
+            F.min(
+                F.when(F.col("len") == F.col("wmax"), F.col("start_day"))
+            ).cast("long").alias("max_streak_start"),
+        )
+    )
+
+
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve for view→purchase conversion: per
+    user, duration = whole hours from FIRST event to FIRST purchase
+    (event observed) or to the LAST event (right-censored, no
+    purchase) — the product-limit estimator S(t) = Π_{tᵢ≤t}
+    (1 − dᵢ/nᵢ) that funnel half-life and time-to-convert reporting
+    are built on, with censoring handled correctly (naive "mean time
+    to convert over converters" is biased).
+
+    Cross-engine exactness: durations are integer hours; nᵢ (at
+    risk) and dᵢ (events at tᵢ) are exact integer window sums; the
+    running product is exp(Σ ln(1 − d/n)) over identical doubles —
+    ulp-level libm drift across a few hundred terms stays ~1e-13,
+    absorbed by round(·, 6).  A step where d = n (everyone at risk
+    converts) forces S = 0 from that point on; both engines apply
+    the same CASE guard instead of ln(0).
+
+    Scale shape: one user-keyed agg to build (duration, observed)
+    per user, then an agg + two windows over the tiny distinct-
+    duration axis (bounded by the time span in hours, not by rows).
+    """
+    e = _events_us(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts_us").alias("t0"),
+        F.max("ts_us").alias("t_last"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("t_buy"),
+    )
+    durs = per_user.select(
+        F.when(F.col("t_buy").isNotNull(), F.col("t_buy") - F.col("t0"))
+        .otherwise(F.col("t_last") - F.col("t0")).alias("dur_us"),
+        F.col("t_buy").isNotNull().cast("int").alias("observed"),
+    ).select(
+        ((F.col("dur_us") - F.col("dur_us") % HOUR_US) / F.lit(HOUR_US))
+        .cast("long").alias("t_hours"),
+        "observed",
+    )
+    by_t = durs.groupBy("t_hours").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("observed").cast("long").alias("d"),
+    )
+    wdesc = Window.orderBy(F.col("t_hours").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    wasc = Window.orderBy(F.col("t_hours").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = by_t.withColumn(
+        "n_risk", F.sum("n_total").over(wdesc).cast("long")
+    ).filter(F.col("d") > 0)
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double")),
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        risk.withColumn("lt", term)
+        .withColumn("dead", F.max((F.col("d") == F.col("n_risk")).cast("int")).over(wasc))
+        .select(
+            "t_hours",
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.when(F.col("dead") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.sum("lt").over(wasc)), 6))
+            .alias("surv"),
+        )
+    )

@@ -712,3 +712,215 @@ def test_basket_triples_brute_force(spark, sf_dir):
     pairs = {(r["pa"], r["pb"]) for r in copurchase_edges(spark, sf_dir).collect()}
     for (a, b, c) in got:
         assert {(a, b), (a, c), (b, c)} <= pairs
+
+
+# ------------------------------------------------- round-9 batch 2 ops
+
+
+def test_linreg_matches_numpy_polyfit(spark, sf_dir):
+    """Slope/intercept/r2 per brand must match an independent numpy
+    least-squares on the same (quantity, price) points — the moments
+    formulation vs the QR path, agreeing to float tolerance."""
+    import numpy as np
+
+    got = {
+        r["p_brand"]: r
+        for r in QUERIES["linreg_by_group"](spark, sf_dir).collect()
+    }
+    pdf = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .join(
+            spark.read.parquet(os.path.join(sf_dir, "part.parquet")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_brand", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for brand, g in pdf.groupby("p_brand"):
+        x = g["l_quantity"].to_numpy()
+        y = np.round(g["l_extendedprice"].to_numpy() * 100) / 100
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        row = got[brand]
+        assert row["n"] == len(g)
+        assert abs(row["slope"] - slope) < 1e-4
+        assert abs(row["intercept"] - intercept) < 1e-2
+        assert abs(row["r2"] - r * r) < 1e-6
+        assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_weighted_median_defining_property(spark, sf_dir):
+    """The lower weighted median m must satisfy: weight strictly below
+    m < half total, and weight at-or-below m >= half total."""
+    rows = QUERIES["weighted_median"](spark, sf_dir).collect()
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    for r in rows:
+        g = li.filter(F.col("l_returnflag") == r["l_returnflag"])
+        tot = g.agg(F.sum(F.col("l_quantity").cast("long"))).collect()[0][0]
+        assert tot == r["total_weight"]
+        below = (
+            g.filter(F.col("l_extendedprice") < r["wmedian"])
+            .agg(F.sum(F.col("l_quantity").cast("long")))
+            .collect()[0][0]
+            or 0
+        )
+        at_or_below = (
+            g.filter(F.col("l_extendedprice") <= r["wmedian"])
+            .agg(F.sum(F.col("l_quantity").cast("long")))
+            .collect()[0][0]
+        )
+        assert 2 * below < tot <= 2 * at_or_below
+
+
+def test_benford_shares_and_chi2(spark, sf_dir):
+    """Digits 1..9 exactly once each, observed shares sum to 1,
+    Benford shares sum to 1 (log10 telescoping), chi2 terms >= 0."""
+    rows = QUERIES["benford_digits"](spark, sf_dir).collect()
+    digits = sorted(r["digit"] for r in rows)
+    assert digits == list(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4
+    assert all(r["chi2_term"] >= 0.0 for r in rows)
+
+
+def test_gaps_islands_vs_python_reference(spark, sf_dir):
+    """Streaks per user must equal a pure-Python islands computation
+    over the same distinct day indexes."""
+    from mapreduceinfrastructure_spark.operators.timeseries import (
+        DAY_US,
+        _events_us,
+    )
+
+    got = {
+        r["user_id"]: r for r in QUERIES["gaps_islands"](spark, sf_dir).collect()
+    }
+    days = (
+        _events_us(spark, sf_dir)
+        .select("user_id", ((F.col("ts_us") - F.col("ts_us") % DAY_US) / DAY_US)
+                .cast("long").alias("day"))
+        .distinct()
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in days:
+        by_user.setdefault(r["user_id"], []).append(r["day"])
+    for uid, ds in by_user.items():
+        ds.sort()
+        runs = []
+        start = prev = ds[0]
+        for d in ds[1:]:
+            if d == prev + 1:
+                prev = d
+            else:
+                runs.append((start, prev - start + 1))
+                start = prev = d
+        runs.append((start, prev - start + 1))
+        row = got[uid]
+        assert row["active_days"] == len(ds)
+        assert row["n_islands"] == len(runs)
+        best = max(l for _, l in runs)
+        assert row["max_streak"] == best
+        assert row["max_streak_start"] == min(s for s, l in runs if l == best)
+
+
+def test_kaplan_meier_monotone_and_lifelines_free_reference(spark, sf_dir):
+    """S(t) must be non-increasing in [0, 1] and equal a pure-Python
+    product-limit computation over the same (duration, observed)
+    pairs."""
+    from mapreduceinfrastructure_spark.operators.timeseries import (
+        HOUR_US,
+        _events_us,
+    )
+
+    rows = sorted(
+        QUERIES["kaplan_meier"](spark, sf_dir).collect(),
+        key=lambda r: r["t_hours"],
+    )
+    surv = [r["surv"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))
+
+    per_user = (
+        _events_us(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.min("ts_us").alias("t0"),
+            F.max("ts_us").alias("tl"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+            ).alias("tb"),
+        )
+        .collect()
+    )
+    durs = []
+    for r in per_user:
+        if r["tb"] is not None:
+            durs.append(((r["tb"] - r["t0"]) // HOUR_US, 1))
+        else:
+            durs.append(((r["tl"] - r["t0"]) // HOUR_US, 0))
+    ts = sorted({t for t, o in durs if o == 1})
+    s = 1.0
+    want = {}
+    for t in ts:
+        n_risk = sum(1 for d, _ in durs if d >= t)
+        d_t = sum(1 for d, o in durs if d == t and o == 1)
+        s *= 1.0 - d_t / n_risk
+        want[t] = (n_risk, d_t, s)
+    assert len(rows) == len(ts)
+    for r in rows:
+        n_risk, d_t, s = want[r["t_hours"]]
+        assert r["n_risk"] == n_risk
+        assert r["n_events"] == d_t
+        assert abs(r["surv"] - s) < 1e-6
+
+
+def test_snm_no_false_positives_and_window_bound(spark, sf_dir):
+    """Every reported SNM pair must (a) really have distinct-token
+    Jaccard >= the threshold (exact recompute from raw text) and
+    (b) be within the sliding window in the block sort order."""
+    from mapreduceinfrastructure_spark.operators.dedup import (
+        SNM_JACCARD_T,
+        SNM_WINDOW,
+    )
+    from mapreduceinfrastructure_spark.functions.text import tokens_expr
+    import re
+
+    pairs = QUERIES["sorted_neighborhood_neardup"](spark, sf_dir).collect()
+    assert pairs, "sf corpus is known to contain near-dups"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).collect()
+    }
+    tok_re = re.compile(r"[ ,.\"']")
+
+    def toks(t):
+        return {x for x in tok_re.split(t) if x}
+
+    order = sorted(
+        (
+            (
+                re.sub(r"[^a-z0-9]", "", t.lower()[:64])[:2],
+                re.sub(r"[^a-z0-9]", "", t.lower()[:64]),
+                did,
+            )
+            for did, t in docs.items()
+        )
+    )
+    # positions within block: recompute rank per block
+    rank: dict[int, tuple[str, int]] = {}
+    cur_blk, idx = None, 0
+    for blk, k, did in sorted(order, key=lambda x: (x[0], x[1], x[2])):
+        if blk != cur_blk:
+            cur_blk, idx = blk, 0
+        idx += 1
+        rank[did] = (blk, idx)
+    for p in pairs:
+        ta, tb = toks(docs[p["da"]]), toks(docs[p["db"]])
+        j = len(ta & tb) / len(ta | tb)
+        assert round(j, 6) >= SNM_JACCARD_T
+        assert abs(round(j, 6) - p["jaccard"]) < 1e-9
+        ba, ia = rank[p["da"]]
+        bb, ib = rank[p["db"]]
+        assert ba == bb and 1 <= abs(ia - ib) <= SNM_WINDOW - 1

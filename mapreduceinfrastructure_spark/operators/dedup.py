@@ -1469,9 +1469,11 @@ def _capped_pair_distances(und: DataFrame, cap: int) -> DataFrame:
 
     The frames are cluster-size-bounded (tiny next to the corpus):
     coalesce(1) keeps each checkpoint job at one task, as in
-    pagerank_docs (drop it at billion-pair scale).  Sets
-    ``_capped_pair_distances.last_rounds`` to the number of expansion
-    rounds actually executed (pytest pins a clique to 1)."""
+    pagerank_docs (drop it at billion-pair scale).  Returns
+    ``(dist, rounds)`` where ``rounds`` is the number of expansion
+    rounds actually executed (pytest pins a clique to 1) — a plain
+    return value, not mutable function-attribute state, so concurrent
+    callers can't race on it (ADVICE r9)."""
     dist = (
         und.withColumn("d", F.lit(1).cast("long"))
         .coalesce(1)
@@ -1497,8 +1499,7 @@ def _capped_pair_distances(und: DataFrame, cap: int) -> DataFrame:
         # anti-join, so no dedup or re-materialization is needed
         dist = dist.union(new)
         frontier = new
-    _capped_pair_distances.last_rounds = rounds
-    return dist
+    return dist, rounds
 
 
 def cluster_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1547,7 +1548,7 @@ def cluster_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = connected_components(und).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
-    dist = _capped_pair_distances(und, DIAMETER_HOP_CAP)
+    dist, _ = _capped_pair_distances(und, DIAMETER_HOP_CAP)
     sizes = cl.groupBy("cluster_id").agg(F.count("*").cast("long").alias("n_docs"))
     n_edges = (
         pairs.join(cl.select(F.col("doc_id").alias("da"), "cluster_id"), "da")

@@ -1317,13 +1317,44 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("sx"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+    # Overflow guard (ADVICE r9): Spark (non-ANSI) wraps BIGINT
+    # silently where the DuckDB oracle raises, so an over-large corpus
+    # would produce a silently wrong allocation instead of an error.
+    # The magnitude check runs in DOUBLE over the SUM of absolute
+    # terms (an over-approximation of |weight|), inline in the same
+    # projection via raise_error — no extra scan or action.  The bound
+    # 2^63/(4·BUDGET) leaves headroom for both the BUDGET·weight
+    # product and Σweight across a few thousand strata; hitting it is
+    # the documented cue to switch the products to DECIMAL(38,0).
+    _lim = float(2**63 // (4 * ALLOC_BUDGET))
+    _mag = F.col("n_docs").cast("double") * (
+        F.col("n_docs").cast("double") * F.col("sxx").cast("double")
+        + F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
     w = st.select(
         "source",
         "n_docs",
-        (
+        F.when(
+            _mag < F.lit(_lim),
             F.col("n_docs")
-            * (F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        ).alias("weight"),
+            * (F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "neyman_allocation: stratum weight magnitude for "
+                        "source "
+                    ),
+                    F.col("source"),
+                    F.lit(
+                        " exceeds the BIGINT-safe bound — switch the "
+                        "weight products to DECIMAL(38,0) (see docstring)"
+                    ),
+                )
+            ).cast("long")
+        )
+        .alias("weight"),
     )
     tot = w.agg(F.sum("weight").alias("tw"))
     alloc = w.crossJoin(F.broadcast(tot)).select(

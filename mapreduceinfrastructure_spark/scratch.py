@@ -24,11 +24,50 @@ import os
 import re
 import shutil
 import tempfile
+import time
 
 # roots with a registered cleanup — one entry per applicationId seen in
 # this process (normally exactly one; tests that stop/start sessions
 # may accumulate a few, each cleaned independently).
 _REGISTERED: set[str] = set()
+
+# Age (seconds) past which a sibling mri_scratch_* root from ANOTHER
+# process is presumed orphaned (its session was SIGKILLed/OOMed before
+# atexit could run) and reclaimed by the next session's first
+# scratch_dir call.  24h is far beyond any session's lifetime here and
+# cheap to be wrong about: every scratch consumer rewrites its leaf.
+_ORPHAN_AGE_S = 24 * 3600
+
+_SWEPT = False
+
+
+def _sweep_orphans(current_root: str) -> None:
+    """Best-effort reclamation of mri_scratch_* trees left by crashed
+    sessions (ADVICE r9: atexit only fires on clean interpreter exit,
+    so SIGKILL/OOM — common for Spark drivers — leaked roots forever).
+    Runs once per process, skips the live session's own root, and only
+    removes trees whose mtime is older than _ORPHAN_AGE_S."""
+    global _SWEPT
+    if _SWEPT:
+        return
+    _SWEPT = True
+    tmp = tempfile.gettempdir()
+    try:
+        names = os.listdir(tmp)
+    except OSError:
+        return
+    now = time.time()
+    for name in names:
+        if not name.startswith("mri_scratch_"):
+            continue
+        path = os.path.join(tmp, name)
+        if path == current_root or path in _REGISTERED:
+            continue
+        try:
+            if now - os.path.getmtime(path) > _ORPHAN_AGE_S:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def app_tag(spark) -> str:
@@ -49,5 +88,6 @@ def scratch_dir(spark, kind: str, tag: str = "") -> str:
     if root not in _REGISTERED:
         _REGISTERED.add(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _sweep_orphans(root)
     leaf = f"{kind}_{tag}" if tag else kind
     return os.path.join(root, leaf)

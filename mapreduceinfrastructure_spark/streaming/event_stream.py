@@ -934,6 +934,15 @@ def streaming_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     max_us = norm.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    if max_us is None:
+        # Empty events table: the sentinel/watermark machinery needs a
+        # real max timestamp to anchor on, and the batch twin's left
+        # join over zero views yields zero groups — return the empty
+        # aggregate directly instead of arithmetic on None.
+        return spark.createDataFrame(
+            [],
+            schema="user_id long, n_views long, n_pairs long, n_abandoned long",
+        )
     sentinel = spark.createDataFrame(
         [
             (-1, -1, "view"),
@@ -966,6 +975,32 @@ def streaming_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = run_stream_to_memory(
         spark, joined, "abandoned_views_driver", output_mode="append"
     )
+    # Guard the two undocumented Spark behaviors this operator leans on
+    # (oldest-mtime-first file pickup; post-watermark no-data batch
+    # flushing outer state before processAllAvailable returns): if a
+    # Spark upgrade changes either, fail loudly here rather than as a
+    # silent tail-drop parity diff.  (1) the sentinel view must have
+    # been emitted — it only flushes via the no-data batch; (2) every
+    # real view must appear exactly once across matched + null rows.
+    got = got.localCheckpoint(eager=True)
+    if got.filter(F.col("user_id") < 0).count() == 0:
+        raise RuntimeError(
+            "streaming_abandoned_views: sentinel rows missing from the "
+            "outer-join output — the post-watermark no-data batch did "
+            "not flush state (Spark flush-semantics regression)"
+        )
+    expected_views = (
+        norm.filter(F.col("event_type") == "view").select("event_id").distinct().count()
+    )
+    emitted_views = (
+        got.filter(F.col("user_id") >= 0).select("view_id").distinct().count()
+    )
+    if emitted_views != expected_views:
+        raise RuntimeError(
+            f"streaming_abandoned_views: {emitted_views} distinct views "
+            f"emitted but batch input has {expected_views} — finite-feed "
+            "tail dropped (file-order or watermark-flush regression)"
+        )
     return (
         got.filter(F.col("user_id") >= 0)
         .groupBy("user_id")

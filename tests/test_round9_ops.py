@@ -174,8 +174,9 @@ def test_delta_frontier_bfs_clique_one_round(spark):
     n = 5
     edges = [(a, b) for a in range(n) for b in range(n) if a != b]
     und = spark.createDataFrame(edges, schema="a long, b long")
-    dist = {(r["a"], r["b"]): r["d"] for r in _capped_pair_distances(und, DIAMETER_HOP_CAP).collect()}
-    assert _capped_pair_distances.last_rounds == 1
+    dframe, rounds = _capped_pair_distances(und, DIAMETER_HOP_CAP)
+    dist = {(r["a"], r["b"]): r["d"] for r in dframe.collect()}
+    assert rounds == 1
     assert dist == {(a, b): 1 for a, b in edges}
 
 
@@ -190,7 +191,8 @@ def test_delta_frontier_bfs_path_distances(spark):
     path = [(i, i + 1) for i in range(4)]
     sym = path + [(b, a) for a, b in path]
     und = spark.createDataFrame(sym, schema="a long, b long")
-    dist = {(r["a"], r["b"]): r["d"] for r in _capped_pair_distances(und, 3).collect()}
+    dframe, rounds = _capped_pair_distances(und, 3)
+    dist = {(r["a"], r["b"]): r["d"] for r in dframe.collect()}
     for a in range(5):
         for b in range(5):
             want = abs(a - b)
@@ -200,7 +202,7 @@ def test_delta_frontier_bfs_path_distances(spark):
                 assert (a, b) not in dist
     # cap=3 runs expansions k=2 and k=3, then the range (not a drain
     # round) ends the loop — exactly 2 rounds, never a wasted one
-    assert _capped_pair_distances.last_rounds == 2
+    assert rounds == 2
 
 
 def test_star_contraction_raises_on_round_cap(spark):

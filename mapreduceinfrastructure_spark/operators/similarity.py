@@ -490,8 +490,12 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corpus vectors still emit only 8 keys each (multiprobe cost rides
     the tiny query side); candidates join on (table, bucket), are
     deduped, then exact-cosine ranked top-5 per query.  Recall < 1 by
-    construction (rows-only check; exact baseline is ``cosine_topk``,
-    floor pinned in tests/test_ann_recall.py).
+    construction vs ``cosine_topk`` (floor pinned in
+    tests/test_ann_recall.py), but the OUTPUT is fully deterministic
+    and oracle-exact: the DuckDB twin (__spark_entry__._ann_lsh_sql)
+    replays the identical plane dots via the same left-fold order, so
+    buckets and the candidate set reproduce bit-identically (r10 —
+    retired from rows-only).
     """
     emb = _embeddings(spark, sf_dir)
     bpt = _bits_per_table(load_table(spark, sf_dir, "embeddings").count())
@@ -600,7 +604,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The other scale path next to ``ann_lsh``: corpus is bucketed by
     nearest centroid; each query scans ~nprobe/k of the corpus.  Recall
-    < 1 by construction (rows-only check; exact baseline cosine_topk).
+    < 1 by construction (exact baseline cosine_topk, floor pinned in
+    tests), but the pipeline is deterministic end-to-end and
+    oracle-exact: __spark_entry__._ann_ivf_sql unrolls the same Lloyd
+    recurrence (kmeans_iterate pattern) and replays probe selection +
+    in-cluster top-k (r10 — retired from rows-only).
     """
     assign, cents = ivf_assignments(spark, sf_dir)
     q = assign.filter(F.col("vec_id") < N_QUERIES).select(

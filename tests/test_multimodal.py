@@ -39,6 +39,48 @@ def test_decode_stub_contract():
     assert decode_image(b"x" * 1000) == (w, h)
 
 
+def test_header_parse_roundtrip():
+    """synth_media_header (struct packing) -> parse_media_header (byte
+    scan) round-trips the doc_id-derived dims for both containers, and
+    the JPEG scan survives a preceding APP0 segment (marker walk, not
+    fixed offset)."""
+    from mapreduceinfrastructure_spark.operators.multimodal import (
+        parse_media_header,
+        synth_media_header,
+    )
+
+    assert parse_media_header(synth_media_header(9) + b"tail") == (
+        "png", 9 % 640 + 16, 9 % 480 + 16, 4,
+    )
+    assert parse_media_header(synth_media_header(10) + b"tail") == (
+        "jpeg", 10 % 640 + 16, 10 % 480 + 16, 3,
+    )
+    assert parse_media_header(synth_media_header(11) + b"xy" * 20) is None
+    # JPEG with an APP0 (JFIF) segment before SOF0: the scan must walk it
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof = synth_media_header(10)[2:]  # SOF0 segment only
+    assert parse_media_header(b"\xff\xd8" + app0 + sof) == (
+        "jpeg", 10 % 640 + 16, 10 % 480 + 16, 3,
+    )
+    assert parse_media_header(b"\x89PNG" + bytes(30)) is None  # partial sig
+
+
+def test_extract_features_decodes_headers(spark, sf_dir):
+    media = make_media_table(spark, sf_dir)
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    for doc_id, r in feats.items():
+        if doc_id % 3 == 0:
+            assert (r["fmt"], r["width"], r["height"], r["channels"]) == (
+                "png", doc_id % 640 + 16, doc_id % 480 + 16, 4,
+            )
+        elif doc_id % 3 == 1:
+            assert (r["fmt"], r["width"], r["height"], r["channels"]) == (
+                "jpeg", doc_id % 640 + 16, doc_id % 480 + 16, 3,
+            )
+        else:
+            assert r["fmt"] == "raw" and r["channels"] == 3
+
+
 def test_frame_sample_explodes(spark, sf_dir):
     media = make_media_table(spark, sf_dir).limit(10)
     frames = frame_sample(media, every_n_bytes=50)
@@ -122,12 +164,16 @@ def test_audio_windows_match_numpy_reference(spark, sf_dir):
         for r in audio_energy(spark, sf_dir).collect()
     }
 
+    from mapreduceinfrastructure_spark.operators.multimodal import (
+        synth_media_header,
+    )
+
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     want = set()
     for doc_id, text in zip(
         tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
     ):
-        payload = (text or "").encode("utf-8")
+        payload = synth_media_header(doc_id) + (text or "").encode("utf-8")
         pcm = np.frombuffer(payload[: len(payload) // 2 * 2], dtype="<i2").astype(
             np.float64
         )

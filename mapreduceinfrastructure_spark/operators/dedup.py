@@ -1266,6 +1266,21 @@ def _prefix_frames(
     per-doc list is doc-length-bounded — the same per-doc
     materialization every shingle consumer already makes — and the
     verify stage consumes it directly (see _jaccard_verify).
+
+    ``by_doc`` is PERSISTED (MEMORY_AND_DISK): four downstream
+    subplans read it (both sides of the candidate self-join via
+    ``pref``, both sides of the verify) and Catalyst's ReusedExchange
+    only covers the bit-identical pair, so without it the shingle
+    explode + df agg + doc agg pipeline executes twice end to end
+    (measured at sf0.1: prefix_filter_neardup 3.04 → 2.49 s min,
+    ppjoin/pagerank_docs inherit).  persist() beats localCheckpoint
+    here specifically because the InMemoryRelation KEEPS plan stats —
+    an eager-checkpoint draft turned the scans into unknown-size
+    ExistingRDDs and Catalyst broadcast the ENTIRE exploded prefix
+    table into the self-join (6.1 s and a scale-killer).  The cached
+    footprint is the same per-doc-list the agg already materializes;
+    at 100 TB swap for a scratch-parquet write if executor storage
+    memory is contended.
     """
     sh = _shingles(spark, sf_dir)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -1276,6 +1291,7 @@ def _prefix_frames(
             F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("s")
         )
         .select("doc_id", F.size("s").cast("long").alias("n"), "s")
+        .persist()
     )
     prefix_len = (
         F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1
@@ -1295,10 +1311,29 @@ def _prefix_frames(
 
 def vcl_candidates(pref: DataFrame) -> DataFrame:
     """Vernica/Carey/Li candidates: prefix x prefix join on the
-    shingle, da < db, deduped — complete, positions unused."""
+    shingle, da < db, deduped — complete, positions unused.
+
+    Both sides are explicitly repartitioned on the join key at a
+    pinned width (the embedding_neardup_strict lesson, VERDICT r9 #6)
+    and the join is pinned to a shuffle-hash join: the prefix frame
+    reads from a cached relation whose pre-materialization size
+    Catalyst can't always estimate, and an unguarded plan broadcast
+    the ENTIRE exploded prefix table into the self-join (measured
+    6.1 s at sf0.1 — a single-threaded hash-table build, and a
+    scale-killer: the prefix table grows with the corpus).  The
+    explicit exchange keeps the join co-partitioned at a width AQE
+    won't coalesce into skew."""
+    from ..session import two_pass_rank_width
+
+    width = two_pass_rank_width(pref.sparkSession)
+    a = pref.select(F.col("doc_id").alias("da"), "shingle").repartition(
+        width, "shingle"
+    )
+    b = pref.select(F.col("doc_id").alias("db"), "shingle").repartition(
+        width, "shingle"
+    )
     return (
-        pref.select(F.col("doc_id").alias("da"), "shingle")
-        .join(pref.select(F.col("doc_id").alias("db"), "shingle"), "shingle")
+        a.join(b.hint("shuffle_hash"), "shingle")
         .filter(F.col("da") < F.col("db"))
         .select("da", "db")
         .distinct()
@@ -1329,7 +1364,16 @@ def ppjoin_candidates(pref: DataFrame) -> DataFrame:
     Groups are (da, db, na, nb): one algebraic agg computes k and the
     last shared positions; no window, no second pass over the prefix
     join output.
+
+    Width-pinned shuffle join on the shingle, as in
+    :func:`vcl_candidates` (the checkpointed prefix frame has no
+    size stats, and the unguarded plan broadcasts the full prefix
+    table into the self-join — wrong at any scale past toy).
     """
+    from ..session import two_pass_rank_width
+
+    width = two_pass_rank_width(pref.sparkSession)
+    pref = pref.repartition(width, "shingle")
     a = pref.select(
         F.col("doc_id").alias("da"),
         "shingle",
@@ -1391,6 +1435,8 @@ def _jaccard_verify(
     (round-half boundaries); the presentation queries apply
     round(j, 6) at their own output edge.
     """
+    from ..session import two_pass_rank_width
+
     lists = by_doc.select("doc_id", F.col("s.shingle").alias("ss"), "n")
     la = lists.select(
         F.col("doc_id").alias("da"), F.col("ss").alias("sa"), F.col("n").alias("na")
@@ -1400,8 +1446,15 @@ def _jaccard_verify(
     )
     i = F.size(F.array_intersect("sa", "sb")).cast("long")
     jac = i / (F.col("na") + F.col("nb") - i)
+    # Width pin (the semdedup AQE bytes-vs-compute case): the candidate
+    # frame is byte-small but each row costs an array_intersect over two
+    # full shingle lists, and AQE coalesces it to 1-2 partitions by
+    # size — serializing the verify compute (measured at sf0.1 on the
+    # 300k VCL candidates: verify 6.0 -> 1.9 s with the pin).
+    width = two_pass_rank_width(cand.sparkSession)
     return (
-        cand.join(la, "da")
+        cand.repartition(width, "da")
+        .join(la, "da")
         .join(lb, "db")
         .select("da", "db", jac.alias("j"))
         .filter(F.col("j") >= threshold)

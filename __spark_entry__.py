@@ -69,6 +69,42 @@ _MEDIA_HX = """
   )
 """
 
+# Byte-exact reparse of make_media_table payloads: fmt from signature
+# bytes, dims/channels from PNG IHDR / JPEG SOF0 fixed hex offsets,
+# the documented integer fake for raw payloads.  Shared by the
+# multimodal_features oracle and the media_type_profile rollup.
+_MEDIA_FEATURES_SQL = f"""
+    WITH {_MEDIA_HX},
+    g AS (
+      SELECT doc_id, hx, (length(hx) // 2)::BIGINT AS n_bytes,
+             CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+                  WHEN substr(hx, 1, 4) = 'FFD8' THEN 'jpeg'
+                  ELSE 'raw' END AS fmt
+      FROM med
+    ),
+    p AS (
+      SELECT doc_id, n_bytes, substr(hx, 1, 16) AS head_hex, fmt,
+             CASE fmt WHEN 'png' THEN ('0x' || substr(hx, 33, 8))::BIGINT
+                      WHEN 'jpeg' THEN ('0x' || substr(hx, 19, 4))::BIGINT
+                      ELSE greatest(1, least(1024, n_bytes // 64)) END AS width,
+             CASE fmt WHEN 'png' THEN ('0x' || substr(hx, 41, 8))::BIGINT
+                      WHEN 'jpeg' THEN ('0x' || substr(hx, 15, 4))::BIGINT
+                      ELSE NULL END AS height0,
+             CASE fmt WHEN 'png' THEN
+                    CASE substr(hx, 51, 2) WHEN '00' THEN 1 WHEN '02' THEN 3
+                         WHEN '03' THEN 1 WHEN '04' THEN 2 WHEN '06' THEN 4
+                         ELSE 0 END
+                  WHEN 'jpeg' THEN ('0x' || substr(hx, 23, 2))::BIGINT
+                  ELSE 3 END AS channels
+      FROM g
+    )
+    SELECT doc_id, n_bytes, head_hex, fmt, width,
+           coalesce(height0,
+                    greatest(1, n_bytes // greatest(1, 3 * width))) AS height,
+           channels
+    FROM p
+"""
+
 # Shared CTE fragments for the DuckDB oracles (token pipelines).
 _SQL_PAIRS = f"""
   WITH raw AS (
@@ -1199,6 +1235,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaps_islands": ts.gaps_islands,
         "kaplan_meier": ts.kaplan_meier,
         "sorted_neighborhood_neardup": dd.sorted_neighborhood_neardup,
+        # --- round-10 additions ---
+        "degree_assortativity": gr.degree_assortativity,
+        "cusum_drift": ts.cusum_drift,
+        "media_type_profile": mm.media_type_profile,
+        "rrf_fusion": sim.rrf_fusion,
+        "readability": ta.readability,
     }
     ordered = {k: reg[k] for k in DRIVER_WINDOW_R9}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
@@ -1648,37 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         # hex string — independent of the doc_id arithmetic that
         # GENERATED the headers, so a construction/parse mismatch on
         # either side fails the hash (VERDICT r9 #8)
-        "multimodal_features": f"""
-            WITH {_MEDIA_HX},
-            g AS (
-              SELECT doc_id, hx, (length(hx) // 2)::BIGINT AS n_bytes,
-                     CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
-                          WHEN substr(hx, 1, 4) = 'FFD8' THEN 'jpeg'
-                          ELSE 'raw' END AS fmt
-              FROM med
-            ),
-            p AS (
-              SELECT doc_id, n_bytes, substr(hx, 1, 16) AS head_hex, fmt,
-                     CASE fmt WHEN 'png' THEN ('0x' || substr(hx, 33, 8))::BIGINT
-                              WHEN 'jpeg' THEN ('0x' || substr(hx, 19, 4))::BIGINT
-                              ELSE greatest(1, least(1024, n_bytes // 64)) END AS width,
-                     CASE fmt WHEN 'png' THEN ('0x' || substr(hx, 41, 8))::BIGINT
-                              WHEN 'jpeg' THEN ('0x' || substr(hx, 15, 4))::BIGINT
-                              ELSE NULL END AS height0,
-                     CASE fmt WHEN 'png' THEN
-                            CASE substr(hx, 51, 2) WHEN '00' THEN 1 WHEN '02' THEN 3
-                                 WHEN '03' THEN 1 WHEN '04' THEN 2 WHEN '06' THEN 4
-                                 ELSE 0 END
-                          WHEN 'jpeg' THEN ('0x' || substr(hx, 23, 2))::BIGINT
-                          ELSE 3 END AS channels
-              FROM g
-            )
-            SELECT doc_id, n_bytes, head_hex, fmt, width,
-                   coalesce(height0,
-                            greatest(1, n_bytes // greatest(1, 3 * width))) AS height,
-                   channels
-            FROM p
-        """,
+        "multimodal_features": _MEDIA_FEATURES_SQL,
         "except_op": """
             SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000
             EXCEPT
@@ -3326,6 +3338,140 @@ def oracle_sql() -> dict[str, str]:
             JOIN op c ON b.ok = c.ok AND b.pk < c.pk
             GROUP BY 1, 2, 3 HAVING count(*) >= {gr.COPURCHASE_MIN_W}
         """,
+        # Newman r over the symmetrized edge list reduces to
+        # (M'·Σjk − (Σj)²) / (M'·Σj² − (Σj)²) — all-BIGINT sums, one
+        # final double division (round 6); degenerate (regular/empty)
+        # graphs emit 0.0 in both engines
+        "degree_assortativity": f"""
+            WITH op AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+            ),
+            e AS (
+              SELECT a.pk AS pa, b.pk AS pb
+              FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+              GROUP BY 1, 2 HAVING count(*) >= {gr.COPURCHASE_MIN_W}
+            ),
+            und AS (SELECT pa AS a, pb AS b FROM e
+                    UNION ALL SELECT pb, pa FROM e),
+            deg AS (SELECT a, count(*)::BIGINT AS d FROM und GROUP BY 1),
+            jk AS (
+              SELECT dx.d AS dx, dy.d AS dy
+              FROM und JOIN deg dx ON und.a = dx.a
+                       JOIN deg dy ON und.b = dy.a
+            ),
+            s AS (
+              SELECT count(*)::BIGINT AS m,
+                     coalesce(sum(dx), 0)::BIGINT AS sj,
+                     coalesce(sum(dx * dy), 0)::BIGINT AS sjk,
+                     coalesce(sum(dx * dx), 0)::BIGINT AS sjj
+              FROM jk
+            )
+            SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+                   (m // 2)::BIGINT AS n_edges,
+                   round(CASE WHEN m * sjj - sj * sj = 0 THEN 0.0::DOUBLE
+                              ELSE (m * sjk - sj * sj) / (m * sjj - sj * sj)
+                         END, 6) AS assortativity
+            FROM s
+        """,
+        # integer CUSUM: drift_i = |T·prefix_i − i·C| over hourly
+        # counts — every quantity BIGINT, argmax ties to earliest hour
+        "cusum_drift": """
+            WITH h AS (
+              SELECT event_type,
+                     epoch_us(ts) // 3600000000 AS hour_bucket,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT event_type, hour_bucket,
+                     sum(c) OVER (PARTITION BY event_type ORDER BY hour_bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS prefix,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY hour_bucket)::BIGINT AS i,
+                     sum(c) OVER (PARTITION BY event_type)::BIGINT AS total,
+                     count(*) OVER (PARTITION BY event_type)::BIGINT AS t_hours
+              FROM h
+            ),
+            d AS (
+              SELECT event_type, hour_bucket,
+                     abs(t_hours * prefix - i * total)::BIGINT AS drift,
+                     t_hours, total,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(t_hours * prefix - i * total) DESC,
+                                hour_bucket) AS rn
+              FROM p
+            )
+            SELECT event_type, hour_bucket AS peak_hour, drift AS max_drift,
+                   t_hours, total AS n_events
+            FROM d WHERE rn = 1
+        """,
+        # rollup over the byte-exact header reparse: int sums + two
+        # exact int/int means
+        "media_type_profile": f"""
+            WITH f AS ({_MEDIA_FEATURES_SQL})
+            SELECT fmt, count(*)::BIGINT AS n_docs,
+                   sum(n_bytes)::BIGINT AS total_bytes,
+                   round(sum(width) / count(*), 6) AS avg_width,
+                   round(sum(height) / count(*), 6) AS avg_height,
+                   sum(width * height * channels)::BIGINT AS px_volume
+            FROM f GROUP BY 1
+        """,
+        # RRF of the two driver-verified rankings: each contribution is
+        # one exact double division; a neighbor is in <= 2 lists so the
+        # score is at most one (commutative) IEEE addition
+        "rrf_fusion": f"""
+            WITH ex AS ({{COSINE_TOPK}}),
+            ap AS ({{ANN_LSH}}),
+            u AS (
+              SELECT qid, neighbor_id, rn FROM ex
+              UNION ALL
+              SELECT qid, neighbor_id, rn FROM ap
+            ),
+            g AS (
+              SELECT qid, neighbor_id,
+                     sum(1.0::DOUBLE / ({sim.RRF_K} + rn)) AS rrf,
+                     count(*)::BIGINT AS n_lists
+              FROM u GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY rrf DESC, neighbor_id
+              ) AS fused_rank FROM g
+            )
+            SELECT qid, neighbor_id, round(rrf, 6) AS rrf, n_lists,
+                   fused_rank
+            FROM r WHERE fused_rank <= {sim.TOPK}
+        """,
+        # Flesch proxy: int counts from the sentence_stats split + the
+        # module tokenizer; identical literal/division tree both sides
+        "readability": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     len(list_filter(
+                       list_transform(string_split_regex(text, '[.!?]'),
+                                      x -> trim(x)),
+                       x -> length(x) > 0))::BIGINT AS n_s,
+                     list_filter(string_split_regex(text, {_D}),
+                                 y -> length(y) > 0) AS t
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_s, len(t)::BIGINT AS n_w,
+                     coalesce(list_sum(list_transform(t, x -> length(x))),
+                              0)::BIGINT AS n_c
+              FROM s
+            )
+            SELECT doc_id, n_s AS n_sentences, n_w AS n_words,
+                   n_c AS n_chars,
+                   CASE WHEN n_s > 0 AND n_w > 0
+                        THEN round(206.835::DOUBLE
+                                   - 1.015::DOUBLE * (n_w / n_s)
+                                   - 84.6::DOUBLE * ((n_c / n_w) / 3.0::DOUBLE),
+                                   4)
+                        ELSE 0.0::DOUBLE END AS reading_ease
+            FROM c
+        """,
         # integer moments (x = qty as BIGINT, y = cents as BIGINT) make
         # n/sx/sy/sxx/syy/sxy exact in both engines; the closed-form
         # slope/intercept/r2 then runs identical IEEE double math
@@ -4558,6 +4704,14 @@ def oracle_sql() -> dict[str, str]:
     # component min) frame as dedup_clusters from the same edge
     # generation — one oracle, two driver-gated CC algorithms.
     sqls["cc_star"] = sqls["dedup_clusters"]
+    # rrf_fusion composes the two ranking oracles verbatim as CTE
+    # bodies (the fused result must be exactly the fusion of what the
+    # driver already verifies for each list).
+    sqls["rrf_fusion"] = (
+        sqls["rrf_fusion"]
+        .replace("{COSINE_TOPK}", sqls["cosine_topk"])
+        .replace("{ANN_LSH}", sqls["ann_lsh"])
+    )
     sqls["skew_profile"] = _skew_profile_sql()
     # zorder_layout: the oracle recomputes every per-file min/max
     # envelope from lineitem with the same 16-bit grid + Morton

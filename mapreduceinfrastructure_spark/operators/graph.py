@@ -961,3 +961,53 @@ def basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_orders"))
         .filter(F.col("n_orders") >= COPURCHASE_MIN_W)
     )
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002 Pearson degree-degree
+    correlation) of the co-purchase graph — the one-number structure
+    audit that separates hub-and-spoke catalogs (r < 0: popular parts
+    co-purchased with long-tail parts) from clique-ish ones (r > 0),
+    run before trusting degree-based cuts like kcore_peel's.
+
+    Exactness: over the SYMMETRIZED edge list (both orientations),
+    Newman's r reduces to (M'·Σjk − (Σj)²) / (M'·Σj² − (Σj)²) because
+    the j- and k-marginals coincide — numerator and denominator are
+    pure BIGINT sums of degree products, so the only float op is the
+    final division (bit-identical cross-engine; round(6) at the edge).
+    At sf magnitudes the products stay far under 2^63; a trillion-edge
+    run promotes the two Σ products to DECIMAL(38,0) and keeps the
+    plan (the neyman_allocation convention).
+
+    Scale shape: one degree agg over the endpoint stream (map-side
+    partials), two node-keyed joins to attach endpoint degrees (the
+    degree table is |V| rows — broadcastable at any realistic part
+    catalog; left as a plain join so AQE picks by stats), one global
+    algebraic agg.  No window, no iteration.
+    """
+    e = copurchase_edges(spark, sf_dir)
+    und = e.select(F.col("pa").alias("a"), F.col("pb").alias("b")).union(
+        e.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+    jk = (
+        und.join(deg, "a")
+        .select(F.col("d").alias("dx"), "b")
+        .join(deg.select(F.col("a").alias("b"), F.col("d").alias("dy")), "b")
+    )
+    s = jk.agg(
+        F.count("*").cast("long").alias("m"),
+        F.coalesce(F.sum("dx"), F.lit(0)).alias("sj"),
+        F.coalesce(F.sum(F.col("dx") * F.col("dy")), F.lit(0)).alias("sjk"),
+        F.coalesce(F.sum(F.col("dx") * F.col("dx")), F.lit(0)).alias("sjj"),
+    )
+    n_nodes = deg.select(F.count("*").cast("long").alias("n_nodes"))
+    num = F.col("m") * F.col("sjk") - F.col("sj") * F.col("sj")
+    den = F.col("m") * F.col("sjj") - F.col("sj") * F.col("sj")
+    return s.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.when(den != 0, num / den).otherwise(F.lit(0.0)), 6
+        ).alias("assortativity"),
+    )

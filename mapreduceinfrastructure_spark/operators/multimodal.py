@@ -354,3 +354,34 @@ def audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: hop-windowed RMS energy over the media table's
     payloads (see audio_windows)."""
     return audio_windows(make_media_table(spark, sf_dir))
+
+
+def media_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-FORMAT MEDIA PROFILE over the decoded feature table: doc
+    count, total payload bytes, mean decoded width/height, and the
+    total pixel volume (w*h*channels — the byte budget a real decode
+    stage must provision for) — the capacity-planning aggregate a
+    multimodal ingestion pipeline reads before sizing its decode
+    fleet.  Runs entirely on :func:`extract_features`' output, so the
+    header decode itself feeds the driver gate a second way.
+
+    Exactness: counts/sums are BIGINT; the two means are exact-integer
+    sums divided by the group count (bit-identical int/int division in
+    both engines), rounded at 6.
+
+    Scale shape: the mapInPandas decode (no shuffle) collapses into a
+    |formats|-row hash agg with map-side partials — media bytes never
+    shuffle.
+    """
+    feats = extract_features(make_media_table(spark, sf_dir))
+    return feats.groupBy("fmt").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.round(F.sum("width") / F.count("*"), 6).alias("avg_width"),
+        F.round(F.sum("height") / F.count("*"), 6).alias("avg_height"),
+        F.sum(
+            F.col("width").cast("long")
+            * F.col("height").cast("long")
+            * F.col("channels").cast("long")
+        ).cast("long").alias("px_volume"),
+    )

@@ -999,3 +999,55 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_centroids = centroids
         centroids = new_centroids
     return spark.createDataFrame(curve, schema=schema)
+
+
+# Reciprocal-rank-fusion constant (Cormack/Clarke/Buettcher 2009's
+# standard k = 60) and the fused-list depth.
+RRF_K = 60
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL RANK FUSION of the exact and the ANN retrieval lists:
+    per query, fuse :func:`cosine_topk`'s brute-force top-5 with
+    :func:`ann_lsh`'s bucketed top-5 by RRF score
+    Σ_lists 1/(RRF_K + rank) — the standard zero-tuning rank fusion a
+    retrieval pipeline uses to combine rankers with incomparable
+    scores (Cormack, Clarke & Buettcher, SIGIR 2009).  Neighbors both
+    lists agree on float to the top; ANN-only candidates surface with
+    one-list scores — the fused list is a practical recall hedge while
+    the ANN index warms or drifts.
+
+    Exactness: each rank contribution 1/(60+r) is one exact double
+    division of small integers; a neighbor appears in at most two
+    lists, so the score is at most ONE IEEE addition (commutative —
+    order-free), and ties in the fused ordering break by neighbor id.
+    Both input rankings are themselves driver-verified (oracle-exact),
+    so the fusion inherits determinism end to end.
+
+    Scale shape: two already-bounded top-k frames (|queries| × k rows
+    each) union, one (qid, neighbor)-keyed agg, one qid-partitioned
+    window — everything after the input operators is query-set-sized.
+    """
+    exact = cosine_topk(spark, sf_dir).select(
+        "qid", "neighbor_id", F.col("rn").alias("r")
+    )
+    approx = ann_lsh(spark, sf_dir).select(
+        "qid", "neighbor_id", F.col("rn").alias("r")
+    )
+    both = exact.unionByName(approx)
+    scored = both.groupBy("qid", "neighbor_id").agg(
+        F.sum(F.lit(1.0) / (F.lit(RRF_K) + F.col("r"))).alias("rrf"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= TOPK)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.round("rrf", 6).alias("rrf"),
+            "n_lists",
+            "fused_rank",
+        )
+    )

@@ -598,3 +598,53 @@ def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(sents),
         ).otherwise(F.lit(0.0)).alias("avg_sentence_tokens"),
     )
+
+
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH-STYLE READABILITY PROXY per document: reading-ease score
+    computed from words-per-sentence and characters-per-word (the
+    chars/3 syllable proxy — no dictionary needed), the doc-level
+    quality feature a curation pipeline thresholds next to
+    quality_score's token ratios.  Low scores flag run-on legalese
+    and machine-generated walls; implausibly high scores flag
+    fragment spam — both invisible to token-level screens.
+
+    score = 206.835 − 1.015·(W/S) − 84.6·((C/W)/3)
+
+    Exactness: S, W, C are integers (the sentence_stats [.!?] split
+    and the module tokenizer, both already driver-verified); each
+    ratio is one exact int/int double division, each product one
+    multiplication by the same literal, and the subtraction tree is
+    written identically in both engines — bit-identical before the
+    final round(4).  Zero-sentence/zero-word docs emit 0.0 rather
+    than dividing by zero.
+
+    Scale shape: pure per-row array expressions in whole-stage
+    codegen — a map-only corpus pass, no shuffle at all (the
+    sentence_stats shape).
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    toks = tokens_expr("text")
+    n_s = F.size(sents).cast("long")
+    n_w = F.size(toks).cast("long")
+    n_c = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_w / n_s)
+        - F.lit(84.6) * ((n_c / n_w) / F.lit(3.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_s.alias("n_sentences"),
+        n_w.alias("n_words"),
+        n_c.alias("n_chars"),
+        F.when((n_s > 0) & (n_w > 0), F.round(score, 4))
+        .otherwise(F.lit(0.0))
+        .alias("reading_ease"),
+    )

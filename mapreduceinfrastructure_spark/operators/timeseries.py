@@ -649,3 +649,84 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("surv"),
         )
     )
+
+
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATE-DRIFT DETECTION per event type via an integer CUSUM over
+    hourly event counts: with hourly counts c_1..c_T (total C), the
+    scaled cumulative deviation at hour i is
+
+        drift_i = |T * prefix_i  -  i * C|
+
+    — T times the classic CUSUM against the mean rate C/T, kept in
+    BIGINT so the whole trajectory (and the reported argmax) is exact
+    integer arithmetic, no float mean anywhere.  The peak hour is
+    where the event rate regime shifts (ingestion gaps, burst starts)
+    — the monitoring pass a pipeline runs before trusting
+    time-windowed aggregates of a feed.  Ties take the earliest hour.
+
+    Scale shape: one (type, hour)-keyed count agg (map-side partials)
+    collapses the corpus to T rows per type; the prefix sum and the
+    totals are windows over that tiny frame (type-partitioned — no
+    global single-partition window); one argmax row_number picks the
+    peak.  Nothing after the first agg touches corpus-scale data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hours = (
+        ev.select(
+            "event_type",
+            # exact integer hour: subtract the modulo before the divide
+            # so the double division is of an exact multiple (ts is
+            # positive epoch micros, so truncation == floor, matching
+            # the oracle's integer //)
+            (
+                (event_ts_us(ev) - event_ts_us(ev) % F.lit(3_600_000_000))
+                / F.lit(3_600_000_000)
+            )
+            .cast("long")
+            .alias("hour_bucket"),
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wseq = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    pref = hours.select(
+        "event_type",
+        "hour_bucket",
+        F.sum("c").over(wseq).alias("prefix"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hour_bucket"))
+        .cast("long")
+        .alias("i"),
+        F.sum("c").over(wall).alias("total"),
+        F.count("*").over(wall).cast("long").alias("t_hours"),
+    )
+    drift = pref.select(
+        "event_type",
+        "hour_bucket",
+        "i",
+        "t_hours",
+        "total",
+        F.abs(
+            F.col("t_hours") * F.col("prefix") - F.col("i") * F.col("total")
+        ).alias("drift"),
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.desc("drift"), F.col("hour_bucket")
+    )
+    return (
+        drift.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour_bucket").alias("peak_hour"),
+            F.col("drift").alias("max_drift"),
+            "t_hours",
+            F.col("total").alias("n_events"),
+        )
+    )

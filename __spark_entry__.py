@@ -930,73 +930,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # round's list (most-recently-changed operators first once the full
 # registry has banked rows).
 #
-# r9 composition — REGRESSION MODE, generated verbatim by
-# `python scripts/rotation.py` (provenance tag per entry): the 2
-# fidelity anchors, the 22 never-banked entries (the three late-r8
-# snapshot ops ohlc_bars / scd2_intervals / market_basket_rules —
-# VERDICT r8 #1 — the 16 round-9 additions, and the 3 newly
-# oracle-backed md5 sketch ops simhash / simhash_neardup /
-# minhash_lsh_neardup — VERDICT r8 #3), then every oracle-backed
-# query whose defining module changed in git AFTER its last banked
-# green driver row, newest change first.  The stale set again exceeds
-# the window: the r9 commits touched advanced/graph/timeseries/
-# pipeline/dedup, so those families re-staled ahead of the r7-banked
-# streaming/sketches families and the dedup tail below the cut —
-# they roll to r10 (run rotation.py again next round).  Every
+# r10 composition — REGRESSION MODE, generated verbatim by
+# `python scripts/rotation.py --must pagerank_docs,prefix_filter_neardup,
+# ppjoin_neardup,cluster_diameter,containment_neardup,multimodal_features,
+# frame_offsets,streaming_abandoned_views,neyman_allocation`
+# (provenance tag per entry): the 2 fidelity anchors; the 8
+# never-banked entries (the 3 newly oracle-backed rows-only retirees
+# ann_lsh / ann_ivf / audio_energy — VERDICT r9 #3/#4/#7 — plus the 5
+# round-10 additions); the 9 --must entries whose implementation
+# materially changed this round (the dedup prefix-family speedups,
+# the pagerank_docs lean loop, the media header decode, the
+# abandoned-views empty-input fix, the neyman overflow guard); then
+# the stale tail OLDEST BANKED EVIDENCE FIRST (r10 ordering change in
+# rotation.py: with most modules touched every round, the former
+# newest-change-first sort tie-degenerated to registry order and kept
+# displacing the same old tail — ADVICE r9).  Burn-down: 31 of the 40
+# non-anchor/non-new slots re-verify r2-r5-banked evidence.  Every
 # windowed entry has an exact DuckDB oracle (pinned by
 # tests/test_oracle_parity.py::test_driver_window_is_oracle_backed).
-DRIVER_WINDOW_R9 = [
+DRIVER_WINDOW_R10 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "market_basket_rules",  # never banked
-    "clustering_coeff",  # never banked
-    "streaming_ohlc",  # never banked
-    "sssp_parts",  # never banked
-    "streaming_abandoned_views",  # never banked
-    "basket_triples",  # never banked
-    "sentence_stats",  # never banked
-    "neyman_allocation",  # never banked
-    "oov_rate",  # never banked
-    "evolution_roundtrip",  # never banked
-    "dq_referential_audit",  # never banked
-    "array_funcs_catalog",  # never banked
-    "null_safe_join",  # never banked
-    "ivm_source_stats",  # never banked
-    "linreg_by_group",  # never banked
-    "weighted_median",  # never banked
-    "benford_digits",  # never banked
-    "ohlc_bars",  # never banked
-    "scd2_intervals",  # never banked
-    "interval_concurrency",  # never banked
-    "mad_outliers",  # never banked
-    "event_trigrams",  # never banked
-    "gaps_islands",  # never banked
-    "kaplan_meier",  # never banked
-    "simhash",  # never banked
-    "simhash_neardup",  # never banked
-    "minhash_lsh_neardup",  # never banked
-    "sorted_neighborhood_neardup",  # never banked
-    "frame_offsets",  # stale (changed after r8 row)
-    "pagerank_docs",  # stale (changed after r8 row)
-    "cc_star",  # stale (changed after r8 row)
-    "kcore_peel",  # stale (changed after r8 row)
-    "pagerank_nations",  # stale (changed after r6 row)
-    "trade_edges",  # stale (changed after r6 row)
-    "zipf_slope",  # stale (changed after r6 row)
-    "streaming_sessions",  # stale (changed after r6 row)
-    "streaming_enriched_revenue",  # stale (changed after r6 row)
-    "streaming_curated_ingest",  # stale (changed after r6 row)
-    "inverted_index",  # stale (changed after r5 row)
-    "token_stats",  # stale (changed after r5 row)
-    "triangle_count",  # stale (changed after r7 row)
-    "streaming_active_users",  # stale (changed after r5 row)
-    "streaming_hourly_counts",  # stale (changed after r5 row)
-    "tf_idf",  # stale (changed after r4 row)
-    "word_pmi",  # stale (changed after r4 row)
-    "pii_scrub",  # stale (changed after r4 row)
-    "stratified_sample",  # stale (changed after r4 row)
-    "trade_flows_2hop",  # stale (changed after r4 row)
+    "ann_ivf",  # never banked
+    "ann_lsh",  # never banked
+    "audio_energy",  # never banked
+    "cusum_drift",  # never banked
+    "degree_assortativity",  # never banked
+    "media_type_profile",  # never banked
+    "readability",  # never banked
+    "rrf_fusion",  # never banked
+    "multimodal_features",  # must: materially changed (last banked r5)
+    "prefix_filter_neardup",  # must: materially changed (last banked r7)
+    "cluster_diameter",  # must: materially changed (last banked r8)
+    "containment_neardup",  # must: materially changed (last banked r8)
+    "ppjoin_neardup",  # must: materially changed (last banked r8)
+    "frame_offsets",  # must: materially changed (last banked r9)
+    "pagerank_docs",  # must: materially changed (last banked r9)
+    "neyman_allocation",  # must: materially changed (last banked r9)
+    "streaming_abandoned_views",  # must: materially changed (last banked r9)
+    "bpe_token_count",  # stale (changed after r2 row)
+    "rolling_fingerprint",  # stale (changed after r2 row)
+    "bigram_count",  # stale (changed after r3 row)
+    "fingerprint",  # stale (changed after r3 row)
+    "quality_score",  # stale (changed after r3 row)
+    "global_rank",  # stale (changed after r3 row)
+    "join_semi",  # stale (changed after r3 row)
+    "pivot_status",  # stale (changed after r3 row)
+    "set_ops",  # stale (changed after r3 row)
+    "topk_global",  # stale (changed after r3 row)
+    "window_running",  # stale (changed after r3 row)
+    "event_transitions",  # stale (changed after r4 row)
+    "source_overlap",  # stale (changed after r4 row)
+    "keep_best_dedup",  # stale (changed after r4 row)
+    "mixture_weights",  # stale (changed after r4 row)
+    "distinct_count",  # stale (changed after r4 row)
+    "join_anti",  # stale (changed after r4 row)
+    "funnel_conversion",  # stale (changed after r5 row)
+    "gap_fill",  # stale (changed after r5 row)
+    "retention_cohorts",  # stale (changed after r5 row)
+    "rolling_time_window",  # stale (changed after r5 row)
+    "dup_spans",  # stale (changed after r5 row)
+    "fuzzy_blocked_join",  # stale (changed after r5 row)
+    "curation_pipeline",  # stale (changed after r5 row)
+    "data_mixture",  # stale (changed after r5 row)
+    "decontamination",  # stale (changed after r5 row)
+    "pack_sequences",  # stale (changed after r5 row)
+    "repetition_filter",  # stale (changed after r5 row)
+    "split_assign",  # stale (changed after r5 row)
+    "unigram_logprob_score",  # stale (changed after r5 row)
+    "distributed_sort",  # stale (changed after r5 row)
 ]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rows-only-by-design variants (bpe_merges, approx_distinct_users —
@@ -1006,7 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_lsh / ann_ivf / audio_energy left it in r10 (plane-literal
     # fold replay, unrolled Lloyd CTE, hex-domain PCM replay).
     reg = {
-        # (registry order is historical; DRIVER_WINDOW_R9 defines the
+        # (registry order is historical; DRIVER_WINDOW_R10 defines the
         #  verified window — see the note above)
         "word_count": ta.word_count,
         "grep": ta.grep,
@@ -1242,7 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": sim.rrf_fusion,
         "readability": ta.readability,
     }
-    ordered = {k: reg[k] for k in DRIVER_WINDOW_R9}
+    ordered = {k: reg[k] for k in DRIVER_WINDOW_R10}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
     return ordered
 

@@ -109,6 +109,14 @@ NOTES = {
     "array_funcs_catalog": "pure per-row projection inside one WholeStageCodegen span — no Exchange anywhere in the plan; ReadSchema pruned to (doc_id, text)",
     "null_safe_join": "both joins broadcast the 3-row derived dim; the <=> join shows the null-safe EqualNullSafe condition where the plain join shows EqualTo — the semantic pin is the point, the physical plan is two broadcast probes",
     "ivm_source_stats": "the maintenance read: base aggregate arrives as a parquet scan of the MATERIALIZED view (4 pruned columns), the delta is a delta-sized agg, and the merge is one |sources|-row groupBy — the base corpus appears nowhere in this plan, which is the IVM contract made visible",
+    "ann_lsh": "corpus emits 8 keys/vector, the 50-query multiprobe side (5 keys/table) rides a BroadcastExchange into the bucket join; candidate dedup + exact-cosine verify + WindowGroupLimit top-5 all bounded by bucket collisions, never corpus²",
+    "ann_ivf": "final assignment scan (broadcast centroids, min_by argmin — no window sort over the corpus×k pairs), nprobe probe selection on the |q|×k frame, and the per-cluster candidate join keyed on cid — each query touches ~nprobe/k of the corpus by construction",
+    "audio_energy": "ONE mapInPandas pass (ArrowEvalPython in-plan): PCM decode + hop windows vectorized per Arrow batch, rows out ~|samples|/HOP per doc — no shuffle anywhere, media bytes never leave the scan partition",
+    "degree_assortativity": "degree agg with map-side partials, two node-keyed degree joins (AQE broadcasts the |V|-row degree table at runtime), ONE global algebraic agg — four BIGINT moments, the correlation arithmetic is a 1-row projection",
+    "cusum_drift": "corpus collapses in the FIRST hash agg to (type, hour) rows; every window after (prefix sum, totals, argmax rank) is type-partitioned over that tiny frame — no global single-partition window",
+    "media_type_profile": "the mapInPandas decode feeds a |formats|-row hash agg with partial aggregation — media bytes never shuffle; the plan is scan → ArrowEvalPython → partial/final agg",
+    "rrf_fusion": "two bounded top-k subplans (broadcast query sides) union into a (qid, neighbor)-keyed agg and one qid-partitioned WindowGroupLimit — everything after the input rankers is |queries|×k-sized",
+    "readability": "pure per-row array folds (sentence split + token folds) in one WholeStageCodegen span; ReadSchema pruned to (doc_id, text); zero Exchange",
 }
 
 

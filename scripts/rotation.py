@@ -97,7 +97,21 @@ def banked_rounds() -> dict[str, int]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--window", type=int, default=50)
+    ap.add_argument(
+        "--must",
+        default="",
+        help=(
+            "comma-separated queries whose implementation MATERIALLY "
+            "changed this round — placed directly after the "
+            "never-banked block regardless of stale ordering.  Module-"
+            "granular change detection can't tell a material rewrite "
+            "from a docstring touch, and in a round that touches many "
+            "modules the tie-sort can push exactly the rewritten "
+            "queries below the cut (ADVICE r9 on cluster_diameter)."
+        ),
+    )
     args = ap.parse_args()
+    must = [s for s in args.must.split(",") if s]
 
     import __spark_entry__ as e
 
@@ -133,9 +147,24 @@ def main() -> None:
     ]
     # never-banked queries first (no external evidence AT ALL beats
     # stale evidence — without this, a new operator sharing a module
-    # mtime with many stale siblings can tie-sort past the window cut),
-    # then most-recently-changed first.
-    stale.sort(key=lambda n: (n in banked, -changed_ts(n)))
+    # mtime with many stale siblings can tie-sort past the window cut);
+    # then --must (materially changed this round); then OLDEST BANKED
+    # EVIDENCE first (r10 policy change: in a round that touches most
+    # modules, every stale entry carries the same change-ts and the
+    # former newest-change-first sort degenerated to registry order,
+    # repeatedly displacing the same old-evidence tail — exactly the
+    # dedup family ADVICE r9 flagged).  change_ts DESC breaks bank-
+    # round ties so the most recently touched of equally-old evidence
+    # re-verifies first.
+    stale.sort(
+        key=lambda n: (
+            n in banked,
+            n in banked and n not in must,
+            banked.get(n, 0),
+            -changed_ts(n),
+            n,
+        )
+    )
     fresh = [
         n for n in candidates if n not in ANCHORS and n not in stale
     ]
@@ -148,7 +177,11 @@ def main() -> None:
             "anchor" if n in ANCHORS
             else "never banked"
             if n not in banked
-            else f"stale (changed after r{banked[n]} row)"
+            else (
+                f"must: materially changed (last banked r{banked[n]})"
+                if n in must
+                else f"stale (changed after r{banked[n]} row)"
+            )
             if n in stale
             else f"backfill (last banked r{banked[n]})"
         )

@@ -28,56 +28,55 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
-    "market_basket_rules",  # never banked
-    "clustering_coeff",  # never banked
-    "streaming_ohlc",  # never banked
-    "sssp_parts",  # never banked
-    "streaming_abandoned_views",  # never banked
-    "basket_triples",  # never banked
-    "sentence_stats",  # never banked
-    "neyman_allocation",  # never banked
-    "oov_rate",  # never banked
-    "evolution_roundtrip",  # never banked
-    "dq_referential_audit",  # never banked
-    "array_funcs_catalog",  # never banked
-    "null_safe_join",  # never banked
-    "ivm_source_stats",  # never banked
-    "linreg_by_group",  # never banked
-    "weighted_median",  # never banked
-    "benford_digits",  # never banked
-    "ohlc_bars",  # never banked
-    "scd2_intervals",  # never banked
-    "interval_concurrency",  # never banked
-    "mad_outliers",  # never banked
-    "event_trigrams",  # never banked
-    "gaps_islands",  # never banked
-    "kaplan_meier",  # never banked
-    "simhash",  # never banked
-    "simhash_neardup",  # never banked
-    "minhash_lsh_neardup",  # never banked
-    "sorted_neighborhood_neardup",  # never banked
-    "frame_offsets",  # stale (changed after r8 row)
-    "pagerank_docs",  # stale (changed after r8 row)
-    "cc_star",  # stale (changed after r8 row)
-    "kcore_peel",  # stale (changed after r8 row)
-    "pagerank_nations",  # stale (changed after r6 row)
-    "trade_edges",  # stale (changed after r6 row)
-    "zipf_slope",  # stale (changed after r6 row)
-    "streaming_sessions",  # stale (changed after r6 row)
-    "streaming_enriched_revenue",  # stale (changed after r6 row)
-    "streaming_curated_ingest",  # stale (changed after r6 row)
-    "inverted_index",  # stale (changed after r5 row)
-    "token_stats",  # stale (changed after r5 row)
-    "triangle_count",  # stale (changed after r7 row)
-    "streaming_active_users",  # stale (changed after r5 row)
-    "streaming_hourly_counts",  # stale (changed after r5 row)
-    "tf_idf",  # stale (changed after r4 row)
-    "word_pmi",  # stale (changed after r4 row)
-    "pii_scrub",  # stale (changed after r4 row)
-    "stratified_sample",  # stale (changed after r4 row)
-    "trade_flows_2hop",  # stale (changed after r4 row)
+    "ann_ivf",  # never banked
+    "ann_lsh",  # never banked
+    "audio_energy",  # never banked
+    "cusum_drift",  # never banked
+    "degree_assortativity",  # never banked
+    "media_type_profile",  # never banked
+    "readability",  # never banked
+    "rrf_fusion",  # never banked
+    "multimodal_features",  # must: materially changed (last banked r5)
+    "prefix_filter_neardup",  # must: materially changed (last banked r7)
+    "cluster_diameter",  # must: materially changed (last banked r8)
+    "containment_neardup",  # must: materially changed (last banked r8)
+    "ppjoin_neardup",  # must: materially changed (last banked r8)
+    "frame_offsets",  # must: materially changed (last banked r9)
+    "pagerank_docs",  # must: materially changed (last banked r9)
+    "neyman_allocation",  # must: materially changed (last banked r9)
+    "streaming_abandoned_views",  # must: materially changed (last banked r9)
+    "bpe_token_count",  # stale (changed after r2 row)
+    "rolling_fingerprint",  # stale (changed after r2 row)
+    "bigram_count",  # stale (changed after r3 row)
+    "fingerprint",  # stale (changed after r3 row)
+    "quality_score",  # stale (changed after r3 row)
+    "global_rank",  # stale (changed after r3 row)
+    "join_semi",  # stale (changed after r3 row)
+    "pivot_status",  # stale (changed after r3 row)
+    "set_ops",  # stale (changed after r3 row)
+    "topk_global",  # stale (changed after r3 row)
+    "window_running",  # stale (changed after r3 row)
+    "event_transitions",  # stale (changed after r4 row)
+    "source_overlap",  # stale (changed after r4 row)
+    "keep_best_dedup",  # stale (changed after r4 row)
+    "mixture_weights",  # stale (changed after r4 row)
+    "distinct_count",  # stale (changed after r4 row)
+    "join_anti",  # stale (changed after r4 row)
+    "funnel_conversion",  # stale (changed after r5 row)
+    "gap_fill",  # stale (changed after r5 row)
+    "retention_cohorts",  # stale (changed after r5 row)
+    "rolling_time_window",  # stale (changed after r5 row)
+    "dup_spans",  # stale (changed after r5 row)
+    "fuzzy_blocked_join",  # stale (changed after r5 row)
+    "curation_pipeline",  # stale (changed after r5 row)
+    "data_mixture",  # stale (changed after r5 row)
+    "decontamination",  # stale (changed after r5 row)
+    "pack_sequences",  # stale (changed after r5 row)
+    "repetition_filter",  # stale (changed after r5 row)
+    "split_assign",  # stale (changed after r5 row)
+    "unigram_logprob_score",  # stale (changed after r5 row)
+    "distributed_sort",  # stale (changed after r5 row)
 ]
-
 
 def test_driver_window_is_oracle_backed():
     window = list(QUERIES)[:50]

@@ -23,7 +23,14 @@ instead:
    whose min still exceeds its previous recorded artifact value
    (latest BENCH_r*.json next to this file, queries_min preferred) by
    >20% — a genuine plan regression survives the re-runs, a tail-end
-   noise burst does not — and logs what it did under ``reruns``.
+   noise burst does not — and logs what it did under ``reruns``;
+4. samples a FIXED synthetic calibration workload once per series and
+   reports its min as ``calib_sec`` (round-10): per-round artifacts are
+   recorded on different VMs whose steady-state speed differs by 25-35%
+   on identical code — a band shift, not a burst, so (1)-(3) cannot
+   remove it.  calib_sec moves with the host band and not with the
+   operator code; dividing two rounds' calib_sec gives the denominator
+   that separates real plan changes from a slower host.
 """
 
 from __future__ import annotations
@@ -39,6 +46,8 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from mapreduceinfrastructure_spark.session import get_spark  # noqa: E402
 
@@ -194,6 +203,28 @@ def main() -> None:
     n_series = int(os.environ.get("SPARK_GRAFT_BENCH_SERIES", "3"))
     n_reruns = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS", "2"))
 
+    def run_calib(_):
+        # VM-speed calibration probe (round-10): a FIXED synthetic
+        # workload — 50M-row range, hash, 1024-key shuffle agg — that
+        # never changes with the operator code, sampled once per series
+        # exactly like a query and reported as ``calib_sec``.  Rationale:
+        # the per-round artifacts are recorded on whatever VM hosts the
+        # round, and identical code measured 65.8 s (r9 VM) vs 74.8/76.8 s
+        # (r10 VM, two runs) with untouched trivial queries (word_count,
+        # tpch_q6, dedup_exact) uniformly +25-35% — host-band drift the
+        # min-of-interleaved-series protocol cannot remove because it is
+        # not a burst.  calib_sec moves with the host band and not with
+        # the code, so round-over-round comparisons can normalize:
+        # value / (calib_sec ratio) isolates real plan changes.
+        (
+            spark.range(0, 50_000_000, 1, 32)
+            .groupBy((F.col("id") % 1024).alias("k"))
+            .agg(F.sum(F.hash("id")).alias("s"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
     def run_query(name):
         qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
@@ -217,9 +248,8 @@ def main() -> None:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
-    items: list[tuple[str, object]] = [
-        (n, run_query) for n in HEADLINE if n in qs
-    ]
+    items: list[tuple[str, object]] = [("_calib", run_calib)]
+    items += [(n, run_query) for n in HEADLINE if n in qs]
     items += [
         ("dedup_clusters_banded", lambda _: run_banded("dedup_clusters")),
         ("incremental_dedup_banded", lambda _: run_banded("incremental_dedup")),
@@ -277,9 +307,12 @@ def main() -> None:
     timings: dict[str, float | None] = {}
     timings_median: dict[str, float | None] = {}
     for name, _ in items:
+        if name == "_calib":
+            continue  # reported as calib_sec, never in the query total
         s = sorted(samples[name])
         timings[name] = round(s[0], 3) if s else None
         timings_median[name] = round(s[len(s) // 2], 3) if s else None
+    calib = sorted(samples.get("_calib", []))
 
     measured = [t for t in timings.values() if t is not None]
     out = {
@@ -291,6 +324,9 @@ def main() -> None:
         "queries": timings,
         "series": n_series,
         "sf": float(sf),
+        # code-independent VM-speed probe (see run_calib) — divide two
+        # rounds' calib_sec to get the host-band ratio between them
+        "calib_sec": round(calib[0], 3) if calib else None,
     }
     if errors:
         out["errors"] = errors

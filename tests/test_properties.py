@@ -76,3 +76,114 @@ def test_rows_only_queries_are_deterministic(spark, sf_dir):
         b = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
         assert a == b, f"{name} not deterministic across runs"
         assert a, f"{name} returned no rows at sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# round-10 additions: the two algorithmic kernels the query surface leans
+# on hardest — connected_components (all near-dup clustering) and the
+# md5-derived minhash/band arithmetic (what retired the sketch family's
+# rows-only status) — each against an independent pure-Python model on
+# hypothesis-random input, not just the fixed test corpus.
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark, raw_edges):
+    """connected_components == union-find min-labels on random graphs
+    (chains, cycles, stars, multi-edges, disconnected nodes)."""
+    from mapreduceinfrastructure_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = {n for e in edges for n in e}
+    for n in nodes:
+        parent[n] = n
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(ns) for ns in comp.values() for n in ns}
+
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "a long, b long")
+    got = {
+        r["node"]: r["label"] for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.dictionaries(
+        keys=st.integers(0, 5),
+        values=st.lists(
+            st.text(alphabet=st.sampled_from(list("abc xyz0189")), min_size=1, max_size=12),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_minhash_and_bands_match_python_md5_model(spark, docs):
+    """minhash_signatures + _bands == the pure-Python md5/universal-hash
+    model on random shingle sets — the same arithmetic the DuckDB
+    oracles replay, validated here on inputs the corpus never covers."""
+    import hashlib
+
+    from mapreduceinfrastructure_spark.operators.dedup import (
+        MH_A,
+        MH_B,
+        MH_BAND_MULT,
+        MH_PRIME,
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+        _MH_K,
+        _bands,
+        minhash_signatures,
+    )
+
+    def py_hash48(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+
+    def py_sig(shingles: list[str]) -> list[int]:
+        return [
+            min((MH_A[i] * py_hash48(s) + MH_B[i]) % MH_PRIME for s in set(shingles))
+            for i in range(_MH_K)
+        ]
+
+    rows = [(d, s) for d, ss in docs.items() for s in ss]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+    sigs = minhash_signatures(spark, sf_dir="", shingles=df)
+    got_sigs = {r["doc_id"]: list(r["sig"]) for r in sigs.collect()}
+    want_sigs = {d: py_sig(ss) for d, ss in docs.items()}
+    assert got_sigs == want_sigs
+
+    got_bands = {
+        (r["doc_id"], r["band"]): r["bucket"] for r in _bands(sigs).collect()
+    }
+    for d, sig in want_sigs.items():
+        for band in range(MINHASH_BANDS):
+            b = sig[band * MINHASH_ROWS]
+            for h in sig[band * MINHASH_ROWS + 1 : (band + 1) * MINHASH_ROWS]:
+                b = (b * MH_BAND_MULT + h) % MH_PRIME
+            assert got_bands[(d, band)] == b

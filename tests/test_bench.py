@@ -58,5 +58,11 @@ def test_bench_contract_smoke():
     # full diagnostics land in the BENCH_FULL.json side file
     full = json.load(open(full_path))
     assert set(full["queries_median"]) == set(out["queries"])
-    assert set(full["samples"]) == set(out["queries"])
+    # samples additionally carries the VM-speed calibration probe
+    # (round-10): one fixed synthetic workload per series, surfaced as
+    # calib_sec in the printed line but never summed into value
+    assert set(full["samples"]) == set(out["queries"]) | {"_calib"}
     assert all(len(v) >= 1 for v in full["samples"].values())
+    assert out["calib_sec"] and out["calib_sec"] > 0
+    assert "_calib" not in out["queries"]
+    assert abs(sum(v for v in out["queries"].values()) - out["value"]) < 0.01

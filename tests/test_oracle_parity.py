@@ -28,11 +28,11 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
+    "degree_assortativity",  # never banked
     "ann_ivf",  # never banked
     "ann_lsh",  # never banked
     "audio_energy",  # never banked
     "cusum_drift",  # never banked
-    "degree_assortativity",  # never banked
     "media_type_profile",  # never banked
     "readability",  # never banked
     "rrf_fusion",  # never banked
@@ -41,8 +41,8 @@ DRIVER_WINDOW = [
     "cluster_diameter",  # must: materially changed (last banked r8)
     "containment_neardup",  # must: materially changed (last banked r8)
     "ppjoin_neardup",  # must: materially changed (last banked r8)
-    "frame_offsets",  # must: materially changed (last banked r9)
     "pagerank_docs",  # must: materially changed (last banked r9)
+    "frame_offsets",  # must: materially changed (last banked r9)
     "neyman_allocation",  # must: materially changed (last banked r9)
     "streaming_abandoned_views",  # must: materially changed (last banked r9)
     "bpe_token_count",  # stale (changed after r2 row)

@@ -3489,11 +3489,17 @@ def oracle_sql() -> dict[str, str]:
             m AS (
               SELECT p_brand,
                      count(*)::BIGINT AS n,
-                     sum(x)::BIGINT AS sx,
-                     sum(yc)::BIGINT AS sy,
-                     sum(x * x)::BIGINT AS sxx,
-                     sum(yc * yc)::BIGINT AS syy,
-                     sum(x * yc)::BIGINT AS sxy
+                     -- HUGEINT sums kept wide (round-10): the ::BIGINT
+                     -- casts errored exactly where Spark's former BIGINT
+                     -- moments hit ARITHMETIC_OVERFLOW (ANSI default);
+                     -- both engines now carry exact wide integers
+                     -- (DECIMAL(38,0) on the Spark side) to the double
+                     -- formula edge
+                     sum(x) AS sx,
+                     sum(yc) AS sy,
+                     sum(x * x) AS sxx,
+                     sum(yc * yc) AS syy,
+                     sum(x * yc) AS sxy
               FROM li JOIN part ON l_partkey = p_partkey
               GROUP BY 1
             )

@@ -1270,11 +1270,24 @@ def linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum("x").cast("long").alias("sx"),
-            F.sum("yc").cast("long").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-            F.sum(F.col("yc") * F.col("yc")).cast("long").alias("syy"),
-            F.sum(F.col("x") * F.col("yc")).cast("long").alias("sxy"),
+            # moments in DECIMAL(38,0), not BIGINT (round-10): yc² is
+            # ~1e14 per row, so the BIGINT syy overflows past sf~2
+            # (measured sf0.1 headroom ~20x) and sxy at 100 TB row
+            # counts.  Under this engine's ANSI default the query DIES
+            # with ARITHMETIC_OVERFLOW there (a non-ANSI deployment
+            # wraps silently — worse); DuckDB's HUGEINT sum would error
+            # on the oracle's former ::BIGINT cast at the same point.
+            # DECIMAL(38,0) sums are exact to 1e38 (the 100 TB corpus
+            # needs ~1e26), stay a 25-group map-side agg, and both
+            # engines feed the same exact integers to the double
+            # formula edge — parity at every SF instead of a failure.
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("yc").cast("decimal(38,0)")).alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+            F.sum(
+                (F.col("yc").cast("decimal(38,0)") * F.col("yc"))
+            ).alias("syy"),
+            F.sum((F.col("x") * F.col("yc")).cast("decimal(38,0)")).alias("sxy"),
         )
     )
     # cents -> currency at the formula edge; all doubles from here.

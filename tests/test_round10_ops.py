@@ -120,3 +120,27 @@ def test_readability_matches_python(spark, sf_dir):
         else:
             want = 0.0
         assert r["reading_ease"] == want, doc_id
+
+
+def test_linreg_moments_exact_past_bigint_wrap(spark):
+    """The DECIMAL(38,0) regression moments stay exact where the former
+    BIGINT sums failed: 2000 rows of yc ~ 3e9 give syy ~ 1.8e19 > 2^63.
+    Under this session's ANSI default (Spark 4) the BIGINT sum raises
+    ARITHMETIC_OVERFLOW — the query would simply die past sf~2; a
+    non-ANSI deployment would wrap silently instead.  Either way the
+    DECIMAL moments return the exact Python-int ground truth."""
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+    from pyspark.sql import functions as F
+
+    n, yc = 2000, 3_000_000_000
+    truth = n * yc * yc
+    assert truth > 2**63  # the regime this test exists for
+
+    df = spark.range(n).select(F.lit(yc).cast("long").alias("yc"))
+    with pytest.raises(ArithmeticException):  # the former BIGINT moment
+        df.agg(F.sum(F.col("yc") * F.col("yc")).alias("s")).collect()
+    exact = df.agg(
+        F.sum(F.col("yc").cast("decimal(38,0)") * F.col("yc")).alias("s")
+    ).collect()[0]["s"]
+    assert int(exact) == truth  # DECIMAL(38,0) is exact there

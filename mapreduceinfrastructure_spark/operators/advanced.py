@@ -1246,13 +1246,16 @@ def linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines run the IDENTICAL formula.
 
     Cross-engine exactness is by INTEGER MOMENTS (the md5-sketch
-    lesson applied to floats): x = quantity cast to BIGINT (integer-
-    valued by construction), y = price in CENTS as BIGINT, so n, Σx,
-    Σy, Σxy, Σx², Σy² are exact integers in both engines regardless
-    of summation order; the closed-form slope/intercept/r² then run
-    as the same IEEE double ops on identical inputs.  Float sums
-    would drift ~1e-10 relative and the n·Σxx − (Σx)² cancellation
-    amplifies that — integers make it a non-issue.
+    lesson applied to floats): x = quantity (integer-valued by
+    construction), y = price in CENTS, and the five moment sums run
+    as DECIMAL(38,0) — not BIGINT: Σy² carries ~1e14 per row, so the
+    BIGINT sum died with ANSI ARITHMETIC_OVERFLOW past ~sf2 (r10 fix;
+    DuckDB keeps HUGEINT) — so n, Σx, Σy, Σxy, Σx², Σy² are exact
+    integers in both engines regardless of summation order; the
+    closed-form slope/intercept/r² then run as the same IEEE double
+    ops on identical inputs.  Float sums would drift ~1e-10 relative
+    and the n·Σxx − (Σx)² cancellation amplifies that — exact
+    integers make it a non-issue.
 
     Scale shape: map-side partial aggregation of 6 integer moments
     per brand (one shuffle, 25 groups); part dim is broadcast.  This

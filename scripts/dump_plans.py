@@ -117,6 +117,7 @@ NOTES = {
     "media_type_profile": "the mapInPandas decode feeds a |formats|-row hash agg with partial aggregation — media bytes never shuffle; the plan is scan → ArrowEvalPython → partial/final agg",
     "rrf_fusion": "two bounded top-k subplans (broadcast query sides) union into a (qid, neighbor)-keyed agg and one qid-partitioned WindowGroupLimit — everything after the input rankers is |queries|×k-sized",
     "readability": "pure per-row array folds (sentence split + token folds) in one WholeStageCodegen span; ReadSchema pruned to (doc_id, text); zero Exchange",
+    "linreg_by_group": "part dim rides a BroadcastExchange; ONE 25-group hash agg computes all five DECIMAL(38,0) moments with map-side partials (r10: the BIGINT Σy² hit ANSI ARITHMETIC_OVERFLOW past ~sf2 — wide decimals keep the monoid exact to 1e38); slope/intercept/r² are a projection over the aggregate",
 }
 
 

@@ -1388,7 +1388,7 @@ def ppjoin_candidates(pref: DataFrame) -> DataFrame:
     )
     t = PREFIX_JACCARD_T
     shared = (
-        a.join(b, "shingle")
+        a.join(b.hint("shuffle_hash"), "shingle")
         .filter(F.col("da") < F.col("db"))
         # length filter: applied per matched row, so pruned pairs never
         # materialize a group in the agg below

@@ -538,3 +538,37 @@ def test_cdc_boundaries_match_oracle_on_non_bmp_text(spark, tmp_path):
         ).fetchall()
     )
     assert got == want and got[0][2] > 0, (got, want)
+
+
+def test_prefix_candidate_joins_are_shuffle_not_broadcast(spark, sf_dir):
+    """The exploded prefix table is corpus-linear — broadcasting it into
+    the candidate self-join is the single-threaded-build scale-killer
+    the r10 width pins removed (the UNPINNED ppjoin plan measured
+    BroadcastHashJoin on the prefix table at sf0.1; locally faster,
+    dead at 100 TB).  Both prefix-family candidate generators must plan
+    their shingle self-join as a shuffle-side join."""
+    from mapreduceinfrastructure_spark.operators.dedup import (
+        _prefix_frames,
+        ppjoin_candidates,
+        vcl_candidates,
+    )
+
+    _, pref = _prefix_frames(spark, sf_dir)
+    try:
+        for gen in (vcl_candidates, ppjoin_candidates):
+            plan = gen(pref)._jdf.queryExecution().executedPlan().toString()
+            # the OUTERMOST shingle join is the prefix x prefix
+            # candidate self-join (deeper shingle joins — dfreq onto the
+            # shingle stream inside _prefix_frames — are unhinted key
+            # joins AQE may legitimately broadcast at runtime from
+            # measured vocab size); only the self-join is pinned
+            shingle_joins = [
+                l for l in plan.splitlines() if "Join" in l and "shingle#" in l
+            ]
+            assert shingle_joins, (gen.__name__, plan)
+            assert "Broadcast" not in shingle_joins[0], (
+                gen.__name__,
+                shingle_joins[0],
+            )
+    finally:
+        pref.unpersist()

@@ -964,8 +964,8 @@ DRIVER_WINDOW_R10 = [
     "cluster_diameter",  # must: materially changed (last banked r8)
     "containment_neardup",  # must: materially changed (last banked r8)
     "ppjoin_neardup",  # must: materially changed (last banked r8)
-    "pagerank_docs",  # must: materially changed (last banked r9)
     "frame_offsets",  # must: materially changed (last banked r9)
+    "pagerank_docs",  # must: materially changed (last banked r9)
     "neyman_allocation",  # must: materially changed (last banked r9)
     "streaming_abandoned_views",  # must: materially changed (last banked r9)
     "bpe_token_count",  # stale (changed after r2 row)
@@ -979,18 +979,18 @@ DRIVER_WINDOW_R10 = [
     "set_ops",  # stale (changed after r3 row)
     "topk_global",  # stale (changed after r3 row)
     "window_running",  # stale (changed after r3 row)
-    "event_transitions",  # stale (changed after r4 row)
     "source_overlap",  # stale (changed after r4 row)
+    "event_transitions",  # stale (changed after r4 row)
     "keep_best_dedup",  # stale (changed after r4 row)
     "mixture_weights",  # stale (changed after r4 row)
     "distinct_count",  # stale (changed after r4 row)
     "join_anti",  # stale (changed after r4 row)
+    "dup_spans",  # stale (changed after r5 row)
+    "fuzzy_blocked_join",  # stale (changed after r5 row)
     "funnel_conversion",  # stale (changed after r5 row)
     "gap_fill",  # stale (changed after r5 row)
     "retention_cohorts",  # stale (changed after r5 row)
     "rolling_time_window",  # stale (changed after r5 row)
-    "dup_spans",  # stale (changed after r5 row)
-    "fuzzy_blocked_join",  # stale (changed after r5 row)
     "curation_pipeline",  # stale (changed after r5 row)
     "data_mixture",  # stale (changed after r5 row)
     "decontamination",  # stale (changed after r5 row)

@@ -1,0 +1,303 @@
+"""Per-query evidence ledger (VERDICT r10 #1).
+
+rotation.py's staleness test was FILE-granular: a query counted stale
+whenever its defining module had ANY git commit newer than its last
+banked driver row.  The operator modules are big (dedup.py ~1.8k LoC
+backing ~25 queries), so a one-line docstring touch re-staled every
+sibling query and the re-bank tail could mathematically never drain at
+~40 window slots/round (137/216 "stale" at r10 close, almost all of it
+evidence lag rather than code change).
+
+This module makes staleness PER-QUERY.  Each query's identity is
+
+    sha256( source(queries()[name])
+          + sources of its transitive in-package helper functions /
+            classes (resolved statically via co_names/co_consts)
+          + reprs of module-level scalar constants it references
+          + "\\x00" + oracle_sql()[name] )
+
+The ledger (scripts/query_ledger.json) maps query name -> the hash of
+the code THE DRIVER ACTUALLY VERIFIED, extracted from the git tree of
+the CORRECTNESS_r{N}.json artifact commit (the driver commits each
+round's artifacts on top of that round's final code, so that tree IS
+the verified code).  rotation.py then flags a query stale only when
+its CURRENT hash differs from the ledger hash — sibling-op and
+comment-only module churn no longer invalidates banked evidence, while
+any change to the callable, a helper it reaches, a constant it reads,
+or its oracle text still does.
+
+Limits (why the module-mtime rule stays as a fallback in rotation.py):
+helpers reached only through dynamic dispatch / getattr / SQL-string
+builders passed by name are invisible to the static walk, and queries
+missing from the ledger (never synced, or absent at the banked commit)
+keep the old file-granular rule.  `--must` in rotation.py remains the
+manual override for material rewrites the walk can't see.
+
+Commands
+--------
+    python scripts/ledger.py hash          # print {name: hash} for the
+                                           # tree this file sits in
+                                           # (used inside worktrees)
+    python scripts/ledger.py sync          # bring query_ledger.json up
+                                           # to date from every
+                                           # committed CORRECTNESS
+                                           # artifact (idempotent; run
+                                           # at round start, right
+                                           # after the driver's
+                                           # artifact commit)
+
+`sync` groups queries by the artifact commit of their latest banked
+round, materializes each commit once via `git worktree add --detach`,
+copies THIS file in (old trees predate it), and runs `hash` there —
+so old and new trees are hashed by identical logic.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import inspect
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import types
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER_PATH = os.path.join(REPO, "scripts", "query_ledger.json")
+PACKAGE = "mapreduceinfrastructure_spark"
+
+# ---------------------------------------------------------------------------
+# hashing
+
+
+def _is_in_package(obj) -> bool:
+    mod = getattr(obj, "__module__", "") or ""
+    return mod == "__spark_entry__" or mod.split(".")[0] == PACKAGE
+
+
+def _collect_sources(fn, out: dict[str, str], seen: set) -> None:
+    """Walk fn's code object for in-package helpers and constants.
+
+    Static + best-effort: resolves co_names / nested code objects'
+    co_names against fn.__globals__; functions and classes defined in
+    this package recurse, module-level scalar constants contribute
+    their repr.  Modules themselves are skipped (including a whole
+    module's source would re-create file granularity)."""
+    fn = inspect.unwrap(fn)
+    code = getattr(fn, "__code__", None)
+    if code is None or id(code) in seen:
+        return
+    seen.add(id(code))
+    key = f"{fn.__module__}.{getattr(fn, '__qualname__', fn.__name__)}"
+    if key not in out:
+        try:
+            out[key] = inspect.getsource(fn)
+        except (OSError, TypeError):
+            out[key] = repr(fn)
+
+    g = getattr(fn, "__globals__", {})
+
+    def walk_code(co) -> None:
+        names = set(co.co_names)
+        for const in co.co_consts:
+            if isinstance(const, types.CodeType):
+                names.update(const.co_names)
+                walk_code(const)
+        for name in sorted(names):
+            if name not in g:
+                continue
+            obj = g[name]
+            if isinstance(obj, types.ModuleType):
+                continue
+            if inspect.isfunction(obj) and _is_in_package(obj):
+                _collect_sources(obj, out, seen)
+            elif inspect.isclass(obj) and _is_in_package(obj):
+                ckey = f"{obj.__module__}.{obj.__qualname__}"
+                if ckey not in out:
+                    try:
+                        out[ckey] = inspect.getsource(obj)
+                    except (OSError, TypeError):
+                        out[ckey] = repr(obj)
+            elif isinstance(obj, (int, float, str, bool, bytes, tuple, frozenset)):
+                out.setdefault(f"const:{fn.__module__}.{name}", repr(obj))
+
+    walk_code(code)
+
+
+def query_hash(fn, oracle: str) -> str:
+    parts: dict[str, str] = {}
+    _collect_sources(fn, parts, set())
+    h = hashlib.sha256()
+    for key in sorted(parts):
+        h.update(key.encode())
+        h.update(b"\x01")
+        h.update(parts[key].encode())
+        h.update(b"\x02")
+    h.update(b"\x00")
+    h.update(oracle.encode())
+    return h.hexdigest()
+
+
+def compute_hashes(repo: str = REPO) -> dict[str, str]:
+    """{query name: hash} for every oracle-backed query in `repo`."""
+    sys.path.insert(0, repo)
+    try:
+        import __spark_entry__ as e
+
+        qs, oracles = e.queries(), e.oracle_sql()
+        return {
+            n: query_hash(fn, oracles[n])
+            for n, fn in qs.items()
+            if n in oracles
+        }
+    finally:
+        sys.path.remove(repo)
+
+
+# ---------------------------------------------------------------------------
+# ledger sync
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout.strip()
+
+
+def _artifact_commit(round_no: int) -> str:
+    """Commit sha whose tree the round's driver rows verified ('' if
+    the artifact exists but is not yet committed)."""
+    return _git(
+        "log", "-1", "--format=%H", "--",
+        f"CORRECTNESS_r{round_no:02d}.json",
+    )
+
+
+def banked_rounds() -> dict[str, int]:
+    """query -> latest round with a fully-passing driver row (same row
+    schema pin as rotation.banked_rounds)."""
+    banked: dict[str, int] = {}
+    required = {"rows_match", "schema_match", "hash_match", "err"}
+    for fn in sorted(os.listdir(REPO)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        data = json.load(open(os.path.join(REPO, fn)))
+        for name, row in data.items():
+            missing = required - set(row)
+            assert not missing, f"{fn}[{name}]: missing keys {missing}"
+            if (
+                row["rows_match"] and row["schema_match"]
+                and row["hash_match"] and not row["err"]
+            ):
+                banked[name] = max(banked.get(name, 0), rnd)
+    return banked
+
+
+def _hashes_at_commit(sha: str) -> dict[str, str]:
+    """Run `ledger.py hash` inside a throwaway worktree of `sha`."""
+    head = _git("rev-parse", "HEAD")
+    if sha == head:
+        return compute_hashes(REPO)
+    tmp = tempfile.mkdtemp(prefix="ledger_wt_")
+    try:
+        # tempfile.mkdtemp created the dir; worktree add wants to make it
+        os.rmdir(tmp)
+        _git("worktree", "add", "--detach", tmp, sha)
+        os.makedirs(os.path.join(tmp, "scripts"), exist_ok=True)
+        shutil.copy(
+            os.path.abspath(__file__),
+            os.path.join(tmp, "scripts", "ledger.py"),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join("scripts", "ledger.py"), "hash"],
+            cwd=tmp, capture_output=True, text=True,
+        )
+        if out.returncode != 0:
+            sys.stderr.write(
+                f"[ledger] hash at {sha[:10]} failed:\n{out.stderr[-2000:]}\n"
+            )
+            return {}
+        return json.loads(out.stdout)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        subprocess.run(
+            ["git", "worktree", "prune"], cwd=REPO, capture_output=True
+        )
+
+
+def load_ledger() -> dict[str, dict]:
+    if os.path.exists(LEDGER_PATH):
+        return json.load(open(LEDGER_PATH))
+    return {}
+
+
+def sync() -> None:
+    ledger = load_ledger()
+    banked = banked_rounds()
+    # for each query, the latest banked round whose artifact is
+    # committed (an uncommitted artifact has no resolvable tree yet —
+    # the query keeps its older ledger entry / the mtime fallback
+    # until the driver's artifact commit lands)
+    commit_of: dict[int, str] = {}
+    todo: dict[str, tuple[int, str]] = {}
+    for name, rnd in banked.items():
+        r = rnd
+        sha = ""
+        while r > 0 and not sha:
+            if r not in commit_of:
+                commit_of[r] = _artifact_commit(r)
+            sha = commit_of[r]
+            if not sha:
+                # walk down only through rounds this query actually
+                # banked; cheaper: just give up to older entry
+                break
+        if not sha:
+            continue
+        if ledger.get(name, {}).get("round", -1) >= rnd:
+            continue
+        todo[name] = (rnd, sha)
+
+    by_sha: dict[str, list[str]] = {}
+    for name, (_, sha) in todo.items():
+        by_sha.setdefault(sha, []).append(name)
+
+    for sha, names in sorted(by_sha.items()):
+        hashes = _hashes_at_commit(sha)
+        got = 0
+        for name in names:
+            if name in hashes:
+                ledger[name] = {
+                    "hash": hashes[name],
+                    "round": todo[name][0],
+                    "commit": sha[:12],
+                }
+                got += 1
+        print(
+            f"[ledger] {sha[:10]}: updated {got}/{len(names)} "
+            f"({', '.join(sorted(names)[:6])}{'…' if len(names) > 6 else ''})"
+        )
+
+    with open(LEDGER_PATH, "w") as f:
+        json.dump(ledger, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"[ledger] wrote {len(ledger)} entries -> {LEDGER_PATH}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["hash", "sync"])
+    args = ap.parse_args()
+    if args.cmd == "hash":
+        print(json.dumps(compute_hashes(REPO), indent=0, sort_keys=True))
+    else:
+        sync()
+
+
+if __name__ == "__main__":
+    main()

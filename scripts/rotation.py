@@ -13,10 +13,20 @@ touched.  This script emits the proposed ordered 50-list from:
 3. the remaining oracle-backed queries, least-recently-banked first
    (round-robin re-verification of the untouched surface).
 
-Change detection is file-granular (git log on the module that defines
-the query's callable, plus __spark_entry__.py itself for oracle edits
-— an oracle change also invalidates banked evidence).  Banked rounds
-are read from CORRECTNESS_r*.json (a row counts only if it passed).
+Change detection is PER-QUERY since r11 (VERDICT r10 #1): a query is
+stale iff its identity hash (sha256 of the callable's source + its
+transitive in-package helpers/constants + its oracle SQL — see
+scripts/ledger.py) differs from the hash of the code its last banked
+driver row actually verified (scripts/query_ledger.json, extracted
+from the CORRECTNESS artifact commit's tree).  The former
+file-granular rule (git mtime of the defining module vs the banked
+row's commit) remains ONLY as a fallback for queries missing from the
+ledger — under it, any docstring/sibling touch to a 1.5k-LoC operator
+module re-staled ~25 queries at once and the re-bank tail could never
+drain (137/216 "stale" at r10 close).  Banked rounds are read from
+CORRECTNESS_r*.json (a row counts only if it passed).  Keep the
+ledger synced: run `python scripts/ledger.py sync` at round start,
+right after the driver's artifact commit.
 
 Usage: python scripts/rotation.py [--window N] — prints the proposed
 DRIVER_WINDOW list as a python literal to paste into
@@ -35,6 +45,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 ANCHORS = ["word_count", "grep"]
 
@@ -140,10 +151,23 @@ def main() -> None:
         n: _git_commit_ts_of_round(r) for n, r in banked.items()
     }
 
+    import ledger as led
+
+    ledger_map = led.load_ledger()
+    cur_hash = {n: led.query_hash(qs[n], oracles[n]) for n in candidates}
+
+    def is_stale(n: str) -> bool:
+        entry = ledger_map.get(n)
+        if entry is not None:
+            # per-query rule: stale iff the identity hash moved since
+            # the code the banked row verified
+            return cur_hash[n] != entry["hash"]
+        # fallback (query never synced into the ledger): file-granular
+        return changed_ts(n) > banked_ts.get(n, 0)
+
     stale = [
         n for n in candidates
-        if n not in ANCHORS
-        and changed_ts(n) > banked_ts.get(n, 0)
+        if n not in ANCHORS and is_stale(n)
     ]
     # never-banked queries first (no external evidence AT ALL beats
     # stale evidence — without this, a new operator sharing a module
@@ -180,7 +204,12 @@ def main() -> None:
             else (
                 f"must: materially changed (last banked r{banked[n]})"
                 if n in must
-                else f"stale (changed after r{banked[n]} row)"
+                else (
+                    f"stale (hash changed since r{banked[n]} row)"
+                    if n in ledger_map
+                    else f"stale (module changed after r{banked[n]} row;"
+                    " not in ledger)"
+                )
             )
             if n in stale
             else f"backfill (last banked r{banked[n]})"

@@ -54,6 +54,14 @@ from mapreduceinfrastructure_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+# Pinned calibration reference (VERDICT r10 #5): the r10 artifact's
+# calib_sec.  ``value_calib_adj = value * (CALIB_REF / calib_sec)``
+# restates any run in r10-VM seconds, so round-over-round comparisons
+# divide out the 25-35% host-speed band mechanically instead of by
+# hand.  Do NOT re-pin per round — the constant is only meaningful if
+# every round adjusts to the same reference host.
+CALIB_REF = 0.495
+
 # Headline set: one per operator family — text flatMap+agg, hash agg,
 # multi-join, window sessionization, two-agg join (tf-idf), range-
 # partitioned sort, per-group top-k.
@@ -328,6 +336,12 @@ def main() -> None:
         # rounds' calib_sec to get the host-band ratio between them
         "calib_sec": round(calib[0], 3) if calib else None,
     }
+    # host-band-normalized total in pinned-reference (r10 VM) seconds;
+    # per-query adjusted values land in the BENCH_FULL side file
+    if calib:
+        adj = CALIB_REF / calib[0]
+        out["value_calib_adj"] = round(sum(measured) * adj, 3)
+        out["calib_ref"] = CALIB_REF
     if errors:
         out["errors"] = errors
     # Full diagnostics (medians, raw per-series samples, rerun log) go
@@ -338,6 +352,12 @@ def main() -> None:
     # BENCH_FULL.json next to the per-round artifacts.
     full = dict(out)
     full["queries_median"] = timings_median
+    if calib:
+        adj = CALIB_REF / calib[0]
+        full["queries_calib_adj"] = {
+            k: round(v * adj, 3) if v is not None else None
+            for k, v in timings.items()
+        }
     full["samples"] = {k: [round(x, 3) for x in v] for k, v in samples.items()}
     full["reruns"] = reruns
     full_path = os.environ.get(

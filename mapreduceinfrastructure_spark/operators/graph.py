@@ -1002,27 +1002,35 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.col("dx") * F.col("dx")), F.lit(0)).alias("sjj"),
     )
     n_nodes = deg.select(F.count("*").cast("long").alias("n_nodes"))
-    num = F.col("m") * F.col("sjk") - F.col("sj") * F.col("sj")
-    den = F.col("m") * F.col("sjj") - F.col("sj") * F.col("sj")
-    # Overflow guard (the neyman_allocation pattern, ADVICE r9): Spark
-    # (non-ANSI) wraps BIGINT silently where DuckDB raises, so past the
-    # documented ~1e9-edge/1e4-degree envelope the two moment products
-    # would yield a silently wrong r instead of an error.  Magnitude
-    # check in DOUBLE over the sum of absolute terms, inline via
-    # raise_error — no extra scan; hitting it is the cue to promote the
-    # products to DECIMAL(38,0) (docstring).
+    # Overflow guard (the neyman_allocation pattern, ADVICE r9): this
+    # engine runs Spark 4's ANSI default, where a BIGINT product past
+    # the documented ~1e9-edge/1e4-degree envelope already raises a raw
+    # ARITHMETIC_OVERFLOW — the guard's value here is the ACTIONABLE
+    # message (promote the moment products to DECIMAL(38,0)), plus
+    # silent-wrap safety on non-ANSI deployments.  Magnitude check in
+    # DOUBLE over the sum of absolute terms, inline via raise_error —
+    # no extra scan.  Both num and den go through the guard (ADVICE
+    # r10): `den != 0` evaluates den FIRST, and by Cauchy-Schwarz
+    # (sjk <= sjj) den's terms overflow at or before num's — an
+    # unguarded den would raise the raw ANSI error before the curated
+    # message could ever fire.
     _mag = F.col("m").cast("double") * (
         F.greatest(F.abs("sjk"), F.abs("sjj")).cast("double")
     ) + F.col("sj").cast("double") * F.col("sj").cast("double")
-    num = F.when(_mag < F.lit(float(2**62)), num).otherwise(
-        F.raise_error(
-            F.lit(
-                "degree_assortativity: moment product magnitude exceeds "
-                "the BIGINT-safe bound — promote m*sjk / m*sjj to "
-                "DECIMAL(38,0) (see docstring)"
-            )
-        ).cast("long")
-    )
+
+    def _guarded(expr):
+        return F.when(_mag < F.lit(float(2**62)), expr).otherwise(
+            F.raise_error(
+                F.lit(
+                    "degree_assortativity: moment product magnitude "
+                    "exceeds the BIGINT-safe bound — promote m*sjk / "
+                    "m*sjj to DECIMAL(38,0) (see docstring)"
+                )
+            ).cast("long")
+        )
+
+    num = _guarded(F.col("m") * F.col("sjk") - F.col("sj") * F.col("sj"))
+    den = _guarded(F.col("m") * F.col("sjj") - F.col("sj") * F.col("sj"))
     return s.crossJoin(F.broadcast(n_nodes)).select(
         "n_nodes",
         (F.col("m") / 2).cast("long").alias("n_edges"),

@@ -65,4 +65,14 @@ def test_bench_contract_smoke():
     assert all(len(v) >= 1 for v in full["samples"].values())
     assert out["calib_sec"] and out["calib_sec"] > 0
     assert "_calib" not in out["queries"]
-    assert abs(sum(v for v in out["queries"].values()) - out["value"]) < 0.01
+    # sum only non-None timings (mirrors bench.py's ``measured``) so an
+    # errored query surfaces as the readable `bad` assertion above /
+    # the errors key, never as an opaque TypeError here (ADVICE r10)
+    measured = [v for v in out["queries"].values() if v is not None]
+    assert abs(sum(measured) - out["value"]) < 0.01
+    # calib-adjusted restatement (round-11): value in pinned r10-VM
+    # seconds + the reference it was normalized against
+    assert out["calib_ref"] == 0.495
+    expected_adj = out["value"] * out["calib_ref"] / out["calib_sec"]
+    assert abs(out["value_calib_adj"] - expected_adj) < 0.01
+    assert set(full["queries_calib_adj"]) == set(out["queries"])

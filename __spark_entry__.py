@@ -188,46 +188,58 @@ m{i} AS (
 
 
 def _ann_lsh_sql() -> str:
-    """Exact DuckDB twin of similarity.ann_lsh at the BITS_FLOOR bucket
-    width (valid for every corpus up to TARGET_OCCUPANCY * 2^BITS_FLOOR
-    = 8192 vectors — all test SFs; past that the adaptive width takes
-    over and this oracle must be regenerated at the wider bpt).  The
-    32 seed-42 hyperplanes are embedded as exact double literals
-    (shortest-repr round-trips bit-exactly in both engines), and each
-    plane dot product is the SAME left fold over the SAME elementwise
-    products as the Spark zip_with+aggregate expression — list_reduce
-    with a prepended 0.0 seed — so the sign bits, bucket ids,
-    multiprobe keys, and therefore the whole candidate set are
-    bit-identical, not merely close (VERDICT r9 #3: this retires the
-    operator's rows-only status).  Only the final cosine uses
-    list_cosine_similarity, the same already-banked pairing as
-    cosine_topk (round-6 output; rank ties broken by neighbor id)."""
-    bpt = sim.BITS_FLOOR
-    planes = sim._hyperplanes(sim.N_TABLES * bpt)
+    """Exact DuckDB twin of similarity.ann_lsh at ANY corpus size up to
+    ORACLE_MAX_VECTORS (~33.5M) — VERDICT r10 #4 removed the old
+    8192-vector regime cliff.  The FULL seed-42 plane pool
+    (N_TABLES x POOL_BPT planes, the same lsh_plane_pool the operator
+    indexes) is embedded as exact double literals (shortest-repr
+    round-trips bit-exactly in both engines), and ``bpt`` is computed
+    from count(*) IN SQL by the same max(floor, ceil(log2(n/target)))
+    rule as _bits_per_table — so the oracle tracks the adaptive width
+    instead of assuming the floor.  Table t's bit k reads pool plane
+    t*POOL_BPT + k (the bpt-independent mapping), and each plane dot
+    product is the SAME left fold over the SAME elementwise products
+    as the Spark zip_with+aggregate expression — list_reduce with a
+    prepended 0.0 seed — so the sign bits, bucket ids, multiprobe
+    keys, and therefore the whole candidate set are bit-identical,
+    not merely close (VERDICT r9 #3 retired the operator's rows-only
+    status; the beyond-floor regime is pinned by
+    tests/test_round11_ops.py against a 20k-vector corpus at bpt=6).
+    Only the final cosine uses list_cosine_similarity, the same
+    already-banked pairing as cosine_topk (round-6 output; rank ties
+    broken by neighbor id)."""
+    planes = sim.lsh_plane_pool()
     flat = ", ".join(repr(x) for row in planes for x in row)
-    pack = " + ".join(f"bt[t * {bpt} + {k + 1}] * {1 << k}" for k in range(bpt))
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        prm AS (
+          SELECT greatest({sim.BITS_FLOOR}, CAST(ceil(log2(greatest(1.0,
+                   count(*) / {sim.TARGET_OCCUPANCY}.0))) AS BIGINT)) AS bpt
+          FROM e
+        ),
         pl AS (SELECT [{flat}]::DOUBLE[] AS p),
         bits AS (
-          SELECT vec_id, v,
-                 list_transform(range(0, {sim.N_TABLES * bpt}), b ->
+          SELECT vec_id, v, bpt,
+                 list_transform(range(0, {sim.N_TABLES} * bpt), i ->
                    CASE WHEN list_reduce(
                           [0.0] || list_transform(v,
-                            (x, i) -> x * p[b * {sim.EMBED_DIM} + i]),
+                            (x, j) -> x * p[((i // bpt) * {sim.POOL_BPT}
+                                             + (i % bpt)) * {sim.EMBED_DIM} + j]),
                           (acc, x) -> acc + x) > 0
                         THEN 1 ELSE 0 END) AS bt
-          FROM e, pl
+          FROM e, pl, prm
         ),
         keyed AS (
-          SELECT vec_id, v, t AS tbl, ({pack})::BIGINT AS bucket
+          SELECT vec_id, v, bpt, t AS tbl,
+                 CAST(list_sum(list_transform(range(0, bpt), k ->
+                   bt[t * bpt + k + 1] * (1::BIGINT << k))) AS BIGINT) AS bucket
           FROM bits, unnest(range(0, {sim.N_TABLES})) AS ut(t)
         ),
         probes AS (
           SELECT vec_id AS qid, v AS qv, tbl,
                  CASE WHEN f = 0 THEN bucket
                       ELSE xor(bucket, (1::BIGINT << (f - 1))) END AS bucket
-          FROM keyed, unnest(range(0, {bpt + 1})) AS uf(f)
+          FROM keyed, unnest(range(0, bpt + 1)) AS uf(f)
           WHERE vec_id < {sim.N_QUERIES}
         ),
         cand AS (
@@ -842,6 +854,106 @@ def _minhash_lsh_sql() -> str:
     """
 
 
+def _bpe_merges_sql() -> str:
+    """Exact unrolled twin of text_analysis.bpe_merges (VERDICT r10 #3
+    — retires the op's rows-only status, the kmeans_iterate/ann_ivf
+    generated-CTE pattern): the SAME K-iteration merge recurrence over
+    the SAME (word, freq) vocabulary, emitted per iteration i as CTEs
+    pc{i} (freq-weighted adjacent pair counts), b{i} (argmax with the
+    count-desc / left-asc / right-asc tie-break and the MIN_PAIR stop),
+    and v{i} (the merged vocab).
+
+    The one semantic translation: Spark applies the leftmost-first
+    NON-OVERLAPPING merge as a sequential HOF fold with a skip flag
+    (text_analysis.py:421-447); DuckDB 1.0's list_reduce silently
+    drops list-typed struct fields from the accumulator (verified:
+    ``list_reduce([{'v':[1]},{'v':[2]}], (a,x) -> {'v': a.v || x.v})``
+    returns [2], not [1,2]), so the fold is restated as its closed
+    form — greedy picks alternate within each maximal RUN of
+    consecutive match positions (runs longer than 1 only occur when
+    left = right, e.g. 'aaaa' + (a,a) -> aa,aa), via gaps-and-islands
+    (pos - row_number) + run-min parity, then the next symbol after
+    each pick is dropped.  Equality with the sequential fold holds by
+    induction on runs; the prototype matched tests/test_bpe.py's
+    pure-Python trainer at sf0.001/sf0.01 before landing.
+
+    v{i}/b{i} are AS MATERIALIZED: v{i} references v{i-1} twice (merge
+    branch + empty-argmax passthrough), and DuckDB's default CTE
+    inlining makes that 2^K scans of the base table ("too many open
+    files" at K=20); materialization restores the linear recurrence
+    the Spark loop's localCheckpoint gives for free."""
+    from mapreduceinfrastructure_spark.operators import text_analysis as _ta
+
+    k, min_pair = _ta.BPE_NUM_MERGES, _ta.BPE_MIN_PAIR
+    parts = [
+        f"""WITH vw AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(text, {_D})) AS word FROM documents
+  ) WHERE length(word) > 0 GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY word) AS wid,
+         string_split(word, '') AS s, freq
+  FROM vw
+)"""
+    ]
+    finals = []
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(f""",
+pc{i} AS (
+  SELECT s[j] AS l, s[j + 1] AS r, sum(freq) AS cnt
+  FROM v{p}, unnest(range(1, len(s))) AS u(j)
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT l, r, cnt FROM pc{i} WHERE cnt >= {min_pair}
+  ORDER BY cnt DESC, l, r LIMIT 1
+),
+pos{i} AS (
+  SELECT wid, freq, unnest(s) AS sym, unnest(range(1, len(s) + 1)) AS pos
+  FROM v{p}
+),
+mt{i} AS (
+  SELECT q.wid, q.freq, q.pos, q.sym, b.l || b.r AS tok,
+         CASE WHEN q.sym = b.l
+               AND lead(q.sym) OVER (PARTITION BY q.wid ORDER BY q.pos) = b.r
+              THEN 1 ELSE 0 END AS m
+  FROM pos{i} q CROSS JOIN b{i} b
+),
+pk{i} AS (
+  SELECT wid, freq, pos, sym, tok,
+         CASE WHEN m = 1
+               AND (pos - min(pos) OVER (PARTITION BY wid, grp, m)) % 2 = 0
+              THEN 1 ELSE 0 END AS picked
+  FROM (
+    SELECT *, pos - row_number() OVER (PARTITION BY wid, m ORDER BY pos) AS grp
+    FROM mt{i}
+  )
+),
+nv{i} AS (
+  SELECT wid, freq,
+         array_agg(CASE WHEN picked = 1 THEN tok ELSE sym END ORDER BY pos)
+           FILTER (WHERE dropped = 0) AS s
+  FROM (
+    SELECT *, coalesce(lag(picked) OVER (PARTITION BY wid ORDER BY pos), 0)
+                AS dropped
+    FROM pk{i}
+  )
+  GROUP BY wid, freq
+),
+v{i} AS MATERIALIZED (
+  SELECT wid, s, freq FROM nv{i} WHERE EXISTS (SELECT 1 FROM b{i})
+  UNION ALL
+  SELECT wid, s, freq FROM v{p} WHERE NOT EXISTS (SELECT 1 FROM b{i})
+)""")
+        finals.append(
+            f'SELECT {p}::BIGINT AS rank, l AS "left", r AS "right",'
+            f" cnt::BIGINT AS pair_count FROM b{i}"
+        )
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
 def _curation_final_sql(sw: str) -> str:
     """Shared oracle CTE chain for the end-to-end curation composition:
     everything up to ``final`` (the surviving docs with per-doc token
@@ -1003,12 +1115,14 @@ DRIVER_WINDOW_R10 = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Rows-only-by-design variants (bpe_merges, approx_distinct_users —
-    # no DuckDB twin by construction, each carries an equivalence test)
-    # never enter the window.  simhash / simhash_neardup /
-    # minhash_lsh_neardup left this set in r9 (md5-derived hashing);
-    # ann_lsh / ann_ivf / audio_energy left it in r10 (plane-literal
-    # fold replay, unrolled Lloyd CTE, hex-domain PCM replay).
+    # Rows-only-by-design variants (approx_distinct_users — HLL++
+    # internals, no DuckDB twin by construction; its exact twin
+    # hll_distinct_users is oracle-banked) never enter the window.
+    # simhash / simhash_neardup / minhash_lsh_neardup left this set in
+    # r9 (md5-derived hashing); ann_lsh / ann_ivf / audio_energy in
+    # r10 (plane-literal fold replay, unrolled Lloyd CTE, hex-domain
+    # PCM replay); bpe_merges in r11 (unrolled merge-recurrence CTE,
+    # _bpe_merges_sql).
     reg = {
         # (registry order is historical; DRIVER_WINDOW_R10 defines the
         #  verified window — see the note above)
@@ -1484,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
             FROM documents
         """,
+        "bpe_merges": _bpe_merges_sql(),
         "rolling_fingerprint": """
             SELECT doc_id,
                    list_reduce(

@@ -46,6 +46,27 @@ BITS_PER_TABLE = BITS_FLOOR  # compat alias: the width at test SFs
 TOPK = 5
 N_QUERIES = 50
 
+# ann_lsh plane POOL (VERDICT r10 #4 — removes the oracle regime
+# cliff): table t owns the fixed stride-POOL_BPT block
+# [t*POOL_BPT, (t+1)*POOL_BPT) of one seed-42 pool and uses its first
+# bpt planes, so the (table, bit) -> plane mapping no longer depends
+# on the adaptive bpt.  The DuckDB oracle embeds the SAME pool
+# (one generator, lsh_plane_pool) and computes bpt from count(*) in
+# SQL, staying bit-exact for every corpus up to
+# ORACLE_MAX_VECTORS = TARGET_OCCUPANCY * 2**POOL_BPT (~33.5M vectors
+# — far past any driver SF).  Beyond that, ann_lsh falls back to a
+# wider stride and the oracle must be regenerated (pinned in
+# tests/test_round11_ops.py).
+POOL_BPT = 16
+ORACLE_MAX_VECTORS = TARGET_OCCUPANCY * 2**POOL_BPT
+
+
+def lsh_plane_pool(stride: int = POOL_BPT) -> list[list[float]]:
+    """THE shared plane generator for ann_lsh and its oracle: row-major
+    seed-42 pool of N_TABLES * stride planes; table t's bit k is plane
+    t*stride + k."""
+    return _hyperplanes(N_TABLES * stride)
+
 
 def _bits_per_table(n_vectors: int) -> int:
     """Bucket width for a corpus of ``n_vectors`` (see module note)."""
@@ -482,8 +503,10 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A single long signature has vanishing recall (all bits must agree);
     multi-table banding trades one bucket join for L=8 smaller ones,
-    and each table gets its OWN 4 planes (reusing planes across tables
-    correlates their misses and caps effective L).  The query side
+    and each table gets its OWN planes — the fixed stride-POOL_BPT
+    block of one seed-42 pool (reusing planes across tables correlates
+    their misses and caps effective L; a bpt-dependent mapping put the
+    DuckDB twin on a regime cliff, VERDICT r10 #4).  The query side
     additionally probes every bucket at Hamming distance 1 (4 flips +
     exact = 5 keys/table), so per table P(hit) = p⁴ + 4p³(1-p) with
     p = 1 - angle/π — ≥0.95 overall even for cosine≈0 neighbors.
@@ -493,14 +516,22 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction vs ``cosine_topk`` (floor pinned in
     tests/test_ann_recall.py), but the OUTPUT is fully deterministic
     and oracle-exact: the DuckDB twin (__spark_entry__._ann_lsh_sql)
+    embeds the same pool, derives bpt from count(*) in SQL, and
     replays the identical plane dots via the same left-fold order, so
-    buckets and the candidate set reproduce bit-identically (r10 —
-    retired from rows-only).
+    buckets and the candidate set reproduce bit-identically at any
+    corpus up to ORACLE_MAX_VECTORS (r10 — retired from rows-only;
+    r11 — regime cliff removed).
     """
     emb = _embeddings(spark, sf_dir)
     bpt = _bits_per_table(load_table(spark, sf_dir, "embeddings").count())
-    # N_TABLES * bpt planes: table t owns planes [bpt*t, bpt*(t+1))
-    bits = _bit_exprs(_hyperplanes(N_TABLES * bpt))
+    # bpt-independent plane mapping (r11): table t's bit k is pool
+    # plane t*stride + k with stride = POOL_BPT for every corpus the
+    # oracle covers — only the 8*bpt USED planes become bit
+    # expressions, so plan size still tracks bpt, not the pool width.
+    stride = max(bpt, POOL_BPT)
+    pool = lsh_plane_pool(stride)
+    used = [pool[t * stride + k] for t in range(N_TABLES) for k in range(bpt)]
+    bits = _bit_exprs(used)
 
     tables = [
         F.struct(F.lit(t).alias("tbl"), _bucket_expr(bits, t, bpt).alias("bucket"))

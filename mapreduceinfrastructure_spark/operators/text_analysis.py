@@ -380,9 +380,12 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations.
 
     Ties break on (count desc, left asc, right asc) — fully
-    deterministic; rows-only registry entry (the iterative merge is not
-    SQL-expressible), verified against a pure-Python reference
-    implementation in tests/test_bpe.py.
+    deterministic.  Verified two ways: against a pure-Python reference
+    trainer (tests/test_bpe.py) and, since r11, against an exact
+    unrolled-CTE DuckDB oracle (__spark_entry__._bpe_merges_sql) in
+    which the sequential skip-flag fold below is restated as its
+    closed form (greedy picks alternate within each run of consecutive
+    match positions) — so the op is no longer rows-only.
     """
     toks = _docs_tokens(spark, sf_dir)
     vocab = (

@@ -1,0 +1,108 @@
+"""Round-11 invariants: the ann_lsh plane-pool oracle regime (VERDICT
+r10 #4) and the bpe_merges unrolled-CTE oracle (VERDICT r10 #3)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F  # noqa: F401 (parity with sibling tests)
+
+from mapreduceinfrastructure_spark.operators import similarity as sim
+
+
+def test_ann_lsh_oracle_regime_boundary():
+    """The embedded pool covers exactly the corpora where the adaptive
+    width fits POOL_BPT: _bits_per_table(ORACLE_MAX_VECTORS) lands ON
+    the pool width and one more vector exceeds it — if someone widens
+    the adaptive rule or shrinks the pool, this fails before the
+    oracle silently drifts out of its regime."""
+    assert sim._bits_per_table(sim.ORACLE_MAX_VECTORS) == sim.POOL_BPT
+    assert sim._bits_per_table(sim.ORACLE_MAX_VECTORS + 1) > sim.POOL_BPT
+    # every driver SF (500 / 500 / 2000 vectors) and the beyond-floor
+    # synthetic corpus sit far inside the covered regime
+    for n in (500, 2000, 20_000):
+        assert sim._bits_per_table(n) <= sim.POOL_BPT
+    # the operator's used-plane mapping is literally the pool block
+    pool = sim.lsh_plane_pool()
+    for bpt in (sim.BITS_FLOOR, 6, sim.POOL_BPT):
+        used = [
+            pool[t * sim.POOL_BPT + k]
+            for t in range(sim.N_TABLES)
+            for k in range(bpt)
+        ]
+        assert used[0] == pool[0] and len(used) == sim.N_TABLES * bpt
+
+
+def _adaptive_corpus(tmp_path, n=20_000, planted=10):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((n, sim.EMBED_DIM)).astype(np.float32)
+    for i in range(planted):
+        vecs[n // 2 + i] = vecs[i]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+            "label": pa.array([0] * n, type=pa.int64()),
+        }
+    )
+    d = tmp_path / "sf_adapt_oracle"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    return str(d)
+
+
+def test_ann_lsh_oracle_exact_beyond_floor(spark, tmp_path):
+    """The money test for the r11 oracle rework: at 20k vectors the
+    adaptive width leaves the floor (bpt=6), which the OLD fixed-floor
+    oracle could not follow — the dynamic-bpt oracle must still match
+    the Spark operator row-for-row (same buckets, candidates, ranks)."""
+    import __spark_entry__ as se
+
+    d = _adaptive_corpus(tmp_path)
+    assert sim._bits_per_table(20_000) == 6
+
+    got = se.queries()["ann_lsh"](spark, d).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    want = con.sql(se.oracle_sql()["ann_lsh"]).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    a["cosine"] = a["cosine"].round(6)
+    b["cosine"] = b["cosine"].round(6)
+    assert len(a) == len(b) > 0
+    assert a.astype(str).equals(b.astype(str))
+
+
+def test_bpe_merges_oracle_matches_python_reference(sf_dir):
+    """The generated unrolled-CTE oracle (closed-form run-parity merge)
+    equals the sequential pure-Python BPE trainer on the real corpus —
+    the induction step backing the bpe_merges driver oracle.  Spark ==
+    reference is test_bpe.py; this closes reference == oracle, so all
+    three agree."""
+    import __spark_entry__ as se
+    from tests.test_bpe import _reference_bpe
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = [
+        tuple(r)
+        for r in con.sql(
+            se.oracle_sql()["bpe_merges"] + " ORDER BY rank"
+        ).fetchall()
+    ]
+    texts = [r[0] for r in con.sql("SELECT text FROM documents").fetchall()]
+    from mapreduceinfrastructure_spark.operators.text_analysis import (
+        BPE_NUM_MERGES,
+    )
+
+    want = [tuple(w) for w in _reference_bpe(texts, BPE_NUM_MERGES)]
+    assert got == want and len(got) == BPE_NUM_MERGES

@@ -256,7 +256,13 @@ def test_lsh_bucket_occupancy_bounded_at_sf01(spark):
     n = load_table(spark, sf01, "embeddings").count()
     bpt = sim._bits_per_table(n)
     emb = sim._embeddings(spark, sf01)
-    bits = sim._bit_exprs(sim._hyperplanes(sim.N_TABLES * bpt))
+    # the op's r11 pooled mapping: table t's bit k = pool[t*POOL_BPT+k]
+    stride = max(bpt, sim.POOL_BPT)
+    pool = sim.lsh_plane_pool(stride)
+    used = [
+        pool[t * stride + k] for t in range(sim.N_TABLES) for k in range(bpt)
+    ]
+    bits = sim._bit_exprs(used)
     tables = [
         F.struct(F.lit(t).alias("tbl"), sim._bucket_expr(bits, t, bpt).alias("bucket"))
         for t in range(sim.N_TABLES)

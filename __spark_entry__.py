@@ -954,6 +954,75 @@ v{i} AS MATERIALIZED (
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
 
 
+def _wav_stats_sql() -> str:
+    """Hex-domain twin of multimodal.wav_header_stats (the
+    multimodal_features / audio_energy pattern): rebuild the canonical
+    44-byte RIFF/WAVE header + payload as a hex string with
+    independent string ops, then PARSE the little-endian fmt/data
+    fields back out of the hex at the spec offsets (byte b lives at
+    1-based hex position 2b+1; LE values read byte pairs reversed) —
+    so the Spark side's generic executor chunk scan is verified
+    against a fixed-offset reparse of the same bytes, field for
+    field.  n_frames/duration use the same exact int floor-div and
+    int/int double division, rounded at 3 in both engines."""
+
+    def le(expr: str, nbytes: int) -> str:
+        h = f"lpad(hex({expr}), {2 * nbytes}, '0')"
+        pairs = " || ".join(
+            f"substr({h}, {2 * b + 1}, 2)" for b in reversed(range(nbytes))
+        )
+        return f"({pairs})"
+
+    def rd(byte_off: int, nbytes: int) -> str:
+        pairs = " || ".join(
+            f"substr(hx, {2 * (byte_off + b) + 1}, 2)"
+            for b in reversed(range(nbytes))
+        )
+        return f"('0x' || {pairs})::BIGINT"
+
+    hdr = " || ".join(
+        [
+            "'52494646'",
+            le("dsz + 36", 4),
+            "'57415645'",
+            "'666D7420'",
+            le("16", 4),
+            le("1", 2),
+            le("ch", 2),
+            le("rate", 4),
+            le("rate * ch * 2", 4),
+            le("ch * 2", 2),
+            le(str(mm.WAV_BITS), 2),
+            "'64617461'",
+            le("dsz", 4),
+        ]
+    )
+    return f"""
+        WITH med AS (
+          SELECT doc_id, doc_id % 2 + 1 AS ch,
+                 (doc_id % 3 + 1) * 8000 AS rate,
+                 octet_length(encode(text))::BIGINT AS dsz,
+                 hex(encode(text)) AS body
+          FROM documents
+        ),
+        pay AS (SELECT doc_id, {hdr} || body AS hx FROM med),
+        p AS (
+          SELECT doc_id,
+                 {rd(22, 2)} AS n_channels,
+                 {rd(24, 4)} AS sample_rate,
+                 {rd(34, 2)} AS bits,
+                 least({rd(40, 4)},
+                       (length(hx) // 2) - {mm.WAV_HEADER_LEN}) AS data_bytes
+          FROM pay
+        )
+        SELECT doc_id, n_channels, sample_rate, bits, data_bytes,
+               (data_bytes // (n_channels * (bits // 8)))::BIGINT AS n_frames,
+               round((data_bytes // (n_channels * (bits // 8)))
+                     * 1000.0 / sample_rate, 6) AS duration_ms
+        FROM p
+    """
+
+
 def _curation_final_sql(sw: str) -> str:
     """Shared oracle CTE chain for the end-to-end curation composition:
     everything up to ``final`` (the surviving docs with per-doc token
@@ -1273,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": dd.simhash_neardup,
         "bpe_merges": ta.bpe_merges,
         "audio_energy": mm.audio_energy,
+        "wav_header_stats": mm.wav_header_stats,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -1599,6 +1669,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bpe_merges": _bpe_merges_sql(),
+        "wav_header_stats": _wav_stats_sql(),
         "rolling_fingerprint": """
             SELECT doc_id,
                    list_reduce(

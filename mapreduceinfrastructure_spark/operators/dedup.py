@@ -1256,16 +1256,24 @@ def _prefix_frames(
     in that canonical order, which is what the PPJoin positional
     filter reads.
 
-    Shuffle shape: ONE doc-keyed agg builds the sorted per-doc shingle
-    list (sort_array over (df, shingle) structs — identical order to a
+    Shuffle shape (r11): the corpus-wide shingle stream moves exactly
+    TWICE — one explicit hash-repartition on the shingle that the
+    per-doc distinct AND the window-based df count both satisfy in
+    place, then the doc-keyed agg that builds the sorted per-doc list
+    (sort_array over (df, shingle) structs — identical order to a
     row_number window over (df, shingle)); sizes and the prefix slice
-    are projections over it, where the former window + separate sizes
-    agg + sizes join cost two extra doc-keyed shuffles of the full
-    shingle table (measured at sf0.1: 3.67 → ~2.7 s for
-    prefix_filter_neardup, and pagerank_docs inherits the cut).  The
-    per-doc list is doc-length-bounded — the same per-doc
-    materialization every shingle consumer already makes — and the
-    verify stage consumes it directly (see _jaccard_verify).
+    are projections over it.  Earlier shapes, both measured and
+    retired: a window + separate sizes agg + sizes join (two extra
+    doc-keyed shuffles, 3.67 → ~2.7 s at sf0.1), then a distinct →
+    df groupBy → join-back chain (r10) that exchanged the stream four
+    times and whose join Catalyst planned as a BROADCAST of the
+    vocabulary-sized df table while re-executing the whole scan for
+    the build side — vocab is corpus-linear, the same scale-killer
+    class as the r10 ppjoin broadcast (see SCALE.md "prefix-frames
+    2-exchange rework" for the A/B).  The per-doc list is
+    doc-length-bounded — the same per-doc materialization every
+    shingle consumer already makes — and the verify stage consumes it
+    directly (see _jaccard_verify).
 
     ``by_doc`` is PERSISTED (MEMORY_AND_DISK): four downstream
     subplans read it (both sides of the candidate self-join via
@@ -1282,10 +1290,35 @@ def _prefix_frames(
     at 100 TB swap for a scratch-parquet write if executor storage
     memory is contended.
     """
-    sh = _shingles(spark, sf_dir)
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    from ..session import two_pass_rank_width
+
+    # 2-exchange pipeline (r11, VERDICT r10 #6): ONE explicit
+    # hash-repartition on the shingle up front, then the per-doc
+    # distinct, the df computation, and nothing else before the final
+    # doc-keyed agg.  HashPartitioning(shingle) clusters (doc_id,
+    # shingle), so dropDuplicates aggregates in place, and df comes
+    # from a count-over-Window.partitionBy(shingle) on the SAME
+    # partitioning (one local sort, no exchange) instead of a separate
+    # df agg JOINED back.  The former distinct -> groupBy(shingle) ->
+    # join chain exchanged the corpus-wide shingle table four times —
+    # and worse, Catalyst elected to BROADCAST the vocabulary-sized df
+    # table into the join at test SFs (vocab is corpus-linear: a
+    # scale-killer plan shape, the ppjoin-broadcast lesson) while
+    # re-executing the whole scan pipeline to build it.  Now the
+    # corpus moves exactly twice (shingle, then doc_id), one scan, no
+    # join.  Cost: the shingle shuffle carries pre-distinct rows (no
+    # map-side partial distinct) — word-3-gram duplication within a
+    # doc is a few percent, far below an extra corpus-wide exchange.
+    # Hot-shingle skew exposure is unchanged: the df agg concentrated
+    # hot shingles onto one partition identically, and candidate joins
+    # cap them via HOT_SHINGLE_DF_CAP / the prefix slice downstream.
+    width = two_pass_rank_width(spark)
+    sh = _shingles(spark, sf_dir, distinct=False).repartition(width, "shingle")
+    shd = sh.dropDuplicates(["doc_id", "shingle"])
     by_doc = (
-        sh.join(dfreq, "shingle")
+        shd.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle")).cast("long")
+        )
         .groupBy("doc_id")
         .agg(
             F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("s")

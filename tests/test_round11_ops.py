@@ -168,3 +168,26 @@ def test_wav_header_stats_roundtrip(spark, sf_dir):
         assert r["data_bytes"] == nb
         assert r["n_frames"] == nb // (ch * (WAV_BITS // 8))
         assert r["duration_ms"] == round(r["n_frames"] * 1000.0 / rate, 6)
+
+
+def test_pq_quantize_invariants(spark, sf_dir):
+    """PQ encode sanity: every (vec, subspace) emits exactly one code
+    in [0, PQ_K); each seed vector quantizes to ITSELF in every
+    subspace (distance 0 to its own codebook entry, ties to the lower
+    code can only matter below vec_id); sq_err is non-negative."""
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        PQ_K,
+        PQ_SUB,
+        pq_quantize,
+    )
+
+    rows = pq_quantize(spark, sf_dir).collect()
+    n_vecs = len({r["vec_id"] for r in rows})
+    assert len(rows) == n_vecs * PQ_SUB
+    assert all(0 <= r["code"] < PQ_K and r["sq_err"] >= 0.0 for r in rows)
+    for r in rows:
+        if r["vec_id"] < PQ_K:
+            # seed's own entry is at distance 0; a lower code wins a
+            # tie only if it is ALSO at distance 0 (duplicate seeds —
+            # none in this corpus), so the code must be the vec_id
+            assert r["code"] == r["vec_id"] and r["sq_err"] == 0.0

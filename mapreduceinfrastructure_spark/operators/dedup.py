@@ -1239,9 +1239,35 @@ def prefix_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNCAPPED all-pairs join, so the driver gate proves completeness.
     """
     by_doc, pref = _prefix_frames(spark, sf_dir)
-    cand = vcl_candidates(pref)
-    return _jaccard_verify(cand, by_doc, PREFIX_JACCARD_T).select(
+    w = _prefix_width(sf_dir)
+    cand = vcl_candidates(pref, width=w)
+    return _jaccard_verify(cand, by_doc, PREFIX_JACCARD_T, width=w).select(
         "da", "db", F.round("j", 6).alias("jaccard")
+    )
+
+
+# ~this many bytes of RAW documents per prefix-pipeline partition
+# (the shingle explode inflates ~6-10x, so a partition carries
+# ~50-80 MB of exploded shingles — comfortably in-memory).  The cap
+# bounds shuffle-partition count on petabyte inputs (raise the target
+# there instead of minting millions of partitions).
+PREFIX_PARTITION_BYTES = 8 * 1024 * 1024
+PREFIX_WIDTH_CAP = 200_000
+
+
+def _prefix_width(sf_dir: str) -> int:
+    """Input-size-derived partition width for the prefix family (r11):
+    the pipeline was width-pinned at defaultParallelism (32 locally),
+    which over-parallelizes tiny inputs — at sf0.1 the by_doc stage
+    spent most of its 1.7 s scheduling 32-task waves over ~600 KB —
+    and under-parallelizes petabyte ones (32 partitions of a 100 TB
+    shingle table).  Sizing by input bytes (a parquet metadata stat,
+    no job — the SHINGLE_PERSIST_MIN_BYTES discipline) gives both
+    regimes the right width; results are width-invariant (pinned by
+    the cross-width rank tests' discipline and the oracle gate)."""
+    return min(
+        PREFIX_WIDTH_CAP,
+        max(8, _input_bytes(sf_dir, "documents") // PREFIX_PARTITION_BYTES),
     )
 
 
@@ -1290,8 +1316,6 @@ def _prefix_frames(
     at 100 TB swap for a scratch-parquet write if executor storage
     memory is contended.
     """
-    from ..session import two_pass_rank_width
-
     # 2-exchange pipeline (r11, VERDICT r10 #6): ONE explicit
     # hash-repartition on the shingle up front, then the per-doc
     # distinct, the df computation, and nothing else before the final
@@ -1312,7 +1336,7 @@ def _prefix_frames(
     # Hot-shingle skew exposure is unchanged: the df agg concentrated
     # hot shingles onto one partition identically, and candidate joins
     # cap them via HOT_SHINGLE_DF_CAP / the prefix slice downstream.
-    width = two_pass_rank_width(spark)
+    width = _prefix_width(sf_dir)
     sh = _shingles(spark, sf_dir, distinct=False).repartition(width, "shingle")
     shd = sh.dropDuplicates(["doc_id", "shingle"])
     by_doc = (
@@ -1342,7 +1366,7 @@ def _prefix_frames(
     return by_doc, pref
 
 
-def vcl_candidates(pref: DataFrame) -> DataFrame:
+def vcl_candidates(pref: DataFrame, width: int | None = None) -> DataFrame:
     """Vernica/Carey/Li candidates: prefix x prefix join on the
     shingle, da < db, deduped — complete, positions unused.
 
@@ -1355,10 +1379,12 @@ def vcl_candidates(pref: DataFrame) -> DataFrame:
     6.1 s at sf0.1 — a single-threaded hash-table build, and a
     scale-killer: the prefix table grows with the corpus).  The
     explicit exchange keeps the join co-partitioned at a width AQE
-    won't coalesce into skew."""
+    won't coalesce into skew.  ``width`` defaults to the cluster
+    parallelism; the prefix-family entry points pass the input-sized
+    ``_prefix_width`` instead (r11)."""
     from ..session import two_pass_rank_width
 
-    width = two_pass_rank_width(pref.sparkSession)
+    width = width or two_pass_rank_width(pref.sparkSession)
     a = pref.select(F.col("doc_id").alias("da"), "shingle").repartition(
         width, "shingle"
     )
@@ -1373,7 +1399,7 @@ def vcl_candidates(pref: DataFrame) -> DataFrame:
     )
 
 
-def ppjoin_candidates(pref: DataFrame) -> DataFrame:
+def ppjoin_candidates(pref: DataFrame, width: int | None = None) -> DataFrame:
     """PPJoin candidates: the VCL prefix join tightened by the LENGTH
     and POSITIONAL filters (Xiao, Wang, Lin, Yu — WWW 2008) — both
     LOSSLESS for Jaccard >= t, both evaluated before the expensive
@@ -1402,10 +1428,11 @@ def ppjoin_candidates(pref: DataFrame) -> DataFrame:
     :func:`vcl_candidates` (the checkpointed prefix frame has no
     size stats, and the unguarded plan broadcasts the full prefix
     table into the self-join — wrong at any scale past toy).
+    ``width`` as in :func:`vcl_candidates`.
     """
     from ..session import two_pass_rank_width
 
-    width = two_pass_rank_width(pref.sparkSession)
+    width = width or two_pass_rank_width(pref.sparkSession)
     pref = pref.repartition(width, "shingle")
     a = pref.select(
         F.col("doc_id").alias("da"),
@@ -1443,7 +1470,10 @@ def ppjoin_candidates(pref: DataFrame) -> DataFrame:
 
 
 def _jaccard_verify(
-    cand: DataFrame, by_doc: DataFrame, threshold: float
+    cand: DataFrame,
+    by_doc: DataFrame,
+    threshold: float,
+    width: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verify of a candidate pair set, ARRAY form: each
     candidate pair joins the two per-doc sorted shingle lists (already
@@ -1484,7 +1514,7 @@ def _jaccard_verify(
     # full shingle lists, and AQE coalesces it to 1-2 partitions by
     # size — serializing the verify compute (measured at sf0.1 on the
     # 300k VCL candidates: verify 6.0 -> 1.9 s with the pin).
-    width = two_pass_rank_width(cand.sparkSession)
+    width = width or two_pass_rank_width(cand.sparkSession)
     return (
         cand.repartition(width, "da")
         .join(la, "da")
@@ -1533,8 +1563,9 @@ def ppjoin_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank round-half boundaries; the raw int/int division is
     bit-identical in both engines."""
     by_doc, pref = _prefix_frames(spark, sf_dir)
-    cand = ppjoin_candidates(pref)
-    return _jaccard_verify(cand, by_doc, PREFIX_JACCARD_T)
+    w = _prefix_width(sf_dir)
+    cand = ppjoin_candidates(pref, width=w)
+    return _jaccard_verify(cand, by_doc, PREFIX_JACCARD_T, width=w)
 
 
 # Hop cap for cluster_diameter's BFS (clusters wider than this report

@@ -127,6 +127,32 @@ def _collect_sources(fn, out: dict[str, str], seen: set) -> None:
 
     walk_code(code)
 
+    # FUNCTION-LOCAL relative imports (r11): `from .dedup import
+    # ppjoin_pairs_raw` inside a body binds a LOCAL name — invisible
+    # to the co_names/__globals__ resolution above, which is exactly
+    # how pagerank_docs' dependence on the r11 _prefix_frames rework
+    # escaped the hash (caught when rotation.py skipped a --must
+    # entry).  Resolve them from the source text instead.
+    src = out.get(key, "")
+    for m in re.finditer(
+        r"^\s*from\s+(\.[\w.]*)\s+import\s+([\w\s,()]+)", src, re.MULTILINE
+    ):
+        relmod, names = m.group(1), m.group(2)
+        try:
+            import importlib
+
+            mod = importlib.import_module(relmod, package=fn.__module__.rsplit(".", 1)[0])
+        except Exception:
+            continue
+        for nm in re.split(r"[,\s()]+", names):
+            obj = getattr(mod, nm, None) if nm else None
+            if obj is None:
+                continue
+            if inspect.isfunction(obj) and _is_in_package(obj):
+                _collect_sources(obj, out, seen)
+            elif isinstance(obj, (int, float, str, bool, bytes, tuple, frozenset)):
+                out.setdefault(f"const:{mod.__name__}.{nm}", repr(obj))
+
 
 def query_hash(fn, oracle: str) -> str:
     parts: dict[str, str] = {}

@@ -165,9 +165,13 @@ def main() -> None:
         # fallback (query never synced into the ledger): file-granular
         return changed_ts(n) > banked_ts.get(n, 0)
 
+    # --must entries are FORCED into the re-verify set even when the
+    # hash says clean (r11: the static walk missed a function-local
+    # import and silently dropped a --must entry from the window —
+    # the flag exists precisely for changes detection can't see)
     stale = [
         n for n in candidates
-        if n not in ANCHORS and is_stale(n)
+        if n not in ANCHORS and (is_stale(n) or n in must)
     ]
     # never-banked queries first (no external evidence AT ALL beats
     # stale evidence — without this, a new operator sharing a module

@@ -1111,75 +1111,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # round's list (most-recently-changed operators first once the full
 # registry has banked rows).
 #
-# r10 composition — REGRESSION MODE, generated verbatim by
-# `python scripts/rotation.py --must pagerank_docs,prefix_filter_neardup,
-# ppjoin_neardup,cluster_diameter,containment_neardup,multimodal_features,
-# frame_offsets,streaming_abandoned_views,neyman_allocation`
-# (provenance tag per entry): the 2 fidelity anchors; the 8
-# never-banked entries (the 3 newly oracle-backed rows-only retirees
-# ann_lsh / ann_ivf / audio_energy — VERDICT r9 #3/#4/#7 — plus the 5
-# round-10 additions); the 9 --must entries whose implementation
-# materially changed this round (the dedup prefix-family speedups,
-# the pagerank_docs lean loop, the media header decode, the
-# abandoned-views empty-input fix, the neyman overflow guard); then
-# the stale tail OLDEST BANKED EVIDENCE FIRST (r10 ordering change in
-# rotation.py: with most modules touched every round, the former
-# newest-change-first sort tie-degenerated to registry order and kept
-# displacing the same old tail — ADVICE r9).  Burn-down: 31 of the 40
-# non-anchor/non-new slots re-verify r2-r5-banked evidence.  Every
-# windowed entry has an exact DuckDB oracle (pinned by
-# tests/test_oracle_parity.py::test_driver_window_is_oracle_backed).
-DRIVER_WINDOW_R10 = [
+# r12 composition — generated verbatim by `python scripts/ledger.py sync`
+# followed by `python scripts/rotation.py` (no --must: r11's rewired
+# queries all sit in the stale tier already).  Provenance per entry: the
+# 2 fidelity anchors; the 3 never-banked r11 additions (pq_quantize,
+# wav_header_stats, bpe_merges — VERDICT r11 #1 names these as the
+# round's required bank); then the genuinely-stale tier (source hash
+# changed since the last green row, per scripts/query_ledger.json) in
+# oldest-banked-evidence-first order; then backfill slots draining the
+# <=r5 evidence tail (VERDICT r11 #2: tpch_q5, edge_inversion,
+# histogram, key_count, rollup_pricing, select_project, sessionize,
+# sql_segment_spend).  Every windowed entry has an exact DuckDB oracle
+# (pinned by tests/test_oracle_parity.py::test_driver_window_is_oracle_backed).
+WINDOW_ROUND = 12  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
+# tests/test_oracle_parity.py::test_window_round_is_fresh (VERDICT r11 #1:
+# r11 silently re-ran the r10 window; this makes a stale window a red test).
+DRIVER_WINDOW_R12 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "degree_assortativity",  # never banked
-    "ann_ivf",  # never banked
-    "ann_lsh",  # never banked
-    "audio_energy",  # never banked
-    "cusum_drift",  # never banked
-    "media_type_profile",  # never banked
-    "readability",  # never banked
-    "rrf_fusion",  # never banked
-    "multimodal_features",  # must: materially changed (last banked r5)
-    "prefix_filter_neardup",  # must: materially changed (last banked r7)
-    "cluster_diameter",  # must: materially changed (last banked r8)
-    "containment_neardup",  # must: materially changed (last banked r8)
-    "ppjoin_neardup",  # must: materially changed (last banked r8)
-    "frame_offsets",  # must: materially changed (last banked r9)
-    "pagerank_docs",  # must: materially changed (last banked r9)
-    "neyman_allocation",  # must: materially changed (last banked r9)
-    "streaming_abandoned_views",  # must: materially changed (last banked r9)
-    "bpe_token_count",  # stale (changed after r2 row)
-    "rolling_fingerprint",  # stale (changed after r2 row)
-    "bigram_count",  # stale (changed after r3 row)
-    "fingerprint",  # stale (changed after r3 row)
-    "quality_score",  # stale (changed after r3 row)
-    "global_rank",  # stale (changed after r3 row)
-    "join_semi",  # stale (changed after r3 row)
-    "pivot_status",  # stale (changed after r3 row)
-    "set_ops",  # stale (changed after r3 row)
-    "topk_global",  # stale (changed after r3 row)
-    "window_running",  # stale (changed after r3 row)
-    "source_overlap",  # stale (changed after r4 row)
-    "event_transitions",  # stale (changed after r4 row)
-    "keep_best_dedup",  # stale (changed after r4 row)
-    "mixture_weights",  # stale (changed after r4 row)
-    "distinct_count",  # stale (changed after r4 row)
-    "join_anti",  # stale (changed after r4 row)
-    "dup_spans",  # stale (changed after r5 row)
-    "fuzzy_blocked_join",  # stale (changed after r5 row)
-    "funnel_conversion",  # stale (changed after r5 row)
-    "gap_fill",  # stale (changed after r5 row)
-    "retention_cohorts",  # stale (changed after r5 row)
-    "rolling_time_window",  # stale (changed after r5 row)
-    "curation_pipeline",  # stale (changed after r5 row)
-    "data_mixture",  # stale (changed after r5 row)
-    "decontamination",  # stale (changed after r5 row)
-    "pack_sequences",  # stale (changed after r5 row)
-    "repetition_filter",  # stale (changed after r5 row)
-    "split_assign",  # stale (changed after r5 row)
-    "unigram_logprob_score",  # stale (changed after r5 row)
-    "distributed_sort",  # stale (changed after r5 row)
+    "pq_quantize",  # never banked
+    "wav_header_stats",  # never banked
+    "bpe_merges",  # never banked
+    "tpch_q18",  # stale (hash changed since r3 row)
+    "cdc_dup_chunks",  # stale (hash changed since r6 row)
+    "neardup_audit",  # stale (hash changed since r6 row)
+    "inverted_index_mr",  # stale (hash changed since r6 row)
+    "dedup_clusters",  # stale (hash changed since r7 row)
+    "dedup_rate_by_threshold",  # stale (hash changed since r7 row)
+    "incremental_dedup",  # stale (hash changed since r7 row)
+    "ngram_jaccard_neardup",  # stale (hash changed since r7 row)
+    "embedding_neardup",  # stale (hash changed since r7 row)
+    "embedding_neardup_strict",  # stale (hash changed since r7 row)
+    "semdedup_prune",  # stale (hash changed since r7 row)
+    "bucketed_join_revenue",  # stale (hash changed since r7 row)
+    "orc_roundtrip",  # stale (hash changed since r7 row)
+    "shard_manifest",  # stale (hash changed since r7 row)
+    "streaming_curated_ingest_watermarked",  # stale (hash changed since r7 row)
+    "streaming_custom_sessions",  # stale (hash changed since r7 row)
+    "streaming_distinct_users_hll",  # stale (hash changed since r7 row)
+    "streaming_heavy_hitters",  # stale (hash changed since r7 row)
+    "streaming_quantile_quality",  # stale (hash changed since r7 row)
+    "hll_distinct_users",  # stale (hash changed since r7 row)
+    "hll_intersect_types",  # stale (hash changed since r7 row)
+    "hll_union_types",  # stale (hash changed since r7 row)
+    "quantile_sketch_quality",  # stale (hash changed since r7 row)
+    "grep_mr",  # stale (hash changed since r7 row)
+    "word_count_mr",  # stale (hash changed since r7 row)
+    "pandas_udaf_geomean",  # stale (hash changed since r8 row)
+    "token_positions",  # stale (hash changed since r8 row)
+    "zorder_layout",  # stale (hash changed since r8 row)
+    "compaction_roundtrip",  # stale (hash changed since r8 row)
+    "streaming_dedup_ingest",  # stale (hash changed since r8 row)
+    "zipf_slope",  # stale (hash changed since r9 row)
+    "cc_star",  # stale (hash changed since r9 row)
+    "array_funcs_catalog",  # stale (hash changed since r9 row)
+    "linreg_by_group",  # stale (hash changed since r9 row)
+    "evolution_roundtrip",  # stale (hash changed since r9 row)
+    "streaming_curated_ingest",  # stale (hash changed since r9 row)
+    "streaming_enriched_revenue",  # stale (hash changed since r9 row)
+    "tpch_q5",  # backfill (last banked r4)
+    "edge_inversion",  # backfill (last banked r5)
+    "histogram",  # backfill (last banked r5)
+    "key_count",  # backfill (last banked r5)
+    "rollup_pricing",  # backfill (last banked r5)
+    "select_project",  # backfill (last banked r5)
+    "sessionize",  # backfill (last banked r5)
+    "sql_segment_spend",  # backfill (last banked r5)
 ]
 
 
@@ -1193,7 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PCM replay); bpe_merges in r11 (unrolled merge-recurrence CTE,
     # _bpe_merges_sql).
     reg = {
-        # (registry order is historical; DRIVER_WINDOW_R10 defines the
+        # (registry order is historical; DRIVER_WINDOW_R12 defines the
         #  verified window — see the note above)
         "word_count": ta.word_count,
         "grep": ta.grep,
@@ -1431,7 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": sim.rrf_fusion,
         "readability": ta.readability,
     }
-    ordered = {k: reg[k] for k in DRIVER_WINDOW_R10}
+    ordered = {k: reg[k] for k in DRIVER_WINDOW_R12}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
     return ordered
 

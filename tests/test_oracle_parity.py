@@ -28,55 +28,78 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
-    "degree_assortativity",  # never banked
-    "ann_ivf",  # never banked
-    "ann_lsh",  # never banked
-    "audio_energy",  # never banked
-    "cusum_drift",  # never banked
-    "media_type_profile",  # never banked
-    "readability",  # never banked
-    "rrf_fusion",  # never banked
-    "multimodal_features",  # must: materially changed (last banked r5)
-    "prefix_filter_neardup",  # must: materially changed (last banked r7)
-    "cluster_diameter",  # must: materially changed (last banked r8)
-    "containment_neardup",  # must: materially changed (last banked r8)
-    "ppjoin_neardup",  # must: materially changed (last banked r8)
-    "frame_offsets",  # must: materially changed (last banked r9)
-    "pagerank_docs",  # must: materially changed (last banked r9)
-    "neyman_allocation",  # must: materially changed (last banked r9)
-    "streaming_abandoned_views",  # must: materially changed (last banked r9)
-    "bpe_token_count",  # stale (changed after r2 row)
-    "rolling_fingerprint",  # stale (changed after r2 row)
-    "bigram_count",  # stale (changed after r3 row)
-    "fingerprint",  # stale (changed after r3 row)
-    "quality_score",  # stale (changed after r3 row)
-    "global_rank",  # stale (changed after r3 row)
-    "join_semi",  # stale (changed after r3 row)
-    "pivot_status",  # stale (changed after r3 row)
-    "set_ops",  # stale (changed after r3 row)
-    "topk_global",  # stale (changed after r3 row)
-    "window_running",  # stale (changed after r3 row)
-    "source_overlap",  # stale (changed after r4 row)
-    "event_transitions",  # stale (changed after r4 row)
-    "keep_best_dedup",  # stale (changed after r4 row)
-    "mixture_weights",  # stale (changed after r4 row)
-    "distinct_count",  # stale (changed after r4 row)
-    "join_anti",  # stale (changed after r4 row)
-    "dup_spans",  # stale (changed after r5 row)
-    "fuzzy_blocked_join",  # stale (changed after r5 row)
-    "funnel_conversion",  # stale (changed after r5 row)
-    "gap_fill",  # stale (changed after r5 row)
-    "retention_cohorts",  # stale (changed after r5 row)
-    "rolling_time_window",  # stale (changed after r5 row)
-    "curation_pipeline",  # stale (changed after r5 row)
-    "data_mixture",  # stale (changed after r5 row)
-    "decontamination",  # stale (changed after r5 row)
-    "pack_sequences",  # stale (changed after r5 row)
-    "repetition_filter",  # stale (changed after r5 row)
-    "split_assign",  # stale (changed after r5 row)
-    "unigram_logprob_score",  # stale (changed after r5 row)
-    "distributed_sort",  # stale (changed after r5 row)
+    "pq_quantize",  # never banked
+    "wav_header_stats",  # never banked
+    "bpe_merges",  # never banked
+    "tpch_q18",  # stale (hash changed since r3 row)
+    "cdc_dup_chunks",  # stale (hash changed since r6 row)
+    "neardup_audit",  # stale (hash changed since r6 row)
+    "inverted_index_mr",  # stale (hash changed since r6 row)
+    "dedup_clusters",  # stale (hash changed since r7 row)
+    "dedup_rate_by_threshold",  # stale (hash changed since r7 row)
+    "incremental_dedup",  # stale (hash changed since r7 row)
+    "ngram_jaccard_neardup",  # stale (hash changed since r7 row)
+    "embedding_neardup",  # stale (hash changed since r7 row)
+    "embedding_neardup_strict",  # stale (hash changed since r7 row)
+    "semdedup_prune",  # stale (hash changed since r7 row)
+    "bucketed_join_revenue",  # stale (hash changed since r7 row)
+    "orc_roundtrip",  # stale (hash changed since r7 row)
+    "shard_manifest",  # stale (hash changed since r7 row)
+    "streaming_curated_ingest_watermarked",  # stale (hash changed since r7 row)
+    "streaming_custom_sessions",  # stale (hash changed since r7 row)
+    "streaming_distinct_users_hll",  # stale (hash changed since r7 row)
+    "streaming_heavy_hitters",  # stale (hash changed since r7 row)
+    "streaming_quantile_quality",  # stale (hash changed since r7 row)
+    "hll_distinct_users",  # stale (hash changed since r7 row)
+    "hll_intersect_types",  # stale (hash changed since r7 row)
+    "hll_union_types",  # stale (hash changed since r7 row)
+    "quantile_sketch_quality",  # stale (hash changed since r7 row)
+    "grep_mr",  # stale (hash changed since r7 row)
+    "word_count_mr",  # stale (hash changed since r7 row)
+    "pandas_udaf_geomean",  # stale (hash changed since r8 row)
+    "token_positions",  # stale (hash changed since r8 row)
+    "zorder_layout",  # stale (hash changed since r8 row)
+    "compaction_roundtrip",  # stale (hash changed since r8 row)
+    "streaming_dedup_ingest",  # stale (hash changed since r8 row)
+    "zipf_slope",  # stale (hash changed since r9 row)
+    "cc_star",  # stale (hash changed since r9 row)
+    "array_funcs_catalog",  # stale (hash changed since r9 row)
+    "linreg_by_group",  # stale (hash changed since r9 row)
+    "evolution_roundtrip",  # stale (hash changed since r9 row)
+    "streaming_curated_ingest",  # stale (hash changed since r9 row)
+    "streaming_enriched_revenue",  # stale (hash changed since r9 row)
+    "tpch_q5",  # backfill (last banked r4)
+    "edge_inversion",  # backfill (last banked r5)
+    "histogram",  # backfill (last banked r5)
+    "key_count",  # backfill (last banked r5)
+    "rollup_pricing",  # backfill (last banked r5)
+    "select_project",  # backfill (last banked r5)
+    "sessionize",  # backfill (last banked r5)
+    "sql_segment_spend",  # backfill (last banked r5)
 ]
+
+def test_window_round_is_fresh():
+    """The committed window must be for the CURRENT round, i.e. one past
+    the newest banked CORRECTNESS_r*.json.  r11 shipped last round's
+    window verbatim and the external driver silently re-verified stale
+    evidence (VERDICT r11 #1); this turns that mistake into a red test
+    the moment a new round starts on an un-regenerated window."""
+    import glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob("CORRECTNESS_r*.json")
+        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    assert rounds, "no CORRECTNESS_r*.json found — run from the repo root"
+    assert entrymod.WINDOW_ROUND == max(rounds) + 1, (
+        f"WINDOW_ROUND={entrymod.WINDOW_ROUND} but newest banked round is "
+        f"r{max(rounds)} — regenerate the window: python scripts/ledger.py "
+        f"sync && python scripts/rotation.py, paste into BOTH "
+        f"__spark_entry__.py and this file, and bump WINDOW_ROUND"
+    )
+
 
 def test_driver_window_is_oracle_backed():
     window = list(QUERIES)[:50]

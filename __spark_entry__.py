@@ -964,7 +964,7 @@ def _wav_stats_sql() -> str:
     so the Spark side's generic executor chunk scan is verified
     against a fixed-offset reparse of the same bytes, field for
     field.  n_frames/duration use the same exact int floor-div and
-    int/int double division, rounded at 3 in both engines."""
+    int/int double division, rounded at 6 in both engines."""
 
     def le(expr: str, nbytes: int) -> str:
         h = f"lpad(hex({expr}), {2 * nbytes}, '0')"

@@ -489,7 +489,7 @@ def wav_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one Arrow-batched mapInPandas pass over the payload
     bytes, no shuffle; output is one narrow row per doc.  duration_ms
-    is exact int/int division in double, rounded at 3 in both engines.
+    is exact int/int division in double, rounded at 6 in both engines.
     """
     from ..session import ensure_package_on_executors
 

@@ -524,6 +524,18 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _embeddings(spark, sf_dir)
     bpt = _bits_per_table(load_table(spark, sf_dir, "embeddings").count())
+    # Past ORACLE_MAX_VECTORS the adaptive width outgrows the embedded
+    # pool's stride and the DuckDB twin (which keeps POOL_BPT-stride
+    # indexing, uncapped) would fail as an opaque row mismatch — make
+    # it an actionable error instead (ADVICE r11; the
+    # degree_assortativity envelope-guard pattern).
+    if bpt > POOL_BPT:
+        raise RuntimeError(
+            f"ann_lsh: corpus needs {bpt} bits/table > pool stride "
+            f"{POOL_BPT} (~{ORACLE_MAX_VECTORS:,} vectors max). Raise "
+            f"POOL_BPT and regenerate the embedded oracle pool in "
+            f"__spark_entry__._ann_lsh_sql to match."
+        )
     # bpt-independent plane mapping (r11): table t's bit k is pool
     # plane t*stride + k with stride = POOL_BPT for every corpus the
     # oracle covers — only the 8*bpt USED planes become bit
@@ -1125,6 +1137,15 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], schema="vec_id long, subspace long, code long, sq_err double"
         )
+    # Codes are the ACTUAL seed vec_ids, not collected positions
+    # (ADVICE r11): with a gap below PQ_K the DuckDB twin — which uses
+    # vec_id as the code — would otherwise silently diverge, and a
+    # partial seed set would index element_at past the flat codebook
+    # literal (ARITHMETIC-class error under Spark 4's ANSI default).
+    # n_codes bounds every codebook index to what was really collected.
+    codes = [int(r["vec_id"]) for r in seeds]
+    n_codes = len(codes)
+    codes_lit = F.lit(codes)
     flat = F.lit([float(x) for r in seeds for x in r["v"]])
 
     # Fully HOF-indexed (the _bucket_ids_flat lesson): the codebook
@@ -1151,7 +1172,7 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: F.struct(
             s.cast("long").alias("subspace"),
             F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_K - 1)), lambda c: d2(s, c)
+                F.sequence(F.lit(0), F.lit(n_codes - 1)), lambda c: d2(s, c)
             ).alias("dists"),
         ),
     )
@@ -1161,7 +1182,15 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "subspace",
-            (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
+            # array_position is 1-based = element_at index; ties go to
+            # the first (lowest-vec_id) match, same as the oracle's
+            # row_number ORDER BY (d2, code).
+            F.element_at(
+                codes_lit,
+                F.array_position(F.col("dists"), F.array_min("dists")).cast(
+                    "int"
+                ),
+            )
             .cast("long")
             .alias("code"),
             F.round(F.array_min("dists"), 6).alias("sq_err"),

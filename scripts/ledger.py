@@ -135,13 +135,25 @@ def _collect_sources(fn, out: dict[str, str], seen: set) -> None:
     # entry).  Resolve them from the source text instead.
     src = out.get(key, "")
     for m in re.finditer(
-        r"^\s*from\s+(\.[\w.]*)\s+import\s+([\w\s,()]+)", src, re.MULTILINE
+        r"^\s*from\s+(\.[\w.]*|mapreduceinfrastructure_spark[\w.]*)\s+"
+        r"import\s+([\w\s,()]+)",
+        src,
+        re.MULTILINE,
     ):
+        # Both RELATIVE and ABSOLUTE in-package from-imports (ADVICE
+        # r11: the relative-only regex let an absolute in-package
+        # import inside a function body escape the identity hash —
+        # the exact failure mode this resolution exists to close).
         relmod, names = m.group(1), m.group(2)
         try:
             import importlib
 
-            mod = importlib.import_module(relmod, package=fn.__module__.rsplit(".", 1)[0])
+            if relmod.startswith("."):
+                mod = importlib.import_module(
+                    relmod, package=fn.__module__.rsplit(".", 1)[0]
+                )
+            else:
+                mod = importlib.import_module(relmod)
         except Exception:
             continue
         for nm in re.split(r"[,\s()]+", names):
@@ -203,10 +215,10 @@ def _artifact_commit(round_no: int) -> str:
     )
 
 
-def banked_rounds() -> dict[str, int]:
-    """query -> latest round with a fully-passing driver row (same row
-    schema pin as rotation.banked_rounds)."""
-    banked: dict[str, int] = {}
+def banked_history() -> dict[str, list[int]]:
+    """query -> ALL rounds with a fully-passing driver row, newest
+    first (same row schema pin as rotation.banked_rounds)."""
+    hist: dict[str, set[int]] = {}
     required = {"rows_match", "schema_match", "hash_match", "err"}
     for fn in sorted(os.listdir(REPO)):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
@@ -221,8 +233,13 @@ def banked_rounds() -> dict[str, int]:
                 row["rows_match"] and row["schema_match"]
                 and row["hash_match"] and not row["err"]
             ):
-                banked[name] = max(banked.get(name, 0), rnd)
-    return banked
+                hist.setdefault(name, set()).add(rnd)
+    return {n: sorted(rs, reverse=True) for n, rs in hist.items()}
+
+
+def banked_rounds() -> dict[str, int]:
+    """query -> latest round with a fully-passing driver row."""
+    return {n: rs[0] for n, rs in banked_history().items()}
 
 
 def _hashes_at_commit(sha: str) -> dict[str, str]:
@@ -265,23 +282,22 @@ def load_ledger() -> dict[str, dict]:
 
 def sync() -> None:
     ledger = load_ledger()
-    banked = banked_rounds()
-    # for each query, the latest banked round whose artifact is
-    # committed (an uncommitted artifact has no resolvable tree yet —
-    # the query keeps its older ledger entry / the mtime fallback
-    # until the driver's artifact commit lands)
+    history = banked_history()
+    # for each query, the NEWEST banked round whose artifact is
+    # committed — walking down the query's own banked history (ADVICE
+    # r11: the old loop never decremented, so a query whose latest
+    # artifact was uncommitted silently kept a stale/missing entry).
+    # An all-uncommitted history keeps the older ledger entry / the
+    # mtime fallback until the driver's artifact commit lands.
     commit_of: dict[int, str] = {}
     todo: dict[str, tuple[int, str]] = {}
-    for name, rnd in banked.items():
-        r = rnd
-        sha = ""
-        while r > 0 and not sha:
+    for name, rounds in history.items():
+        rnd, sha = 0, ""
+        for r in rounds:  # newest first
             if r not in commit_of:
                 commit_of[r] = _artifact_commit(r)
-            sha = commit_of[r]
-            if not sha:
-                # walk down only through rounds this query actually
-                # banked; cheaper: just give up to older entry
+            if commit_of[r]:
+                rnd, sha = r, commit_of[r]
                 break
         if not sha:
             continue

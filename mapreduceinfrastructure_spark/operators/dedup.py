@@ -1239,7 +1239,7 @@ def prefix_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNCAPPED all-pairs join, so the driver gate proves completeness.
     """
     by_doc, pref = _prefix_frames(spark, sf_dir)
-    w = _prefix_width(sf_dir)
+    w = _prefix_width(sf_dir, spark)
     cand = vcl_candidates(pref, width=w)
     return _jaccard_verify(cand, by_doc, PREFIX_JACCARD_T, width=w).select(
         "da", "db", F.round("j", 6).alias("jaccard")
@@ -1255,7 +1255,7 @@ PREFIX_PARTITION_BYTES = 8 * 1024 * 1024
 PREFIX_WIDTH_CAP = 200_000
 
 
-def _prefix_width(sf_dir: str) -> int:
+def _prefix_width(sf_dir: str, spark: SparkSession | None = None) -> int:
     """Input-size-derived partition width for the prefix family (r11):
     the pipeline was width-pinned at defaultParallelism (32 locally),
     which over-parallelizes tiny inputs — at sf0.1 the by_doc stage
@@ -1264,10 +1264,21 @@ def _prefix_width(sf_dir: str) -> int:
     shingle table).  Sizing by input bytes (a parquet metadata stat,
     no job — the SHINGLE_PERSIST_MIN_BYTES discipline) gives both
     regimes the right width; results are width-invariant (pinned by
-    the cross-width rank tests' discipline and the oracle gate)."""
+    the cross-width rank tests' discipline and the oracle gate).
+
+    When the stat comes back 0 — unstatable path, object-store URI,
+    remote filesystem — fall back to cluster-scaled width (4x
+    defaultParallelism, the standard tasks-per-core band), NOT the
+    tiny-input floor: a 100 TB input behind an os.path-opaque URI
+    must never plan an 8-partition shingle shuffle (VERDICT r11 #4).
+    """
+    nbytes = _input_bytes(sf_dir, "documents")
+    if nbytes <= 0:
+        fallback = 4 * spark.sparkContext.defaultParallelism if spark else 128
+        return min(PREFIX_WIDTH_CAP, max(8, fallback))
     return min(
         PREFIX_WIDTH_CAP,
-        max(8, _input_bytes(sf_dir, "documents") // PREFIX_PARTITION_BYTES),
+        max(8, nbytes // PREFIX_PARTITION_BYTES),
     )
 
 
@@ -1336,7 +1347,7 @@ def _prefix_frames(
     # Hot-shingle skew exposure is unchanged: the df agg concentrated
     # hot shingles onto one partition identically, and candidate joins
     # cap them via HOT_SHINGLE_DF_CAP / the prefix slice downstream.
-    width = _prefix_width(sf_dir)
+    width = _prefix_width(sf_dir, spark)
     sh = _shingles(spark, sf_dir, distinct=False).repartition(width, "shingle")
     shd = sh.dropDuplicates(["doc_id", "shingle"])
     by_doc = (
@@ -1563,7 +1574,7 @@ def ppjoin_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank round-half boundaries; the raw int/int division is
     bit-identical in both engines."""
     by_doc, pref = _prefix_frames(spark, sf_dir)
-    w = _prefix_width(sf_dir)
+    w = _prefix_width(sf_dir, spark)
     cand = ppjoin_candidates(pref, width=w)
     return _jaccard_verify(cand, by_doc, PREFIX_JACCARD_T, width=w)
 

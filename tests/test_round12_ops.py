@@ -76,6 +76,30 @@ def test_pq_quantize_partial_seed_set_no_ansi_raise(spark, tmp_path):
         con.close()
 
 
+def test_prefix_width_zero_bytes_falls_back_to_cluster_width(spark, sf_dir):
+    """VERDICT r11 #4: an unstatable documents path (object-store URI,
+    stat failure) must size the prefix-family shuffle from the cluster
+    (4x defaultParallelism), never collapse to the tiny-input floor of
+    8 — that floor on a 100 TB input is a planned-in bottleneck."""
+    from mapreduceinfrastructure_spark.operators.dedup import (
+        PREFIX_WIDTH_CAP,
+        _input_bytes,
+        _prefix_width,
+    )
+
+    missing = "/no/such/place"
+    assert _input_bytes(missing, "documents") == 0
+    w = _prefix_width(missing, spark)
+    assert w == min(
+        PREFIX_WIDTH_CAP, max(8, 4 * spark.sparkContext.defaultParallelism)
+    )
+    assert w > 8
+    # sessionless callers still get a sane non-floor fallback
+    assert _prefix_width(missing) == 128
+    # the statable path keeps the byte-derived sizing
+    assert _prefix_width(sf_dir, spark) >= 8
+
+
 def test_ann_lsh_pool_capacity_guard(spark, sf_dir, monkeypatch):
     """ADVICE r11 #2: past ORACLE_MAX_VECTORS the operator must raise
     an actionable error naming the regenerate-the-oracle fix, not

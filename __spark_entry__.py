@@ -954,6 +954,59 @@ v{i} AS MATERIALIZED (
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
 
 
+def _wav_le(expr: str, nbytes: int) -> str:
+    """LE hex of an int expression: big-endian lpad-hex, byte pairs
+    reversed (shared by the WAV container oracles)."""
+    h = f"lpad(hex({expr}), {2 * nbytes}, '0')"
+    pairs = " || ".join(
+        f"substr({h}, {2 * b + 1}, 2)" for b in reversed(range(nbytes))
+    )
+    return f"({pairs})"
+
+
+def _wav_rd(byte_off: int, nbytes: int) -> str:
+    """Read an LE uint out of the hex payload at a fixed byte offset
+    (byte b lives at 1-based hex position 2b+1)."""
+    pairs = " || ".join(
+        f"substr(hx, {2 * (byte_off + b) + 1}, 2)"
+        for b in reversed(range(nbytes))
+    )
+    return f"('0x' || {pairs})::BIGINT"
+
+
+def _wav_pay_cte() -> str:
+    """Shared CTE fragment rebuilding every synthetic WAV container as
+    a hex string with independent string ops (mirrors
+    multimodal.make_wav_table byte for byte) — consumed by both the
+    wav_header_stats and audio_energy oracles."""
+    hdr = " || ".join(
+        [
+            "'52494646'",
+            _wav_le("dsz + 36", 4),
+            "'57415645'",
+            "'666D7420'",
+            _wav_le("16", 4),
+            _wav_le("1", 2),
+            _wav_le("ch", 2),
+            _wav_le("rate", 4),
+            _wav_le("rate * ch * 2", 4),
+            _wav_le("ch * 2", 2),
+            _wav_le(str(mm.WAV_BITS), 2),
+            "'64617461'",
+            _wav_le("dsz", 4),
+        ]
+    )
+    return f"""
+        med AS (
+          SELECT doc_id, doc_id % 2 + 1 AS ch,
+                 (doc_id % 3 + 1) * 8000 AS rate,
+                 octet_length(encode(text))::BIGINT AS dsz,
+                 hex(encode(text)) AS body
+          FROM documents
+        ),
+        pay AS (SELECT doc_id, {hdr} || body AS hx FROM med)"""
+
+
 def _wav_stats_sql() -> str:
     """Hex-domain twin of multimodal.wav_header_stats (the
     multimodal_features / audio_energy pattern): rebuild the canonical
@@ -965,53 +1018,14 @@ def _wav_stats_sql() -> str:
     against a fixed-offset reparse of the same bytes, field for
     field.  n_frames/duration use the same exact int floor-div and
     int/int double division, rounded at 6 in both engines."""
-
-    def le(expr: str, nbytes: int) -> str:
-        h = f"lpad(hex({expr}), {2 * nbytes}, '0')"
-        pairs = " || ".join(
-            f"substr({h}, {2 * b + 1}, 2)" for b in reversed(range(nbytes))
-        )
-        return f"({pairs})"
-
-    def rd(byte_off: int, nbytes: int) -> str:
-        pairs = " || ".join(
-            f"substr(hx, {2 * (byte_off + b) + 1}, 2)"
-            for b in reversed(range(nbytes))
-        )
-        return f"('0x' || {pairs})::BIGINT"
-
-    hdr = " || ".join(
-        [
-            "'52494646'",
-            le("dsz + 36", 4),
-            "'57415645'",
-            "'666D7420'",
-            le("16", 4),
-            le("1", 2),
-            le("ch", 2),
-            le("rate", 4),
-            le("rate * ch * 2", 4),
-            le("ch * 2", 2),
-            le(str(mm.WAV_BITS), 2),
-            "'64617461'",
-            le("dsz", 4),
-        ]
-    )
     return f"""
-        WITH med AS (
-          SELECT doc_id, doc_id % 2 + 1 AS ch,
-                 (doc_id % 3 + 1) * 8000 AS rate,
-                 octet_length(encode(text))::BIGINT AS dsz,
-                 hex(encode(text)) AS body
-          FROM documents
-        ),
-        pay AS (SELECT doc_id, {hdr} || body AS hx FROM med),
+        WITH {_wav_pay_cte()},
         p AS (
           SELECT doc_id,
-                 {rd(22, 2)} AS n_channels,
-                 {rd(24, 4)} AS sample_rate,
-                 {rd(34, 2)} AS bits,
-                 least({rd(40, 4)},
+                 {_wav_rd(22, 2)} AS n_channels,
+                 {_wav_rd(24, 4)} AS sample_rate,
+                 {_wav_rd(34, 2)} AS bits,
+                 least({_wav_rd(40, 4)},
                        (length(hx) // 2) - {mm.WAV_HEADER_LEN}) AS data_bytes
           FROM pay
         )
@@ -1020,6 +1034,56 @@ def _wav_stats_sql() -> str:
                round((data_bytes // (n_channels * (bits // 8)))
                      * 1000.0 / sample_rate, 6) AS duration_ms
         FROM p
+    """
+
+
+def _audio_energy_sql() -> str:
+    """Hex-domain twin of multimodal.audio_energy (r12 — VERDICT r11
+    #6): reparse ch/rate/bits from the WAV hex at the spec offsets,
+    derive the SAME rate-dependent geometry (rate // WAV_WIN_DIVISOR
+    frames, 50% hop, a window = win_frames * ch contiguous interleaved
+    samples), and replay the int16-LE PCM sample sums from the hex —
+    sample s of the data body is bytes 44+2s/44+2s+1 (lo/hi), signed
+    via (+32768) % 65536 - 32768.  Window square-sums are exact
+    integers in BIGINT (<= 32767^2 * 960 ~ 1e12), so only the final
+    /ws, sqrt and round are float — identical IEEE ops in both
+    engines.  The fixed-offset 44 here is the independence point: the
+    Spark side slices at the PARSED data offset, the oracle at the
+    canonical spec offset, and they must agree."""
+    base = 2 * mm.WAV_HEADER_LEN + 1  # 1-based hex position of data byte 0
+    return f"""
+        WITH {_wav_pay_cte()},
+        p AS (
+          SELECT doc_id, hx,
+                 {_wav_rd(22, 2)} AS ch,
+                 {_wav_rd(24, 4)} AS rate,
+                 {_wav_rd(34, 2)} AS bits,
+                 least({_wav_rd(40, 4)},
+                       (length(hx) // 2) - {mm.WAV_HEADER_LEN}) AS data_bytes
+          FROM pay
+        ),
+        g AS (
+          SELECT doc_id, hx, rate,
+                 (rate // {mm.WAV_WIN_DIVISOR}) * ch AS ws,
+                 ((rate // {mm.WAV_WIN_DIVISOR}) // 2) * ch AS hop,
+                 data_bytes // 2 AS n_samp
+          FROM p
+          WHERE bits = 16 AND rate // {mm.WAV_WIN_DIVISOR} >= 2
+        ),
+        wins AS (
+          SELECT doc_id, hx, rate, ws, hop, w
+          FROM g, unnest(range(0,
+                 CASE WHEN n_samp >= ws THEN (n_samp - ws) // hop + 1
+                      ELSE 0 END)) AS uw(w)
+        )
+        SELECT doc_id, w::BIGINT AS win_idx, rate::BIGINT AS sample_rate,
+               round(sqrt(list_sum(list_transform(
+                 list_transform(range(0, ws), s ->
+                   (('0x' || substr(hx, {base} + 4 * (w * hop + s) + 2, 2)
+                          || substr(hx, {base} + 4 * (w * hop + s), 2)
+                    )::BIGINT + 32768) % 65536 - 32768),
+                 v -> v * v))::DOUBLE / ws), 6) AS rms
+        FROM wins
     """
 
 
@@ -4157,30 +4221,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_iterate": _kmeans_iter_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
-        # exact int16-LE PCM fake-decode + hop-windowed RMS, replayed
-        # in the hex domain: sample j = bytes 2j/2j+1 (lo/hi), signed
-        # via (+32768) % 65536 - 32768; window sums are exact integers
-        # in double (≤ 2^38), so only the final sqrt/round is float —
-        # identical in both engines (VERDICT r9 #7 retires rows-only)
-        "audio_energy": f"""
-            WITH {_MEDIA_HX},
-            geo AS (SELECT doc_id, hx, length(hx) // 4 AS n_samp FROM med),
-            wins AS (
-              SELECT doc_id, hx, w
-              FROM geo, unnest(range(0,
-                     CASE WHEN n_samp >= {mm.AUDIO_WINDOW}
-                          THEN (n_samp - {mm.AUDIO_WINDOW}) // {mm.AUDIO_HOP} + 1
-                          ELSE 0 END)) AS uw(w)
-            )
-            SELECT doc_id, w::BIGINT AS win_idx,
-                   round(sqrt(list_sum(list_transform(
-                     list_transform(range(0, {mm.AUDIO_WINDOW}), s ->
-                       (('0x' || substr(hx, 4 * (w * {mm.AUDIO_HOP} + s) + 3, 2)
-                              || substr(hx, 4 * (w * {mm.AUDIO_HOP} + s) + 1, 2)
-                        )::BIGINT + 32768) % 65536 - 32768),
-                     v -> v * v))::DOUBLE / {mm.AUDIO_WINDOW}), 6) AS rms
-            FROM wins
-        """,
+        # rate-derived window geometry replayed from the WAV hex (r12:
+        # audio_energy consumes parse_wav_header; see _audio_energy_sql)
+        "audio_energy": _audio_energy_sql(),
         "pagerank_nations": _pagerank_sql(),
         "fuzzy_blocked_join": """
             -- composite canopy block: (first token, length band of 4),

@@ -147,21 +147,23 @@ def test_decode_with_pil_present(monkeypatch):
 
 
 def test_audio_windows_match_numpy_reference(spark, sf_dir):
-    """audio_windows vs a direct numpy recomputation from the same
-    parquet text payloads — the rows-only external ground truth
-    (pattern: bpe_merges / simhash HOF reference tests)."""
+    """audio_windows (the fixed-geometry raw-PCM plumbing) vs a direct
+    numpy recomputation from the same parquet text payloads — the
+    rows-only external ground truth (pattern: bpe_merges / simhash HOF
+    reference tests)."""
     import numpy as np
     import pyarrow.parquet as pq
 
     from mapreduceinfrastructure_spark.operators.multimodal import (
         AUDIO_HOP,
         AUDIO_WINDOW,
-        audio_energy,
+        audio_windows,
+        make_media_table,
     )
 
     got = {
         (r["doc_id"], r["win_idx"], r["rms"])
-        for r in audio_energy(spark, sf_dir).collect()
+        for r in audio_windows(make_media_table(spark, sf_dir)).collect()
     }
 
     from mapreduceinfrastructure_spark.operators.multimodal import (
@@ -187,3 +189,47 @@ def test_audio_windows_match_numpy_reference(spark, sf_dir):
             want.add((doc_id, w, round(float(np.sqrt(np.mean(seg * seg))), 6)))
     assert got == want
     assert len(got) > 0
+
+
+def test_audio_energy_rate_derived_windows_match_numpy(spark, sf_dir):
+    """audio_energy (r12: WAV-container energy with geometry from the
+    PARSED fmt-chunk rate) vs a numpy recomputation that builds the
+    same container, parses nothing, and derives windows from the
+    doc_id-derived ground-truth rate/channels — so a Spark-side parse
+    or slicing bug cannot cancel out."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators.multimodal import (
+        WAV_WIN_DIVISOR,
+        audio_energy,
+    )
+
+    got = {
+        (r["doc_id"], r["win_idx"], r["sample_rate"], r["rms"])
+        for r in audio_energy(spark, sf_dir).collect()
+    }
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want = set()
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        ch = doc_id % 2 + 1
+        rate = (doc_id % 3 + 1) * 8000
+        body = (text or "").encode("utf-8")
+        pcm = np.frombuffer(body[: len(body) // 2 * 2], dtype="<i2").astype(
+            np.float64
+        )
+        wf = rate // WAV_WIN_DIVISOR
+        ws, hop = wf * ch, (wf // 2) * ch
+        n_win = (len(pcm) - ws) // hop + 1 if len(pcm) >= ws else 0
+        for w in range(n_win):
+            seg = pcm[w * hop : w * hop + ws]
+            want.add(
+                (doc_id, w, rate, round(float(np.sqrt(np.mean(seg * seg))), 6))
+            )
+    assert got == want
+    assert len(got) > 0
+    # all three synthetic rates must actually appear (geometry variance)
+    assert {r for (_, _, r, _) in got} == {8000, 16000, 24000}

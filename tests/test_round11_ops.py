@@ -126,16 +126,18 @@ def test_parse_wav_header_generic_chunk_scan():
     data = b"data" + le(12, 4) + b"x" * 12
     # canonical layout
     canon = b"RIFF" + le(36 + 12, 4) + b"WAVE" + fmt + data
-    assert parse_wav_header(canon) == (2, 16000, 16, 12)
+    assert parse_wav_header(canon) == (2, 16000, 16, 12, 44)
     # an odd-sized LIST chunk BEFORE fmt (scan must skip it, including
     # the RIFF pad byte) and junk after data
     lst = b"LIST" + le(5, 4) + b"INFOx" + b"\x00"
     shuffled = b"RIFF" + le(100, 4) + b"WAVE" + lst + fmt + data + b"junk"
-    assert parse_wav_header(shuffled) == (2, 16000, 16, 12)
+    # data body lands after the 12-byte RIFF/WAVE preamble, the
+    # 6-byte-padded LIST chunk (8+5+1) and the 24-byte fmt chunk
+    assert parse_wav_header(shuffled) == (2, 16000, 16, 12, 12 + 14 + 24 + 8)
     # truncated data chunk: reported size clamped to available bytes
     trunc = (b"RIFF" + le(100, 4) + b"WAVE" + fmt + b"data" + le(50, 4)
              + b"only9byte")
-    assert parse_wav_header(trunc) == (2, 16000, 16, 9)
+    assert parse_wav_header(trunc) == (2, 16000, 16, 9, 44)
     # rejections
     assert parse_wav_header(b"RIFX" + canon[4:]) is None
     assert parse_wav_header(canon[:8]) is None

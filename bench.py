@@ -322,6 +322,26 @@ def main() -> None:
         timings_median[name] = round(s[len(s) // 2], 3) if s else None
     calib = sorted(samples.get("_calib", []))
 
+    # Second, query-shaped calibration probe (VERDICT r11 #5): the
+    # synthetic calib probe moved -15% across the r10->r11 VM pair
+    # while the round's UNTOUCHED trivial queries moved ~0%, so a
+    # single normalizer made adjusted numbers un-interpretable.  The
+    # trivial basket — sub-second queries whose code essentially never
+    # changes round-to-round — is the probe that tracks what real
+    # queries feel; report BOTH and judge each round's targets against
+    # whichever one that round's untouched queries actually track.
+    TRIVIAL_BASKET = ("word_count", "tpch_q6", "dedup_exact", "sessionize")
+    basket = sorted(
+        min(samples[n]) for n in TRIVIAL_BASKET if samples.get(n)
+    )
+    calib_trivial = (
+        round(
+            (basket[len(basket) // 2] + basket[(len(basket) - 1) // 2]) / 2, 3
+        )
+        if basket
+        else None
+    )
+
     measured = [t for t in timings.values() if t is not None]
     out = {
         "metric": "headline_queries_total_sec",
@@ -335,6 +355,10 @@ def main() -> None:
         # code-independent VM-speed probe (see run_calib) — divide two
         # rounds' calib_sec to get the host-band ratio between them
         "calib_sec": round(calib[0], 3) if calib else None,
+        # query-shaped VM probe: median min of the pinned untouched
+        # trivial basket (word_count/tpch_q6/dedup_exact/sessionize) —
+        # the cross-check when calib_sec and real queries disagree
+        "calib_trivial_sec": calib_trivial,
     }
     # host-band-normalized total in pinned-reference (r10 VM) seconds;
     # per-query adjusted values land in the BENCH_FULL side file

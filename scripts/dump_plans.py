@@ -111,7 +111,10 @@ NOTES = {
     "ivm_source_stats": "the maintenance read: base aggregate arrives as a parquet scan of the MATERIALIZED view (4 pruned columns), the delta is a delta-sized agg, and the merge is one |sources|-row groupBy — the base corpus appears nowhere in this plan, which is the IVM contract made visible",
     "ann_lsh": "corpus emits 8 keys/vector, the 50-query multiprobe side (5 keys/table) rides a BroadcastExchange into the bucket join; candidate dedup + exact-cosine verify + WindowGroupLimit top-5 all bounded by bucket collisions, never corpus²",
     "ann_ivf": "final assignment scan (broadcast centroids, min_by argmin — no window sort over the corpus×k pairs), nprobe probe selection on the |q|×k frame, and the per-cluster candidate join keyed on cid — each query touches ~nprobe/k of the corpus by construction",
-    "audio_energy": "ONE mapInPandas pass (ArrowEvalPython in-plan): PCM decode + hop windows vectorized per Arrow batch, rows out ~|samples|/HOP per doc — no shuffle anywhere, media bytes never leave the scan partition",
+    "audio_energy": "ONE mapInPandas pass (ArrowEvalPython in-plan): WAV header parse + rate-derived hop windows vectorized per Arrow batch (r12 — window geometry from the PARSED fmt rate, PCM sliced at the parsed data offset), rows out ~|samples|/hop per doc — no shuffle anywhere, media bytes never leave the scan partition",
+    "wav_header_stats": "scan → JVM hex/unhex header synthesis (codegen, no Python near the payload) → ONE mapInPandas chunk-scan parse — map-only, one narrow row per doc; the only Exchange is fan_out's tiny-file round-robin (no-op at scale)",
+    "pq_quantize": "single map-only projection: the 16x64-double codebook is ONE literal in the plan (HOF-indexed, no per-term duplication), all 64 subspace distances are JVM aggregate folds, argmin via array_position — no join, no Python; the one Exchange is fan_out's tiny-file round-robin (a no-op on multi-row-group inputs at scale)",
+    "bpe_merges": "corpus collapses to word frequencies in the first agg; each of the 20 merge rounds is a vocab-sized (not corpus-sized) pair-count agg + argmax + HOF merge fold over the segmentation column — the iterative frame never exceeds |vocab| rows",
     "degree_assortativity": "degree agg with map-side partials, two node-keyed degree joins (AQE broadcasts the |V|-row degree table at runtime), ONE global algebraic agg — four BIGINT moments, the correlation arithmetic is a 1-row projection",
     "cusum_drift": "corpus collapses in the FIRST hash agg to (type, hour) rows; every window after (prefix sum, totals, argmax rank) is type-partitioned over that tiny frame — no global single-partition window",
     "media_type_profile": "the mapInPandas decode feeds a |formats|-row hash agg with partial aggregation — media bytes never shuffle; the plan is scan → ArrowEvalPython → partial/final agg",

@@ -65,6 +65,15 @@ def test_bench_contract_smoke():
     assert all(len(v) >= 1 for v in full["samples"].values())
     assert out["calib_sec"] and out["calib_sec"] > 0
     assert "_calib" not in out["queries"]
+    # query-shaped probe (round-12): median min of the pinned trivial
+    # basket, reported alongside the synthetic probe — the r10->r11 VM
+    # pair moved them differently, so both must be in the artifact
+    assert out["calib_trivial_sec"] and out["calib_trivial_sec"] > 0
+    basket = [
+        out["queries"][n]
+        for n in ("word_count", "tpch_q6", "dedup_exact", "sessionize")
+    ]
+    assert min(basket) <= out["calib_trivial_sec"] <= max(basket)
     # sum only non-None timings (mirrors bench.py's ``measured``) so an
     # errored query surfaces as the readable `bad` assertion above /
     # the errors key, never as an opaque TypeError here (ADVICE r10)

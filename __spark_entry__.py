@@ -1193,8 +1193,8 @@ WINDOW_ROUND = 12  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R12 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "pq_quantize",  # never banked
     "wav_header_stats",  # never banked
+    "pq_quantize",  # never banked
     "bpe_merges",  # never banked
     "tpch_q18",  # stale (hash changed since r3 row)
     "cdc_dup_chunks",  # stale (hash changed since r6 row)
@@ -1233,14 +1233,14 @@ DRIVER_WINDOW_R12 = [
     "evolution_roundtrip",  # stale (hash changed since r9 row)
     "streaming_curated_ingest",  # stale (hash changed since r9 row)
     "streaming_enriched_revenue",  # stale (hash changed since r9 row)
+    "audio_energy",  # stale (hash changed since r11 row)
+    "containment_neardup",  # stale (hash changed since r11 row)
+    "ppjoin_neardup",  # stale (hash changed since r11 row)
+    "prefix_filter_neardup",  # stale (hash changed since r11 row)
+    "ann_lsh",  # stale (hash changed since r11 row)
+    "rrf_fusion",  # stale (hash changed since r11 row)
+    "pagerank_docs",  # stale (hash changed since r11 row)
     "tpch_q5",  # backfill (last banked r4)
-    "edge_inversion",  # backfill (last banked r5)
-    "histogram",  # backfill (last banked r5)
-    "key_count",  # backfill (last banked r5)
-    "rollup_pricing",  # backfill (last banked r5)
-    "select_project",  # backfill (last banked r5)
-    "sessionize",  # backfill (last banked r5)
-    "sql_segment_spend",  # backfill (last banked r5)
 ]
 
 

@@ -55,6 +55,7 @@ so old and new trees are hashed by identical logic.
 from __future__ import annotations
 
 import argparse
+import ast
 import hashlib
 import inspect
 import json
@@ -64,11 +65,47 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import textwrap
 import types
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER_PATH = os.path.join(REPO, "scripts", "query_ledger.json")
 PACKAGE = "mapreduceinfrastructure_spark"
+
+# Bump whenever the hashing logic changes: sync() recomputes any ledger
+# entry recorded under a different version (old worktrees are hashed by
+# THIS file — sync copies it in — so versions never mix within a run).
+HASH_VERSION = 2
+
+
+def _normalize_source(src: str) -> str:
+    """Semantic-ish source identity (r12): parse and unparse the code so
+    comments, docstrings, blank lines and formatting drop out of the
+    hash.  Before this, a docstring-only touch to a helper re-staled
+    every query reaching it — the same treadmill the ledger was built
+    to kill, one granularity level down (VERDICT r10 #1 / r11 #2: the
+    stale tier kept refilling with evidence lag, not code change).
+    Any parse failure falls back to the raw text (never hide a change
+    behind a normalizer bug)."""
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+        for node in ast.walk(tree):
+            body = getattr(node, "body", None)
+            if (
+                isinstance(
+                    node,
+                    (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+                )
+                and body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                # drop the docstring; keep an empty body valid
+                node.body = body[1:] or [ast.Pass()]
+        return ast.unparse(tree)
+    except (SyntaxError, ValueError):
+        return src
 
 # ---------------------------------------------------------------------------
 # hashing
@@ -95,7 +132,7 @@ def _collect_sources(fn, out: dict[str, str], seen: set) -> None:
     key = f"{fn.__module__}.{getattr(fn, '__qualname__', fn.__name__)}"
     if key not in out:
         try:
-            out[key] = inspect.getsource(fn)
+            out[key] = _normalize_source(inspect.getsource(fn))
         except (OSError, TypeError):
             out[key] = repr(fn)
 
@@ -119,7 +156,7 @@ def _collect_sources(fn, out: dict[str, str], seen: set) -> None:
                 ckey = f"{obj.__module__}.{obj.__qualname__}"
                 if ckey not in out:
                     try:
-                        out[ckey] = inspect.getsource(obj)
+                        out[ckey] = _normalize_source(inspect.getsource(obj))
                     except (OSError, TypeError):
                         out[ckey] = repr(obj)
             elif isinstance(obj, (int, float, str, bool, bytes, tuple, frozenset)):
@@ -301,7 +338,11 @@ def sync() -> None:
                 break
         if not sha:
             continue
-        if ledger.get(name, {}).get("round", -1) >= rnd:
+        entry = ledger.get(name, {})
+        if (
+            entry.get("round", -1) >= rnd
+            and entry.get("v", 1) == HASH_VERSION
+        ):
             continue
         todo[name] = (rnd, sha)
 
@@ -318,6 +359,7 @@ def sync() -> None:
                     "hash": hashes[name],
                     "round": todo[name][0],
                     "commit": sha[:12],
+                    "v": HASH_VERSION,
                 }
                 got += 1
         print(

@@ -98,3 +98,43 @@ def test_ledger_file_covers_registry_and_matches_schema(registry):
         if n not in data and n in banked and committed[banked[n]]
     ]
     assert not missing, f"unledgered oracle-backed queries: {sorted(missing)}"
+
+
+def test_normalize_source_semantic_identity():
+    """Hash v2 (r12): comments, docstrings, blank lines and formatting
+    must not change a function's ledger identity — they were refilling
+    the stale tier with evidence lag (13 of 44 r12 'stale' entries were
+    comment-only drift) — while ANY token-level code change still must."""
+    a = '''
+def f(x):
+    """Docstring."""
+    # a comment
+    y = x + 1
+
+    return y
+'''
+    b = '''
+def f(x):
+    """Completely different docstring."""
+    y = x + 1  # trailing comment, different spacing
+    return y
+'''
+    c = '''
+def f(x):
+    y = x + 2
+    return y
+'''
+    na, nb, nc = map(ledger._normalize_source, (a, b, c))
+    assert na == nb
+    assert na != nc
+    # docstring-only bodies stay syntactically valid
+    assert "pass" in ledger._normalize_source('def g():\n    """doc"""\n')
+    # unparseable input falls back to the raw text, never hides a change
+    broken = "def f(:\n    oops"
+    assert ledger._normalize_source(broken) == broken
+
+
+def test_ledger_entries_carry_hash_version():
+    data = json.load(open(os.path.join(REPO, "scripts", "query_ledger.json")))
+    assert data, "empty ledger"
+    assert all(row.get("v") == ledger.HASH_VERSION for row in data.values())

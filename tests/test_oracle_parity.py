@@ -32,7 +32,6 @@ DRIVER_WINDOW = [
     "pq_quantize",  # never banked
     "bpe_merges",  # never banked
     "tpch_q18",  # stale (hash changed since r3 row)
-    "cdc_dup_chunks",  # stale (hash changed since r6 row)
     "neardup_audit",  # stale (hash changed since r6 row)
     "inverted_index_mr",  # stale (hash changed since r6 row)
     "dedup_clusters",  # stale (hash changed since r7 row)
@@ -41,34 +40,24 @@ DRIVER_WINDOW = [
     "ngram_jaccard_neardup",  # stale (hash changed since r7 row)
     "embedding_neardup",  # stale (hash changed since r7 row)
     "embedding_neardup_strict",  # stale (hash changed since r7 row)
-    "semdedup_prune",  # stale (hash changed since r7 row)
     "bucketed_join_revenue",  # stale (hash changed since r7 row)
     "orc_roundtrip",  # stale (hash changed since r7 row)
     "shard_manifest",  # stale (hash changed since r7 row)
-    "streaming_curated_ingest_watermarked",  # stale (hash changed since r7 row)
     "streaming_custom_sessions",  # stale (hash changed since r7 row)
     "streaming_distinct_users_hll",  # stale (hash changed since r7 row)
-    "streaming_heavy_hitters",  # stale (hash changed since r7 row)
-    "streaming_quantile_quality",  # stale (hash changed since r7 row)
     "hll_distinct_users",  # stale (hash changed since r7 row)
     "hll_intersect_types",  # stale (hash changed since r7 row)
     "hll_union_types",  # stale (hash changed since r7 row)
-    "quantile_sketch_quality",  # stale (hash changed since r7 row)
     "grep_mr",  # stale (hash changed since r7 row)
     "word_count_mr",  # stale (hash changed since r7 row)
     "pandas_udaf_geomean",  # stale (hash changed since r8 row)
-    "token_positions",  # stale (hash changed since r8 row)
     "zorder_layout",  # stale (hash changed since r8 row)
     "compaction_roundtrip",  # stale (hash changed since r8 row)
-    "streaming_dedup_ingest",  # stale (hash changed since r8 row)
-    "zipf_slope",  # stale (hash changed since r9 row)
-    "cc_star",  # stale (hash changed since r9 row)
-    "array_funcs_catalog",  # stale (hash changed since r9 row)
     "linreg_by_group",  # stale (hash changed since r9 row)
     "evolution_roundtrip",  # stale (hash changed since r9 row)
-    "streaming_curated_ingest",  # stale (hash changed since r9 row)
-    "streaming_enriched_revenue",  # stale (hash changed since r9 row)
     "audio_energy",  # stale (hash changed since r11 row)
+    "media_type_profile",  # stale (hash changed since r11 row)
+    "multimodal_features",  # stale (hash changed since r11 row)
     "containment_neardup",  # stale (hash changed since r11 row)
     "ppjoin_neardup",  # stale (hash changed since r11 row)
     "prefix_filter_neardup",  # stale (hash changed since r11 row)
@@ -76,6 +65,17 @@ DRIVER_WINDOW = [
     "rrf_fusion",  # stale (hash changed since r11 row)
     "pagerank_docs",  # stale (hash changed since r11 row)
     "tpch_q5",  # backfill (last banked r4)
+    "edge_inversion",  # backfill (last banked r5)
+    "histogram",  # backfill (last banked r5)
+    "key_count",  # backfill (last banked r5)
+    "rollup_pricing",  # backfill (last banked r5)
+    "select_project",  # backfill (last banked r5)
+    "sessionize",  # backfill (last banked r5)
+    "sql_segment_spend",  # backfill (last banked r5)
+    "tpch_q16",  # backfill (last banked r5)
+    "tpch_q17",  # backfill (last banked r5)
+    "tpch_q9",  # backfill (last banked r5)
+    "bigram_logprob_score",  # backfill (last banked r6)
 ]
 
 def test_window_round_is_fresh():

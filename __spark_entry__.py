@@ -954,6 +954,80 @@ v{i} AS MATERIALIZED (
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
 
 
+def _pq_adc_sql() -> str:
+    """Hex... no — exact replay twin of similarity.pq_adc_topk (r12):
+    codebook positions via the same argmin-of-left-fold as the
+    pq_quantize oracle (ties ORDER BY (d2, pos) = Spark's
+    first-match-lowest-position), per-query subspace distances
+    recomputed with the IDENTICAL _pq_d2 fold, and the ADC total added
+    in the same fixed s-order as the Spark element_at chain — no
+    order-unstable float aggregation anywhere.  fb flattens the
+    codebook exactly like the Spark flat literal, so fb[pos*DIM +
+    s*SUBDIM + j] (1-based) is element_at(flat, pos*DIM + s*SUBDIM +
+    j + 1) operand for operand."""
+
+    def dsub(s: int) -> str:
+        sub, dim = sim.PQ_SUBDIM, sim.EMBED_DIM
+        term = (
+            f"(q.qv[{s * sub} + j] - fb.f[c.cs[{s + 1}] * {dim}"
+            f" + {s * sub} + j])"
+        )
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, {sub + 1}),\n"
+            f"                   j -> {term}\n"
+            f"                        * {term}),\n"
+            f"                 (acc, x) -> acc + x)"
+        )
+
+    adc = "\n               + ".join(dsub(s) for s in range(sim.PQ_SUB))
+    return f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cb AS (SELECT vec_id AS code,
+                          row_number() OVER (ORDER BY vec_id) - 1 AS pos,
+                          v AS cv
+                   FROM e WHERE vec_id < {sim.PQ_K}),
+            fb AS (SELECT flatten(list(cv ORDER BY pos)) AS f FROM cb),
+            d AS (
+              SELECT e.vec_id, s, cb.pos,
+                     list_reduce([0.0] || list_transform(
+                         range(1, {sim.PQ_SUBDIM + 1}),
+                         j -> (e.v[s * {sim.PQ_SUBDIM} + j]
+                               - cb.cv[s * {sim.PQ_SUBDIM} + j])
+                            * (e.v[s * {sim.PQ_SUBDIM} + j]
+                               - cb.cv[s * {sim.PQ_SUBDIM} + j])),
+                       (acc, x) -> acc + x) AS d2
+              FROM e, unnest(range(0, {sim.PQ_SUB})) AS us(s), cb
+            ),
+            r AS (
+              SELECT vec_id, s, pos,
+                     row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY d2, pos) AS rn
+              FROM d
+            ),
+            codes AS (SELECT vec_id, list(pos ORDER BY s) AS cs
+                      FROM r WHERE rn = 1 GROUP BY vec_id),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e
+                  WHERE vec_id < {sim.N_QUERIES}),
+            pairs AS (
+              SELECT q.qid, c.vec_id AS neighbor_id,
+               {adc} AS adc
+              FROM codes c, q, fb
+              WHERE c.vec_id <> q.qid
+            ),
+            top AS (
+              SELECT qid, neighbor_id, adc,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY adc, neighbor_id) AS rn
+              FROM pairs
+            )
+            SELECT qid, neighbor_id, round(adc, 6) AS adc_d2,
+                   rn::BIGINT AS rn
+            FROM top WHERE rn <= {sim.TOPK}
+    """
+
+
 def _wav_le(expr: str, nbytes: int) -> str:
     """LE hex of an int expression: big-endian lpad-hex, byte pairs
     reversed (shared by the WAV container oracles)."""
@@ -1181,16 +1255,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # and dropped out) followed by `python scripts/rotation.py`, repasted
 # after the round's final operator commit.  Provenance per entry: the
 # 2 fidelity anchors; the 3 never-banked r11 additions (VERDICT r11 #1
-# names these as the round's required bank); the genuinely-stale tier
+# names these as the round's required bank) plus the round's own
+# pq_adc_topk addition; the genuinely-stale tier
 # (semantic source or oracle changed since the last green row, per
 # scripts/query_ledger.json — includes the 7 rows re-staled by this
 # round's pq_quantize/ann_lsh/audio_energy/prefix-width fixes) in
-# oldest-banked-evidence-first order; then 12 backfill slots covering
+# oldest-banked-evidence-first order; then 11 backfill slots covering
 # the ENTIRE <=r5 evidence tail VERDICT r11 #2 listed (tpch_q5/q9/q16/
 # q17, edge_inversion, histogram, key_count, rollup_pricing,
-# select_project, sessionize, sql_segment_spend) plus the r6-banked
-# bigram_logprob_score.  Every windowed entry has an exact DuckDB
-# oracle (pinned by test_driver_window_is_oracle_backed).
+# select_project, sessionize, sql_segment_spend).  Every windowed
+# entry has an exact DuckDB oracle (pinned by
+# test_driver_window_is_oracle_backed).
 WINDOW_ROUND = 12  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 # tests/test_oracle_parity.py::test_window_round_is_fresh (VERDICT r11 #1:
 # r11 silently re-ran the r10 window; this makes a stale window a red test).
@@ -1198,6 +1273,7 @@ DRIVER_WINDOW_R12 = [
     "word_count",  # anchor
     "grep",  # anchor
     "wav_header_stats",  # never banked
+    "pq_adc_topk",  # never banked
     "pq_quantize",  # never banked
     "bpe_merges",  # never banked
     "tpch_q18",  # stale (hash changed since r3 row)
@@ -1244,7 +1320,6 @@ DRIVER_WINDOW_R12 = [
     "tpch_q16",  # backfill (last banked r5)
     "tpch_q17",  # backfill (last banked r5)
     "tpch_q9",  # backfill (last banked r5)
-    "bigram_logprob_score",  # backfill (last banked r6)
 ]
 
 
@@ -1409,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_energy": mm.audio_energy,
         "wav_header_stats": mm.wav_header_stats,
         "pq_quantize": sim.pq_quantize,
+        "pq_adc_topk": sim.pq_adc_topk,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -1767,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
                    round(d2, 6) AS sq_err
             FROM r WHERE rn = 1
         """,
+        "pq_adc_topk": _pq_adc_sql(),
         "rolling_fingerprint": """
             SELECT doc_id,
                    list_reduce(

@@ -161,6 +161,10 @@ HEADLINE = [
     "market_basket_rules",
     "mad_outliers",
     "oov_rate",
+    # round-12 addition: the PQ ADC search pass — code projection +
+    # 50-row table broadcast + per-qid top-k, the compressed-domain
+    # complement of cosine_topk's raw-vector scan
+    "pq_adc_topk",
 ]
 
 

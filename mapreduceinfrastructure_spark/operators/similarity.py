@@ -1110,6 +1110,47 @@ PQ_K = 16
 PQ_SUBDIM = EMBED_DIM // PQ_SUB
 
 
+def _pq_collect_codebook(emb: DataFrame):
+    """Driver-collect the seed codebook (vec_id < PQ_K, the
+    kmeans_iterate seeding convention): returns (codes, flat) where
+    ``codes`` is the ascending list of actual seed vec_ids and ``flat``
+    the flattened codebook literal, or None when the corpus has no
+    seeds.  BOUNDED by construction (<= PQ_K x EMBED_DIM doubles)."""
+    seeds = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .select("vec_id", "v")
+        .collect()
+    )
+    if not seeds:
+        return None
+    codes = [int(r["vec_id"]) for r in seeds]
+    flat = F.lit([float(x) for r in seeds for x in r["v"]])
+    return codes, flat
+
+
+def _pq_d2(vcol, flat, s, c):
+    """Squared distance between subvector ``s`` of ``vcol`` and
+    codebook entry ``c`` — the ONE left-fold both engines replay
+    (the _ann_lsh_sql discipline); ``s``/``c`` may be ints or Columns.
+    Fully HOF-indexed: the codebook literal appears O(1) times in the
+    expression tree (an unrolled draft serialized a 5.7 MiB task
+    binary from literal duplication)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_SUBDIM - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + (
+            F.element_at(vcol, s * PQ_SUBDIM + j + 1)
+            - F.element_at(flat, c * EMBED_DIM + s * PQ_SUBDIM + j + 1)
+        )
+        * (
+            F.element_at(vcol, s * PQ_SUBDIM + j + 1)
+            - F.element_at(flat, c * EMBED_DIM + s * PQ_SUBDIM + j + 1)
+        ),
+    )
+
+
 def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (vector, subspace): the nearest-codebook code and its
     squared quantization error — (vec_id, subspace, code, sq_err).
@@ -1127,13 +1168,8 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number-over-(d2, code) argmin.
     """
     emb = _embeddings(spark, sf_dir)
-    seeds = (
-        emb.filter(F.col("vec_id") < PQ_K)
-        .orderBy("vec_id")
-        .select("vec_id", "v")
-        .collect()
-    )
-    if not seeds:
+    cb = _pq_collect_codebook(emb)
+    if cb is None:
         return spark.createDataFrame(
             [], schema="vec_id long, subspace long, code long, sq_err double"
         )
@@ -1143,29 +1179,12 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial seed set would index element_at past the flat codebook
     # literal (ARITHMETIC-class error under Spark 4's ANSI default).
     # n_codes bounds every codebook index to what was really collected.
-    codes = [int(r["vec_id"]) for r in seeds]
+    codes, flat = cb
     n_codes = len(codes)
     codes_lit = F.lit(codes)
-    flat = F.lit([float(x) for r in seeds for x in r["v"]])
 
-    # Fully HOF-indexed (the _bucket_ids_flat lesson): the codebook
-    # literal appears O(1) times in the expression tree instead of
-    # once per (subspace, code, dim) term — an unrolled draft
-    # serialized a 5.7 MiB task binary from literal duplication.
     def d2(s, c):
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(PQ_SUBDIM - 1)),
-            F.lit(0.0),
-            lambda acc, j: acc
-            + (
-                F.element_at(F.col("v"), s * PQ_SUBDIM + j + 1)
-                - F.element_at(flat, c * EMBED_DIM + s * PQ_SUBDIM + j + 1)
-            )
-            * (
-                F.element_at(F.col("v"), s * PQ_SUBDIM + j + 1)
-                - F.element_at(flat, c * EMBED_DIM + s * PQ_SUBDIM + j + 1)
-            ),
-        )
+        return _pq_d2(F.col("v"), flat, s, c)
 
     sub = F.transform(
         F.sequence(F.lit(0), F.lit(PQ_SUB - 1)),
@@ -1195,4 +1214,99 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("code"),
             F.round(F.array_min("dists"), 6).alias("sq_err"),
         )
+    )
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-5 search over the PQ
+    codes — the query path that completes pq_quantize's encode path
+    (Jégou et al., TPAMI 2011): each query precomputes a PQ_SUB x
+    n_codes table of subspace distances to the codebook ONCE, and
+    every corpus vector is then scored by PQ_SUB table lookups on its
+    codes instead of a 64-dim distance — (qid, neighbor_id, adc_d2,
+    rn), self excluded, ties to the lower neighbor id (the cosine_topk
+    conventions).
+
+    Scale shape — why ADC is THE 100 TB vector-search pattern: the
+    corpus pass reads only the code columns (PQ_SUB small ints per
+    vector, ~16x narrower than the raw embedding), scoring is O(PQ_SUB)
+    lookups + adds per (query, vector) with NO per-pair vector
+    arithmetic, the 50-row query-table frame rides a BroadcastExchange
+    (bounded: |queries| x PQ_SUB x n_codes doubles), and the only
+    shuffle is the per-qid top-k, pruned map-side by WindowGroupLimit
+    to K rows per (partition, qid).  At production scale the same plan
+    runs after an IVF list prefilter (ann_ivf's cluster assignment)
+    so each query touches ~nprobe/k of the codes.
+
+    Exactness: adc_d2 equals sum_s ||q_s - codebook[code_s]||^2 by
+    construction, so the DuckDB twin recomputes each term with the
+    identical _pq_d2 left fold and adds the PQ_SUB terms in the same
+    fixed s-order — no order-unstable float aggregation anywhere; only
+    the final round(…, 6) is presentational.
+    """
+    emb = _embeddings(spark, sf_dir)
+    cb = _pq_collect_codebook(emb)
+    if cb is None:
+        return spark.createDataFrame(
+            [], schema="qid long, neighbor_id long, adc_d2 double, rn long"
+        )
+    codes, flat = cb
+    n_codes = len(codes)
+
+    # corpus side: PQ codes as ONE positional-int array per vector
+    # (s-major), computed by the same argmin-of-fold as pq_quantize —
+    # map-only, and the raw vector is dropped right after.
+    code_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_SUB - 1)),
+        lambda s: (
+            F.array_position(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                    lambda c: _pq_d2(F.col("v"), flat, s, c),
+                ),
+                F.array_min(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                        lambda c: _pq_d2(F.col("v"), flat, s, c),
+                    )
+                ),
+            )
+            - 1
+        ).cast("int"),
+    )
+    corpus = emb.select("vec_id", code_arr.alias("cs"))
+
+    # query side: the ADC lookup table, s-major flat — one bounded
+    # 50-row frame carrying PQ_SUB * n_codes doubles each.
+    table = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_SUB - 1)),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                lambda c: _pq_d2(F.col("qv"), flat, s, c),
+            ),
+        )
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        .select("qid", table.alias("t"))
+    )
+
+    pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    # fixed s-order chain of table lookups — bit-identical to the
+    # oracle's fixed-order sum of the same folds
+    adc = F.lit(0.0)
+    for s in range(PQ_SUB):
+        adc = adc + F.element_at(
+            F.col("t"), F.lit(s * n_codes + 1) + F.col("cs")[s]
+        )
+    w = Window.partitionBy("qid").orderBy(F.col("adc"), F.col("neighbor_id"))
+    return (
+        pairs.select(
+            "qid", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id", F.round("adc", 6).alias("adc_d2"), "rn")
     )

@@ -115,6 +115,7 @@ NOTES = {
     "wav_header_stats": "scan → JVM hex/unhex header synthesis (codegen, no Python near the payload) → ONE mapInPandas chunk-scan parse — map-only, one narrow row per doc; the only Exchange is fan_out's tiny-file round-robin (no-op at scale)",
     "pq_quantize": "single map-only projection: the 16x64-double codebook is ONE literal in the plan (HOF-indexed, no per-term duplication), all 64 subspace distances are JVM aggregate folds, argmin via array_position — no join, no Python; the one Exchange is fan_out's tiny-file round-robin (a no-op on multi-row-group inputs at scale)",
     "bpe_merges": "corpus collapses to word frequencies in the first agg; each of the 20 merge rounds is a vocab-sized (not corpus-sized) pair-count agg + argmax + HOF merge fold over the segmentation column — the iterative frame never exceeds |vocab| rows",
+    "pq_adc_topk": "map-only code projection over the corpus scan, the 50-row query-table frame rides a BroadcastExchange into a BuildRight nested-loop join, and the per-qid top-k is pruned by a map-side WindowGroupLimit BEFORE the single qid exchange — ADC scoring itself is PQ_SUB element_at lookups + fixed-order adds, no per-pair vector math",
     "degree_assortativity": "degree agg with map-side partials, two node-keyed degree joins (AQE broadcasts the |V|-row degree table at runtime), ONE global algebraic agg — four BIGINT moments, the correlation arithmetic is a 1-row projection",
     "cusum_drift": "corpus collapses in the FIRST hash agg to (type, hour) rows; every window after (prefix sum, totals, argmax rank) is type-partitioned over that tiny frame — no global single-partition window",
     "media_type_profile": "the mapInPandas decode feeds a |formats|-row hash agg with partial aggregation — media bytes never shuffle; the plan is scan → ArrowEvalPython → partial/final agg",

@@ -29,6 +29,7 @@ DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
     "wav_header_stats",  # never banked
+    "pq_adc_topk",  # never banked
     "pq_quantize",  # never banked
     "bpe_merges",  # never banked
     "tpch_q18",  # stale (hash changed since r3 row)
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "tpch_q16",  # backfill (last banked r5)
     "tpch_q17",  # backfill (last banked r5)
     "tpch_q9",  # backfill (last banked r5)
-    "bigram_logprob_score",  # backfill (last banked r6)
 ]
 
 def test_window_round_is_fresh():

@@ -107,3 +107,65 @@ def test_ann_lsh_pool_capacity_guard(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(sim, "_bits_per_table", lambda n: sim.POOL_BPT + 1)
     with pytest.raises(RuntimeError, match="regenerate the embedded oracle"):
         sim.ann_lsh(spark, sf_dir)
+
+
+def test_pq_adc_topk_matches_python_reference(spark, sf_dir):
+    """pq_adc_topk vs a pure-Python recomputation from the parquet
+    vectors: codes by argmin of the same j-ascending fold, ADC as the
+    fixed s-order sum of subspace distances to the coded entries —
+    ground-truth parameters, no Spark or DuckDB machinery shared."""
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_SUB,
+        PQ_SUBDIM,
+        TOPK,
+        pq_adc_topk,
+    )
+
+    got = {
+        (r["qid"], r["rn"]): (r["neighbor_id"], r["adc_d2"])
+        for r in pq_adc_topk(spark, sf_dir).collect()
+    }
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        int(i): [float(x) for x in v]
+        for i, v in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    }
+    seeds = sorted(i for i in vecs if i < PQ_K)
+
+    def d2(v, pos, s):
+        cb = vecs[seeds[pos]]
+        acc = 0.0
+        for j in range(PQ_SUBDIM):
+            diff = v[s * PQ_SUBDIM + j] - cb[s * PQ_SUBDIM + j]
+            acc = acc + diff * diff
+        return acc
+
+    codes = {
+        i: [
+            min(range(len(seeds)), key=lambda p: (d2(v, p, s), p))
+            for s in range(PQ_SUB)
+        ]
+        for i, v in vecs.items()
+    }
+
+    want = {}
+    for qid in (i for i in vecs if i < N_QUERIES):
+        scored = []
+        for nid, cs in codes.items():
+            if nid == qid:
+                continue
+            adc = 0.0
+            for s in range(PQ_SUB):
+                adc = adc + d2(vecs[qid], cs[s], s)
+            scored.append((adc, nid))
+        scored.sort()
+        for rn, (adc, nid) in enumerate(scored[:TOPK], start=1):
+            want[(qid, rn)] = (nid, round(adc, 6))
+
+    assert got == want
+    assert len(got) == N_QUERIES * TOPK

@@ -408,3 +408,23 @@ def test_round5_window_newcomer_plan_shapes(spark, sf_dir):
     # joined back AFTER the selective brand semi-join — one exchange
     df = QUERIES["tpch_q17"](spark, sf_dir)
     assert has_broadcast_join(df) and shuffle_count(df) <= 1
+
+
+def test_pq_adc_topk_plan_shape(spark, sf_dir):
+    """Scale pins for the ADC search pass (r12): the 50-row query-table
+    frame must be the BROADCAST side (a corpus-side broadcast would be
+    the ann-family scale-killer), the per-qid top-k must prune
+    map-side via WindowGroupLimit before its exchange, and ADC scoring
+    must stay join+projection-only — no hash agg anywhere (a groupBy
+    SUM of the subspace terms would also be order-unstable float
+    aggregation)."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["pq_adc_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
+    assert "WindowGroupLimit" in plan
+    assert "HashAggregate" not in plan
+    # exchanges: the qid top-k plus at most the two fan_out
+    # round-robins (tiny-file artifacts, no-ops at scale)
+    assert shuffle_count(df) <= 3

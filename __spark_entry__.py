@@ -1028,6 +1028,119 @@ def _pq_adc_sql() -> str:
     """
 
 
+def _ann_ivf_adc_sql() -> str:
+    """Exact replay twin of similarity.ann_ivf_adc (r13): the
+    _ann_ivf_sql unrolled deterministic-Lloyd recurrence (seed
+    centroids, LLOYD_ITERATIONS argmin/mean refinements, final
+    assignment, NPROBE nearest-centroid probes per query — ties ORDER
+    BY (d2, cid)) COMPOSED with the _pq_adc_sql code/ADC replay (codes
+    by argmin of the identical _pq_d2 left fold, ties (d2, pos); ADC
+    added in the same fixed s-order as the Spark element_at chain).
+    The candidate set is the probed cells' members (a vector lives in
+    exactly one cell, so no dedup), matching the Spark cid join."""
+    k_mod, iters = sim.N_CLUSTERS_MOD, sim.LLOYD_ITERATIONS
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, len({v}) + 1), "
+            f"j -> ({v}[j] - {c}[j]) * ({v}[j] - {c}[j])), "
+            "(acc, x) -> acc + x)"
+        )
+
+    def dsub(s: int) -> str:
+        sub, dim = sim.PQ_SUBDIM, sim.EMBED_DIM
+        term = (
+            f"(qp.qv[{s * sub} + j] - fb.f[c.cs[{s + 1}] * {dim}"
+            f" + {s * sub} + j])"
+        )
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, {sub + 1}),\n"
+            f"                   j -> {term}\n"
+            f"                        * {term}),\n"
+            f"                 (acc, x) -> acc + x)"
+        )
+
+    adc = "\n               + ".join(dsub(s) for s in range(sim.PQ_SUB))
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {k_mod} = 0)",
+    ]
+    for i in range(1, iters + 2):
+        parts.append(f""",
+        a{i} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {d2('e.v', 'c.cv')}, c.cid) AS rn
+            FROM e CROSS JOIN c{i - 1} c
+          ) WHERE rn = 1
+        )""")
+        if i <= iters:
+            parts.append(f""",
+        c{i} AS (
+          SELECT cid, array_agg(nv ORDER BY pos) AS cv FROM (
+            SELECT cid, pos, avg(val) AS nv FROM (
+              SELECT cid, unnest(v) AS val,
+                     unnest(range(1, len(v) + 1)) AS pos
+              FROM a{i}
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        )""")
+    fin = iters + 1
+    parts.append(f""",
+        cb AS (SELECT vec_id AS code,
+                      row_number() OVER (ORDER BY vec_id) - 1 AS pos,
+                      v AS cv
+               FROM e WHERE vec_id < {sim.PQ_K}),
+        fb AS (SELECT flatten(list(cv ORDER BY pos)) AS f FROM cb),
+        d AS (
+          SELECT e.vec_id, s, cb.pos,
+                 list_reduce([0.0] || list_transform(
+                     range(1, {sim.PQ_SUBDIM + 1}),
+                     j -> (e.v[s * {sim.PQ_SUBDIM} + j]
+                           - cb.cv[s * {sim.PQ_SUBDIM} + j])
+                        * (e.v[s * {sim.PQ_SUBDIM} + j]
+                           - cb.cv[s * {sim.PQ_SUBDIM} + j])),
+                   (acc, x) -> acc + x) AS d2
+          FROM e, unnest(range(0, {sim.PQ_SUB})) AS us(s), cb
+        ),
+        rr AS (
+          SELECT vec_id, s, pos,
+                 row_number() OVER (
+                   PARTITION BY vec_id, s ORDER BY d2, pos) AS rn
+          FROM d
+        ),
+        codes AS (SELECT vec_id, list(pos ORDER BY s) AS cs
+                  FROM rr WHERE rn = 1 GROUP BY vec_id),
+        q AS (SELECT vec_id AS qid, v AS qv FROM a{fin}
+              WHERE vec_id < {sim.N_QUERIES}),
+        qp AS (
+          SELECT qid, qv, cid FROM (
+            SELECT q.qid, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY {d2('q.qv', 'c.cv')}, c.cid) AS rn
+            FROM q CROSS JOIN c{iters} c
+          ) WHERE rn <= {sim.NPROBE}
+        ),
+        pairs AS (
+          SELECT qp.qid, a.vec_id AS neighbor_id,
+           {adc} AS adc
+          FROM qp JOIN a{fin} a USING (cid)
+               JOIN codes c ON c.vec_id = a.vec_id, fb
+          WHERE a.vec_id <> qp.qid
+        ),
+        top AS (
+          SELECT qid, neighbor_id, adc,
+                 row_number() OVER (
+                   PARTITION BY qid ORDER BY adc, neighbor_id) AS rn
+          FROM pairs
+        )
+        SELECT qid, neighbor_id, round(adc, 6) AS adc_d2,
+               rn::BIGINT AS rn
+        FROM top WHERE rn <= {sim.TOPK}""")
+    return "\n".join(parts)
+
+
 def _wav_le(expr: str, nbytes: int) -> str:
     """LE hex of an int expression: big-endian lpad-hex, byte pairs
     reversed (shared by the WAV container oracles)."""
@@ -1249,77 +1362,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # round's list (most-recently-changed operators first once the full
 # registry has banked rows).
 #
-# r12 composition — generated verbatim by `python scripts/ledger.py sync`
-# (hash v2: comment/docstring/formatting-insensitive source identity —
-# 13 of the raw-hash tier's 44 "stale" entries were comment-only drift
-# and dropped out) followed by `python scripts/rotation.py`, repasted
-# after the round's final operator commit.  Provenance per entry: the
-# 2 fidelity anchors; the 3 never-banked r11 additions (VERDICT r11 #1
-# names these as the round's required bank) plus the round's own
-# pq_adc_topk addition; the genuinely-stale tier
-# (semantic source or oracle changed since the last green row, per
-# scripts/query_ledger.json — includes the 7 rows re-staled by this
-# round's pq_quantize/ann_lsh/audio_energy/prefix-width fixes) in
-# oldest-banked-evidence-first order; then 11 backfill slots covering
-# the ENTIRE <=r5 evidence tail VERDICT r11 #2 listed (tpch_q5/q9/q16/
-# q17, edge_inversion, histogram, key_count, rollup_pricing,
-# select_project, sessionize, sql_segment_spend).  Every windowed
-# entry has an exact DuckDB oracle (pinned by
+# r13 composition — generated by `python scripts/ledger.py sync`
+# followed by `python scripts/paste_window.py` (wraps rotation.py and
+# rewrites both pinned copies), repasted after the round's final
+# operator commit.  After r12 banked the last never-banked entries,
+# the whole registry has green external evidence and the window is
+# pure regression backfill: the 2 fidelity anchors; any never-banked
+# new ops of this round jump the queue; then the ENTIRE r6 evidence
+# tail VERDICT r12 #2 listed (bigram_logprob_score, cdc_dup_chunks,
+# contamination_report, corpus_summary, embedding_outliers,
+# embedding_stats, lang_entropy, ngram_novelty, weighted_sample +
+# 15 TPC-H queries), then r7-banked entries least-recently-banked
+# first.  Every windowed entry has an exact DuckDB oracle (pinned by
 # test_driver_window_is_oracle_backed).
-WINDOW_ROUND = 12  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
+WINDOW_ROUND = 13  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 # tests/test_oracle_parity.py::test_window_round_is_fresh (VERDICT r11 #1:
 # r11 silently re-ran the r10 window; this makes a stale window a red test).
-DRIVER_WINDOW_R12 = [
+DRIVER_WINDOW_R13 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "wav_header_stats",  # never banked
-    "pq_adc_topk",  # never banked
-    "pq_quantize",  # never banked
-    "bpe_merges",  # never banked
-    "tpch_q18",  # stale (hash changed since r3 row)
-    "neardup_audit",  # stale (hash changed since r6 row)
-    "inverted_index_mr",  # stale (hash changed since r6 row)
-    "dedup_clusters",  # stale (hash changed since r7 row)
-    "dedup_rate_by_threshold",  # stale (hash changed since r7 row)
-    "incremental_dedup",  # stale (hash changed since r7 row)
-    "ngram_jaccard_neardup",  # stale (hash changed since r7 row)
-    "embedding_neardup",  # stale (hash changed since r7 row)
-    "embedding_neardup_strict",  # stale (hash changed since r7 row)
-    "bucketed_join_revenue",  # stale (hash changed since r7 row)
-    "orc_roundtrip",  # stale (hash changed since r7 row)
-    "shard_manifest",  # stale (hash changed since r7 row)
-    "streaming_custom_sessions",  # stale (hash changed since r7 row)
-    "streaming_distinct_users_hll",  # stale (hash changed since r7 row)
-    "hll_distinct_users",  # stale (hash changed since r7 row)
-    "hll_intersect_types",  # stale (hash changed since r7 row)
-    "hll_union_types",  # stale (hash changed since r7 row)
-    "grep_mr",  # stale (hash changed since r7 row)
-    "word_count_mr",  # stale (hash changed since r7 row)
-    "pandas_udaf_geomean",  # stale (hash changed since r8 row)
-    "zorder_layout",  # stale (hash changed since r8 row)
-    "compaction_roundtrip",  # stale (hash changed since r8 row)
-    "linreg_by_group",  # stale (hash changed since r9 row)
-    "evolution_roundtrip",  # stale (hash changed since r9 row)
-    "audio_energy",  # stale (hash changed since r11 row)
-    "media_type_profile",  # stale (hash changed since r11 row)
-    "multimodal_features",  # stale (hash changed since r11 row)
-    "containment_neardup",  # stale (hash changed since r11 row)
-    "ppjoin_neardup",  # stale (hash changed since r11 row)
-    "prefix_filter_neardup",  # stale (hash changed since r11 row)
-    "ann_lsh",  # stale (hash changed since r11 row)
-    "rrf_fusion",  # stale (hash changed since r11 row)
-    "pagerank_docs",  # stale (hash changed since r11 row)
-    "tpch_q5",  # backfill (last banked r4)
-    "edge_inversion",  # backfill (last banked r5)
-    "histogram",  # backfill (last banked r5)
-    "key_count",  # backfill (last banked r5)
-    "rollup_pricing",  # backfill (last banked r5)
-    "select_project",  # backfill (last banked r5)
-    "sessionize",  # backfill (last banked r5)
-    "sql_segment_spend",  # backfill (last banked r5)
-    "tpch_q16",  # backfill (last banked r5)
-    "tpch_q17",  # backfill (last banked r5)
-    "tpch_q9",  # backfill (last banked r5)
+    "bigram_logprob_score",  # backfill (last banked r6)
+    "cdc_dup_chunks",  # backfill (last banked r6)
+    "contamination_report",  # backfill (last banked r6)
+    "corpus_summary",  # backfill (last banked r6)
+    "embedding_outliers",  # backfill (last banked r6)
+    "embedding_stats",  # backfill (last banked r6)
+    "lang_entropy",  # backfill (last banked r6)
+    "ngram_novelty",  # backfill (last banked r6)
+    "tpch_q10",  # backfill (last banked r6)
+    "tpch_q11",  # backfill (last banked r6)
+    "tpch_q12",  # backfill (last banked r6)
+    "tpch_q13",  # backfill (last banked r6)
+    "tpch_q14",  # backfill (last banked r6)
+    "tpch_q15",  # backfill (last banked r6)
+    "tpch_q19",  # backfill (last banked r6)
+    "tpch_q2",  # backfill (last banked r6)
+    "tpch_q20",  # backfill (last banked r6)
+    "tpch_q22",  # backfill (last banked r6)
+    "tpch_q3",  # backfill (last banked r6)
+    "tpch_q4",  # backfill (last banked r6)
+    "tpch_q6",  # backfill (last banked r6)
+    "tpch_q7",  # backfill (last banked r6)
+    "tpch_q8",  # backfill (last banked r6)
+    "weighted_sample",  # backfill (last banked r6)
+    "bloom_decontaminate",  # backfill (last banked r7)
+    "cosine_topk",  # backfill (last banked r7)
+    "countmin_heavy_hitters",  # backfill (last banked r7)
+    "dedup_exact",  # backfill (last banked r7)
+    "join_revenue_by_nation",  # backfill (last banked r7)
+    "key_stats",  # backfill (last banked r7)
+    "kmeans_iterate",  # backfill (last banked r7)
+    "kmeans_step",  # backfill (last banked r7)
+    "kmv_intersect_types",  # backfill (last banked r7)
+    "label_prop_iterate",  # backfill (last banked r7)
+    "label_prop_step",  # backfill (last banked r7)
+    "langid_eval",  # backfill (last banked r7)
+    "language_id",  # backfill (last banked r7)
+    "length_ks_by_source",  # backfill (last banked r7)
+    "map_explode",  # backfill (last banked r7)
+    "packing_efficiency",  # backfill (last banked r7)
+    "quality_calibration",  # backfill (last banked r7)
+    "quantile_sketch_quality",  # backfill (last banked r7)
+    "semdedup_prune",  # backfill (last banked r7)
+    "streaming_curated_ingest_watermarked",  # backfill (last banked r7)
+    "streaming_heavy_hitters",  # backfill (last banked r7)
+    "streaming_quantile_quality",  # backfill (last banked r7)
+    "time_weighted_avg",  # backfill (last banked r7)
+    "token_budget_cap",  # backfill (last banked r7)
 ]
 
 
@@ -1333,7 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PCM replay); bpe_merges in r11 (unrolled merge-recurrence CTE,
     # _bpe_merges_sql).
     reg = {
-        # (registry order is historical; DRIVER_WINDOW_R12 defines the
+        # (registry order is historical; DRIVER_WINDOW_R13 defines the
         #  verified window — see the note above)
         "word_count": ta.word_count,
         "grep": ta.grep,
@@ -1485,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_header_stats": mm.wav_header_stats,
         "pq_quantize": sim.pq_quantize,
         "pq_adc_topk": sim.pq_adc_topk,
+        "ann_ivf_adc": sim.ann_ivf_adc,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -1572,7 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": sim.rrf_fusion,
         "readability": ta.readability,
     }
-    ordered = {k: reg[k] for k in DRIVER_WINDOW_R12}
+    ordered = {k: reg[k] for k in DRIVER_WINDOW_R13}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
     return ordered
 
@@ -1844,6 +1954,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1
         """,
         "pq_adc_topk": _pq_adc_sql(),
+        "ann_ivf_adc": _ann_ivf_adc_sql(),
         "rolling_fingerprint": """
             SELECT doc_id,
                    list_reduce(

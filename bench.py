@@ -165,6 +165,12 @@ HEADLINE = [
     # 50-row table broadcast + per-qid top-k, the compressed-domain
     # complement of cosine_topk's raw-vector scan
     "pq_adc_topk",
+    # round-13 addition: the IVF-prefiltered ADC composition — Lloyd
+    # cells (2 checkpointed iterations) + code projection + cid hash
+    # join; its delta vs pq_adc_topk is the measured cost of the
+    # coarse quantizer at test scale (at production scale it's the
+    # term that makes ADC sub-linear in the corpus)
+    "ann_ivf_adc",
 ]
 
 
@@ -335,8 +341,14 @@ def main() -> None:
     # queries feel; report BOTH and judge each round's targets against
     # whichever one that round's untouched queries actually track.
     TRIVIAL_BASKET = ("word_count", "tpch_q6", "dedup_exact", "sessionize")
+    # median over the SAME rounded per-query mins reported in
+    # out["queries"], so min(basket) <= calib_trivial <= max(basket)
+    # holds exactly (ADVICE r12: an unrounded median could straddle a
+    # rounding boundary of the basket extremes by up to 0.0005).
     basket = sorted(
-        min(samples[n]) for n in TRIVIAL_BASKET if samples.get(n)
+        t
+        for n in TRIVIAL_BASKET
+        if (t := timings.get(n)) is not None
     )
     calib_trivial = (
         round(

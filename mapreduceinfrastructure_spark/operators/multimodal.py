@@ -44,6 +44,18 @@ except ImportError:
 # PNG color type -> sample channels (PNG spec, IHDR color byte).
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+
+def _round6_half_up(x: float) -> float:
+    """Round to 6dp half-AWAY-from-zero, matching DuckDB's ROUND and
+    Spark's F.round.  Python's built-in round() is banker's
+    (half-to-even), which would diverge from the oracle on an exact
+    half at the 6th decimal (ADVICE r12) — improbable for sqrt
+    outputs, but the parity contract here is bit-exactness.  Inputs
+    are non-negative in every caller, so half-up == half-away."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
 # Byte length of the synthetic container headers make_media_table
 # prepends: PNG = 8 sig + 4 len + 4 'IHDR' + 13 data + 4 crc; JPEG =
 # 2 SOI + 19 SOF0 segment.  The DuckDB oracles re-derive payload
@@ -340,7 +352,9 @@ def audio_windows(media: DataFrame) -> DataFrame:
                     seg = pcm[w * AUDIO_HOP : w * AUDIO_HOP + AUDIO_WINDOW]
                     out_doc.append(doc_id)
                     out_idx.append(w)
-                    out_rms.append(round(float(np.sqrt(np.mean(seg * seg))), 6))
+                    out_rms.append(
+                        _round6_half_up(float(np.sqrt(np.mean(seg * seg))))
+                    )
             yield pd.DataFrame(
                 {"doc_id": out_doc, "win_idx": out_idx, "rms": out_rms}
             )
@@ -413,7 +427,7 @@ def audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["doc_id"].extend([doc_id] * n)
                 out["win_idx"].extend(range(n))
                 out["sample_rate"].extend([rate] * n)
-                out["rms"].extend(round(float(x), 6) for x in rms)
+                out["rms"].extend(_round6_half_up(float(x)) for x in rms)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(

@@ -183,7 +183,7 @@ def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus to exactly two scans; both are aggregate-sized
     # (distinct pairs / vocabulary), far below corpus scale, and
     # MEMORY_AND_DISK spills if a 100 TB vocabulary outgrows memory.
-    persist = _input_bytes(sf_dir, "documents") >= SHINGLE_PERSIST_MIN_BYTES
+    persist = _input_bytes(sf_dir, "documents", spark) >= SHINGLE_PERSIST_MIN_BYTES
     pc_all = ev.groupBy("wa", "wb").agg(F.count("*").alias("n_cooc"))
     uni = (
         toks.select(F.explode("t").alias("w"))

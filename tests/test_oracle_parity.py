@@ -28,54 +28,54 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
-    "wav_header_stats",  # never banked
-    "pq_adc_topk",  # never banked
-    "pq_quantize",  # never banked
-    "bpe_merges",  # never banked
-    "tpch_q18",  # stale (hash changed since r3 row)
-    "neardup_audit",  # stale (hash changed since r6 row)
-    "inverted_index_mr",  # stale (hash changed since r6 row)
-    "dedup_clusters",  # stale (hash changed since r7 row)
-    "dedup_rate_by_threshold",  # stale (hash changed since r7 row)
-    "incremental_dedup",  # stale (hash changed since r7 row)
-    "ngram_jaccard_neardup",  # stale (hash changed since r7 row)
-    "embedding_neardup",  # stale (hash changed since r7 row)
-    "embedding_neardup_strict",  # stale (hash changed since r7 row)
-    "bucketed_join_revenue",  # stale (hash changed since r7 row)
-    "orc_roundtrip",  # stale (hash changed since r7 row)
-    "shard_manifest",  # stale (hash changed since r7 row)
-    "streaming_custom_sessions",  # stale (hash changed since r7 row)
-    "streaming_distinct_users_hll",  # stale (hash changed since r7 row)
-    "hll_distinct_users",  # stale (hash changed since r7 row)
-    "hll_intersect_types",  # stale (hash changed since r7 row)
-    "hll_union_types",  # stale (hash changed since r7 row)
-    "grep_mr",  # stale (hash changed since r7 row)
-    "word_count_mr",  # stale (hash changed since r7 row)
-    "pandas_udaf_geomean",  # stale (hash changed since r8 row)
-    "zorder_layout",  # stale (hash changed since r8 row)
-    "compaction_roundtrip",  # stale (hash changed since r8 row)
-    "linreg_by_group",  # stale (hash changed since r9 row)
-    "evolution_roundtrip",  # stale (hash changed since r9 row)
-    "audio_energy",  # stale (hash changed since r11 row)
-    "media_type_profile",  # stale (hash changed since r11 row)
-    "multimodal_features",  # stale (hash changed since r11 row)
-    "containment_neardup",  # stale (hash changed since r11 row)
-    "ppjoin_neardup",  # stale (hash changed since r11 row)
-    "prefix_filter_neardup",  # stale (hash changed since r11 row)
-    "ann_lsh",  # stale (hash changed since r11 row)
-    "rrf_fusion",  # stale (hash changed since r11 row)
-    "pagerank_docs",  # stale (hash changed since r11 row)
-    "tpch_q5",  # backfill (last banked r4)
-    "edge_inversion",  # backfill (last banked r5)
-    "histogram",  # backfill (last banked r5)
-    "key_count",  # backfill (last banked r5)
-    "rollup_pricing",  # backfill (last banked r5)
-    "select_project",  # backfill (last banked r5)
-    "sessionize",  # backfill (last banked r5)
-    "sql_segment_spend",  # backfill (last banked r5)
-    "tpch_q16",  # backfill (last banked r5)
-    "tpch_q17",  # backfill (last banked r5)
-    "tpch_q9",  # backfill (last banked r5)
+    "bigram_logprob_score",  # backfill (last banked r6)
+    "cdc_dup_chunks",  # backfill (last banked r6)
+    "contamination_report",  # backfill (last banked r6)
+    "corpus_summary",  # backfill (last banked r6)
+    "embedding_outliers",  # backfill (last banked r6)
+    "embedding_stats",  # backfill (last banked r6)
+    "lang_entropy",  # backfill (last banked r6)
+    "ngram_novelty",  # backfill (last banked r6)
+    "tpch_q10",  # backfill (last banked r6)
+    "tpch_q11",  # backfill (last banked r6)
+    "tpch_q12",  # backfill (last banked r6)
+    "tpch_q13",  # backfill (last banked r6)
+    "tpch_q14",  # backfill (last banked r6)
+    "tpch_q15",  # backfill (last banked r6)
+    "tpch_q19",  # backfill (last banked r6)
+    "tpch_q2",  # backfill (last banked r6)
+    "tpch_q20",  # backfill (last banked r6)
+    "tpch_q22",  # backfill (last banked r6)
+    "tpch_q3",  # backfill (last banked r6)
+    "tpch_q4",  # backfill (last banked r6)
+    "tpch_q6",  # backfill (last banked r6)
+    "tpch_q7",  # backfill (last banked r6)
+    "tpch_q8",  # backfill (last banked r6)
+    "weighted_sample",  # backfill (last banked r6)
+    "bloom_decontaminate",  # backfill (last banked r7)
+    "cosine_topk",  # backfill (last banked r7)
+    "countmin_heavy_hitters",  # backfill (last banked r7)
+    "dedup_exact",  # backfill (last banked r7)
+    "join_revenue_by_nation",  # backfill (last banked r7)
+    "key_stats",  # backfill (last banked r7)
+    "kmeans_iterate",  # backfill (last banked r7)
+    "kmeans_step",  # backfill (last banked r7)
+    "kmv_intersect_types",  # backfill (last banked r7)
+    "label_prop_iterate",  # backfill (last banked r7)
+    "label_prop_step",  # backfill (last banked r7)
+    "langid_eval",  # backfill (last banked r7)
+    "language_id",  # backfill (last banked r7)
+    "length_ks_by_source",  # backfill (last banked r7)
+    "map_explode",  # backfill (last banked r7)
+    "packing_efficiency",  # backfill (last banked r7)
+    "quality_calibration",  # backfill (last banked r7)
+    "quantile_sketch_quality",  # backfill (last banked r7)
+    "semdedup_prune",  # backfill (last banked r7)
+    "streaming_curated_ingest_watermarked",  # backfill (last banked r7)
+    "streaming_heavy_hitters",  # backfill (last banked r7)
+    "streaming_quantile_quality",  # backfill (last banked r7)
+    "time_weighted_avg",  # backfill (last banked r7)
+    "token_budget_cap",  # backfill (last banked r7)
 ]
 
 def test_window_round_is_fresh():
@@ -83,21 +83,31 @@ def test_window_round_is_fresh():
     the newest banked CORRECTNESS_r*.json.  r11 shipped last round's
     window verbatim and the external driver silently re-verified stale
     evidence (VERDICT r11 #1); this turns that mistake into a red test
-    the moment a new round starts on an un-regenerated window."""
+    the moment a new round starts on an un-regenerated window.
+
+    INTER-ROUND SEMANTICS (intentional, VERDICT r12 #3): the moment a
+    round's CORRECTNESS artifact lands on disk, this test goes red
+    until the NEXT round's first action (`python scripts/ledger.py
+    sync && python scripts/paste_window.py`) regenerates the window.
+    A red here right after a round banks is the designed
+    start-of-round forcing function, not a code defect — see
+    README.md "Round protocol" and .claude/skills/verify/SKILL.md."""
     import glob
+    import os
     import re as _re
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = [
         int(m.group(1))
-        for p in glob.glob("CORRECTNESS_r*.json")
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
         if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
-    assert rounds, "no CORRECTNESS_r*.json found — run from the repo root"
+    assert rounds, "no CORRECTNESS_r*.json found in the repo root"
     assert entrymod.WINDOW_ROUND == max(rounds) + 1, (
         f"WINDOW_ROUND={entrymod.WINDOW_ROUND} but newest banked round is "
         f"r{max(rounds)} — regenerate the window: python scripts/ledger.py "
-        f"sync && python scripts/rotation.py, paste into BOTH "
-        f"__spark_entry__.py and this file, and bump WINDOW_ROUND"
+        f"sync && python scripts/paste_window.py (rewrites both pinned "
+        f"copies and bumps WINDOW_ROUND)"
     )
 
 

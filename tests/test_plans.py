@@ -428,3 +428,23 @@ def test_pq_adc_topk_plan_shape(spark, sf_dir):
     # exchanges: the qid top-k plus at most the two fan_out
     # round-robins (tiny-file artifacts, no-ops at scale)
     assert shuffle_count(df) <= 3
+
+
+def test_ann_ivf_adc_plan_shape(spark, sf_dir):
+    """Scale pins for the IVF-prefiltered ADC search (r13): the
+    scoring join must be a broadcast HASH join on cid (the bounded
+    probe side builds, the corpus streams) — NOT the corpus-wide
+    BroadcastNestedLoopJoin pq_adc_topk uses, which is exactly what
+    the cell prefilter exists to avoid.  BNLJ may appear ONLY in the
+    bounded index-build/probe steps (corpus x centroids, 50-query x
+    centroids), where the broadcast side is the k-row centroid table.
+    The per-qid top-k must prune map-side via WindowGroupLimit."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["ann_ivf_adc"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    # the scoring join keys on cid; a vec_id<->qid BNLJ condition would
+    # mean the prefilter was lost
+    assert "NOT (vec_id" not in plan.split("BroadcastNestedLoopJoin")[0]

@@ -103,10 +103,29 @@ def test_prefix_width_zero_bytes_falls_back_to_cluster_width(spark, sf_dir):
 def test_ann_lsh_pool_capacity_guard(spark, sf_dir, monkeypatch):
     """ADVICE r11 #2: past ORACLE_MAX_VECTORS the operator must raise
     an actionable error naming the regenerate-the-oracle fix, not
-    silently switch to a wider pool the SQL twin cannot follow."""
+    silently switch to a wider pool the SQL twin cannot follow.
+    ADVICE r12: but the raise is a verification limit, not an operator
+    availability ceiling — SPARK_GRAFT_ANN_LSH_BEYOND_ORACLE=1 opts a
+    production corpus back into the (correct, oracle-uncovered)
+    stride-widened pool with a loud warning."""
     monkeypatch.setattr(sim, "_bits_per_table", lambda n: sim.POOL_BPT + 1)
+    monkeypatch.delenv("SPARK_GRAFT_ANN_LSH_BEYOND_ORACLE", raising=False)
     with pytest.raises(RuntimeError, match="regenerate the embedded oracle"):
         sim.ann_lsh(spark, sf_dir)
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_LSH_BEYOND_ORACLE", "1")
+    with pytest.warns(UserWarning, match="beyond the pinned oracle"):
+        df = sim.ann_lsh(spark, sf_dir)
+    # widened-pool run still produces the contract shape: top-k per
+    # query, rn dense from 1, self excluded
+    rows = df.collect()
+    assert rows, "widened-pool ann_lsh returned nothing"
+    per_q = {}
+    for r in rows:
+        assert r["qid"] != r["neighbor_id"]
+        per_q.setdefault(r["qid"], []).append(r["rn"])
+    for q, rns in per_q.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
 
 
 def test_pq_adc_topk_matches_python_reference(spark, sf_dir):

@@ -1141,6 +1141,84 @@ def _ann_ivf_adc_sql() -> str:
     return "\n".join(parts)
 
 
+def _ivf_pq_residual_sql() -> str:
+    """Exact replay twin of similarity.ivf_pq_residual (r13): the
+    _ann_ivf_sql unrolled deterministic-Lloyd recurrence down to the
+    final assignment, residual r = v - cv elementwise (single IEEE
+    subtraction per component in both engines), the residual seed
+    codebook (vec_id < PQ_K ordered by vec_id — codes are actual seed
+    vec_ids, the pq_quantize convention), and the same
+    row_number-over-(d2, pos) argmin per (vector, subspace) with the
+    identical left-fold distance sums."""
+    k_mod, iters = sim.N_CLUSTERS_MOD, sim.LLOYD_ITERATIONS
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, len({v}) + 1), "
+            f"j -> ({v}[j] - {c}[j]) * ({v}[j] - {c}[j])), "
+            "(acc, x) -> acc + x)"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {k_mod} = 0)",
+    ]
+    for i in range(1, iters + 2):
+        parts.append(f""",
+        a{i} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {d2('e.v', 'c.cv')}, c.cid) AS rn
+            FROM e CROSS JOIN c{i - 1} c
+          ) WHERE rn = 1
+        )""")
+        if i <= iters:
+            parts.append(f""",
+        c{i} AS (
+          SELECT cid, array_agg(nv ORDER BY pos) AS cv FROM (
+            SELECT cid, pos, avg(val) AS nv FROM (
+              SELECT cid, unnest(v) AS val,
+                     unnest(range(1, len(v) + 1)) AS pos
+              FROM a{i}
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        )""")
+    fin = iters + 1
+    parts.append(f""",
+        res AS (
+          SELECT a.vec_id, a.cid,
+                 list_transform(range(1, len(a.v) + 1),
+                                j -> a.v[j] - c.cv[j]) AS rv
+          FROM a{fin} a JOIN c{iters} c USING (cid)
+        ),
+        cb AS (SELECT vec_id AS code,
+                      row_number() OVER (ORDER BY vec_id) - 1 AS pos,
+                      rv AS cv
+               FROM res WHERE vec_id < {sim.PQ_K}),
+        d AS (
+          SELECT res.vec_id, res.cid, s, cb.code, cb.pos,
+                 list_reduce([0.0] || list_transform(
+                     range(1, {sim.PQ_SUBDIM + 1}),
+                     j -> (res.rv[s * {sim.PQ_SUBDIM} + j]
+                           - cb.cv[s * {sim.PQ_SUBDIM} + j])
+                        * (res.rv[s * {sim.PQ_SUBDIM} + j]
+                           - cb.cv[s * {sim.PQ_SUBDIM} + j])),
+                   (acc, x) -> acc + x) AS d2
+          FROM res, unnest(range(0, {sim.PQ_SUB})) AS us(s), cb
+        ),
+        rr AS (
+          SELECT vec_id, cid, s, code, d2,
+                 row_number() OVER (
+                   PARTITION BY vec_id, s ORDER BY d2, pos) AS rn
+          FROM d
+        )
+        SELECT vec_id, cid::BIGINT AS cid, s::BIGINT AS subspace,
+               code::BIGINT AS code, round(d2, 6) AS sq_err
+        FROM rr WHERE rn = 1""")
+    return "\n".join(parts)
+
+
 def _wav_le(expr: str, nbytes: int) -> str:
     """LE hex of an int expression: big-endian lpad-hex, byte pairs
     reversed (shared by the WAV container oracles)."""
@@ -1570,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_flows_2hop": gr.trade_flows_2hop,
         "keep_best_dedup": pl.keep_best_dedup,
         "mixture_weights": pl.mixture_weights,
+        "dsir_weights": pl.dsir_weights,
         "bpe_token_count": ta.bpe_token_count,
         "rolling_fingerprint": ta.rolling_fingerprint,
         "cube_pricing": adv.cube_pricing,
@@ -1595,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_quantize": sim.pq_quantize,
         "pq_adc_topk": sim.pq_adc_topk,
         "ann_ivf_adc": sim.ann_ivf_adc,
+        "ivf_pq_residual": sim.ivf_pq_residual,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -1955,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_adc_topk": _pq_adc_sql(),
         "ann_ivf_adc": _ann_ivf_adc_sql(),
+        "ivf_pq_residual": _ivf_pq_residual_sql(),
         "rolling_fingerprint": """
             SELECT doc_id,
                    list_reduce(
@@ -4667,6 +4748,32 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(-ln(c::DOUBLE / (SELECT n FROM tot))), 6)
                      AS avg_neglogprob
             FROM ex JOIN freq USING (w)
+            GROUP BY doc_id
+        """,
+        "dsir_weights": f"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(text, {_D}),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            ex AS (SELECT doc_id, source, unnest(t) AS w FROM toks),
+            freq AS (
+              SELECT w, count(*) AS c_raw,
+                     count(*) FILTER (
+                       source = '{pl.DSIR_TARGET_SOURCE}') AS c_tgt
+              FROM ex GROUP BY w
+            ),
+            tot AS (SELECT sum(c_raw)::DOUBLE AS n_raw,
+                           sum(c_tgt)::DOUBLE AS n_tgt,
+                           count(*)::DOUBLE AS v
+                    FROM freq)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(ln(
+                     ((c_tgt + 1)::DOUBLE / (n_tgt + v))
+                     / ((c_raw + 1)::DOUBLE / (n_raw + v)))), 6)
+                     AS log_weight
+            FROM ex JOIN freq USING (w), tot
             GROUP BY doc_id
         """,
         "curation_pipeline": f"""

@@ -1539,3 +1539,64 @@ def ivm_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_doc_id",
         (F.col("n_tokens") / F.col("n_docs")).alias("avg_tokens"),
     )
+
+
+# DSIR target slice: the synthetic sources are interchangeable 25-doc
+# slices, so the op pins the lexicographically-first one; a production
+# run passes its high-quality reference slice (wiki/books) here.
+DSIR_TARGET_SOURCE = "src0"
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., NeurIPS 2023): per
+    doc, the log importance ratio of a Laplace-smoothed TARGET unigram
+    LM (docs of DSIR_TARGET_SOURCE) against the RAW-corpus unigram LM
+    — log w(x) = sum over token occurrences of ln(p_t(w) / p_r(w)).
+    High = looks like the target distribution (sample it more), low =
+    far from target.  Data Selection with Importance Resampling is the
+    standard importance-sampling curation step between quality
+    filtering and mixture weighting; the hashed-ngram variant in the
+    paper reduces to exactly this with unigram features.
+
+    Output: (doc_id, n_tokens, log_weight) — zero-token docs absent
+    (the unigram_logprob_score convention).
+
+    Scale shape: one corpus explode; a vocabulary-sized hash agg with
+    the target counts as a conditional partial IN THE SAME pass
+    (count_if — no second corpus scan for the target slice); the
+    token<->vocab join shuffles on the token key (never broadcast —
+    100 TB vocab is tens of GB); totals ride one 1-row broadcast; the
+    per-doc agg is algebraic.  Smoothing: p(w) = (c + 1) / (N + V)
+    over the SHARED raw vocabulary V, so both models are proper
+    distributions on the same support and no token has probability 0.
+
+    Exactness: per-doc sum of ln ratios + round(,6) — the
+    unigram_logprob_score float discipline (per-doc groups are a few
+    hundred terms; drift is absorbed by the rounding).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", "source", tokens_expr("text").alias("t")
+    ).select("doc_id", "source", F.explode("t").alias("w"))
+    freq = ex.groupBy("w").agg(
+        F.count("*").alias("c_raw"),
+        F.count_if(F.col("source") == DSIR_TARGET_SOURCE).alias("c_tgt"),
+    )
+    tot = freq.agg(
+        F.sum("c_raw").cast("double").alias("n_raw"),
+        F.sum("c_tgt").cast("double").alias("n_tgt"),
+        F.count("*").cast("double").alias("v"),
+    )
+    ratio = F.log(
+        ((F.col("c_tgt") + F.lit(1)).cast("double") / (F.col("n_tgt") + F.col("v")))
+        / ((F.col("c_raw") + F.lit(1)).cast("double") / (F.col("n_raw") + F.col("v")))
+    )
+    return (
+        ex.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum(ratio), 6).alias("log_weight"),
+        )
+    )

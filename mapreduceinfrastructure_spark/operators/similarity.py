@@ -1484,3 +1484,98 @@ def ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOPK)
         .select("qid", "neighbor_id", F.round("adc", 6).alias("adc_d2"), "rn")
     )
+
+
+def _pq_collect_residual_codebook(res: DataFrame):
+    """Driver-collect the RESIDUAL seed codebook (vec_id < PQ_K over
+    the residual column ``rv`` — the kmeans_iterate seeding convention
+    applied to residuals): returns (codes, flat_vals) like
+    :func:`_pq_collect_codebook`, or None with no seeds.  BOUNDED
+    (<= PQ_K x EMBED_DIM doubles)."""
+    seeds = (
+        res.filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .select("vec_id", "rv")
+        .collect()
+    )
+    if not seeds:
+        return None
+    codes = [int(r["vec_id"]) for r in seeds]
+    flat_vals = [float(x) for r in seeds for x in r["rv"]]
+    return codes, flat_vals
+
+
+def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVF-PQ encode — the encode step of Jégou et al. (TPAMI
+    2011) as actually published: each vector is assigned to its IVF
+    cell, the cell centroid is SUBTRACTED, and PQ quantizes the
+    residual r = x - c(x) (residuals concentrate near 0, so a fixed
+    codebook budget spends its resolution where the data is — the
+    reason every production IVF-PQ index encodes residuals, not raw
+    vectors).  Output: (vec_id, cid, subspace, code, sq_err) — the
+    complete index entry a production vector store writes per vector.
+
+    Scale shape: ivf_assignments' one-pass-per-iteration Lloyd (cells
+    from checkpointed centroids), a broadcast join to attach the cell
+    centroid, one zip_with subtraction, then pq_quantize's map-only
+    encode over the residual — dists built once per subspace
+    (struct+explode), codebook transport geometry-driven via
+    _pq_codebook_source.  No shuffle beyond the Lloyd passes.
+
+    Exactness: residual components are single IEEE subtractions (bit-
+    identical in both engines); the codebook is the collected residual
+    seeds (actual vec_ids as codes, the pq_quantize convention); the
+    DuckDB twin (__spark_entry__._ivf_pq_residual_sql) composes the
+    unrolled-Lloyd CTE with the same left-fold argmin over residuals.
+    """
+    emb = _embeddings(spark, sf_dir)
+    assign, cents = ivf_assignments(spark, sf_dir)
+    res = assign.join(F.broadcast(cents), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"),
+    )
+    cb = _pq_collect_residual_codebook(res)
+    if cb is None:
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "vec_id long, cid long, subspace long, code long, "
+                "sq_err double"
+            ),
+        )
+    codes, flat_vals = cb
+    n_codes = len(codes)
+    codes_lit = F.lit(codes)
+    res, flat = _pq_codebook_source(res, flat_vals)
+
+    sub = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_SUB - 1)),
+        lambda s: F.struct(
+            s.cast("long").alias("subspace"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                lambda c: _pq_d2(F.col("rv"), flat, s, c),
+            ).alias("dists"),
+        ),
+    )
+    return (
+        res.select("vec_id", "cid", F.explode(sub).alias("q"))
+        .select("vec_id", "cid", "q.subspace", "q.dists")
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            "subspace",
+            # ties to the first (lowest code) — the pq_quantize /
+            # oracle row_number ORDER BY (d2, code) convention
+            F.element_at(
+                codes_lit,
+                F.array_position(F.col("dists"), F.array_min("dists")).cast(
+                    "int"
+                ),
+            )
+            .cast("long")
+            .alias("code"),
+            F.round(F.array_min("dists"), 6).alias("sq_err"),
+        )
+    )

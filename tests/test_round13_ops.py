@@ -81,3 +81,104 @@ def test_pq_codebook_transports_agree_bitwise(spark, sf_dir, monkeypatch):
 
     plan = formatted_plan(entrymod.queries()["pq_quantize"](spark, sf_dir))
     assert "__pq_cb" in plan and "BroadcastExchange" in plan
+
+
+def test_ivf_pq_residual_matches_python_reference(spark, sf_dir):
+    """ivf_pq_residual vs a pure-numpy recomputation from the parquet
+    vectors: seed centroids (vec_id % 40 == 0), 2 Lloyd iterations of
+    argmin/mean (ties to lower cid), final assignment, residual
+    subtraction, residual seed codebook (vec_id < PQ_K), and argmin of
+    the j-ascending fold per subspace (ties to lower code) — ground
+    truth from first principles, no Spark or DuckDB machinery shared."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        LLOYD_ITERATIONS,
+        N_CLUSTERS_MOD,
+        PQ_K,
+        PQ_SUB,
+        PQ_SUBDIM,
+    )
+
+    got = {
+        (r["vec_id"], r["subspace"]): (r["cid"], r["code"], r["sq_err"])
+        for r in entrymod.queries()["ivf_pq_residual"](spark, sf_dir).collect()
+    }
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = [int(x) for x in t["vec_id"].to_pylist()]
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in
+            zip(ids, t["embedding"].to_pylist())}
+
+    # Lloyd: seed cents, iterate argmin/mean, final assignment
+    cents = {i: vecs[i].copy() for i in ids if i % N_CLUSTERS_MOD == 0}
+
+    def nearest(c):
+        out = {}
+        for i, v in vecs.items():
+            best = min(
+                c.items(), key=lambda kv: (float(np.sum((v - kv[1]) ** 2)), kv[0])
+            )
+            out[i] = best[0]
+        return out
+
+    for _ in range(LLOYD_ITERATIONS):
+        a = nearest(cents)
+        newc = {}
+        for cid in set(a.values()):
+            members = [vecs[i] for i in a if a[i] == cid]
+            newc[cid] = np.mean(members, axis=0)
+        cents = newc
+    assign = nearest(cents)
+
+    res = {i: vecs[i] - cents[assign[i]] for i in ids}
+    seeds = sorted(i for i in ids if i < PQ_K)
+    assert seeds, "no residual seeds at this SF"
+
+    for i in ids:
+        for s in range(PQ_SUB):
+            rs = res[i][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            best = min(
+                (
+                    (float(np.sum((rs - res[c][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]) ** 2)), c)
+                    for c in seeds
+                ),
+            )
+            cid_g, code_g, err_g = got[(i, s)]
+            assert cid_g == assign[i], (i, s, cid_g, assign[i])
+            assert code_g == best[1], (i, s, code_g, best)
+            assert abs(err_g - best[0]) < 1e-6, (i, s, err_g, best)
+
+
+def test_dsir_weights_favor_target_source(spark, sf_dir):
+    """The semantic contract of importance weights: documents FROM the
+    target slice must score higher on average than the rest of the
+    corpus (they are literally drawn from the target distribution),
+    and every doc must carry a finite weight (Laplace smoothing over
+    the shared vocab guarantees no -inf/+inf)."""
+    import math
+
+    import __spark_entry__ as entrymod
+    from mapreduceinfrastructure_spark.operators.pipeline import (
+        DSIR_TARGET_SOURCE,
+    )
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    w = entrymod.queries()["dsir_weights"](spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rows = w.join(src, "doc_id").collect()
+    assert rows
+    tgt = [r["log_weight"] for r in rows if r["source"] == DSIR_TARGET_SOURCE]
+    rest = [r["log_weight"] for r in rows if r["source"] != DSIR_TARGET_SOURCE]
+    assert tgt and rest
+    for r in rows:
+        assert math.isfinite(r["log_weight"]) and r["n_tokens"] > 0
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest), (
+        f"target mean {sum(tgt) / len(tgt):.4f} <= "
+        f"rest mean {sum(rest) / len(rest):.4f}"
+    )

@@ -1443,15 +1443,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # r13 composition — generated by `python scripts/ledger.py sync`
 # followed by `python scripts/paste_window.py` (wraps rotation.py and
 # rewrites both pinned copies), repasted after the round's final
-# operator commit.  After r12 banked the last never-banked entries,
-# the whole registry has green external evidence and the window is
-# pure regression backfill: the 2 fidelity anchors; any never-banked
-# new ops of this round jump the queue; then the ENTIRE r6 evidence
-# tail VERDICT r12 #2 listed (bigram_logprob_score, cdc_dup_chunks,
+# operator commit.  Final: the 2 fidelity anchors; the round's 3 new
+# ops (ann_ivf_adc, ivf_pq_residual, dsir_weights — never banked);
+# 20 genuinely-stale re-verifications (the similarity/PQ family
+# reworked this round — single-pass dists, checkpointed Lloyd,
+# codebook transport — plus every dedup/text query whose hash moved
+# when _input_bytes gained the Hadoop-FS route and audio_energy's
+# rounding helper changed); then the ENTIRE r6 evidence tail VERDICT
+# r12 #2 listed (bigram_logprob_score, cdc_dup_chunks,
 # contamination_report, corpus_summary, embedding_outliers,
-# embedding_stats, lang_entropy, ngram_novelty, weighted_sample +
-# 15 TPC-H queries), then r7-banked entries least-recently-banked
-# first.  Every windowed entry has an exact DuckDB oracle (pinned by
+# embedding_stats, lang_entropy, ngram_novelty, weighted_sample + 15
+# TPC-H queries — 24 slots) + 1 r7 backfill (bloom_decontaminate).
+# Every windowed entry has an exact DuckDB oracle (pinned by
 # test_driver_window_is_oracle_backed).
 WINDOW_ROUND = 13  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 # tests/test_oracle_parity.py::test_window_round_is_fresh (VERDICT r11 #1:
@@ -1459,6 +1462,29 @@ WINDOW_ROUND = 13  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R13 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "ann_ivf_adc",  # never banked
+    "dsir_weights",  # never banked
+    "ivf_pq_residual",  # never banked
+    "minhash_lsh_neardup",  # stale (hash changed since r9 row)
+    "word_pmi",  # stale (hash changed since r9 row)
+    "cc_star",  # stale (hash changed since r9 row)
+    "ann_ivf",  # stale (hash changed since r11 row)
+    "cluster_diameter",  # stale (hash changed since r11 row)
+    "source_overlap",  # stale (hash changed since r11 row)
+    "ann_lsh",  # stale (hash changed since r12 row)
+    "pq_adc_topk",  # stale (hash changed since r12 row)
+    "pq_quantize",  # stale (hash changed since r12 row)
+    "rrf_fusion",  # stale (hash changed since r12 row)
+    "audio_energy",  # stale (hash changed since r12 row)
+    "containment_neardup",  # stale (hash changed since r12 row)
+    "dedup_clusters",  # stale (hash changed since r12 row)
+    "dedup_rate_by_threshold",  # stale (hash changed since r12 row)
+    "incremental_dedup",  # stale (hash changed since r12 row)
+    "neardup_audit",  # stale (hash changed since r12 row)
+    "ngram_jaccard_neardup",  # stale (hash changed since r12 row)
+    "ppjoin_neardup",  # stale (hash changed since r12 row)
+    "prefix_filter_neardup",  # stale (hash changed since r12 row)
+    "pagerank_docs",  # stale (hash changed since r12 row)
     "bigram_logprob_score",  # backfill (last banked r6)
     "cdc_dup_chunks",  # backfill (last banked r6)
     "contamination_report",  # backfill (last banked r6)
@@ -1484,29 +1510,6 @@ DRIVER_WINDOW_R13 = [
     "tpch_q8",  # backfill (last banked r6)
     "weighted_sample",  # backfill (last banked r6)
     "bloom_decontaminate",  # backfill (last banked r7)
-    "cosine_topk",  # backfill (last banked r7)
-    "countmin_heavy_hitters",  # backfill (last banked r7)
-    "dedup_exact",  # backfill (last banked r7)
-    "join_revenue_by_nation",  # backfill (last banked r7)
-    "key_stats",  # backfill (last banked r7)
-    "kmeans_iterate",  # backfill (last banked r7)
-    "kmeans_step",  # backfill (last banked r7)
-    "kmv_intersect_types",  # backfill (last banked r7)
-    "label_prop_iterate",  # backfill (last banked r7)
-    "label_prop_step",  # backfill (last banked r7)
-    "langid_eval",  # backfill (last banked r7)
-    "language_id",  # backfill (last banked r7)
-    "length_ks_by_source",  # backfill (last banked r7)
-    "map_explode",  # backfill (last banked r7)
-    "packing_efficiency",  # backfill (last banked r7)
-    "quality_calibration",  # backfill (last banked r7)
-    "quantile_sketch_quality",  # backfill (last banked r7)
-    "semdedup_prune",  # backfill (last banked r7)
-    "streaming_curated_ingest_watermarked",  # backfill (last banked r7)
-    "streaming_heavy_hitters",  # backfill (last banked r7)
-    "streaming_quantile_quality",  # backfill (last banked r7)
-    "time_weighted_avg",  # backfill (last banked r7)
-    "token_budget_cap",  # backfill (last banked r7)
 ]
 
 

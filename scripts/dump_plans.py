@@ -122,6 +122,9 @@ NOTES = {
     "rrf_fusion": "two bounded top-k subplans (broadcast query sides) union into a (qid, neighbor)-keyed agg and one qid-partitioned WindowGroupLimit — everything after the input rankers is |queries|×k-sized",
     "readability": "pure per-row array folds (sentence split + token folds) in one WholeStageCodegen span; ReadSchema pruned to (doc_id, text); zero Exchange",
     "linreg_by_group": "part dim rides a BroadcastExchange; ONE 25-group hash agg computes all five DECIMAL(38,0) moments with map-side partials (r10: the BIGINT Σy² hit ANSI ARITHMETIC_OVERFLOW past ~sf2 — wide decimals keep the monoid exact to 1e38); slope/intercept/r² are a projection over the aggregate",
+    "ann_ivf_adc": "the r13 composition: checkpointed-Lloyd assignment feeds ONE map-only (cid, codes) index projection; the bounded probe frame (|q| x nprobe rows, one ADC table each) is the BuildRight of a broadcast HASH join ON cid — no corpus-wide pair table past the cell prefilter (the BNLJs are the bounded corpus x centroid assignment steps); per-qid top-k pruned by map-side WindowGroupLimit",
+    "ivf_pq_residual": "checkpointed-Lloyd assignment + broadcast centroid join + one zip_with residual, then pq_quantize's map-only encode over the residual (dists once per subspace via struct+explode, codebook literal at test geometry / broadcast frame past 1 MiB) — the only exchanges are the Lloyd passes' own",
+    "dsir_weights": "ONE corpus explode; the vocabulary agg carries raw AND target counts (count_if partial) in one pass; token-keyed vocab join (AQE decides broadcast at runtime — never broadcast at 100 TB vocab), 1-row totals broadcast, per-doc algebraic agg",
 }
 
 

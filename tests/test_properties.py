@@ -187,3 +187,88 @@ def test_minhash_and_bands_match_python_md5_model(spark, docs):
             for h in sig[band * MINHASH_ROWS + 1 : (band + 1) * MINHASH_ROWS]:
                 b = (b * MH_BAND_MULT + h) % MH_PRIME
             assert got_bands[(d, band)] == b
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, width=64
+        ),
+        min_size=8,
+        max_size=8,
+    ),
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, width=64
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pq_d2_fold_matches_python_left_fold(spark, vec, codebook):
+    """The _pq_d2 JVM fold — the ONE expression every PQ oracle replays
+    — against an independent Python LEFT-fold model on arbitrary
+    vectors: bit-exact equality (==, no tolerance), any subspace, any
+    codebook entry.  Pins the 'identical fold both engines' contract
+    against a third implementation (hypothesis-generated geometry:
+    dim 8, PQ_SUB 2 -> subdim 4)."""
+    import mapreduceinfrastructure_spark.operators.similarity as sim
+
+    dim, sub = 8, 2
+    subdim = dim // sub
+    flat = [x for row in codebook for x in row]
+
+    def py_d2(s, c):
+        acc = 0.0
+        for j in range(subdim):
+            d = vec[s * subdim + j] - flat[c * dim + s * subdim + j]
+            acc = acc + d * d
+        return acc
+
+    old = (sim.PQ_SUBDIM, sim.EMBED_DIM)
+    sim.PQ_SUBDIM, sim.EMBED_DIM = subdim, dim
+    try:
+        df = spark.createDataFrame([(vec,)], "v array<double>")
+        exprs = [
+            sim._pq_d2(F.col("v"), F.lit(flat), s, c).alias(f"d_{s}_{c}")
+            for s in range(sub)
+            for c in range(len(codebook))
+        ]
+        row = df.select(*exprs).collect()[0]
+        for s in range(sub):
+            for c in range(len(codebook)):
+                assert row[f"d_{s}_{c}"] == py_d2(s, c), (s, c)
+    finally:
+        sim.PQ_SUBDIM, sim.EMBED_DIM = old
+
+
+@given(
+    st.floats(min_value=0, max_value=1e6, allow_nan=False, width=64)
+)
+@settings(max_examples=200, deadline=None)
+def test_round6_half_up_matches_decimal_half_up(x):
+    """_round6_half_up (the audio pandas-path rounding, ADVICE r12)
+    against decimal ROUND_HALF_UP on arbitrary non-negative doubles —
+    including exact 6dp halves, where Python's banker round diverges.
+    Tolerance 0: the helper must BE half-up."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduceinfrastructure_spark.operators.multimodal import (
+        _round6_half_up,
+    )
+
+    # decimal of the EXACT binary double, quantized half-up at 6dp
+    want = float(
+        Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+    got = _round6_half_up(x)
+    # math.floor(x*1e6+0.5)/1e6 can differ from true decimal half-up
+    # only when x*1e6 itself rounds across a representability boundary;
+    # the audio domain (sqrt outputs of 16-bit PCM) stays far below
+    # 2^53/1e6, where the two are identical
+    assert got == want, (x, got, want)

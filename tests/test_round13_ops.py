@@ -182,3 +182,32 @@ def test_dsir_weights_favor_target_source(spark, sf_dir):
         f"target mean {sum(tgt) / len(tgt):.4f} <= "
         f"rest mean {sum(rest) / len(rest):.4f}"
     )
+
+
+def test_dsir_weights_self_target_is_exactly_zero(spark, sf_dir, tmp_path_factory):
+    """Bit-exactness invariant: when the target slice IS the whole
+    corpus (every doc carries the target source), c_tgt == c_raw and
+    n_tgt == n_raw for every vocab word, so each token's log ratio is
+    ln(1) and every doc's log_weight must be EXACTLY 0.0 — no float
+    tolerance.  Any smoothing asymmetry, vocab mismatch, or stray
+    count would break the exact zero."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.operators.pipeline import (
+        DSIR_TARGET_SOURCE,
+        dsir_weights,
+    )
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    out = str(tmp_path_factory.mktemp("dsir_self"))
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "source", F.lit(DSIR_TARGET_SOURCE)
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    rows = dsir_weights(spark, out).collect()
+    assert rows
+    for r in rows:
+        assert r["log_weight"] == 0.0, (r["doc_id"], r["log_weight"])

@@ -298,15 +298,23 @@ def test_ann_ivf_adc_planted_duplicates(spark, sf_dir, tmp_path_factory):
     code tuple scores identically), so the partner may be displaced by
     lower-id code-twins — but then every returned row ranked at or
     before the partner must carry that same minimal adc_d2."""
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.operators.similarity import N_QUERIES
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
     d = _planted_dir(spark, sf_dir, tmp_path_factory)
     rows = QUERIES["ann_ivf_adc"](spark, d).collect()
-    from mapreduceinfrastructure_spark.operators.similarity import N_QUERIES
 
     by_q = {}
     for r in rows:
         by_q.setdefault(r["qid"], []).append(r)
-    got = _topk_sets(QUERIES["ann_ivf_adc"](spark, d))
-    max_id = max(got.get(0, {0}))
+    # recover max_id from the TABLE, not from query 0's results — under
+    # ADC ties the partner may legitimately be displaced even for q0,
+    # so the cosine tests' max(top-k of q0) recovery is not sound here
+    max_id = (
+        load_table(spark, d, "embeddings").agg(F.max("vec_id")).collect()[0][0]
+    )
     for q in range(N_QUERIES):
         rs = sorted(by_q.get(q, []), key=lambda r: r["rn"])
         assert rs, f"query {q} returned nothing"

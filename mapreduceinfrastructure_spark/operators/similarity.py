@@ -612,20 +612,141 @@ N_CLUSTERS_MOD = 40  # deterministic seed centroids: vec_id % 40 == 0
 LLOYD_ITERATIONS = 2
 NPROBE = 2
 
+# Two-level (coarse-quantized) assignment switch (r13; measured in
+# scratch/two_level_quantizer.py, production restatement in SCALE.md
+# "Two-level quantizer for large-k IVF assignment"): the flat
+# crossJoin(broadcast(centroids)) argmin ships the full k x dim
+# centroid table into every task — dead once k = n/N_CLUSTERS_MOD
+# outgrows broadcast range (~25M x 64 doubles at n = 1e9).  Past
+# IVF_TWO_LEVEL_MIN_K estimated centroids the assignment switches to
+# the IMI-style two level: ~sqrt(k) hash-sampled leader centroids ride
+# a broadcast 1-row array (the codebook transport rule), each vector
+# takes its IVF_COARSE_PROBES nearest GROUPS map-side (zero shuffle,
+# n x sqrt(k) distance folds), and the exact argmin runs only over
+# those groups' members via a gid-keyed join — n x ~(1+p)*sqrt(k)
+# folds instead of n x k, with no broadcast that grows with the
+# corpus.  Measured on worst-case uniform vectors at k=1024:
+# p=2 -> 16.8x faster at 91.9% exact-argmin agreement, p=4 -> 11.0x
+# at 99.7%; probing all groups reproduces the flat argmin bit-for-bit
+# (pinned in tests/test_ann_recall.py).  The oracle-verified test
+# geometry (k = 50 at sf0.01) stays on the flat path, so banked
+# results are untouched; SPARK_GRAFT_IVF_TWO_LEVEL=1/=0 forces the
+# path for tests and for production corpora whose stat-based size
+# estimate is unavailable.
+IVF_TWO_LEVEL_MIN_K = 4096
+IVF_COARSE_PROBES = 4
+
 
 def _sq_dist(a, b):
     d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _two_level_nearest(
+    emb: DataFrame, cents: DataFrame, m: int, p: int
+) -> DataFrame:
+    """Two-level nearest-centroid assignment: coarse-probe the ``p``
+    nearest of ~k/``m`` leader groups, exact argmin inside them.
+
+    Leaders are the centroids with hash(cid) % m == 0 — deterministic
+    (Murmur3, fixed seed), map-only, no global rank over the k-row
+    table — plus the min-cid centroid so the leader set is provably
+    non-empty.  The leader array rides a broadcast-joined 1-row frame
+    (g x dim doubles, ~2.5 MB at k = 25M / g = sqrt(k)); the coarse
+    top-p is an in-row array_sort over g (d2, gid) structs, so the
+    coarse pass is ZERO-shuffle.  The fine pass joins the n x p probe
+    rows with the grouped centroid table on gid (hash join; broadcast
+    at test scale, a plain gid exchange once the centroid table
+    outgrows broadcast range — each task sees only its groups' ~m
+    members) and keeps the flat path's exact min_by(struct(d2, cid))
+    argmin + tie-break, so with p >= #groups the result is
+    bit-identical to the flat assignment (pinned in
+    tests/test_ann_recall.py).
+    """
+    min_cid = cents.groupBy().agg(F.min("cid").alias("__min_cid"))
+    leaders = (
+        cents.crossJoin(F.broadcast(min_cid))
+        .filter(
+            (F.pmod(F.hash("cid"), F.lit(m)) == 0)
+            | (F.col("cid") == F.col("__min_cid"))
+        )
+        .select(F.col("cid").alias("gid"), F.col("cv").alias("gv"))
+    )
+    larr = leaders.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("gid", "gv"))).alias("__leaders")
+    )
+
+    def coarse_sorted(vcol):
+        # (d2, gid) structs sort lexicographically — the flat path's
+        # (d2, cid) tie-break, applied at the group level.
+        return F.array_sort(
+            F.transform(
+                F.col("__leaders"),
+                lambda l: F.struct(
+                    _sq_dist(vcol, l["gv"]).alias("d2"), l["gid"].alias("gid")
+                ),
+            )
+        )
+
+    cent_groups = cents.crossJoin(F.broadcast(larr)).select(
+        "cid",
+        "cv",
+        F.element_at(coarse_sorted(F.col("cv")), 1)["gid"].alias("gid"),
+    )
+    vec_probes = emb.crossJoin(F.broadcast(larr)).select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.transform(
+                F.slice(coarse_sorted(F.col("v")), 1, p), lambda s: s["gid"]
+            )
+        ).alias("gid"),
+    )
+    return (
+        vec_probes.join(cent_groups, "gid")
+        .withColumn("d2", _sq_dist(F.col("v"), F.col("cv")))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", "cid")
+    )
+
+
+def _ivf_assignment_mode(sf_dir: str) -> tuple[bool, int]:
+    """(two_level, m) decision for :func:`ivf_assignments`, job-free:
+    the env force wins; otherwise estimate k = rows/N_CLUSTERS_MOD
+    from the on-disk byte size of the embeddings table (the
+    `_input_bytes` width rule — a threshold with 80x headroom doesn't
+    need exact row counts; an unstatable input estimates 0 and stays
+    flat, which is why the env force exists for object-store
+    production corpora).  ``m`` is the leader sampling modulus
+    ~sqrt(k) that minimizes the n x (k/m + p*m) two-level cost at
+    m = sqrt(k) group members per group."""
+    from .dedup import _input_bytes
+
+    n_est = _input_bytes(sf_dir, "embeddings") // (EMBED_DIM * 8)
+    k_est = n_est // N_CLUSTERS_MOD
+    m = max(2, math.isqrt(max(1, k_est)))
+    mode = os.environ.get("SPARK_GRAFT_IVF_TWO_LEVEL", "")
+    if mode in ("0", "1"):
+        return mode == "1", m
+    return k_est >= IVF_TWO_LEVEL_MIN_K, m
+
+
 def ivf_assignments(spark: SparkSession, sf_dir: str):
     """IVF index build: deterministic seed centroids (every 40th vector)
     refined by 2 Lloyd iterations, then nearest-centroid assignment.
 
-    All DataFrame ops: assignment is a broadcast cross join + window
+    All DataFrame ops: assignment is a broadcast cross join + min_by
     argmin (one pass over the corpus per iteration); the centroid update
     is posexplode → per-(cluster, dim) mean → re-collect, i.e. two
-    shuffles of (k × dim) rows — independent of corpus size.
+    shuffles of (k × dim) rows — independent of corpus size.  Past
+    IVF_TWO_LEVEL_MIN_K estimated centroids every assignment pass (each
+    Lloyd iteration and the final one) switches to
+    :func:`_two_level_nearest` — n x ~(1+p)*sqrt(k) distance folds
+    instead of n x k, broadcasting only the sqrt(k)-row leader array.
     Returns (assign_df, centroids_df).
     """
     emb = _embeddings(spark, sf_dir)
@@ -633,7 +754,11 @@ def ivf_assignments(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
 
+    two_level, m = _ivf_assignment_mode(sf_dir)
+
     def nearest(centroids: DataFrame) -> DataFrame:
+        if two_level:
+            return _two_level_nearest(emb, centroids, m, IVF_COARSE_PROBES)
         # argmin via min_by hash-agg: map-side partial aggregation, no
         # sort-shuffle of the corpus × k pair table (the window-argmin
         # formulation sorts every pair group; min_by only keeps one

@@ -327,3 +327,80 @@ def test_ann_ivf_adc_planted_duplicates(spark, sf_dir, tmp_path_factory):
                 f"query {q}: partner {partner} missing and top-k is not "
                 f"a pure min-ADC tie group: {rs}"
             )
+
+
+def test_two_level_assignment_exhaustive_equals_flat(spark, sf_dir):
+    """The r13 two-level (coarse-quantized) assignment, pinned both
+    ways: with p >= #groups it considers every centroid, so it must
+    reproduce the flat crossJoin-argmin bit-for-bit (same argmin, same
+    (d2, cid) tie-break); with the production p = IVF_COARSE_PROBES it
+    must assign EVERY vector (the coarse prune narrows candidates but
+    never drops a vector) and agree with the flat argmin on >= 80% of
+    them even on these worst-case near-uniform vectors (measured
+    99.7%+ at the scratch geometries — see SCALE.md "Two-level
+    quantizer for large-k IVF assignment")."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.operators import similarity as sim
+
+    emb = sim._embeddings(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % sim.N_CLUSTERS_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    flat = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("d2", sim._sq_dist(F.col("v"), F.col("cv")))
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+    n = emb.count()
+    k = cents.count()
+    m = max(2, math.isqrt(k))
+
+    exhaust = sim._two_level_nearest(emb, cents, m, k).select("vec_id", "cid")
+    assert exhaust.count() == n
+    diff = (
+        flat.alias("a")
+        .join(exhaust.alias("b"), "vec_id")
+        .filter(F.col("a.cid") != F.col("b.cid"))
+        .count()
+    )
+    assert diff == 0, f"exhaustive two-level diverged from flat on {diff} rows"
+
+    pruned = sim._two_level_nearest(
+        emb, cents, m, sim.IVF_COARSE_PROBES
+    ).select("vec_id", "cid")
+    assert pruned.count() == n  # a coarse prune must never drop vectors
+    agree = (
+        flat.alias("a")
+        .join(pruned.alias("b"), "vec_id")
+        .filter(F.col("a.cid") == F.col("b.cid"))
+        .count()
+    )
+    assert agree >= 0.8 * n, f"p={sim.IVF_COARSE_PROBES} agreement {agree}/{n}"
+
+
+def test_ivf_assignment_mode_switch(spark, sf_dir, monkeypatch):
+    """Path selection: test-scale corpora stay on the flat (oracle-
+    verified) path in auto mode; the env force flips it both ways; and
+    a forced two-level ivf_assignments still assigns the full corpus
+    end-to-end through the Lloyd iterations."""
+    from mapreduceinfrastructure_spark.operators import similarity as sim
+
+    monkeypatch.delenv("SPARK_GRAFT_IVF_TWO_LEVEL", raising=False)
+    auto, m = sim._ivf_assignment_mode(sf_dir)
+    assert auto is False  # k ~ 50 at sf0.01 — far below IVF_TWO_LEVEL_MIN_K
+    assert m >= 2
+
+    monkeypatch.setenv("SPARK_GRAFT_IVF_TWO_LEVEL", "0")
+    assert sim._ivf_assignment_mode(sf_dir)[0] is False
+    monkeypatch.setenv("SPARK_GRAFT_IVF_TWO_LEVEL", "1")
+    assert sim._ivf_assignment_mode(sf_dir)[0] is True
+
+    assign, cents = sim.ivf_assignments(spark, sf_dir)
+    n = sim._embeddings(spark, sf_dir).count()
+    assert assign.count() == n
+    assert assign.select("vec_id").distinct().count() == n
+    assert cents.count() > 0

@@ -1764,6 +1764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_type_profile": mm.media_type_profile,
         "rrf_fusion": sim.rrf_fusion,
         "readability": ta.readability,
+        # --- round-13 second-session additions ---
+        "bm25_topk": ta.bm25_topk,
+        "lexical_semantic_rrf": ta.lexical_semantic_rrf,
+        "pca_power_iter": sim.pca_power_iter,
     }
     ordered = {k: reg[k] for k in DRIVER_WINDOW_R13}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
@@ -1916,6 +1920,116 @@ def _zvalue_sql(x: str, y: str) -> str:
         terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
     return " + ".join(terms)
+
+
+def _pca_power_sql() -> str:
+    """Unrolled power iterations mirroring similarity.pca_power_iter:
+    the same mean, the same exact-binary start vector, the same
+    fixed-order per-row folds and driver-fold normalization (seeded
+    list_reduce), the same Rayleigh/(n-1) eigenvalue — per-pos row
+    sums are each engine's own float agg, contracted by normalization
+    and rounded at 6 (the kmeans_iterate discipline)."""
+    iters, d = sim.PCA_ITERS, sim.EMBED_DIM
+    start = repr(sim.PCA_START)
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT count(*) AS n FROM e),
+mu AS (
+  SELECT array_agg(m ORDER BY pos) AS mu FROM (
+    SELECT pos, avg(val) AS m FROM (
+      SELECT unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM e
+    ) GROUP BY pos
+  )
+),
+w0 AS (SELECT list_transform(range(1, {d + 1}), q -> {start}) AS w)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f""",
+s{i} AS (
+  SELECT e.vec_id, e.v,
+         list_reduce([0.0] || list_transform(range(1, {d + 1}),
+             q -> (e.v[q] - mu.mu[q]) * w{p}.w[q]), (a, b) -> a + b) AS s
+  FROM e CROSS JOIN mu CROSS JOIN w{p}
+),
+y{i} AS (
+  SELECT array_agg(yv ORDER BY pos) AS y FROM (
+    SELECT pos, sum((s{i}.v[pos] - mu.mu[pos]) * s{i}.s) AS yv
+    FROM s{i} CROSS JOIN mu, unnest(range(1, {d + 1})) AS u(pos)
+    GROUP BY pos
+  )
+),
+l{i} AS (
+  SELECT list_reduce([0.0] || list_transform(range(1, {d + 1}),
+             q -> w{p}.w[q] * y{i}.y[q]), (a, b) -> a + b)
+         / (n.n - 1) AS lam,
+         sqrt(list_reduce([0.0] || list_transform(range(1, {d + 1}),
+             q -> y{i}.y[q] * y{i}.y[q]), (a, b) -> a + b)) AS nrm
+  FROM w{p}, y{i}, n
+),
+w{i} AS (
+  SELECT list_transform(range(1, {d + 1}), q -> y{i}.y[q] / l{i}.nrm) AS w
+  FROM y{i}, l{i}
+)""")
+    parts.append(f"""
+SELECT pos, round(loading, 6) AS loading, round(lam, 6) AS eigenvalue FROM (
+  SELECT unnest(range(0, {d})) AS pos,
+         unnest(w{iters}.w) AS loading, l{iters}.lam
+  FROM w{iters}, l{iters}
+)""")
+    return "".join(parts)
+
+
+# Shared BM25 CTE chain (bm25_topk + lexical_semantic_rrf): expects a
+# preceding ``toks`` CTE (doc_id, t — the length-filtered token list).
+# ``dl`` rides the tf key as len(t) (functionally dependent on doc_id,
+# mirroring the Spark plan that removed the doc-length agg + join).
+# ``branked`` holds the full per-query ranking; consumers filter
+# rn <= BM25_TOPK.
+_BM25_CTES = f"""
+            bpairs AS (
+              SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS word
+              FROM toks
+            ),
+            tf AS (
+              SELECT doc_id, dl, word, count(*) AS tf
+              FROM bpairs GROUP BY 1, 2, 3
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            tot AS (SELECT sum(len(t)) AS total FROM toks),
+            dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            qt AS (
+              SELECT tf.doc_id AS qid, tf.word, dfx.df
+              FROM tf JOIN dfx USING (word) CROSS JOIN n
+              WHERE tf.doc_id < {ta.BM25_N_QUERIES}
+                AND dfx.df <= {ta.BM25_DF_CAP_FRAC!r} * n.n
+            ),
+            cand AS (
+              SELECT qt.qid, tf.doc_id, qt.word,
+                     ln(1.0 + (n.n - qt.df + 0.5) / (qt.df + 0.5))
+                     * (tf.tf * {ta.BM25_K1 + 1.0!r})
+                       / (tf.tf + {ta.BM25_K1!r}
+                          * ({1.0 - ta.BM25_B!r}
+                             + {ta.BM25_B!r} * tf.dl / (tot.total / n.n))) AS s
+              FROM qt JOIN tf USING (word)
+              CROSS JOIN n CROSS JOIN tot
+              WHERE tf.doc_id <> qt.qid
+            ),
+            bscored AS (
+              SELECT qid, doc_id,
+                     list_reduce([0.0] || list(s ORDER BY word),
+                                 (a, b) -> a + b) AS score
+              FROM cand GROUP BY qid, doc_id
+            ),
+            branked AS (
+              SELECT qid, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, doc_id
+                     ) AS rn
+              FROM bscored
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4031,6 +4145,85 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0::DOUBLE END AS reading_ease
             FROM c
         """,
+        # BM25: tf/df/dl/N are exact integers; avgdl and every per-term
+        # score replay the Spark expression tree (int->double conversions
+        # exact below 2^53), and the per-(qid, doc) sum is the SAME
+        # word-ascending left fold both sides (list_reduce seeded [0.0]),
+        # so scores are bit-identical and ties break on doc_id alike.
+        "bm25_topk": f"""
+            {_SQL_TOKS},
+            {_BM25_CTES}
+            SELECT qid, doc_id, round(score, 6) AS bm25, rn
+            FROM branked WHERE rn <= {ta.BM25_TOPK}
+        """,
+        # Hybrid fusion: BM25 ranks (shared _BM25_CTES chain) x capped
+        # shingle-Jaccard ranks (the ngram_jaccard_neardup set algebra),
+        # fused as at most one commutative IEEE addition of exact
+        # divisions — ranks and ties reproduce bit-identically.
+        "lexical_semantic_rrf": f"""
+            {_SQL_TOKS},
+            {_BM25_CTES},
+            sh0 AS (
+              SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+              FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+            ),
+            sh AS (
+              SELECT doc_id, shingle FROM sh0
+              WHERE shingle IN (
+                SELECT shingle FROM sh0 GROUP BY shingle
+                HAVING count(*) <= {dd.HOT_SHINGLE_DF_CAP}
+              )
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            qsh AS (
+              SELECT doc_id AS qid, shingle FROM sh
+              WHERE doc_id < {ta.BM25_N_QUERIES}
+            ),
+            inter AS (
+              SELECT q.qid, d.doc_id, count(*) AS i
+              FROM qsh q JOIN sh d
+                ON d.shingle = q.shingle AND d.doc_id <> q.qid
+              GROUP BY 1, 2
+            ),
+            jac AS (
+              SELECT inter.qid, inter.doc_id,
+                     inter.i::DOUBLE / (cq.n + cd.n - inter.i) AS j
+              FROM inter
+              JOIN cnt cq ON cq.doc_id = inter.qid
+              JOIN cnt cd ON cd.doc_id = inter.doc_id
+            ),
+            jtop AS (
+              SELECT qid, doc_id, rj FROM (
+                SELECT qid, doc_id,
+                       row_number() OVER (
+                         PARTITION BY qid ORDER BY j DESC, doc_id
+                       ) AS rj
+                FROM jac
+              ) WHERE rj <= {ta.BM25_TOPK}
+            ),
+            bt AS (
+              SELECT qid, doc_id, rn FROM branked WHERE rn <= {ta.BM25_TOPK}
+            ),
+            f AS (
+              SELECT coalesce(b.qid, j.qid) AS qid,
+                     coalesce(b.doc_id, j.doc_id) AS doc_id,
+                     coalesce(1.0 / ({sim.RRF_K} + b.rn), 0.0)
+                       + coalesce(1.0 / ({sim.RRF_K} + j.rj), 0.0) AS rrf,
+                     ((b.rn IS NOT NULL)::INT
+                       + (j.rj IS NOT NULL)::INT)::BIGINT AS n_lists
+              FROM bt b FULL OUTER JOIN jtop j
+                ON b.qid = j.qid AND b.doc_id = j.doc_id
+            )
+            SELECT qid, doc_id, round(rrf, 6) AS rrf, n_lists, fused_rank
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY qid ORDER BY rrf DESC, doc_id
+                     ) AS fused_rank
+              FROM f
+            ) WHERE fused_rank <= {ta.BM25_TOPK}
+        """,
+        "pca_power_iter": _pca_power_sql(),
         # integer moments (x = qty as BIGINT, y = cents as BIGINT) make
         # n/sx/sy/sxx/syy/sxy exact in both engines; the closed-form
         # slope/intercept/r2 then runs identical IEEE double math

@@ -171,6 +171,14 @@ HEADLINE = [
     # coarse quantizer at test scale (at production scale it's the
     # term that makes ADC sub-linear in the corpus)
     "ann_ivf_adc",
+    # round-13 retrieval additions: the BM25 posting-list join (tf
+    # built once, broadcast query terms, per-qid WindowGroupLimit),
+    # the cross-modality RRF fusion stacked on it (adds the capped
+    # shingle-Jaccard ranking), and the Gram-trick power-iteration
+    # PCA (4 corpus scans + 64-key matvec aggs)
+    "bm25_topk",
+    "lexical_semantic_rrf",
+    "pca_power_iter",
 ]
 
 

@@ -1195,6 +1195,96 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(curve, schema=schema)
 
 
+# Power-iteration PCA (r13): fixed iteration count from an exact
+# binary start vector, so the whole trajectory is a deterministic
+# recurrence both engines can replay (the kmeans_iterate discipline).
+PCA_ITERS = 4
+PCA_START = 0.125  # exact binary double; ||w0||^2 = 64/64 = 1
+
+
+def pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding table via
+    PCA_ITERS power-method iterations — (pos, loading, eigenvalue):
+    the final unit eigenvector's 64 loadings plus the Rayleigh
+    eigenvalue estimate of the sample covariance.  The whitening /
+    dominant-direction step a curation pipeline runs before SemDeDup
+    pruning or before debiasing embeddings (Mu & Viswanath 2018's
+    "all-but-the-top").
+
+    Scale shape per iteration (the kmeans_iterate pattern): the mean
+    vector and current direction ride as plan literals (64 doubles),
+    one corpus scan computes s = (v - mu)·w per row via a fixed-order
+    codegen fold, and the matvec y = Σ (v - mu)·s reduces through a
+    64-key algebraic hash-agg — the ONLY driver transfer is the 64
+    summed components (the Gram trick: no 64x64 covariance matrix is
+    ever materialized, so the pass stays O(dim) per row, not O(dim²)).
+    Lineage never grows: each iteration plans from the raw table plus
+    fresh literals.
+
+    Exactness: per-row folds are order-fixed; the per-pos row sums and
+    the mean are cross-row float aggs whose engine-order drift (~1
+    ulp) is contracted by the normalization each iteration and rounds
+    away at the 6-dp output (the kmeans_iterate precedent: its
+    unrolled-avg oracle banks green).  Driver-side normalization uses
+    ascending-j left folds, mirrored by the oracle's seeded
+    list_reduce.
+    """
+    emb = _embeddings(spark, sf_dir)
+    n = emb.count()
+    schema = "pos long, loading double, eigenvalue double"
+    if n < 2:
+        return spark.createDataFrame([], schema=schema)
+    mu_rows = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    mu = [float(r["m"]) for r in sorted(mu_rows, key=lambda r: r["pos"])]
+    w = [PCA_START] * EMBED_DIM
+    lam = 0.0
+    for _ in range(PCA_ITERS):
+        mu_l = F.lit(mu)
+        w_l = F.lit(w)
+        s = F.aggregate(
+            F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + (F.element_at(F.col("v"), j + 1) - F.element_at(mu_l, j + 1))
+            * F.element_at(w_l, j + 1),
+        )
+        y_rows = (
+            emb.select(s.alias("s"), F.posexplode("v").alias("pos", "x"))
+            .select(
+                "pos",
+                ((F.col("x") - F.element_at(mu_l, F.col("pos") + 1)) * F.col("s")).alias("t"),
+            )
+            .groupBy("pos")
+            .agg(F.sum("t").alias("y"))
+            .collect()
+        )
+        y = [float(r["y"]) for r in sorted(y_rows, key=lambda r: r["pos"])]
+        acc = 0.0
+        for j in range(EMBED_DIM):
+            acc = acc + w[j] * y[j]
+        lam = acc / (n - 1)
+        nrm2 = 0.0
+        for j in range(EMBED_DIM):
+            nrm2 = nrm2 + y[j] * y[j]
+        nrm = math.sqrt(nrm2)
+        if nrm == 0.0:  # all-zero corpus: direction undefined, stop
+            break
+        w = [y[j] / nrm for j in range(EMBED_DIM)]
+    out = spark.createDataFrame(
+        [(j, w[j], lam) for j in range(EMBED_DIM)], schema=schema
+    )
+    return out.select(
+        "pos",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+    )
+
+
 # Reciprocal-rank-fusion constant (Cormack/Clarke/Buettcher 2009's
 # standard k = 60) and the fused-list depth.
 RRF_K = 60

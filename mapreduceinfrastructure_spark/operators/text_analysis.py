@@ -18,12 +18,17 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import bigrams_expr, tokens_expr
 from ..sources.tables import fan_out, load_table
-from .dedup import SHINGLE_PERSIST_MIN_BYTES, _input_bytes, _persist_tracked
+from .dedup import (
+    HOT_SHINGLE_DF_CAP,
+    SHINGLE_PERSIST_MIN_BYTES,
+    _input_bytes,
+    _persist_tracked,
+)
 
 # Tiny embedded English stopword list used by the language-ID heuristic
 # and quality scorer.  Must stay in sync with the inline list in the
@@ -650,4 +655,189 @@ def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((n_s > 0) & (n_w > 0), F.round(score, 4))
         .otherwise(F.lit(0.0))
         .alias("reading_ease"),
+    )
+
+
+# BM25 retrieval (r13): Lucene's BM25 variant — idf(t) =
+# ln(1 + (N - df + 0.5)/(df + 0.5)) (never negative), k1/b the standard
+# Robertson defaults, query term frequency ignored (the k3 -> 0 form —
+# queries here are whole documents, but repeating a term in the query
+# should not multiply its contribution).  Terms with df > BM25_DF_CAP_FRAC
+# of the corpus are statically pruned from the QUERY side — the
+# block-max-WAND idea reduced to its zero-state core: the hottest
+# posting lists (stopword-class terms with near-zero idf) never enter
+# the candidate join, which is what bounds candidate volume at 100 TB.
+# The cap is 0.9 because the synthetic corpus is a ~31-word vocabulary
+# where EVERY content word sits at df/N ~ 0.8 (a 0.5 cap leaves one
+# term corpus-wide); a real Zipf-tailed corpus runs 0.1-0.5.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QUERIES = 20
+BM25_TOPK = 5
+BM25_DF_CAP_FRAC = 0.9
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 corpus docs per query doc (doc_id < BM25_N_QUERIES) —
+    the lexical half of hybrid retrieval (cosine_topk/ann_* are the
+    semantic half; lexical_semantic_rrf fuses the two spaces).
+
+    Scale shape (100 TB): the tf table (one row per (doc, word)) is the
+    inverted index — built with one explode + hash-agg, persisted
+    size-gated because FOUR consumers read it (doc lengths, document
+    frequencies, the postings side of the candidate join, and the query
+    projection).  The query side (query terms x attached df, bounded by
+    |queries| x query vocabulary) is BROADCAST into the postings join,
+    so the corpus-sized side never shuffles for the join; candidate
+    volume is sum over kept query terms of df(t), bounded by the df cap.
+    Per-(query, doc) scores then hash-agg with a per-group top-k window
+    (map-side WindowGroupLimit prunes before the single qid exchange).
+
+    Exactness: tf, df, dl are exact integers; N and avgdl are driver
+    literals derived from exact integer counts (one bounded scalar
+    collect); each per-term score is one fixed expression tree over
+    those values, and the per-pair score folds the term scores in
+    ascending word order (array_sort + left fold — the pq_adc_topk
+    fixed-order discipline), so both engines add the same doubles in
+    the same order.  Exact duplicate docs therefore score bit-equal and
+    tie-break on doc_id identically in both engines.
+    """
+    schema = "qid long, doc_id long, bm25 double, rn long"
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    if n_docs == 0:
+        return spark.createDataFrame([], schema=schema)
+    toks = _docs_tokens(spark, sf_dir)
+    # dl(d) == size of d's token array == sum of tf over d's words: the
+    # doc length rides the tf shuffle as a functionally-dependent key,
+    # so NO separate doc-length agg or doc_id join exists in the plan
+    # (the first cut's dl chain re-ran the tokenize pipeline and joined
+    # corpus-side — measured 11.3 s -> ~4 s at sf0.1 with this shape).
+    total_tokens = (
+        toks.agg(F.sum(F.size("tokens"))).collect()[0][0] or 0
+    )  # one map-only scan; no tokenize re-run hides behind an agg table
+    avgdl = total_tokens / n_docs  # exact int/int IEEE division
+    pairs = toks.select(
+        "doc_id", F.size("tokens").cast("long").alias("dl"),
+        F.explode("tokens").alias("word"),
+    )
+    # Persisted UNCONDITIONALLY (unlike the size-gated corpus-linear
+    # shingle frames): tf is aggregate-sized (distinct (doc, word)
+    # pairs — vocabulary-bounded per doc) and THREE branches plus the
+    # driver never re-run the tokenize pipeline; branch-specific
+    # optimization defeats exchange reuse here (the documented gotcha).
+    tf = _persist_tracked(
+        pairs.groupBy("doc_id", "dl", "word").agg(F.count("*").alias("tf")),
+        spark, sf_dir, "bm25_tf",
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    qt = (
+        tf.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("qid"), "word")
+        .join(df_, "word")
+        .filter(F.col("df") <= F.lit(BM25_DF_CAP_FRAC) * F.lit(float(n_docs)))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+    )
+    cand = (
+        tf.join(F.broadcast(qt), "word")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select("qid", "doc_id", "word", (idf * tfn).alias("s"))
+    )
+    scored = cand.groupBy("qid", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("word", "s"))),
+            F.lit(0.0),
+            lambda a, x: a + x["s"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= BM25_TOPK)
+        .select("qid", "doc_id", F.round("score", 6).alias("bm25"), "rn")
+    )
+
+
+def lexical_semantic_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval over the document space: fuse the BM25 lexical
+    ranking (:func:`bm25_topk`) with a 3-gram-shingle Jaccard ranking
+    of the SAME query docs by reciprocal-rank fusion — the
+    similarity.rrf_fusion pattern applied across retrieval *modalities*
+    instead of across two vector indexes.  A training-data curation
+    stack uses exactly this shape to hedge lexical misses against
+    surface-overlap misses when hunting near-duplicates of benchmark
+    prompts.
+
+    Exactness: the Jaccard side is integer set algebra over the
+    HOT_SHINGLE_DF_CAP-capped shingle sets (the ngram_jaccard_neardup
+    semantics — cap applied BEFORE counting, so both engines rank the
+    same exact rationals); the BM25 side is the fixed-order fold from
+    bm25_topk; each fused score is at most ONE IEEE addition of two
+    exact divisions (commutative — order-free), and all rank ties
+    break on doc_id.
+
+    Scale shape: the shingle frame feeds three consumers (doc sizes,
+    the broadcast query side, the candidate join) behind the size-aware
+    persist switch; candidate volume is bounded by the df cap exactly
+    as in ngram_jaccard_neardup, and both per-query rankings prune
+    map-side via WindowGroupLimit before their single qid exchange.
+    """
+    from .dedup import _shingles
+    from .similarity import RRF_K
+
+    bm = bm25_topk(spark, sf_dir).select("qid", "doc_id", F.col("rn").alias("rb"))
+    sh = _shingles(spark, sf_dir, n=3, distinct=True)
+    hot = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh.join(
+        hot.filter(F.col("df") <= HOT_SHINGLE_DF_CAP).select("shingle"), "shingle"
+    )
+    if _input_bytes(sf_dir, "documents", spark) >= SHINGLE_PERSIST_MIN_BYTES:
+        sh = _persist_tracked(sh, spark, sf_dir, "lsr_shingles")
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    qsh = sh.filter(F.col("doc_id") < BM25_N_QUERIES).select(
+        F.col("doc_id").alias("qid"), "shingle"
+    )
+    inter = (
+        sh.join(F.broadcast(qsh), "shingle")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = (
+        inter.join(cnt.select(F.col("doc_id").alias("qid"), F.col("n").alias("nq")), "qid")
+        .join(cnt.select("doc_id", F.col("n").alias("nd")), "doc_id")
+        .select(
+            "qid",
+            "doc_id",
+            (F.col("i").cast("double") / (F.col("nq") + F.col("nd") - F.col("i"))).alias("j"),
+        )
+    )
+    wj = Window.partitionBy("qid").orderBy(F.desc("j"), F.col("doc_id"))
+    jtop = (
+        jac.withColumn("rj", F.row_number().over(wj).cast("long"))
+        .filter(F.col("rj") <= BM25_TOPK)
+        .select("qid", "doc_id", "rj")
+    )
+    fused = bm.join(jtop, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rb")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rj")), F.lit(0.0))
+        ).alias("rrf"),
+        (
+            F.col("rb").isNotNull().cast("int") + F.col("rj").isNotNull().cast("int")
+        ).cast("long").alias("n_lists"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= BM25_TOPK)
+        .select("qid", "doc_id", F.round("rrf", 6).alias("rrf"), "n_lists", "fused_rank")
     )

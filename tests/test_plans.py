@@ -448,3 +448,47 @@ def test_ann_ivf_adc_plan_shape(spark, sf_dir):
     # the scoring join keys on cid; a vec_id<->qid BNLJ condition would
     # mean the prefilter was lost
     assert "NOT (vec_id" not in plan.split("BroadcastNestedLoopJoin")[0]
+
+
+def test_bm25_topk_plan_shape(spark, sf_dir):
+    """Scale pins for the BM25 posting-list join (r13): the bounded
+    query-terms side must be the BROADCAST HASH side of the candidate
+    join (a corpus-side broadcast or any nested-loop pairing would be
+    the scale-killer), the persisted tf index must feed its consumers
+    from memory (InMemoryTableScan — branch-specific optimization
+    defeats exchange reuse here), the per-qid top-k must prune
+    map-side (WindowGroupLimit), and no sort-merge join may appear
+    anywhere (nothing in this plan should co-shuffle two large
+    sides)."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["bm25_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lexical_semantic_rrf_plan_shape(spark, sf_dir):
+    """The fused plan stacks bm25_topk and the capped shingle-Jaccard
+    ranking: no nested-loop join may appear (the shingle candidate
+    join broadcasts the bounded query side), and a sort-merge join is
+    tolerated ONLY for the full-outer fuse of the two ≤(queries×k)
+    rank lists (full outer cannot broadcast-hash; both sides are
+    bounded)."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["lexical_semantic_rrf"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only SMJ is the bounded FullOuter fuse (tree lines carry the
+    # join type; "(nn) SortMergeJoin" detail headers do not)
+    smj_tree = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln and not ln.strip().startswith("(")
+    ]
+    assert smj_tree and all("FullOuter" in ln for ln in smj_tree)

@@ -211,3 +211,89 @@ def test_dsir_weights_self_target_is_exactly_zero(spark, sf_dir, tmp_path_factor
     assert rows
     for r in rows:
         assert r["log_weight"] == 0.0, (r["doc_id"], r["log_weight"])
+
+
+def test_bm25_topk_invariants(spark, sf_dir):
+    """Structural invariants of the BM25 ranking (the value-level gate
+    is the DuckDB twin): per query at most BM25_TOPK rows with dense
+    ranks from 1, strictly positive scores (the Lucene idf form is
+    never negative and tf/dl are positive), no self-retrieval, and
+    non-increasing scores down each ranking."""
+    from mapreduceinfrastructure_spark.operators.text_analysis import (
+        BM25_N_QUERIES,
+        BM25_TOPK,
+        bm25_topk,
+    )
+
+    rows = bm25_topk(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["qid"] < BM25_N_QUERIES
+        assert r["doc_id"] != r["qid"]
+        assert r["bm25"] > 0.0
+        by_q.setdefault(r["qid"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOPK
+        scores = [r["bm25"] for r in rs]
+        assert scores == sorted(scores, reverse=True), q
+
+
+def test_lexical_semantic_rrf_invariants(spark, sf_dir):
+    """The fused list must only contain docs from one or both input
+    rankings (n_lists in {1, 2}), its score is bounded by the two-list
+    maximum 2/(RRF_K+1), and two-list members must outrank any
+    one-list member with a worse score by construction of RRF."""
+    from mapreduceinfrastructure_spark.operators.similarity import RRF_K
+    from mapreduceinfrastructure_spark.operators.text_analysis import (
+        BM25_TOPK,
+        lexical_semantic_rrf,
+    )
+
+    rows = lexical_semantic_rrf(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_lists"] in (1, 2)
+        assert 0.0 < r["rrf"] <= 2.0 / (RRF_K + 1) + 1e-12
+        assert 1 <= r["fused_rank"] <= BM25_TOPK
+
+
+def test_pca_power_iter_matches_numpy_replay(spark, sf_dir):
+    """Independent reference: replay the identical recurrence (same
+    mean, same 0.125 start vector, same iteration count, same
+    Rayleigh/(n-1) eigenvalue) in numpy float64 and compare loadings
+    and eigenvalue to 1e-4 — covers the operator end to end without
+    DuckDB (the oracle twin covers cross-engine exactness; this covers
+    'is it actually the power method')."""
+    import numpy as np
+
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        PCA_ITERS,
+        PCA_START,
+        pca_power_iter,
+    )
+
+    out = {r["pos"]: r for r in pca_power_iter(spark, sf_dir).collect()}
+    assert len(out) == 64
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    x = np.array([list(r["embedding"]) for r in emb], dtype=np.float64)
+    n = x.shape[0]
+    xc = x - x.mean(axis=0)
+    w = np.full(64, PCA_START)
+    lam = 0.0
+    for _ in range(PCA_ITERS):
+        y = xc.T @ (xc @ w)
+        lam = float(w @ y) / (n - 1)
+        w = y / np.linalg.norm(y)
+    for j in range(64):
+        assert abs(out[j]["loading"] - w[j]) < 1e-4, j
+        assert abs(out[j]["eigenvalue"] - lam) < 1e-4
+    # unit vector and positive variance along it
+    assert abs(sum(v["loading"] ** 2 for v in out.values()) - 1.0) < 1e-4
+    assert lam > 0

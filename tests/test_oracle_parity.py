@@ -29,10 +29,13 @@ DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
     "ann_ivf_adc",  # never banked
-    "dsir_weights",  # never banked
+    "bm25_topk",  # never banked
     "ivf_pq_residual",  # never banked
-    "minhash_lsh_neardup",  # stale (hash changed since r9 row)
+    "lexical_semantic_rrf",  # never banked
+    "pca_power_iter",  # never banked
+    "dsir_weights",  # never banked
     "word_pmi",  # stale (hash changed since r9 row)
+    "minhash_lsh_neardup",  # stale (hash changed since r9 row)
     "cc_star",  # stale (hash changed since r9 row)
     "ann_ivf",  # stale (hash changed since r11 row)
     "cluster_diameter",  # stale (hash changed since r11 row)
@@ -73,9 +76,6 @@ DRIVER_WINDOW = [
     "tpch_q4",  # backfill (last banked r6)
     "tpch_q6",  # backfill (last banked r6)
     "tpch_q7",  # backfill (last banked r6)
-    "tpch_q8",  # backfill (last banked r6)
-    "weighted_sample",  # backfill (last banked r6)
-    "bloom_decontaminate",  # backfill (last banked r7)
 ]
 
 def test_window_round_is_fresh():

@@ -1768,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": ta.bm25_topk,
         "lexical_semantic_rrf": ta.lexical_semantic_rrf,
         "pca_power_iter": sim.pca_power_iter,
+        "pca_debias": sim.pca_debias,
     }
     ordered = {k: reg[k] for k in DRIVER_WINDOW_R13}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
@@ -1972,13 +1973,44 @@ w{i} AS (
   SELECT list_transform(range(1, {d + 1}), q -> y{i}.y[q] / l{i}.nrm) AS w
   FROM y{i}, l{i}
 )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _pca_power_final_sql() -> str:
+    """pca_power_iter's final SELECT over the shared chain."""
+    iters, d = sim.PCA_ITERS, sim.EMBED_DIM
+    return f"""
 SELECT pos, round(loading, 6) AS loading, round(lam, 6) AS eigenvalue FROM (
   SELECT unnest(range(0, {d})) AS pos,
          unnest(w{iters}.w) AS loading, l{iters}.lam
   FROM w{iters}, l{iters}
-)""")
-    return "".join(parts)
+)"""
+
+
+def _pca_debias_final_sql() -> str:
+    """pca_debias's per-row finals over the shared chain: the same
+    fixed-order folds as the Spark projection — proj and norm_before
+    named once in CTE p, the residual fold reading p.proj (one
+    evaluation, mirroring the two-stage Project)."""
+    iters, d = sim.PCA_ITERS, sim.EMBED_DIM
+    return f""",
+p AS (
+  SELECT e.vec_id, e.v,
+         list_reduce([0.0] || list_transform(range(1, {d + 1}),
+             q -> (e.v[q] - mu.mu[q]) * w{iters}.w[q]),
+             (a, b) -> a + b) AS proj,
+         sqrt(list_reduce([0.0] || list_transform(range(1, {d + 1}),
+             q -> (e.v[q] - mu.mu[q]) * (e.v[q] - mu.mu[q])),
+             (a, b) -> a + b)) AS norm_before
+  FROM e CROSS JOIN mu CROSS JOIN w{iters}
+)
+SELECT vec_id, round(proj, 6) AS proj,
+       round(norm_before, 6) AS norm_before,
+       round(sqrt(list_reduce([0.0] || list_transform(range(1, {d + 1}),
+             q -> (p.v[q] - mu.mu[q] - p.proj * w{iters}.w[q])
+                  * (p.v[q] - mu.mu[q] - p.proj * w{iters}.w[q])),
+             (a, b) -> a + b)), 6) AS norm_after
+FROM p CROSS JOIN mu CROSS JOIN w{iters}"""
 
 
 # Shared BM25 CTE chain (bm25_topk + lexical_semantic_rrf): expects a
@@ -4223,7 +4255,8 @@ def oracle_sql() -> dict[str, str]:
               FROM f
             ) WHERE fused_rank <= {ta.BM25_TOPK}
         """,
-        "pca_power_iter": _pca_power_sql(),
+        "pca_power_iter": _pca_power_sql() + _pca_power_final_sql(),
+        "pca_debias": _pca_power_sql() + _pca_debias_final_sql(),
         # integer moments (x = qty as BIGINT, y = cents as BIGINT) make
         # n/sx/sy/sxx/syy/sxy exact in both engines; the closed-form
         # slope/intercept/r2 then runs identical IEEE double math

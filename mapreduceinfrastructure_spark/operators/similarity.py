@@ -1229,11 +1229,33 @@ def pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending-j left folds, mirrored by the oracle's seeded
     list_reduce.
     """
+    fit = _pca_fit(spark, sf_dir)
+    schema = "pos long, loading double, eigenvalue double"
+    if fit is None:
+        return spark.createDataFrame([], schema=schema)
+    _n, _mu, w, lam = fit
+    out = spark.createDataFrame(
+        [(j, w[j], lam) for j in range(EMBED_DIM)], schema=schema
+    )
+    return out.select(
+        "pos",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+    )
+
+
+def _pca_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, list[float], list[float], float] | None:
+    """The shared power-method fit behind pca_power_iter and
+    pca_debias: returns (n, mu, w, lam) — corpus size, mean vector,
+    final unit direction, Rayleigh eigenvalue — or None when the
+    corpus is too small to define a direction.  Driver-side folds run
+    ascending-j (mirrored by the oracle's seeded list_reduce)."""
     emb = _embeddings(spark, sf_dir)
     n = emb.count()
-    schema = "pos long, loading double, eigenvalue double"
     if n < 2:
-        return spark.createDataFrame([], schema=schema)
+        return None
     mu_rows = (
         emb.select(F.posexplode("v").alias("pos", "x"))
         .groupBy("pos")
@@ -1275,13 +1297,67 @@ def pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         if nrm == 0.0:  # all-zero corpus: direction undefined, stop
             break
         w = [y[j] / nrm for j in range(EMBED_DIM)]
-    out = spark.createDataFrame(
-        [(j, w[j], lam) for j in range(EMBED_DIM)], schema=schema
+    return n, mu, w, lam
+
+
+def pca_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-BUT-THE-TOP embedding debias (Mu & Viswanath, ICLR 2018):
+    per vector, the component along the corpus's dominant principal
+    direction and the residual norm after removing it —
+    (vec_id, proj, norm_before, norm_after).  The standard
+    post-processing before cosine retrieval: anisotropic embedding
+    spaces concentrate mass along a few directions, and removing the
+    top component measurably improves similarity quality — this is
+    the operator a curation pipeline runs between embedding ingest and
+    semdedup/ANN indexing.
+
+    Scale shape: the fit is the pca_power_iter driver loop (bounded
+    64-double transfers per iteration); the debias itself is ONE
+    map-only projection — mu and w ride as plan literals, proj and
+    norm_before are named columns of a first Project (computed once —
+    referencing proj inside the residual fold's lambda would re-run
+    its 64-term fold per element, the ADVICE-r12 LambdaVariable
+    double-eval trap), and the residual fold reads them.  No join, no
+    shuffle, no Python.
+
+    Exactness: all three outputs are fixed-order per-row folds over
+    (v, mu, w, proj) — identical expression trees both engines; the
+    fit's cross-row drift (~ulp) rounds away at 6 dp.
+    """
+    schema = "vec_id long, proj double, norm_before double, norm_after double"
+    fit = _pca_fit(spark, sf_dir)
+    if fit is None:
+        return spark.createDataFrame([], schema=schema)
+    _n, mu, w, _lam = fit
+    emb = _embeddings(spark, sf_dir)
+    mu_l = F.lit(mu)
+    w_l = F.lit(w)
+
+    def fold(term):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)), F.lit(0.0), term
+        )
+
+    def xc(j):
+        return F.element_at(F.col("v"), j + 1) - F.element_at(mu_l, j + 1)
+
+    proj = fold(lambda acc, j: acc + xc(j) * F.element_at(w_l, j + 1))
+    nb = F.sqrt(fold(lambda acc, j: acc + xc(j) * xc(j)))
+    staged = emb.select(
+        "vec_id", "v", proj.alias("proj"), nb.alias("norm_before")
     )
-    return out.select(
-        "pos",
-        F.round("loading", 6).alias("loading"),
-        F.round("eigenvalue", 6).alias("eigenvalue"),
+    na = F.sqrt(
+        fold(
+            lambda acc, j: acc
+            + (xc(j) - F.col("proj") * F.element_at(w_l, j + 1))
+            * (xc(j) - F.col("proj") * F.element_at(w_l, j + 1))
+        )
+    )
+    return staged.select(
+        "vec_id",
+        F.round("proj", 6).alias("proj"),
+        F.round("norm_before", 6).alias("norm_before"),
+        F.round(na, 6).alias("norm_after"),
     )
 
 

@@ -297,3 +297,43 @@ def test_pca_power_iter_matches_numpy_replay(spark, sf_dir):
     # unit vector and positive variance along it
     assert abs(sum(v["loading"] ** 2 for v in out.values()) - 1.0) < 1e-4
     assert lam > 0
+
+
+def test_pca_debias_matches_numpy_replay(spark, sf_dir):
+    """Numpy float64 replay of the all-but-the-top transform on the
+    shared _pca_fit direction: proj, pre/post norms to 1e-4, plus the
+    Pythagorean invariant norm_after^2 + proj^2 ~ norm_before^2 (the
+    residual is orthogonal to w by construction)."""
+    import numpy as np
+
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        PCA_ITERS,
+        PCA_START,
+        pca_debias,
+    )
+
+    out = {r["vec_id"]: r for r in pca_debias(spark, sf_dir).collect()}
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in emb]
+    x = np.array([list(r["embedding"]) for r in emb], dtype=np.float64)
+    assert len(out) == len(ids)
+    xc = x - x.mean(axis=0)
+    w = np.full(64, PCA_START)
+    for _ in range(PCA_ITERS):
+        y = xc.T @ (xc @ w)
+        w = y / np.linalg.norm(y)
+    proj = xc @ w
+    nb = np.linalg.norm(xc, axis=1)
+    na = np.linalg.norm(xc - np.outer(proj, w), axis=1)
+    for k, vid in enumerate(ids):
+        r = out[vid]
+        assert abs(r["proj"] - proj[k]) < 1e-4, vid
+        assert abs(r["norm_before"] - nb[k]) < 1e-4, vid
+        assert abs(r["norm_after"] - na[k]) < 1e-4, vid
+        assert abs(
+            r["norm_after"] ** 2 + r["proj"] ** 2 - r["norm_before"] ** 2
+        ) < 1e-3, vid

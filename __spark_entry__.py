@@ -1463,10 +1463,11 @@ DRIVER_WINDOW_R13 = [
     "word_count",  # anchor
     "grep",  # anchor
     "ann_ivf_adc",  # never banked
-    "bm25_topk",  # never banked
     "ivf_pq_residual",  # never banked
-    "lexical_semantic_rrf",  # never banked
+    "pca_debias",  # never banked
     "pca_power_iter",  # never banked
+    "bm25_topk",  # never banked
+    "lexical_semantic_rrf",  # never banked
     "dsir_weights",  # never banked
     "word_pmi",  # stale (hash changed since r9 row)
     "minhash_lsh_neardup",  # stale (hash changed since r9 row)
@@ -1509,7 +1510,6 @@ DRIVER_WINDOW_R13 = [
     "tpch_q3",  # backfill (last banked r6)
     "tpch_q4",  # backfill (last banked r6)
     "tpch_q6",  # backfill (last banked r6)
-    "tpch_q7",  # backfill (last banked r6)
 ]
 
 

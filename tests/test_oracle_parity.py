@@ -29,10 +29,11 @@ DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
     "ann_ivf_adc",  # never banked
-    "bm25_topk",  # never banked
     "ivf_pq_residual",  # never banked
-    "lexical_semantic_rrf",  # never banked
+    "pca_debias",  # never banked
     "pca_power_iter",  # never banked
+    "bm25_topk",  # never banked
+    "lexical_semantic_rrf",  # never banked
     "dsir_weights",  # never banked
     "word_pmi",  # stale (hash changed since r9 row)
     "minhash_lsh_neardup",  # stale (hash changed since r9 row)
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "tpch_q3",  # backfill (last banked r6)
     "tpch_q4",  # backfill (last banked r6)
     "tpch_q6",  # backfill (last banked r6)
-    "tpch_q7",  # backfill (last banked r6)
 ]
 
 def test_window_round_is_fresh():

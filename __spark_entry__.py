@@ -1769,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_semantic_rrf": ta.lexical_semantic_rrf,
         "pca_power_iter": sim.pca_power_iter,
         "pca_debias": sim.pca_debias,
+        "ann_recall_report": sim.ann_recall_report,
     }
     ordered = {k: reg[k] for k in DRIVER_WINDOW_R13}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
@@ -5540,6 +5541,25 @@ def oracle_sql() -> dict[str, str]:
                min(ship_day) AS min_day, max(ship_day) AS max_day,
                min(partkey) AS min_part, max(partkey) AS max_part
         FROM zc GROUP BY zb
+    """
+    # Composed post-dict (needs the cosine_topk text + _ann_lsh_sql()):
+    # both rank lists are their already-banked oracles verbatim as
+    # nested CTEs; the report is integer set algebra + one exact
+    # int/int division on top.
+    sqls["ann_recall_report"] = f"""
+        WITH ex AS ({sqls["cosine_topk"]}),
+        ap AS ({_ann_lsh_sql()}),
+        hits AS (
+          SELECT ex.qid, count(*) AS n_hit
+          FROM ex JOIN ap
+            ON ex.qid = ap.qid AND ex.neighbor_id = ap.neighbor_id
+          GROUP BY 1
+        ),
+        pq AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY 1)
+        SELECT pq.qid, pq.n_exact,
+               coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
+               round(coalesce(hits.n_hit, 0)::DOUBLE / pq.n_exact, 6) AS recall
+        FROM pq LEFT JOIN hits ON pq.qid = hits.qid
     """
     return sqls
 

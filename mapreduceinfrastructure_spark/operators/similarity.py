@@ -1413,6 +1413,44 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the LSH index against exact search —
+    (qid, n_exact, n_hit, recall): how many of :func:`cosine_topk`'s
+    true top-5 the bucketed :func:`ann_lsh` retrieval recovered.  The
+    index-quality dashboard every ANN rollout watches before moving
+    recall-sensitive traffic; tests/test_ann_recall.py pins aggregate
+    floors, this exposes the same audit as an oracle-verified QUERY so
+    a pipeline can alert on per-query regressions.
+
+    Scale shape: both inputs are already-bounded (|queries| × k)-row
+    rank lists, so everything here — the hit intersection join, the
+    two qid aggs, the left join — is query-set-sized regardless of
+    corpus size.  Exactness: counts are integers; recall is one exact
+    int/int IEEE division.
+    """
+    exact = cosine_topk(spark, sf_dir).select("qid", "neighbor_id")
+    approx = ann_lsh(spark, sf_dir).select("qid", "neighbor_id")
+    hits = (
+        exact.join(approx, ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per_q = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    return (
+        per_q.join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 # Product quantization (r11): the IVF-PQ compression step — split each
 # vector into PQ_SUB contiguous subspaces and store, per subspace, the
 # id of the nearest codebook centroid.  64 dims × 8 bytes becomes

@@ -1463,6 +1463,7 @@ DRIVER_WINDOW_R13 = [
     "word_count",  # anchor
     "grep",  # anchor
     "ann_ivf_adc",  # never banked
+    "ann_recall_report",  # never banked
     "ivf_pq_residual",  # never banked
     "pca_debias",  # never banked
     "pca_power_iter",  # never banked
@@ -1509,7 +1510,6 @@ DRIVER_WINDOW_R13 = [
     "tpch_q22",  # backfill (last banked r6)
     "tpch_q3",  # backfill (last banked r6)
     "tpch_q4",  # backfill (last banked r6)
-    "tpch_q6",  # backfill (last banked r6)
 ]
 
 

@@ -29,6 +29,7 @@ DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
     "ann_ivf_adc",  # never banked
+    "ann_recall_report",  # never banked
     "ivf_pq_residual",  # never banked
     "pca_debias",  # never banked
     "pca_power_iter",  # never banked
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "tpch_q22",  # backfill (last banked r6)
     "tpch_q3",  # backfill (last banked r6)
     "tpch_q4",  # backfill (last banked r6)
-    "tpch_q6",  # backfill (last banked r6)
 ]
 
 def test_window_round_is_fresh():

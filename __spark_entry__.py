@@ -1770,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_power_iter": sim.pca_power_iter,
         "pca_debias": sim.pca_debias,
         "ann_recall_report": sim.ann_recall_report,
+        "cluster_balanced_sample": sim.cluster_balanced_sample,
     }
     ordered = {k: reg[k] for k in DRIVER_WINDOW_R13}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
@@ -1974,6 +1975,60 @@ w{i} AS (
   SELECT list_transform(range(1, {d + 1}), q -> y{i}.y[q] / l{i}.nrm) AS w
   FROM y{i}, l{i}
 )""")
+    return "".join(parts)
+
+
+def _cluster_balanced_sample_sql() -> str:
+    """Twin of similarity.cluster_balanced_sample: the SAME unrolled
+    deterministic-Lloyd recurrence as _ann_ivf_sql (seed vec_id %
+    N_CLUSTERS_MOD = 0, LLOYD_ITERATIONS argmin/mean refinements,
+    final assignment pass), then per-cid md5-ordered quota — integers
+    and md5 end to end past the assignment."""
+    k_mod, iters = sim.N_CLUSTERS_MOD, sim.LLOYD_ITERATIONS
+    quota = sim.CLUSTER_SAMPLE_QUOTA
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, len({v}) + 1), "
+            f"j -> ({v}[j] - {c}[j]) * ({v}[j] - {c}[j])), "
+            "(acc, x) -> acc + x)"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {k_mod} = 0)",
+    ]
+    for i in range(1, iters + 2):
+        parts.append(f""",
+        a{i} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {d2('e.v', 'c.cv')}, c.cid) AS rn
+            FROM e CROSS JOIN c{i - 1} c
+          ) WHERE rn = 1
+        )""")
+        if i <= iters:
+            parts.append(f""",
+        c{i} AS (
+          SELECT cid, array_agg(nv ORDER BY pos) AS cv FROM (
+            SELECT cid, pos, avg(val) AS nv FROM (
+              SELECT cid, unnest(v) AS val,
+                     unnest(range(1, len(v) + 1)) AS pos
+              FROM a{i}
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        )""")
+    fin = iters + 1
+    parts.append(f""",
+        sz AS (SELECT cid, count(*) AS n_members FROM a{fin} GROUP BY 1)
+        SELECT cid, vec_id, rk, n_members FROM (
+          SELECT a.cid, a.vec_id, sz.n_members,
+                 row_number() OVER (PARTITION BY a.cid
+                   ORDER BY ('0x' || substr(md5(a.vec_id::VARCHAR), 1, 12))::BIGINT,
+                            a.vec_id) AS rk
+          FROM a{fin} a JOIN sz USING (cid)
+        ) WHERE rk <= {quota}""")
     return "".join(parts)
 
 
@@ -4258,6 +4313,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pca_power_iter": _pca_power_sql() + _pca_power_final_sql(),
         "pca_debias": _pca_power_sql() + _pca_debias_final_sql(),
+        "cluster_balanced_sample": _cluster_balanced_sample_sql(),
         # integer moments (x = qty as BIGINT, y = cents as BIGINT) make
         # n/sx/sy/sxx/syy/sxy exact in both engines; the closed-form
         # slope/intercept/r2 then runs identical IEEE double math

@@ -829,6 +829,42 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-cluster quota for cluster_balanced_sample.
+CLUSTER_SAMPLE_QUOTA = 10
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset selection: at most CLUSTER_SAMPLE_QUOTA
+    vectors per IVF cell, chosen by deterministic md5 order —
+    (cid, vec_id, rk, n_members).  The diversity-sampling step a
+    curation pipeline runs after semantic clustering: capping each
+    semantic cluster's contribution flattens the corpus's topic skew
+    (the SemDeDup/DoReMi-adjacent "don't let one mode dominate the
+    mixture" move), and the md5 order makes the subset reproducible
+    across runs, engines, and partitionings — no RNG state anywhere.
+
+    Scale shape: assignment is :func:`ivf_assignments` (two-level past
+    IVF_TWO_LEVEL_MIN_K); the quota is a per-cid row_number that
+    prunes map-side via WindowGroupLimit before the single cid
+    exchange, so the post-assignment cost is one corpus-linear window
+    with k-bounded output.  The size join keys on cid against the
+    k-row agg.  Exactness: integers and md5 end to end.
+    """
+    from .sketches import _hash48
+
+    assign, _cents = ivf_assignments(spark, sf_dir)
+    sz = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+    w = Window.partitionBy("cid").orderBy(
+        _hash48(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        assign.join(sz, "cid")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= CLUSTER_SAMPLE_QUOTA)
+        .select("cid", "vec_id", "rk", "n_members")
+    )
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector summary stats via JVM higher-order functions: dim,
     L2 norm, component mean.  The fold runs in array order in both

@@ -337,3 +337,27 @@ def test_pca_debias_matches_numpy_replay(spark, sf_dir):
         assert abs(
             r["norm_after"] ** 2 + r["proj"] ** 2 - r["norm_before"] ** 2
         ) < 1e-3, vid
+
+
+def test_cluster_balanced_sample_invariants(spark, sf_dir):
+    """Quota and determinism invariants (values gate via the DuckDB
+    twin): per cluster at most CLUSTER_SAMPLE_QUOTA rows with dense
+    md5-ordered ranks, never more sampled than members, and a second
+    run returns the identical set (no RNG anywhere)."""
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        CLUSTER_SAMPLE_QUOTA,
+        cluster_balanced_sample,
+    )
+
+    rows = cluster_balanced_sample(spark, sf_dir).collect()
+    assert rows
+    by_c: dict[int, list] = {}
+    for r in rows:
+        by_c.setdefault(r["cid"], []).append(r)
+    for cid, rs in by_c.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= CLUSTER_SAMPLE_QUOTA
+        assert all(r["n_members"] >= len(rs) for r in rs), cid
+    again = {(r["cid"], r["vec_id"]) for r in cluster_balanced_sample(spark, sf_dir).collect()}
+    assert again == {(r["cid"], r["vec_id"]) for r in rows}

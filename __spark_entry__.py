@@ -1464,6 +1464,7 @@ DRIVER_WINDOW_R13 = [
     "grep",  # anchor
     "ann_ivf_adc",  # never banked
     "ann_recall_report",  # never banked
+    "cluster_balanced_sample",  # never banked
     "ivf_pq_residual",  # never banked
     "pca_debias",  # never banked
     "pca_power_iter",  # never banked
@@ -1509,7 +1510,6 @@ DRIVER_WINDOW_R13 = [
     "tpch_q20",  # backfill (last banked r6)
     "tpch_q22",  # backfill (last banked r6)
     "tpch_q3",  # backfill (last banked r6)
-    "tpch_q4",  # backfill (last banked r6)
 ]
 
 

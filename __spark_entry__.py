@@ -1771,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_debias": sim.pca_debias,
         "ann_recall_report": sim.ann_recall_report,
         "cluster_balanced_sample": sim.cluster_balanced_sample,
+        "streaming_index_ingest": es.streaming_index_ingest,
     }
     ordered = {k: reg[k] for k in DRIVER_WINDOW_R13}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
@@ -4314,6 +4315,27 @@ def oracle_sql() -> dict[str, str]:
         "pca_power_iter": _pca_power_sql() + _pca_power_final_sql(),
         "pca_debias": _pca_power_sql() + _pca_debias_final_sql(),
         "cluster_balanced_sample": _cluster_balanced_sample_sql(),
+        # streaming_index_ingest: the batch twin of the stateful vocab
+        # agg — df/tf_total are exact integers, idf replays the
+        # bm25_topk expression over them.
+        "streaming_index_ingest": f"""
+            {_SQL_TOKS},
+            ex AS (SELECT t, unnest(list_distinct(t)) AS word FROM toks),
+            prs AS (
+              SELECT word,
+                     len(list_filter(t, x -> x = word))::BIGINT AS tf
+              FROM ex
+            ),
+            agg AS (
+              SELECT word, count(*)::BIGINT AS df,
+                     sum(tf)::BIGINT AS tf_total
+              FROM prs GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT word, df, tf_total,
+                   round(ln(1.0 + (n.n - df + 0.5) / (df + 0.5)), 6) AS idf
+            FROM agg CROSS JOIN n
+        """,
         # integer moments (x = qty as BIGINT, y = cents as BIGINT) make
         # n/sx/sy/sxx/syy/sxy exact in both engines; the closed-form
         # slope/intercept/r2 then runs identical IEEE double math

@@ -1014,3 +1014,50 @@ def streaming_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_abandoned"),
         )
     )
+
+
+def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INVERTED-INDEX STATS — the fifteenth oracle-backed
+    streaming signal: per-word document frequency, total term
+    frequency, and the Lucene idf, maintained as a stateful streaming
+    aggregation over the arriving document feed.  The streaming side
+    of bm25_topk's index build: a continuously-crawling pipeline keeps
+    exactly this table hot so the batch retrieval index can refresh
+    idf without a full corpus pass.
+
+    Determinism: each arriving doc contributes one row per DISTINCT
+    in-doc word (array_distinct before the explode), with that word's
+    in-doc tf counted IN-ROW against the full token array — so the
+    stream carries one (doc, word) row by construction, df is a plain
+    count, tf_total a plain integer sum, and the result is
+    arrival-order-free (the streaming_dedup_ingest discipline: report
+    order-free integer aggregates, never an arrival-dependent row).
+
+    State story at 100 TB: one state row per vocabulary word —
+    VOCABULARY-bounded, not stream-bounded (the same reason the batch
+    tf index is the thing worth persisting); keyed-partitioned across
+    executors like every streaming agg here.
+    """
+    from ..functions.text import tokens_expr
+    from ..sources.tables import load_table
+
+    ds = read_documents_stream(spark, sf_dir)
+    toks = ds.select(tokens_expr("text").alias("t"))
+    ex = toks.select("t", F.explode(F.array_distinct("t")).alias("word"))
+    pairs = ex.select(
+        "word",
+        F.size(F.filter("t", lambda x: x == F.col("word"))).cast("long").alias("tf"),
+    )
+    agg = pairs.groupBy("word").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+    )
+    got = run_stream_to_memory(
+        spark, agg, "index_ingest_driver", output_mode="complete"
+    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    return got.select("word", "df", "tf_total", F.round(idf, 6).alias("idf"))

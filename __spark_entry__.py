@@ -1462,6 +1462,7 @@ WINDOW_ROUND = 13  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R13 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "streaming_index_ingest",  # never banked
     "ann_ivf_adc",  # never banked
     "ann_recall_report",  # never banked
     "cluster_balanced_sample",  # never banked
@@ -1509,7 +1510,6 @@ DRIVER_WINDOW_R13 = [
     "tpch_q2",  # backfill (last banked r6)
     "tpch_q20",  # backfill (last banked r6)
     "tpch_q22",  # backfill (last banked r6)
-    "tpch_q3",  # backfill (last banked r6)
 ]
 
 

@@ -28,6 +28,7 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
+    "streaming_index_ingest",  # never banked
     "ann_ivf_adc",  # never banked
     "ann_recall_report",  # never banked
     "cluster_balanced_sample",  # never banked
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "tpch_q2",  # backfill (last banked r6)
     "tpch_q20",  # backfill (last banked r6)
     "tpch_q22",  # backfill (last banked r6)
-    "tpch_q3",  # backfill (last banked r6)
 ]
 
 def test_window_round_is_fresh():

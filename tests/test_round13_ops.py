@@ -361,3 +361,41 @@ def test_cluster_balanced_sample_invariants(spark, sf_dir):
         assert all(r["n_members"] >= len(rs) for r in rs), cid
     again = {(r["cid"], r["vec_id"]) for r in cluster_balanced_sample(spark, sf_dir).collect()}
     assert again == {(r["cid"], r["vec_id"]) for r in rows}
+
+
+def test_bm25_planted_duplicate_ranks_first(spark, tmp_path_factory):
+    """Planted-corpus semantic pin: a verbatim copy of a query doc
+    shares every term at identical tf, so it must outscore every
+    partial-overlap doc and rank #1 for that query; a doc sharing a
+    rarer subset must beat one sharing only the common subset."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators.text_analysis import bm25_topk
+
+    d = str(tmp_path_factory.mktemp("bm25_planted"))
+    q = "alpha beta gamma delta epsilon"
+    texts = [q]  # doc 0: the query
+    texts.append(q)  # doc 1: verbatim copy
+    texts.append("alpha beta gamma noise1 noise2")  # doc 2: partial
+    texts.append("alpha noise3 noise4 noise5 noise6")  # doc 3: weak
+    # filler docs so df ratios are meaningful; only a few carry alpha
+    # (keeping it under the df cap, unlike the hot-everywhere probe)
+    for i in range(4, 40):
+        extra = "alpha" if i < 8 else f"filler{i}"
+        texts.append(f"{extra} pad{i} pad{i} pad{i} pad{i}")
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    rows = {r["doc_id"]: r for r in bm25_topk(spark, d).collect() if r["qid"] == 0}
+    assert rows[1]["rn"] == 1, rows  # the verbatim copy wins
+    assert rows[2]["bm25"] > rows[3]["bm25"]  # more shared rare terms

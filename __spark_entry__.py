@@ -1772,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": sim.ann_recall_report,
         "cluster_balanced_sample": sim.cluster_balanced_sample,
         "streaming_index_ingest": es.streaming_index_ingest,
+        "jsonl_roundtrip": pl.jsonl_roundtrip,
     }
     ordered = {k: reg[k] for k in DRIVER_WINDOW_R13}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
@@ -5106,6 +5107,25 @@ def oracle_sql() -> dict[str, str]:
             FROM packed GROUP BY source
         """,
         "orc_roundtrip": f"""
+            {_curation_final_sql(sw)},
+            packed AS (
+              SELECT source, doc_id, nt,
+                     CAST(coalesce(sum(nt) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) // {pl.PACK_LEN} AS pack_id
+              FROM final
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   count(DISTINCT pack_id) AS n_packs,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM packed GROUP BY source
+        """,
+        # jsonl_roundtrip: lossless by contract, so the oracle is the
+        # SAME manifest recomputation as orc_roundtrip (the format
+        # never appears in the answer — the word_count_mr pairing)
+        "jsonl_roundtrip": f"""
             {_curation_final_sql(sw)},
             packed AS (
               SELECT source, doc_id, nt,

@@ -501,6 +501,44 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSON-LINES twin of :func:`orc_roundtrip`, completing the
+    source-format matrix (parquet / text / csv / orc / jsonl): curated
+    shards are written as source-partitioned JSONL through
+    sinks.formats.write_json, read back with the explicit shard schema
+    (schema-on-read — the JSONL ingest shape of every crawl dump), and
+    the per-source manifest is aggregated from the READ-BACK files, so
+    a green row certifies the JSON write→read round trip end to end:
+    quoting/escaping, long fidelity (Jackson writes round-trip-safe
+    literals), partition discovery, schema mapping.  The DuckDB oracle
+    recomputes the same numbers from ``documents`` — identical text to
+    orc_roundtrip's by design (the roundtrip must be lossless, so the
+    format never appears in the answer).
+
+    Scale: JSONL has no column pruning (row-major text) — the
+    aggregate re-reads whole lines, which is exactly the honest cost
+    of JSON at 100 TB and why the curated path lands in parquet/orc;
+    this op certifies the INGEST format, not a storage recommendation.
+    """
+    from ..scratch import scratch_dir
+    from ..sinks.formats import read_json
+
+    out_path = scratch_dir(
+        spark, "curated_jsonl", os.path.basename(os.path.normpath(sf_dir))
+    )
+    curated_shards_df(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "source"
+    ).json(out_path)
+    back = read_json(spark, out_path, SHARD_SCHEMA)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-style MERGE-ON-READ certified end to end (VERDICT r7 #7):
     a base + delta shard layout is written for real, the merged state

@@ -272,3 +272,98 @@ def test_round6_half_up_matches_decimal_half_up(x):
     # the audio domain (sqrt outputs of 16-bit PCM) stays far below
     # 2^53/1e6, where the two are identical
     assert got == want, (x, got, want)
+
+
+# ---------------------------------------------------------------------------
+# round-13 addition: BM25 against an independent pure-Python model on
+# hypothesis-random corpora — formula, df cap, fixed-order fold, ranking
+# and tie-breaks, not just the fixed test corpus (the DuckDB twin pins
+# cross-engine exactness; this pins "is it actually BM25").
+
+WORDS = ["alpha", "beta", "gamma", "delta", "zz", "qq"]
+
+
+def _py_bm25(texts):
+    import math
+    from collections import Counter
+
+    from mapreduceinfrastructure_spark.operators import text_analysis as ta
+
+    toks = [t.split() for t in texts]
+    n = len(texts)
+    tf = [Counter(t) for t in toks]
+    dl = [len(t) for t in toks]
+    total = sum(dl)
+    avgdl = total / n
+    df = Counter(w for c in tf for w in c)
+    out = {}
+    for qid in range(min(ta.BM25_N_QUERIES, n)):
+        scored = []
+        for d in range(n):
+            if d == qid:
+                continue
+            shared = sorted(
+                w for w in tf[qid]
+                if w in tf[d] and df[w] <= ta.BM25_DF_CAP_FRAC * float(n)
+            )
+            if not shared:
+                continue
+            s = 0.0
+            for w in shared:
+                idf = math.log(
+                    1.0 + (float(n) - df[w] + 0.5) / (df[w] + 0.5)
+                )
+                tfn = (tf[d][w] * (ta.BM25_K1 + 1.0)) / (
+                    tf[d][w]
+                    + ta.BM25_K1
+                    * ((1.0 - ta.BM25_B) + ta.BM25_B * dl[d] / avgdl)
+                )
+                s = s + idf * tfn
+            scored.append((d, s))
+        scored.sort(key=lambda p: (-p[1], p[0]))
+        out[qid] = [
+            (d, rn + 1, s) for rn, (d, s) in enumerate(scored[: ta.BM25_TOPK])
+        ]
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=8),
+        min_size=2,
+        max_size=18,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bm25_matches_python_model(spark, tmp_path_factory, docs):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators.text_analysis import bm25_topk
+
+    texts = [" ".join(d) for d in docs]
+    tmp = str(tmp_path_factory.mktemp("bm25_prop"))
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp, "documents.parquet"))
+    got = {}
+    for r in bm25_topk(spark, tmp).collect():
+        got.setdefault(r["qid"], []).append((r["doc_id"], r["rn"], r["bm25"]))
+    want = _py_bm25(texts)
+    want = {q: rs for q, rs in want.items() if rs}
+    assert set(got) == set(want)
+    for q, rs in want.items():
+        g = sorted(got[q], key=lambda p: p[1])
+        assert [(d, rn) for d, rn, _ in g] == [(d, rn) for d, rn, _ in rs], q
+        for (gd, grn, gs), (_, _, ws) in zip(g, rs):
+            # output rounds half-up at 6; the model is unrounded
+            assert abs(gs - ws) <= 5.1e-7, (q, gd, gs, ws)

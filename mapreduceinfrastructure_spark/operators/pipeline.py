@@ -504,8 +504,9 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The JSON-LINES twin of :func:`orc_roundtrip`, completing the
     source-format matrix (parquet / text / csv / orc / jsonl): curated
-    shards are written as source-partitioned JSONL through
-    sinks.formats.write_json, read back with the explicit shard schema
+    shards are written as source-PARTITIONED JSONL (the partitioned
+    form of sinks.formats.write_json), read back through
+    sinks.formats.read_json with the explicit shard schema
     (schema-on-read — the JSONL ingest shape of every crawl dump), and
     the per-source manifest is aggregated from the READ-BACK files, so
     a green row certifies the JSON write→read round trip end to end:

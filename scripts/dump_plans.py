@@ -125,6 +125,10 @@ NOTES = {
     "ann_ivf_adc": "the r13 composition: checkpointed-Lloyd assignment feeds ONE map-only (cid, codes) index projection; the bounded probe frame (|q| x nprobe rows, one ADC table each) is the BuildRight of a broadcast HASH join ON cid — no corpus-wide pair table past the cell prefilter (the BNLJs are the bounded corpus x centroid assignment steps); per-qid top-k pruned by map-side WindowGroupLimit",
     "ivf_pq_residual": "checkpointed-Lloyd assignment + broadcast centroid join + one zip_with residual, then pq_quantize's map-only encode over the residual (dists once per subspace via struct+explode, codebook literal at test geometry / broadcast frame past 1 MiB) — the only exchanges are the Lloyd passes' own",
     "dsir_weights": "ONE corpus explode; the vocabulary agg carries raw AND target counts (count_if partial) in one pass; token-keyed vocab join (AQE decides broadcast at runtime — never broadcast at 100 TB vocab), 1-row totals broadcast, per-doc algebraic agg",
+    "bm25_topk": "the r13 retrieval addition: the (doc, dl, word) tf index is built once and PERSISTED (InMemoryTableScan feeds df/query/postings branches — branch-specific optimization defeats exchange reuse); the bounded query-terms frame is the BuildRight of the posting BroadcastHashJoin so the corpus side never shuffles for the join; per-qid top-k pruned map-side by WindowGroupLimit; no BNLJ, no SMJ anywhere",
+    "lexical_semantic_rrf": "bm25_topk's plan stacked with the df-capped shingle-Jaccard ranking (broadcast query shingles); the ONLY SortMergeJoin is the full-outer fuse of two <=|q|xk rank lists (full outer cannot broadcast-hash; both sides bounded); fused ranking pruned by WindowGroupLimit",
+    "pca_debias": "map-only all-but-the-top: mean + direction are plan literals from the bounded _pca_fit driver loop; proj/norm_before are named Project columns computed ONCE and read by the residual fold (the LambdaVariable re-eval trap avoided); zero Exchange, zero joins",
+    "cluster_balanced_sample": "checkpointed-Lloyd assignment (BNLJs are the bounded corpus x centroid steps), cid-keyed size join (k-row side — AQE broadcasts at test scale; at production k = n/40 it stays a key join), md5-ordered per-cid quota pruned map-side by WindowGroupLimit",
 }
 
 

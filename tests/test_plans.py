@@ -492,3 +492,34 @@ def test_lexical_semantic_rrf_plan_shape(spark, sf_dir):
         if "SortMergeJoin" in ln and not ln.strip().startswith("(")
     ]
     assert smj_tree and all("FullOuter" in ln for ln in smj_tree)
+
+
+def test_pca_debias_plan_is_map_only(spark, sf_dir):
+    """The debias projection must stay map-only: mean/direction are
+    plan literals, so no KEYED exchange and no join may appear — the
+    only tolerated Exchange is fan_out's RoundRobin (tiny-file scan
+    widening, a no-op at scale).  A hashpartitioning exchange here
+    would mean the fit leaked into the projection plan."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["pca_debias"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_cluster_balanced_sample_plan_shape(spark, sf_dir):
+    """The quota window must prune map-side (WindowGroupLimit) before
+    its cid exchange, and no corpus-wide nested-loop join may appear
+    beyond the bounded corpus x centroid assignment steps (their
+    broadcast side is the k-row centroid table)."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["cluster_balanced_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    # vec_id-keyed BNLJ conditions would mean a corpus-corpus pairing
+    for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
+        head = seg.split("\n", 1)[0]
+        assert "vec_id" not in head

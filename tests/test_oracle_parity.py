@@ -134,3 +134,19 @@ def test_rows_only_query_runs(name, spark, sf_dir):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_every_oracle_compiles_in_duckdb(duck):
+    """Registry-wide binder check: EXPLAIN every oracle_sql() entry so
+    a syntax/name error in a NON-windowed oracle fails here in seconds
+    instead of surfacing as a driver `err` whenever rotation happens to
+    pull that query into a future window.  EXPLAIN plans (parses +
+    binds against the real views) without executing, so even the
+    unrolled Lloyd/PCA CTE chains stay cheap."""
+    bad = []
+    for name, sql in sorted(ORACLES.items()):
+        try:
+            duck.sql(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001 — collecting all failures
+            bad.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not bad, "\n".join(bad)

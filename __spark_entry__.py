@@ -5646,18 +5646,30 @@ def oracle_sql() -> dict[str, str]:
     # int/int division on top.
     sqls["ann_recall_report"] = f"""
         WITH ex AS ({sqls["cosine_topk"]}),
-        ap AS ({_ann_lsh_sql()}),
-        hits AS (
+        lsh AS ({_ann_lsh_sql()}),
+        ivf AS ({_ann_ivf_sql()}),
+        pq AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY 1),
+        lh AS (
           SELECT ex.qid, count(*) AS n_hit
-          FROM ex JOIN ap
-            ON ex.qid = ap.qid AND ex.neighbor_id = ap.neighbor_id
+          FROM ex JOIN lsh
+            ON ex.qid = lsh.qid AND ex.neighbor_id = lsh.neighbor_id
           GROUP BY 1
         ),
-        pq AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY 1)
-        SELECT pq.qid, pq.n_exact,
-               coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
-               round(coalesce(hits.n_hit, 0)::DOUBLE / pq.n_exact, 6) AS recall
-        FROM pq LEFT JOIN hits ON pq.qid = hits.qid
+        ih AS (
+          SELECT ex.qid, count(*) AS n_hit
+          FROM ex JOIN ivf
+            ON ex.qid = ivf.qid AND ex.neighbor_id = ivf.neighbor_id
+          GROUP BY 1
+        )
+        SELECT 'lsh' AS index, pq.qid, pq.n_exact,
+               coalesce(lh.n_hit, 0)::BIGINT AS n_hit,
+               round(coalesce(lh.n_hit, 0)::DOUBLE / pq.n_exact, 6) AS recall
+        FROM pq LEFT JOIN lh ON pq.qid = lh.qid
+        UNION ALL
+        SELECT 'ivf' AS index, pq.qid, pq.n_exact,
+               coalesce(ih.n_hit, 0)::BIGINT AS n_hit,
+               round(coalesce(ih.n_hit, 0)::DOUBLE / pq.n_exact, 6) AS recall
+        FROM pq LEFT JOIN ih ON pq.qid = ih.qid
     """
     return sqls
 

@@ -1450,31 +1450,33 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@k of the LSH index against exact search —
-    (qid, n_exact, n_hit, recall): how many of :func:`cosine_topk`'s
-    true top-5 the bucketed :func:`ann_lsh` retrieval recovered.  The
+    """Per-query recall@k of BOTH ANN paths against exact search —
+    (index, qid, n_exact, n_hit, recall): how many of
+    :func:`cosine_topk`'s true top-5 the bucketed :func:`ann_lsh` and
+    the cell-probed :func:`ann_ivf` retrievals each recovered.  The
     index-quality dashboard every ANN rollout watches before moving
     recall-sensitive traffic; tests/test_ann_recall.py pins aggregate
     floors, this exposes the same audit as an oracle-verified QUERY so
-    a pipeline can alert on per-query regressions.
+    a pipeline can alert on per-query regressions and compare the two
+    index families side by side.
 
-    Scale shape: both inputs are already-bounded (|queries| × k)-row
-    rank lists, so everything here — the hit intersection join, the
-    two qid aggs, the left join — is query-set-sized regardless of
-    corpus size.  Exactness: counts are integers; recall is one exact
+    Scale shape: all inputs are already-bounded (|queries| × k)-row
+    rank lists, so everything here — the hit intersection joins, the
+    qid aggs, the left joins — is query-set-sized regardless of corpus
+    size.  Exactness: counts are integers; recall is one exact
     int/int IEEE division.
     """
     exact = cosine_topk(spark, sf_dir).select("qid", "neighbor_id")
-    approx = ann_lsh(spark, sf_dir).select("qid", "neighbor_id")
-    hits = (
-        exact.join(approx, ["qid", "neighbor_id"])
-        .groupBy("qid")
-        .agg(F.count("*").alias("n_hit"))
-    )
     per_q = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
-    return (
-        per_q.join(hits, "qid", "left")
-        .select(
+
+    def one(index_name: str, approx: DataFrame) -> DataFrame:
+        hits = (
+            exact.join(approx.select("qid", "neighbor_id"), ["qid", "neighbor_id"])
+            .groupBy("qid")
+            .agg(F.count("*").alias("n_hit"))
+        )
+        return per_q.join(hits, "qid", "left").select(
+            F.lit(index_name).alias("index"),
             "qid",
             "n_exact",
             F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
@@ -1484,6 +1486,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("recall"),
         )
+
+    return one("lsh", ann_lsh(spark, sf_dir)).unionByName(
+        one("ivf", ann_ivf(spark, sf_dir))
     )
 
 

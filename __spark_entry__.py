@@ -1462,15 +1462,15 @@ WINDOW_ROUND = 13  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R13 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "dsir_weights",  # never banked
-    "jsonl_roundtrip",  # never banked
-    "streaming_index_ingest",  # never banked
     "ann_ivf_adc",  # never banked
     "ann_recall_report",  # never banked
     "cluster_balanced_sample",  # never banked
     "ivf_pq_residual",  # never banked
     "pca_debias",  # never banked
     "pca_power_iter",  # never banked
+    "dsir_weights",  # never banked
+    "jsonl_roundtrip",  # never banked
+    "streaming_index_ingest",  # never banked
     "bm25_topk",  # never banked
     "lexical_semantic_rrf",  # never banked
     "word_pmi",  # stale (hash changed since r9 row)

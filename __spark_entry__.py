@@ -1766,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": ta.readability,
         # --- round-13 second-session additions ---
         "bm25_topk": ta.bm25_topk,
+        "bm25_pruned_topk": ta.bm25_pruned_topk,
         "lexical_semantic_rrf": ta.lexical_semantic_rrf,
         "pca_power_iter": sim.pca_power_iter,
         "pca_debias": sim.pca_debias,
@@ -4245,6 +4246,50 @@ def oracle_sql() -> dict[str, str]:
             {_BM25_CTES}
             SELECT qid, doc_id, round(score, 6) AS bm25, rn
             FROM branked WHERE rn <= {ta.BM25_TOPK}
+        """,
+        # Impact-pruned BM25: identical chain, but each term's posting
+        # list truncates to the BM25_POSTINGS_CAP highest-impact rows
+        # (impact = the same per-posting expression both engines rank;
+        # ties to lower doc_id) before the candidate join.
+        "bm25_pruned_topk": f"""
+            {_SQL_TOKS},
+            {_BM25_CTES},
+            imp AS (
+              SELECT tf.word, tf.doc_id,
+                     ln(1.0 + (n.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                     * (tf.tf * {ta.BM25_K1 + 1.0!r})
+                       / (tf.tf + {ta.BM25_K1!r}
+                          * ({1.0 - ta.BM25_B!r}
+                             + {ta.BM25_B!r} * tf.dl / (tot.total / n.n))) AS s
+              FROM tf JOIN dfx USING (word)
+              CROSS JOIN n CROSS JOIN tot
+            ),
+            ptf AS (
+              SELECT word, doc_id, s FROM (
+                SELECT *, row_number() OVER (
+                         PARTITION BY word ORDER BY s DESC, doc_id
+                       ) AS pr
+                FROM imp
+              ) WHERE pr <= {ta.BM25_POSTINGS_CAP}
+            ),
+            pcand AS (
+              SELECT qt.qid, ptf.doc_id, ptf.word, ptf.s
+              FROM qt JOIN ptf USING (word)
+              WHERE ptf.doc_id <> qt.qid
+            ),
+            pscored AS (
+              SELECT qid, doc_id,
+                     list_reduce([0.0] || list(s ORDER BY word),
+                                 (a, b) -> a + b) AS score
+              FROM pcand GROUP BY qid, doc_id
+            )
+            SELECT qid, doc_id, round(score, 6) AS bm25, rn FROM (
+              SELECT qid, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, doc_id
+                     ) AS rn
+              FROM pscored
+            ) WHERE rn <= {ta.BM25_TOPK}
         """,
         # Hybrid fusion: BM25 ranks (shared _BM25_CTES chain) x capped
         # shingle-Jaccard ranks (the ngram_jaccard_neardup set algebra),

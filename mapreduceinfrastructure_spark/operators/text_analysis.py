@@ -677,36 +677,16 @@ BM25_TOPK = 5
 BM25_DF_CAP_FRAC = 0.9
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-5 corpus docs per query doc (doc_id < BM25_N_QUERIES) —
-    the lexical half of hybrid retrieval (cosine_topk/ann_* are the
-    semantic half; lexical_semantic_rrf fuses the two spaces).
-
-    Scale shape (100 TB): the tf table (one row per (doc, word)) is the
-    inverted index — built with one explode + hash-agg, persisted
-    size-gated because FOUR consumers read it (doc lengths, document
-    frequencies, the postings side of the candidate join, and the query
-    projection).  The query side (query terms x attached df, bounded by
-    |queries| x query vocabulary) is BROADCAST into the postings join,
-    so the corpus-sized side never shuffles for the join; candidate
-    volume is sum over kept query terms of df(t), bounded by the df cap.
-    Per-(query, doc) scores then hash-agg with a per-group top-k window
-    (map-side WindowGroupLimit prunes before the single qid exchange).
-
-    Exactness: tf, df, dl are exact integers; N and avgdl are driver
-    literals derived from exact integer counts (one bounded scalar
-    collect); each per-term score is one fixed expression tree over
-    those values, and the per-pair score folds the term scores in
-    ascending word order (array_sort + left fold — the pq_adc_topk
-    fixed-order discipline), so both engines add the same doubles in
-    the same order.  Exact duplicate docs therefore score bit-equal and
-    tie-break on doc_id identically in both engines.
-    """
-    schema = "qid long, doc_id long, bm25 double, rn long"
+def _bm25_index(spark: SparkSession, sf_dir: str):
+    """The shared BM25 index build (bm25_topk + bm25_pruned_topk):
+    returns (n_docs, avgdl, tf, df_) — corpus size, average doc
+    length (exact int/int IEEE division of driver-collected integer
+    scalars), the persisted (doc_id, dl, word, tf) inverted index, and
+    the per-word document frequencies — or None on an empty corpus."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     if n_docs == 0:
-        return spark.createDataFrame([], schema=schema)
+        return None
     toks = _docs_tokens(spark, sf_dir)
     # dl(d) == size of d's token array == sum of tf over d's words: the
     # doc length rides the tf shuffle as a functionally-dependent key,
@@ -731,24 +711,38 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "bm25_tf",
     )
     df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
-    qt = (
+    return n_docs, avgdl, tf, df_
+
+
+def _bm25_idf(n_docs: int):
+    """Lucene idf over the joined ``df`` column — never negative."""
+    return F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+
+
+def _bm25_tfn(avgdl: float):
+    """Saturating tf normalization over the ``tf``/``dl`` columns."""
+    return (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+    )
+
+
+def _bm25_query_terms(n_docs: int, tf: DataFrame, df_: DataFrame) -> DataFrame:
+    """The df-capped query-terms frame (qid, word, df) — bounded by
+    |queries| x query vocabulary, always the broadcast side."""
+    return (
         tf.filter(F.col("doc_id") < BM25_N_QUERIES)
         .select(F.col("doc_id").alias("qid"), "word")
         .join(df_, "word")
         .filter(F.col("df") <= F.lit(BM25_DF_CAP_FRAC) * F.lit(float(n_docs)))
     )
-    idf = F.log(
-        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tfn = (F.col("tf") * (BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
-    )
-    cand = (
-        tf.join(F.broadcast(qt), "word")
-        .filter(F.col("doc_id") != F.col("qid"))
-        .select("qid", "doc_id", "word", (idf * tfn).alias("s"))
-    )
+
+
+def _bm25_rank(cand: DataFrame) -> DataFrame:
+    """Fixed word-order score fold + per-qid top-k over a candidate
+    frame carrying (qid, doc_id, word, s)."""
     scored = cand.groupBy("qid", "doc_id").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("word", "s"))),
@@ -762,6 +756,105 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BM25_TOPK)
         .select("qid", "doc_id", F.round("score", 6).alias("bm25"), "rn")
     )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 corpus docs per query doc (doc_id < BM25_N_QUERIES) —
+    the lexical half of hybrid retrieval (cosine_topk/ann_* are the
+    semantic half; lexical_semantic_rrf fuses the two spaces).
+
+    Scale shape (100 TB): the tf table (one row per (doc, word)) is the
+    inverted index — built with one explode + hash-agg, persisted
+    because THREE branches plus the driver read it (document
+    frequencies, the postings side of the candidate join, and the query
+    projection).  The query side (query terms x attached df, bounded by
+    |queries| x query vocabulary) is BROADCAST into the postings join,
+    so the corpus-sized side never shuffles for the join; candidate
+    volume is sum over kept query terms of df(t), bounded by the df cap.
+    Per-(query, doc) scores then hash-agg with a per-group top-k window
+    (map-side WindowGroupLimit prunes before the single qid exchange).
+
+    Exactness: tf, df, dl are exact integers; N and avgdl are driver
+    literals derived from exact integer counts (one bounded scalar
+    collect); each per-term score is one fixed expression tree over
+    those values, and the per-pair score folds the term scores in
+    ascending word order (array_sort + left fold — the pq_adc_topk
+    fixed-order discipline), so both engines add the same doubles in
+    the same order.  Exact duplicate docs therefore score bit-equal and
+    tie-break on doc_id identically in both engines.
+    """
+    schema = "qid long, doc_id long, bm25 double, rn long"
+    idx = _bm25_index(spark, sf_dir)
+    if idx is None:
+        return spark.createDataFrame([], schema=schema)
+    n_docs, avgdl, tf, df_ = idx
+    qt = _bm25_query_terms(n_docs, tf, df_)
+    cand = (
+        tf.join(F.broadcast(qt), "word")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select(
+            "qid", "doc_id", "word",
+            (_bm25_idf(n_docs) * _bm25_tfn(avgdl)).alias("s"),
+        )
+    )
+    return _bm25_rank(cand)
+
+
+# Static index pruning: keep only the top-BM25_POSTINGS_CAP postings
+# per term by IMPACT — the per-posting BM25 contribution idf(t)·tfn,
+# which is query-independent, so the pruned index is built once.  The
+# impact-ordered early-termination move (Anh & Moffat's impact
+# ordering reduced to its static core): the df cap bounds HOW MANY
+# posting lists a query opens, the postings cap bounds HOW LONG each
+# one is, so candidate volume is <= |query terms| x CAP regardless of
+# corpus size.  Honest recall note: the synthetic ~31-word corpus is
+# static pruning's WORST case — every term appears in ~every doc, so
+# at sf0.1 (df ~ 4000 >> CAP) the pruned pool is the ~CAP highest-tf
+# short docs and overlaps 0/100 with the exact top-5 (measured; the
+# oracle pins the semantics bit-for-bit either way).  On a Zipf
+# corpus the cut postings are the low-impact tail and verbatim
+# near-dups survive (pinned in the planted-corpus test); production
+# tunes CAP against a recall audit exactly like nprobe for IVF.
+BM25_POSTINGS_CAP = 64
+
+
+def bm25_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 over the impact-pruned index — same query/scoring
+    semantics as :func:`bm25_topk`, but each term's posting list is
+    statically truncated to its BM25_POSTINGS_CAP highest-impact
+    postings (ties to lower doc_id).  Recall vs the exact ranking is
+    the documented trade (audit by diffing with bm25_topk — high-tf
+    short docs survive; low-impact tail postings are the ones cut);
+    the win is a hard per-term candidate bound.
+
+    Scale shape: the prune is one per-word window over the persisted
+    tf index that prunes map-side via WindowGroupLimit (Zipf-hot words
+    are exactly the ones the cap truncates hardest), and everything
+    downstream runs on the <= vocab x CAP pruned index instead of the
+    full postings.  Exactness: impacts are the same fixed expression
+    tree both engines rank (ints in, one expression out; equal-impact
+    ties break on doc_id), and scoring replays the bm25_topk fold.
+    """
+    schema = "qid long, doc_id long, bm25 double, rn long"
+    idx = _bm25_index(spark, sf_dir)
+    if idx is None:
+        return spark.createDataFrame([], schema=schema)
+    n_docs, avgdl, tf, df_ = idx
+    impact = (_bm25_idf(n_docs) * _bm25_tfn(avgdl)).alias("s")
+    wp = Window.partitionBy("word").orderBy(F.desc("s"), F.col("doc_id"))
+    pruned = (
+        tf.join(df_, "word")
+        .select("word", "doc_id", "dl", "tf", "df", impact)
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= BM25_POSTINGS_CAP)
+    )
+    qt = _bm25_query_terms(n_docs, tf, df_).select("qid", "word")
+    cand = (
+        pruned.join(F.broadcast(qt), "word")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select("qid", "doc_id", "word", "s")
+    )
+    return _bm25_rank(cand)
 
 
 def lexical_semantic_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:

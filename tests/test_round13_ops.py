@@ -399,3 +399,16 @@ def test_bm25_planted_duplicate_ranks_first(spark, tmp_path_factory):
     rows = {r["doc_id"]: r for r in bm25_topk(spark, d).collect() if r["qid"] == 0}
     assert rows[1]["rn"] == 1, rows  # the verbatim copy wins
     assert rows[2]["bm25"] > rows[3]["bm25"]  # more shared rare terms
+
+    # the impact-pruned index must keep the verbatim copy on top too:
+    # its postings carry maximal per-term impact, so static pruning
+    # never cuts them (the recall trade hits low-impact tails, not
+    # near-duplicates — the case dedup retrieval actually needs)
+    from mapreduceinfrastructure_spark.operators.text_analysis import (
+        bm25_pruned_topk,
+    )
+
+    prows = {
+        r["doc_id"]: r for r in bm25_pruned_topk(spark, d).collect() if r["qid"] == 0
+    }
+    assert prows[1]["rn"] == 1, prows

@@ -1462,6 +1462,9 @@ WINDOW_ROUND = 13  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R13 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "bm25_pruned_topk",  # never banked
+    "bm25_topk",  # never banked
+    "lexical_semantic_rrf",  # never banked
     "ann_ivf_adc",  # never banked
     "ann_recall_report",  # never banked
     "cluster_balanced_sample",  # never banked
@@ -1471,8 +1474,6 @@ DRIVER_WINDOW_R13 = [
     "dsir_weights",  # never banked
     "jsonl_roundtrip",  # never banked
     "streaming_index_ingest",  # never banked
-    "bm25_topk",  # never banked
-    "lexical_semantic_rrf",  # never banked
     "word_pmi",  # stale (hash changed since r9 row)
     "minhash_lsh_neardup",  # stale (hash changed since r9 row)
     "cc_star",  # stale (hash changed since r9 row)
@@ -1509,7 +1510,6 @@ DRIVER_WINDOW_R13 = [
     "tpch_q15",  # backfill (last banked r6)
     "tpch_q19",  # backfill (last banked r6)
     "tpch_q2",  # backfill (last banked r6)
-    "tpch_q20",  # backfill (last banked r6)
 ]
 
 

@@ -28,6 +28,9 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
+    "bm25_pruned_topk",  # never banked
+    "bm25_topk",  # never banked
+    "lexical_semantic_rrf",  # never banked
     "ann_ivf_adc",  # never banked
     "ann_recall_report",  # never banked
     "cluster_balanced_sample",  # never banked
@@ -37,8 +40,6 @@ DRIVER_WINDOW = [
     "dsir_weights",  # never banked
     "jsonl_roundtrip",  # never banked
     "streaming_index_ingest",  # never banked
-    "bm25_topk",  # never banked
-    "lexical_semantic_rrf",  # never banked
     "word_pmi",  # stale (hash changed since r9 row)
     "minhash_lsh_neardup",  # stale (hash changed since r9 row)
     "cc_star",  # stale (hash changed since r9 row)
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "tpch_q15",  # backfill (last banked r6)
     "tpch_q19",  # backfill (last banked r6)
     "tpch_q2",  # backfill (last banked r6)
-    "tpch_q20",  # backfill (last banked r6)
 ]
 
 def test_window_round_is_fresh():

@@ -1456,60 +1456,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # TPC-H queries — 24 slots) + 1 r7 backfill (bloom_decontaminate).
 # Every windowed entry has an exact DuckDB oracle (pinned by
 # test_driver_window_is_oracle_backed).
-WINDOW_ROUND = 13  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
+WINDOW_ROUND = 14  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 # tests/test_oracle_parity.py::test_window_round_is_fresh (VERDICT r11 #1:
 # r11 silently re-ran the r10 window; this makes a stale window a red test).
-DRIVER_WINDOW_R13 = [
+DRIVER_WINDOW_R14 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "bm25_pruned_topk",  # never banked
-    "bm25_topk",  # never banked
-    "lexical_semantic_rrf",  # never banked
-    "ann_ivf_adc",  # never banked
-    "ann_recall_report",  # never banked
-    "cluster_balanced_sample",  # never banked
-    "ivf_pq_residual",  # never banked
-    "pca_debias",  # never banked
-    "pca_power_iter",  # never banked
-    "dsir_weights",  # never banked
-    "jsonl_roundtrip",  # never banked
-    "streaming_index_ingest",  # never banked
-    "word_pmi",  # stale (hash changed since r9 row)
-    "minhash_lsh_neardup",  # stale (hash changed since r9 row)
-    "cc_star",  # stale (hash changed since r9 row)
-    "ann_ivf",  # stale (hash changed since r11 row)
-    "cluster_diameter",  # stale (hash changed since r11 row)
-    "source_overlap",  # stale (hash changed since r11 row)
-    "ann_lsh",  # stale (hash changed since r12 row)
-    "pq_adc_topk",  # stale (hash changed since r12 row)
-    "pq_quantize",  # stale (hash changed since r12 row)
-    "rrf_fusion",  # stale (hash changed since r12 row)
-    "audio_energy",  # stale (hash changed since r12 row)
-    "containment_neardup",  # stale (hash changed since r12 row)
-    "dedup_clusters",  # stale (hash changed since r12 row)
-    "dedup_rate_by_threshold",  # stale (hash changed since r12 row)
-    "incremental_dedup",  # stale (hash changed since r12 row)
-    "neardup_audit",  # stale (hash changed since r12 row)
-    "ngram_jaccard_neardup",  # stale (hash changed since r12 row)
-    "ppjoin_neardup",  # stale (hash changed since r12 row)
-    "prefix_filter_neardup",  # stale (hash changed since r12 row)
-    "pagerank_docs",  # stale (hash changed since r12 row)
-    "bigram_logprob_score",  # backfill (last banked r6)
-    "cdc_dup_chunks",  # backfill (last banked r6)
-    "contamination_report",  # backfill (last banked r6)
-    "corpus_summary",  # backfill (last banked r6)
-    "embedding_outliers",  # backfill (last banked r6)
-    "embedding_stats",  # backfill (last banked r6)
-    "lang_entropy",  # backfill (last banked r6)
-    "ngram_novelty",  # backfill (last banked r6)
-    "tpch_q10",  # backfill (last banked r6)
-    "tpch_q11",  # backfill (last banked r6)
-    "tpch_q12",  # backfill (last banked r6)
-    "tpch_q13",  # backfill (last banked r6)
-    "tpch_q14",  # backfill (last banked r6)
-    "tpch_q15",  # backfill (last banked r6)
-    "tpch_q19",  # backfill (last banked r6)
-    "tpch_q2",  # backfill (last banked r6)
+    "tpch_q20",  # backfill (last banked r6)
+    "tpch_q22",  # backfill (last banked r6)
+    "tpch_q3",  # backfill (last banked r6)
+    "tpch_q4",  # backfill (last banked r6)
+    "tpch_q6",  # backfill (last banked r6)
+    "tpch_q7",  # backfill (last banked r6)
+    "tpch_q8",  # backfill (last banked r6)
+    "weighted_sample",  # backfill (last banked r6)
+    "bloom_decontaminate",  # backfill (last banked r7)
+    "cosine_topk",  # backfill (last banked r7)
+    "countmin_heavy_hitters",  # backfill (last banked r7)
+    "dedup_exact",  # backfill (last banked r7)
+    "join_revenue_by_nation",  # backfill (last banked r7)
+    "key_stats",  # backfill (last banked r7)
+    "kmeans_iterate",  # backfill (last banked r7)
+    "kmeans_step",  # backfill (last banked r7)
+    "kmv_intersect_types",  # backfill (last banked r7)
+    "label_prop_iterate",  # backfill (last banked r7)
+    "label_prop_step",  # backfill (last banked r7)
+    "langid_eval",  # backfill (last banked r7)
+    "language_id",  # backfill (last banked r7)
+    "length_ks_by_source",  # backfill (last banked r7)
+    "map_explode",  # backfill (last banked r7)
+    "packing_efficiency",  # backfill (last banked r7)
+    "quality_calibration",  # backfill (last banked r7)
+    "quantile_sketch_quality",  # backfill (last banked r7)
+    "semdedup_prune",  # backfill (last banked r7)
+    "streaming_curated_ingest_watermarked",  # backfill (last banked r7)
+    "streaming_heavy_hitters",  # backfill (last banked r7)
+    "streaming_quantile_quality",  # backfill (last banked r7)
+    "time_weighted_avg",  # backfill (last banked r7)
+    "token_budget_cap",  # backfill (last banked r7)
+    "topk_per_group",  # backfill (last banked r7)
+    "tpch_q1",  # backfill (last banked r7)
+    "tpch_q21",  # backfill (last banked r7)
+    "argmax_order",  # backfill (last banked r8)
+    "asof_join",  # backfill (last banked r8)
+    "bag_except",  # backfill (last banked r8)
+    "cross_join_grid",  # backfill (last banked r8)
+    "cube_pricing",  # backfill (last banked r8)
+    "date_funcs",  # backfill (last banked r8)
+    "deterministic_sample",  # backfill (last banked r8)
+    "ewma_anomaly",  # backfill (last banked r8)
+    "except_op",  # backfill (last banked r8)
+    "grouping_sets_pricing",  # backfill (last banked r8)
+    "join_full_outer",  # backfill (last banked r8)
+    "join_outer",  # backfill (last banked r8)
+    "json_extract_agg",  # backfill (last banked r8)
 ]
 
 
@@ -1523,7 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PCM replay); bpe_merges in r11 (unrolled merge-recurrence CTE,
     # _bpe_merges_sql).
     reg = {
-        # (registry order is historical; DRIVER_WINDOW_R13 defines the
+        # (registry order is historical; DRIVER_WINDOW_R14 defines the
         #  verified window — see the note above)
         "word_count": ta.word_count,
         "grep": ta.grep,
@@ -1775,7 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_index_ingest": es.streaming_index_ingest,
         "jsonl_roundtrip": pl.jsonl_roundtrip,
     }
-    ordered = {k: reg[k] for k in DRIVER_WINDOW_R13}
+    ordered = {k: reg[k] for k in DRIVER_WINDOW_R14}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
     return ordered
 
@@ -1934,7 +1934,12 @@ def _pca_power_sql() -> str:
     fixed-order per-row folds and driver-fold normalization (seeded
     list_reduce), the same Rayleigh/(n-1) eigenvalue — per-pos row
     sums are each engine's own float agg, contracted by normalization
-    and rounded at 6 (the kmeans_iterate discipline)."""
+    and rounded at 6 (the kmeans_iterate discipline).  Degenerate
+    all-zero/constant corpora are guarded the same way the Spark loop
+    guards them: Spark breaks out when nrm == 0 (keeping the previous
+    direction, a fixpoint since y stays all-zero afterwards), and the
+    SQL w{i} CTE mirrors that with CASE WHEN nrm = 0 THEN w{p} — both
+    engines then report lam = 0 and the PCA_START direction."""
     iters, d = sim.PCA_ITERS, sim.EMBED_DIM
     start = repr(sim.PCA_START)
     parts = [
@@ -1975,8 +1980,10 @@ l{i} AS (
   FROM w{p}, y{i}, n
 ),
 w{i} AS (
-  SELECT list_transform(range(1, {d + 1}), q -> y{i}.y[q] / l{i}.nrm) AS w
-  FROM y{i}, l{i}
+  SELECT list_transform(range(1, {d + 1}),
+             q -> CASE WHEN l{i}.nrm = 0 THEN w{p}.w[q]
+                       ELSE y{i}.y[q] / l{i}.nrm END) AS w
+  FROM w{p}, y{i}, l{i}
 )""")
     return "".join(parts)
 

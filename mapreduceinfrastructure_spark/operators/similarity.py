@@ -849,6 +849,13 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, so the post-assignment cost is one corpus-linear window
     with k-bounded output.  The size join keys on cid against the
     k-row agg.  Exactness: integers and md5 end to end.
+
+    Oracle pairing: the DuckDB twin unrolls the FLAT argmin only, so
+    the pairing holds on the flat path — same contract as ann_ivf
+    (the test geometry, k = 50 at sf0.01, stays flat; past
+    IVF_TWO_LEVEL_MIN_K or under SPARK_GRAFT_IVF_TWO_LEVEL=1 the
+    approximate two-level assignment can shift quotas/n_members and
+    the oracle is not expected to match).
     """
     from .sketches import _hash48
 

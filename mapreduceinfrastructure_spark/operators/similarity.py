@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from ..functions.vector import cosine_similarity_expr
+from ..functions.vector import cosine_similarity_expr, lit_double_array
 from ..sources.tables import fan_out, load_table
 
 EMBED_DIM = 64
@@ -123,7 +123,7 @@ def _bit_exprs(planes):
             F.aggregate(
                 F.zip_with(
                     F.col("v"),
-                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lit_double_array(plane),
                     lambda x, w: x * w,
                 ),
                 F.lit(0.0),
@@ -156,9 +156,11 @@ def _bucket_ids_flat(n_tables: int, bpt: int):
     same dot products either way.
     """
     planes = _hyperplanes(n_tables * bpt)
-    # ONE py4j call for the whole literal: the per-element F.lit loop
-    # spent ~5 s of driver time on gateway round-trips at 8192 elements
-    flat = F.lit([float(x) for row in planes for x in row])
+    # ONE parsed expression for the whole literal: even list-form
+    # F.lit marshals ~0.6 ms/element over the gateway (the r12->r13
+    # pq_adc_topk bench regression — scratch/pq_adc_ab.py), so the
+    # pool literal goes through lit_double_array's repr+parse path
+    flat = lit_double_array(x for row in planes for x in row)
 
     def dot(b):
         return F.aggregate(
@@ -1173,7 +1175,7 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.aggregate(
                         F.zip_with(
                             "v",
-                            F.array(*[F.lit(float(x)) for x in c]),
+                            lit_double_array(c),
                             lambda a, b: (a - b) * (a - b),
                         ),
                         F.lit(0.0),
@@ -1309,8 +1311,8 @@ def _pca_fit(
     w = [PCA_START] * EMBED_DIM
     lam = 0.0
     for _ in range(PCA_ITERS):
-        mu_l = F.lit(mu)
-        w_l = F.lit(w)
+        mu_l = lit_double_array(mu)
+        w_l = lit_double_array(w)
         s = F.aggregate(
             F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
             F.lit(0.0),
@@ -1373,8 +1375,8 @@ def pca_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], schema=schema)
     _n, mu, w, _lam = fit
     emb = _embeddings(spark, sf_dir)
-    mu_l = F.lit(mu)
-    w_l = F.lit(w)
+    mu_l = lit_double_array(mu)
+    w_l = lit_double_array(w)
 
     def fold(term):
         return F.aggregate(
@@ -1553,7 +1555,7 @@ def _pq_codebook_source(df: DataFrame, flat_vals: list):
     in the expression tree); broadcast 1-row frame when past
     PQ_CODEBOOK_LITERAL_MAX_BYTES."""
     if len(flat_vals) * 8 <= PQ_CODEBOOK_LITERAL_MAX_BYTES:
-        return df, F.lit(flat_vals)
+        return df, lit_double_array(flat_vals)
     cb = df.sparkSession.createDataFrame(
         [(flat_vals,)], "__pq_cb array<double>"
     )

@@ -28,6 +28,16 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
+    "kmeans_iterate",  # stale (hash changed since r7 row)
+    "ann_ivf_adc",  # stale (hash changed since r13 row)
+    "ann_lsh",  # stale (hash changed since r13 row)
+    "ann_recall_report",  # stale (hash changed since r13 row)
+    "ivf_pq_residual",  # stale (hash changed since r13 row)
+    "pca_debias",  # stale (hash changed since r13 row)
+    "pca_power_iter",  # stale (hash changed since r13 row)
+    "pq_adc_topk",  # stale (hash changed since r13 row)
+    "pq_quantize",  # stale (hash changed since r13 row)
+    "rrf_fusion",  # stale (hash changed since r13 row)
     "tpch_q20",  # backfill (last banked r6)
     "tpch_q22",  # backfill (last banked r6)
     "tpch_q3",  # backfill (last banked r6)
@@ -42,7 +52,6 @@ DRIVER_WINDOW = [
     "dedup_exact",  # backfill (last banked r7)
     "join_revenue_by_nation",  # backfill (last banked r7)
     "key_stats",  # backfill (last banked r7)
-    "kmeans_iterate",  # backfill (last banked r7)
     "kmeans_step",  # backfill (last banked r7)
     "kmv_intersect_types",  # backfill (last banked r7)
     "label_prop_iterate",  # backfill (last banked r7)
@@ -67,15 +76,6 @@ DRIVER_WINDOW = [
     "asof_join",  # backfill (last banked r8)
     "bag_except",  # backfill (last banked r8)
     "cross_join_grid",  # backfill (last banked r8)
-    "cube_pricing",  # backfill (last banked r8)
-    "date_funcs",  # backfill (last banked r8)
-    "deterministic_sample",  # backfill (last banked r8)
-    "ewma_anomaly",  # backfill (last banked r8)
-    "except_op",  # backfill (last banked r8)
-    "grouping_sets_pricing",  # backfill (last banked r8)
-    "join_full_outer",  # backfill (last banked r8)
-    "join_outer",  # backfill (last banked r8)
-    "json_extract_agg",  # backfill (last banked r8)
 ]
 
 def test_window_round_is_fresh():

@@ -1,0 +1,96 @@
+"""Round-14 pins.
+
+lit_double_array (functions/vector.py): the one-parse array<double>
+literal that replaced list-form F.lit at every bounded vector-literal
+site (SCALE.md "r14 pq_adc_topk +16% resolved").  The contract is
+BIT-EXACTNESS — banked oracle rows for 16 operators ride on these
+literals being identical to what F.lit produced.
+"""
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceinfrastructure_spark.functions.vector import lit_double_array
+
+
+def _bits(x: float) -> int:
+    return struct.unpack("<Q", struct.pack("<d", x))[0]
+
+
+# Adversarial doubles: shortest-repr edge cases, subnormals, extremes,
+# negative zero, values whose decimal expansion is long.
+HARD_VALUES = [
+    0.1,
+    -0.1,
+    1.0 / 3.0,
+    2.2250738585072014e-308,  # smallest normal
+    5e-324,  # smallest subnormal
+    1.7976931348623157e308,  # largest finite
+    -1.7976931348623157e308,
+    0.0,
+    -0.0,
+    1e16 + 2,  # integer-valued double past 2^53 granularity
+    123456789.123456789,
+    -3.141592653589793,
+    6.02214076e23,
+    1.1125369292536007e-308,  # subnormal-boundary neighborhood
+]
+
+
+def test_lit_double_array_bit_exact_vs_f_lit(spark):
+    """Every element round-trips to the IDENTICAL IEEE-754 bits that
+    list-form F.lit produces — collected side by side in one row."""
+    row = (
+        spark.range(1)
+        .select(
+            lit_double_array(HARD_VALUES).alias("fast"),
+            F.lit([float(x) for x in HARD_VALUES]).alias("slow"),
+        )
+        .collect()[0]
+    )
+    fast_bits = [_bits(x) for x in row["fast"]]
+    slow_bits = [_bits(x) for x in row["slow"]]
+    py_bits = [_bits(float(x)) for x in HARD_VALUES]
+    assert fast_bits == py_bits
+    assert slow_bits == py_bits
+
+
+def test_lit_double_array_negative_zero_sign_preserved(spark):
+    row = spark.range(1).select(lit_double_array([-0.0]).alias("a")).collect()[0]
+    assert math.copysign(1.0, row["a"][0]) == -1.0
+
+
+def test_lit_double_array_nonfinite_falls_back(spark):
+    """inf/nan have no SQL double literal — the helper must fall back
+    to F.lit rather than emit an unparseable expression."""
+    vals = [1.0, float("inf"), float("-inf"), float("nan")]
+    row = spark.range(1).select(lit_double_array(vals).alias("a")).collect()[0]
+    got = row["a"]
+    assert got[0] == 1.0
+    assert math.isinf(got[1]) and got[1] > 0
+    assert math.isinf(got[2]) and got[2] < 0
+    assert math.isnan(got[3])
+
+
+def test_lit_double_array_accepts_generators_and_ints(spark):
+    row = (
+        spark.range(1)
+        .select(lit_double_array(x for x in range(5)).alias("a"))
+        .collect()[0]
+    )
+    assert list(row["a"]) == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_lit_double_array_is_fast(spark):
+    """The point of the helper: ONE parse, not one gateway call per
+    element.  1024 elements must build in well under the ~0.65 s the
+    list-form F.lit costs (generous 0.25 s bound for CI noise)."""
+    import time
+
+    vals = [0.001 * i for i in range(1024)]
+    lit_double_array(vals)  # warm the parser path
+    t0 = time.monotonic()
+    lit_double_array(vals)
+    assert time.monotonic() - t0 < 0.25

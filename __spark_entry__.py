@@ -1239,6 +1239,169 @@ def _wav_rd(byte_off: int, nbytes: int) -> str:
     return f"('0x' || {pairs})::BIGINT"
 
 
+def _pq_train_cte() -> str:
+    """Shared CTE chain for the r14 PQ-training twins: the seed
+    codebook as (pos, cv) rows, then PQ_TRAIN_ITERS unrolled Lloyd
+    refinements mirroring similarity._pq_train_flat — assignment by
+    the IDENTICAL _pq_d2 left fold with (d2, pos) tie order, per
+    (code, position) re-centering by each engine's own float avg
+    (contracted by the argmin, the kmeans_iterate precedent), emptied
+    cells carrying the previous value.  Ends with cb{T} (trained
+    codebook rows) alongside cb0, plus aT1 (the assignment pass under
+    the trained codebook) and a1 (under the seed codebook)."""
+    iters = sim.PQ_TRAIN_ITERS
+    sub, dim, nsub = sim.PQ_SUBDIM, sim.EMBED_DIM, sim.PQ_SUB
+
+    def dfold(v: str, cv: str) -> str:
+        t = f"({v}[s * {sub} + j] - {cv}[s * {sub} + j])"
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, {sub} + 1),\n"
+            f"             j -> {t} * {t}),\n"
+            f"           (acc, x) -> acc + x)"
+        )
+
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id AS code,
+              row_number() OVER (ORDER BY vec_id) - 1 AS pos,
+              v AS cv
+       FROM e WHERE vec_id < {sim.PQ_K}),
+cb0 AS (SELECT pos, cv FROM cb)"""
+    ]
+    for i in range(1, iters + 2):
+        p = i - 1
+        parts.append(f""",
+d{i} AS (
+  SELECT e.vec_id, s, c.pos AS code_pos,
+         {dfold("e.v", "c.cv")} AS d2
+  FROM e, cb{p} c, unnest(range(0, {nsub})) AS us(s)
+),
+a{i} AS (
+  SELECT vec_id, s, code_pos, d2 FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY d2, code_pos) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)""")
+        if i <= iters:
+            parts.append(f""",
+m{i} AS (
+  SELECT a.code_pos, a.s * {sub} + j AS vj,
+         avg(e.v[a.s * {sub} + j]) AS mv
+  FROM a{i} a JOIN e USING (vec_id), unnest(range(1, {sub} + 1)) AS uj(j)
+  GROUP BY a.code_pos, vj
+),
+cb{i} AS (
+  SELECT pos, array_agg(nv ORDER BY q) AS cv FROM (
+    SELECT px.pos, px.q, coalesce(m{i}.mv, px.old) AS nv
+    FROM (SELECT pos, unnest(range(1, {dim} + 1)) AS q,
+                 unnest(cv) AS old
+          FROM cb{p}) px
+    LEFT JOIN m{i} ON m{i}.code_pos = px.pos AND m{i}.vj = px.q
+  ) GROUP BY pos
+)""")
+    return "".join(parts)
+
+
+def _pq_train_sql() -> str:
+    """Exact replay twin of similarity.pq_train_codebooks: the
+    _pq_train_cte chain, then per (variant, subspace, code) the count
+    and round-6 total sq_err of the seed assignment (a1) and the
+    trained assignment (a{T+1}), codes mapped back to actual seed
+    vec_ids (the pq_quantize convention)."""
+    T = sim.PQ_TRAIN_ITERS
+    return (
+        _pq_train_cte()
+        + f""",
+u AS (
+  SELECT 'seed' AS variant, s, code_pos,
+         count(*) AS n, round(sum(d2), 6) AS sq
+  FROM a1 GROUP BY s, code_pos
+  UNION ALL
+  SELECT 'trained' AS variant, s, code_pos,
+         count(*) AS n, round(sum(d2), 6) AS sq
+  FROM a{T + 1} GROUP BY s, code_pos
+)
+SELECT u.variant, u.s::BIGINT AS subspace, cb.code::BIGINT AS code,
+       u.n::BIGINT AS n_assigned, u.sq AS sq_err
+FROM u JOIN cb ON cb.pos = u.code_pos
+"""
+    )
+
+
+def _pq_recall_sql() -> str:
+    """Exact replay twin of similarity.pq_recall_report: the
+    _pq_train_cte chain, each variant's flat codebook (cb0 / cb{T}
+    flattened in pos order exactly like the Spark literal), ADC totals
+    added in the same fixed s-order as the Spark element_at chain,
+    per-variant top-TOPK with (adc, neighbor_id) ties, the exact
+    squared-L2 top-TOPK with the identical full-vector left fold, and
+    hits = overlap, zero-filled over the (variant x qid) grid."""
+    T = sim.PQ_TRAIN_ITERS
+    sub, dim = sim.PQ_SUBDIM, sim.EMBED_DIM
+
+    def dsub(s: int, fcol: str) -> str:
+        term = (
+            f"(q.qv[{s * sub} + j] - {fcol}[c.cs[{s + 1}] * {dim}"
+            f" + {s * sub} + j])"
+        )
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, {sub + 1}),\n"
+            f"               j -> {term} * {term}),\n"
+            f"             (acc, x) -> acc + x)"
+        )
+
+    legs = []
+    for variant, cbn, an in (("seed", "cb0", "a1"), ("trained", f"cb{T}", f"a{T + 1}")):
+        adc = "\n             + ".join(dsub(s, "fb.f") for s in range(sim.PQ_SUB))
+        legs.append(f"""
+  SELECT '{variant}' AS variant, q.qid, c.vec_id AS neighbor_id,
+         {adc} AS adc
+  FROM (SELECT vec_id, list(code_pos ORDER BY s) AS cs
+        FROM {an} GROUP BY vec_id) c,
+       q,
+       (SELECT flatten(list(cv ORDER BY pos)) AS f FROM {cbn}) fb
+  WHERE c.vec_id <> q.qid""")
+    pairs = "\n  UNION ALL\n".join(legs)
+    return (
+        _pq_train_cte()
+        + f""",
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {sim.N_QUERIES}),
+ex AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT q.qid, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_reduce([0.0] || list_transform(range(1, {dim} + 1),
+                 j -> (e.v[j] - q.qv[j]) * (e.v[j] - q.qv[j])),
+               (acc, x) -> acc + x), e.vec_id) AS rn
+    FROM e, q WHERE e.vec_id <> q.qid
+  ) WHERE rn <= {sim.TOPK}
+),
+adcp AS ({pairs}
+),
+got AS (
+  SELECT variant, qid, neighbor_id FROM (
+    SELECT variant, qid, neighbor_id,
+           row_number() OVER (PARTITION BY variant, qid
+                              ORDER BY adc, neighbor_id) AS rn
+    FROM adcp
+  ) WHERE rn <= {sim.TOPK}
+),
+h AS (
+  SELECT g.variant, g.qid, count(*) AS hits
+  FROM got g JOIN ex ON g.qid = ex.qid AND g.neighbor_id = ex.neighbor_id
+  GROUP BY g.variant, g.qid
+)
+SELECT v.variant, q.qid,
+       coalesce(h.hits, 0)::BIGINT AS hits,
+       round(coalesce(h.hits, 0) / {float(sim.TOPK)}, 6) AS recall
+FROM q CROSS JOIN (VALUES ('seed'), ('trained')) v(variant)
+LEFT JOIN h ON h.variant = v.variant AND h.qid = q.qid
+"""
+    )
+
+
 def _wav_pay_cte() -> str:
     """Shared CTE fragment rebuilding every synthetic WAV container as
     a hex string with independent string ops (mirrors
@@ -1462,6 +1625,8 @@ WINDOW_ROUND = 14  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R14 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "pq_recall_report",  # never banked
+    "pq_train_codebooks",  # never banked
     "kmeans_iterate",  # stale (hash changed since r7 row)
     "ann_ivf_adc",  # stale (hash changed since r13 row)
     "ann_lsh",  # stale (hash changed since r13 row)
@@ -1508,8 +1673,6 @@ DRIVER_WINDOW_R14 = [
     "tpch_q21",  # backfill (last banked r7)
     "argmax_order",  # backfill (last banked r8)
     "asof_join",  # backfill (last banked r8)
-    "bag_except",  # backfill (last banked r8)
-    "cross_join_grid",  # backfill (last banked r8)
 ]
 
 
@@ -1678,6 +1841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": sim.pq_adc_topk,
         "ann_ivf_adc": sim.ann_ivf_adc,
         "ivf_pq_residual": sim.ivf_pq_residual,
+        "pq_train_codebooks": sim.pq_train_codebooks,
+        "pq_recall_report": sim.pq_recall_report,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -2251,6 +2416,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": _pq_adc_sql(),
         "ann_ivf_adc": _ann_ivf_adc_sql(),
         "ivf_pq_residual": _ivf_pq_residual_sql(),
+        "pq_train_codebooks": _pq_train_sql(),
+        "pq_recall_report": _pq_recall_sql(),
         "rolling_fingerprint": """
             SELECT doc_id,
                    list_reduce(

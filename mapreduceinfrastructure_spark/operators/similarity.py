@@ -1508,8 +1508,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB-scale vector store fits in memory (Jégou et al., TPAMI 2011).
 # Codebooks here are deterministic seed vectors (vec_id < PQ_K, the
 # kmeans_step seeding convention) so the assignment is exactly
-# verifiable; a production build would Lloyd-refine each subspace
-# codebook with kmeans_iterate's loop.
+# verifiable; pq_train_codebooks (r14) runs the promised Lloyd
+# refinement of each subspace codebook — deterministic, oracle-replayed
+# end to end — and pq_recall_report measures what the training buys.
 PQ_SUB = 4
 PQ_K = 16
 PQ_SUBDIM = EMBED_DIM // PQ_SUB
@@ -1956,5 +1957,262 @@ def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("code"),
             F.round(F.array_min("dists"), 6).alias("sq_err"),
+        )
+    )
+
+
+# PQ codebook training (r14, VERDICT r13 #4): the Lloyd refinement the
+# pq_quantize docstring promised.  PQ_TRAIN_ITERS deterministic Lloyd
+# steps per subspace over the SEED codebook (vec_id < PQ_K), run for
+# all PQ_SUB subspaces in ONE corpus pass per iteration; emptied codes
+# carry their previous centroid (the kmeans_iterate convention).  The
+# trained codebook keeps the flat c-major full-vector layout, so every
+# existing PQ helper (_pq_d2, _pq_code_arr, _pq_adc_table) consumes it
+# unchanged.
+PQ_TRAIN_ITERS = 3
+
+
+def _pq_train_flat(emb: DataFrame):
+    """Run PQ_TRAIN_ITERS Lloyd steps over all subspaces at once;
+    returns (codes, seed_flat, trained_flat) or None on empty corpus.
+
+    Scale shape per iteration: ONE corpus scan — codes via
+    _pq_code_arr (map-only, dists built once per subspace), posexplode
+    to (code-of-this-position's-subspace, pos, x), then the algebraic
+    per-(code, pos) mean hash-agg.  The driver transfer per iteration
+    is the <= n_codes x EMBED_DIM re-centered cells (1024 doubles at
+    test geometry — the kmeans_iterate K-centroid precedent), and the
+    refreshed codebook re-enters the next pass through
+    lit_double_array's one-parse literal.  No join, no corpus-linear
+    broadcast, lineage never grows (each pass plans from the raw
+    table plus fresh literals).
+    """
+    cb = _pq_collect_codebook(emb)
+    if cb is None:
+        return None
+    codes, seed_flat = cb
+    n_codes = len(codes)
+    flat = list(seed_flat)
+    for _ in range(PQ_TRAIN_ITERS):
+        cs = _pq_code_arr(lit_double_array(flat), n_codes)
+        cells = (
+            emb.select(cs.alias("cs"), F.posexplode("v").alias("pos", "x"))
+            .select(
+                F.element_at(
+                    "cs", (F.col("pos") / PQ_SUBDIM).cast("int") + 1
+                ).alias("code"),
+                "pos",
+                "x",
+            )
+            .groupBy("code", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = list(flat)
+        for r in cells:
+            nxt[int(r["code"]) * EMBED_DIM + int(r["pos"])] = float(r["m"])
+        flat = nxt
+    return codes, list(seed_flat), flat
+
+
+def _pq_assign_arr(flat, n_codes: int, vcol=None):
+    """Per subspace the (code, d2) of the nearest codebook entry —
+    array<struct<code:int, d2:double>>, dists built ONCE per subspace
+    (the _pq_code_arr single-eval discipline, ADVICE r12)."""
+    vcol = F.col("v") if vcol is None else vcol
+    return F.transform(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_SUB - 1)),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                lambda c: _pq_d2(vcol, flat, s, c),
+            ),
+        ),
+        lambda ds: F.struct(
+            (F.array_position(ds, F.array_min(ds)) - 1)
+            .cast("int")
+            .alias("code"),
+            F.array_min(ds).alias("d2"),
+        ),
+    )
+
+
+def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-trained PQ subspace codebooks — the training step that
+    completes the IVF-PQ trainer (Jégou et al., TPAMI 2011 §III):
+    PQ_TRAIN_ITERS deterministic Lloyd refinements of the seed
+    codebook, then per (variant, subspace, code) the assignment count
+    and total squared quantization error under the SEED codebook and
+    under the TRAINED one — (variant, subspace, code, n_assigned,
+    sq_err).  The seed-vs-trained sq_err drop is the in-output
+    training report: Lloyd is monotone non-increasing in total error
+    per subspace (each assignment step and each re-centering step can
+    only lower it), pinned in tests/test_round14_ops.py.
+
+    Scale shape: training is PQ_TRAIN_ITERS one-scan passes
+    (_pq_train_flat); the report is ONE more corpus scan scoring both
+    codebooks side by side (two bounded literal codebooks, dists
+    built once per subspace each), exploded to (variant, subspace,
+    code, d2) rows — 2 x PQ_SUB per vector — and hash-aggregated.
+    Codes are the actual seed vec_ids (the pq_quantize convention).
+
+    Exactness: assignment argmins replay the identical _pq_d2 left
+    fold with (d2, code) tie order in both engines; the re-centering
+    means are each engine's own float avg, contracted by the argmin
+    (the kmeans_iterate precedent) and the final sq_err rounds at 6.
+    """
+    emb = _embeddings(spark, sf_dir)
+    t = _pq_train_flat(emb)
+    schema = (
+        "variant string, subspace long, code long, "
+        "n_assigned long, sq_err double"
+    )
+    if t is None:
+        return spark.createDataFrame([], schema=schema)
+    codes, seed_flat, trained_flat = t
+    n_codes = len(codes)
+    codes_lit = F.lit(codes)
+
+    seed_a = _pq_assign_arr(lit_double_array(seed_flat), n_codes)
+    tr_a = _pq_assign_arr(lit_double_array(trained_flat), n_codes)
+    both = F.zip_with(
+        seed_a,
+        tr_a,
+        lambda a, b: F.struct(
+            a["code"].alias("sc"),
+            a["d2"].alias("sd"),
+            b["code"].alias("tc"),
+            b["d2"].alias("td"),
+        ),
+    )
+    rows = (
+        emb.select(F.posexplode(both).alias("s", "r"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("seed").alias("variant"),
+                        F.col("s").cast("long").alias("subspace"),
+                        F.col("r.sc").alias("codep"),
+                        F.col("r.sd").alias("d2"),
+                    ),
+                    F.struct(
+                        F.lit("trained").alias("variant"),
+                        F.col("s").cast("long").alias("subspace"),
+                        F.col("r.tc").alias("codep"),
+                        F.col("r.td").alias("d2"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.variant", "e.subspace", "e.codep", "e.d2")
+    )
+    return (
+        rows.groupBy("variant", "subspace", "codep")
+        .agg(
+            F.count("*").cast("long").alias("n_assigned"),
+            F.round(F.sum("d2"), 6).alias("sq_err"),
+        )
+        .select(
+            "variant",
+            "subspace",
+            F.element_at(codes_lit, F.col("codep") + 1)
+            .cast("long")
+            .alias("code"),
+            "n_assigned",
+            "sq_err",
+        )
+    )
+
+
+def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ADC recall@TOPK of the SEED codebook vs the TRAINED
+    one, audited against the exact squared-L2 ranking — the
+    ann_recall_report pattern applied to PQ training (VERDICT r13 #4's
+    "trained >= seed recall" delta, measurable per query instead of
+    asserted): (variant, qid, hits, recall).
+
+    Scale shape: each variant is exactly pq_adc_topk's plan (narrow
+    code-column corpus pass, broadcast bounded query ADC tables,
+    WindowGroupLimit top-k) and the exact leg is one brute-force d2
+    top-k over the same N_QUERIES broadcast — query-set-sized
+    everywhere past the corpus scans.  Recall here audits BOTH
+    quantization losses at once: code granularity (shared) and
+    codebook fit (the trained-vs-seed delta).
+    """
+    emb = _embeddings(spark, sf_dir)
+    t = _pq_train_flat(emb)
+    schema = "variant string, qid long, hits long, recall double"
+    if t is None:
+        return spark.createDataFrame([], schema=schema)
+    _codes, seed_flat, trained_flat = t
+    n_codes = len(_codes)
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+
+    # exact leg: brute-force squared-L2 top-k (the metric ADC
+    # approximates — cosine_topk's shape with d2 in place of cosine)
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
+    exact = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id")
+    )
+
+    def adc_top(flat_vals, variant):
+        flat = lit_double_array(flat_vals)
+        corpus = emb.select(
+            "vec_id", _pq_code_arr(flat, n_codes).alias("cs")
+        )
+        qt = q.select("qid", _pq_adc_table(flat, n_codes, F.col("qv")).alias("t"))
+        pairs = corpus.join(F.broadcast(qt), F.col("vec_id") != F.col("qid"))
+        adc = _adc_sum(n_codes)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("adc"), F.col("neighbor_id")
+        )
+        return (
+            pairs.select(
+                "qid", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOPK)
+            .select(
+                F.lit(variant).alias("variant"), "qid", "neighbor_id"
+            )
+        )
+
+    got = adc_top(seed_flat, "seed").unionByName(
+        adc_top(trained_flat, "trained")
+    )
+    hits = (
+        got.join(exact, ["qid", "neighbor_id"])
+        .groupBy("variant", "qid")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    base = q.select("qid").crossJoin(
+        spark.createDataFrame(
+            [("seed",), ("trained",)], "variant string"
+        )
+    )
+    return (
+        base.join(hits, ["variant", "qid"], "left")
+        .select(
+            "variant",
+            "qid",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(TOPK)), 6
+            ).alias("recall"),
         )
     )

@@ -28,6 +28,8 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
+    "pq_recall_report",  # never banked
+    "pq_train_codebooks",  # never banked
     "kmeans_iterate",  # stale (hash changed since r7 row)
     "ann_ivf_adc",  # stale (hash changed since r13 row)
     "ann_lsh",  # stale (hash changed since r13 row)
@@ -74,8 +76,6 @@ DRIVER_WINDOW = [
     "tpch_q21",  # backfill (last banked r7)
     "argmax_order",  # backfill (last banked r8)
     "asof_join",  # backfill (last banked r8)
-    "bag_except",  # backfill (last banked r8)
-    "cross_join_grid",  # backfill (last banked r8)
 ]
 
 def test_window_round_is_fresh():

@@ -94,3 +94,47 @@ def test_lit_double_array_is_fast(spark):
     t0 = time.monotonic()
     lit_double_array(vals)
     assert time.monotonic() - t0 < 0.25
+
+
+# --- PQ codebook training (VERDICT r13 #4) ---------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_train_out(spark, sf_dir):
+    from mapreduceinfrastructure_spark.operators import similarity as sim
+
+    return sim.pq_train_codebooks(spark, sf_dir).toPandas()
+
+
+def test_pq_train_lloyd_monotone_per_subspace(pq_train_out):
+    """Lloyd is monotone non-increasing in total quantization error:
+    every assignment step and every re-centering step can only lower
+    sum(d2), so after PQ_TRAIN_ITERS steps each subspace's trained
+    total must be <= its seed total (strictly lower on any corpus the
+    seed codebook doesn't already quantize optimally)."""
+    per = pq_train_out.groupby(["variant", "subspace"])["sq_err"].sum().unstack(0)
+    assert (per["trained"] <= per["seed"] + 1e-6).all()
+    # on the synthetic corpus the drop is substantial, not epsilon
+    assert per["trained"].sum() < 0.9 * per["seed"].sum()
+
+
+def test_pq_train_partitions_corpus(pq_train_out):
+    """Each variant's assignment is a partition of (corpus x subspace):
+    per (variant, subspace) the n_assigned sum equals the corpus size."""
+    from mapreduceinfrastructure_spark.operators import similarity as sim
+
+    per = pq_train_out.groupby(["variant", "subspace"])["n_assigned"].sum()
+    sizes = set(per.tolist())
+    assert len(sizes) == 1  # same corpus under every variant/subspace
+
+
+def test_pq_recall_trained_not_worse(spark, sf_dir):
+    """The VERDICT r13 #4 delta: mean ADC recall@TOPK under the trained
+    codebook must not degrade vs the seed codebook (it improves on the
+    synthetic corpus: 0.144 -> 0.172 at sf0.01, recorded in SCALE.md).
+    """
+    from mapreduceinfrastructure_spark.operators import similarity as sim
+
+    r = sim.pq_recall_report(spark, sf_dir).toPandas()
+    m = r.groupby("variant")["recall"].mean()
+    assert m["trained"] >= m["seed"] - 1e-9

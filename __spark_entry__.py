@@ -1627,6 +1627,7 @@ DRIVER_WINDOW_R14 = [
     "grep",  # anchor
     "pq_recall_report",  # never banked
     "pq_train_codebooks",  # never banked
+    "bm25_recall_report",  # never banked
     "kmeans_iterate",  # stale (hash changed since r7 row)
     "ann_ivf_adc",  # stale (hash changed since r13 row)
     "ann_lsh",  # stale (hash changed since r13 row)
@@ -1672,7 +1673,6 @@ DRIVER_WINDOW_R14 = [
     "tpch_q1",  # backfill (last banked r7)
     "tpch_q21",  # backfill (last banked r7)
     "argmax_order",  # backfill (last banked r8)
-    "asof_join",  # backfill (last banked r8)
 ]
 
 
@@ -1933,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": ta.bm25_topk,
         "bm25_pruned_topk": ta.bm25_pruned_topk,
         "lexical_semantic_rrf": ta.lexical_semantic_rrf,
+        "bm25_recall_report": ta.bm25_recall_report,
         "pca_power_iter": sim.pca_power_iter,
         "pca_debias": sim.pca_debias,
         "ann_recall_report": sim.ann_recall_report,
@@ -5889,6 +5890,36 @@ def oracle_sql() -> dict[str, str]:
                coalesce(ih.n_hit, 0)::BIGINT AS n_hit,
                round(coalesce(ih.n_hit, 0)::DOUBLE / pq.n_exact, 6) AS recall
         FROM pq LEFT JOIN ih ON pq.qid = ih.qid
+    """
+    # Composed post-dict (needs the three lexical rank-list texts):
+    # the ann_recall_report pattern applied to the lexical leg — all
+    # three rank lists are their already-banked oracles verbatim as
+    # nested CTEs; the report is integer set algebra + one exact
+    # int/int division on top.
+    sqls["bm25_recall_report"] = f"""
+        WITH ex AS ({sqls["bm25_topk"]}),
+        pr AS ({sqls["bm25_pruned_topk"]}),
+        rf AS ({sqls["lexical_semantic_rrf"]}),
+        pq AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY 1),
+        ph AS (
+          SELECT ex.qid, count(*) AS n_hit
+          FROM ex JOIN pr ON ex.qid = pr.qid AND ex.doc_id = pr.doc_id
+          GROUP BY 1
+        ),
+        rh AS (
+          SELECT ex.qid, count(*) AS n_hit
+          FROM ex JOIN rf ON ex.qid = rf.qid AND ex.doc_id = rf.doc_id
+          GROUP BY 1
+        )
+        SELECT 'pruned' AS index, pq.qid, pq.n_exact,
+               coalesce(ph.n_hit, 0)::BIGINT AS n_hit,
+               round(coalesce(ph.n_hit, 0)::DOUBLE / pq.n_exact, 6) AS recall
+        FROM pq LEFT JOIN ph ON pq.qid = ph.qid
+        UNION ALL
+        SELECT 'rrf' AS index, pq.qid, pq.n_exact,
+               coalesce(rh.n_hit, 0)::BIGINT AS n_hit,
+               round(coalesce(rh.n_hit, 0)::DOUBLE / pq.n_exact, 6) AS recall
+        FROM pq LEFT JOIN rh ON pq.qid = rh.qid
     """
     return sqls
 

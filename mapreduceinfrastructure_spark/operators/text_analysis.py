@@ -934,3 +934,51 @@ def lexical_semantic_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= BM25_TOPK)
         .select("qid", "doc_id", F.round("rrf", 6).alias("rrf"), "n_lists", "fused_rank")
     )
+
+
+def bm25_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the LEXICAL retrieval legs against the
+    exact BM25 ranking — (index, qid, n_exact, n_hit, recall): how many
+    of :func:`bm25_topk`'s true top-5 the impact-pruned
+    :func:`bm25_pruned_topk` and the hybrid
+    :func:`lexical_semantic_rrf` each recovered.  The
+    similarity.ann_recall_report pattern applied to the lexical leg
+    (VERDICT r13 #5): BM25_POSTINGS_CAP becomes a measurable operating
+    point exactly like nprobe for IVF, instead of a docstring note.
+
+    The synthetic ~31-word corpus is static pruning's worst case
+    (every term in ~every doc), so the pruned leg's recall here is the
+    documented floor; tests/test_round14_ops.py adds a Zipf-planted
+    corpus where the cap cuts only the low-impact tail and recall is
+    high — the two fixtures bracket the CAP <-> recall trade.
+
+    Scale shape: all inputs are already-bounded (|queries| x k)-row
+    rank lists sharing ONE persisted tf index (_persist_tracked key
+    dedup), so the intersections, aggs, and left joins are
+    query-set-sized regardless of corpus size.  Exactness: counts are
+    integers; recall is one exact int/int IEEE division.
+    """
+    exact = bm25_topk(spark, sf_dir).select("qid", "doc_id")
+    per_q = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+
+    def one(index_name: str, approx: DataFrame) -> DataFrame:
+        hits = (
+            exact.join(approx.select("qid", "doc_id"), ["qid", "doc_id"])
+            .groupBy("qid")
+            .agg(F.count("*").alias("n_hit"))
+        )
+        return per_q.join(hits, "qid", "left").select(
+            F.lit(index_name).alias("index"),
+            "qid",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
+        )
+
+    return one("pruned", bm25_pruned_topk(spark, sf_dir)).unionByName(
+        one("rrf", lexical_semantic_rrf(spark, sf_dir))
+    )

@@ -30,6 +30,7 @@ DRIVER_WINDOW = [
     "grep",  # anchor
     "pq_recall_report",  # never banked
     "pq_train_codebooks",  # never banked
+    "bm25_recall_report",  # never banked
     "kmeans_iterate",  # stale (hash changed since r7 row)
     "ann_ivf_adc",  # stale (hash changed since r13 row)
     "ann_lsh",  # stale (hash changed since r13 row)
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "tpch_q1",  # backfill (last banked r7)
     "tpch_q21",  # backfill (last banked r7)
     "argmax_order",  # backfill (last banked r8)
-    "asof_join",  # backfill (last banked r8)
 ]
 
 def test_window_round_is_fresh():

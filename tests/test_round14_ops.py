@@ -138,3 +138,53 @@ def test_pq_recall_trained_not_worse(spark, sf_dir):
     r = sim.pq_recall_report(spark, sf_dir).toPandas()
     m = r.groupby("variant")["recall"].mean()
     assert m["trained"] >= m["seed"] - 1e-9
+
+
+# --- BM25 recall audit (VERDICT r13 #5) -------------------------------
+
+
+def test_bm25_recall_report_zipf_nondegenerate(spark, tmp_path_factory):
+    """The CAP <-> recall trade at a NON-degenerate operating point:
+    on a Zipf-shaped corpus (term r in every r-th doc, so hot terms
+    blow past BM25_POSTINGS_CAP while the discriminating rare terms
+    keep full postings) static pruning cuts only low-impact tail
+    postings and recall stays high — measured 0.905 pruned / 0.916
+    rrf at 400 docs.  This brackets the documented worst case on the
+    synthetic ~31-word sf corpus (every term hot: pruned recall 0.03
+    at sf0.01), the same way nprobe brackets IVF."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators.text_analysis import (
+        bm25_recall_report,
+    )
+
+    d = str(tmp_path_factory.mktemp("bm25_zipf"))
+    n = 400
+    texts = []
+    for i in range(n):
+        words = []
+        for r in range(1, 51):
+            if i % r == 0:
+                words.extend([f"t{r}"] * (1 + (i + r) % 3))
+        words.append(f"u{i}")  # df=1 discriminator per doc
+        texts.append(" ".join(words))
+    tbl = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "text": texts,
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+
+    pdf = bm25_recall_report(spark, d).toPandas()
+    mean = pdf.groupby("index")["recall"].mean()
+    assert mean["pruned"] >= 0.8, mean
+    assert mean["rrf"] >= 0.8, mean
+    # every query has an exact ranking to audit against
+    assert (pdf["n_exact"] > 0).all()

@@ -1625,9 +1625,9 @@ WINDOW_ROUND = 14  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R14 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "bm25_recall_report",  # never banked
     "pq_recall_report",  # never banked
     "pq_train_codebooks",  # never banked
-    "bm25_recall_report",  # never banked
     "kmeans_iterate",  # stale (hash changed since r7 row)
     "ann_ivf_adc",  # stale (hash changed since r13 row)
     "ann_lsh",  # stale (hash changed since r13 row)
@@ -1638,6 +1638,7 @@ DRIVER_WINDOW_R14 = [
     "pq_adc_topk",  # stale (hash changed since r13 row)
     "pq_quantize",  # stale (hash changed since r13 row)
     "rrf_fusion",  # stale (hash changed since r13 row)
+    "streaming_index_ingest",  # stale (hash changed since r13 row)
     "tpch_q20",  # backfill (last banked r6)
     "tpch_q22",  # backfill (last banked r6)
     "tpch_q3",  # backfill (last banked r6)
@@ -1672,7 +1673,6 @@ DRIVER_WINDOW_R14 = [
     "topk_per_group",  # backfill (last banked r7)
     "tpch_q1",  # backfill (last banked r7)
     "tpch_q21",  # backfill (last banked r7)
-    "argmax_order",  # backfill (last banked r8)
 ]
 
 

@@ -28,9 +28,9 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
+    "bm25_recall_report",  # never banked
     "pq_recall_report",  # never banked
     "pq_train_codebooks",  # never banked
-    "bm25_recall_report",  # never banked
     "kmeans_iterate",  # stale (hash changed since r7 row)
     "ann_ivf_adc",  # stale (hash changed since r13 row)
     "ann_lsh",  # stale (hash changed since r13 row)
@@ -41,6 +41,7 @@ DRIVER_WINDOW = [
     "pq_adc_topk",  # stale (hash changed since r13 row)
     "pq_quantize",  # stale (hash changed since r13 row)
     "rrf_fusion",  # stale (hash changed since r13 row)
+    "streaming_index_ingest",  # stale (hash changed since r13 row)
     "tpch_q20",  # backfill (last banked r6)
     "tpch_q22",  # backfill (last banked r6)
     "tpch_q3",  # backfill (last banked r6)
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "topk_per_group",  # backfill (last banked r7)
     "tpch_q1",  # backfill (last banked r7)
     "tpch_q21",  # backfill (last banked r7)
-    "argmax_order",  # backfill (last banked r8)
 ]
 
 def test_window_round_is_fresh():

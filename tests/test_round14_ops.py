@@ -188,3 +188,36 @@ def test_bm25_recall_report_zipf_nondegenerate(spark, tmp_path_factory):
     assert mean["rrf"] >= 0.8, mean
     # every query has an exact ranking to audit against
     assert (pdf["n_exact"] > 0).all()
+
+
+# --- streaming_index_ingest run-length tf (VERDICT r13 #6) ------------
+
+
+def test_runlength_tf_equals_filter_scan(spark):
+    """The r14 linearized (word, tf) shape must emit the IDENTICAL
+    multiset as the r13 per-distinct filter-scan on adversarial token
+    arrays: empty, singleton, all-equal, unicode, interleaved runs."""
+    from scratch.tf_runlength_ab import new_pairs, old_pairs
+
+    from pyspark.sql import functions as F
+
+    arrays = [
+        [],
+        ["x"],
+        ["x", "x", "x"],
+        ["b", "a", "b", "a", "b"],
+        ["é", "e", "é", "z"],
+        [f"w{i % 7}" for i in range(50)],
+    ]
+    df = spark.createDataFrame([(a,) for a in arrays], "t array<string>")
+    old = sorted(map(tuple, old_pairs(df).collect()))
+    new = sorted(map(tuple, new_pairs(df).collect()))
+    assert old == new
+    # spot-check one known tf
+    got = dict(
+        (r["word"], r["tf"])
+        for r in new_pairs(
+            spark.createDataFrame([(["b", "a", "b"],)], "t array<string>")
+        ).collect()
+    )
+    assert got == {"a": 1, "b": 2}

@@ -179,6 +179,13 @@ HEADLINE = [
     "bm25_topk",
     "lexical_semantic_rrf",
     "pca_power_iter",
+    # round-14 additions: the PQ Lloyd trainer (3 one-scan iterations
+    # + the dual-codebook report scan) and its ADC recall audit (two
+    # full ADC searches + one exact-L2 search over the same broadcast
+    # query set) — together the measured cost of turning seed
+    # codebooks into trained ones and proving what it bought
+    "pq_train_codebooks",
+    "pq_recall_report",
 ]
 
 

@@ -2195,8 +2195,12 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = adc_top(seed_flat, "seed").unionByName(
         adc_top(trained_flat, "trained")
     )
+    # the audit joins are rank-list-sized (<= |q| x k and <= 2|q|
+    # rows) — broadcast them explicitly so Catalyst never co-shuffles
+    # two post-agg sides whose sizes it can't estimate (the unhinted
+    # plan chose SortMergeJoin here; pinned in tests/test_plans.py)
     hits = (
-        got.join(exact, ["qid", "neighbor_id"])
+        got.join(F.broadcast(exact), ["qid", "neighbor_id"])
         .groupBy("variant", "qid")
         .agg(F.count("*").cast("long").alias("hits"))
     )
@@ -2206,7 +2210,7 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        base.join(hits, ["variant", "qid"], "left")
+        base.join(F.broadcast(hits), ["variant", "qid"], "left")
         .select(
             "variant",
             "qid",

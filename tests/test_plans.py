@@ -583,3 +583,20 @@ def test_bm25_recall_report_plan_shape(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "InMemoryTableScan" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sq8_plan_shapes(spark, sf_dir):
+    """Scale pins for the r14 scalar-quantization family: the encode
+    is map-only past the bounded range agg (no join anywhere), and the
+    search carries int codes through the broadcast query pairing with
+    a map-side-pruned per-qid top-k (the pq_adc_topk shape)."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    enc = formatted_plan(QUERIES["sq8_quantize"](spark, sf_dir))
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in enc, bad
+
+    srch = formatted_plan(QUERIES["sq8_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in srch  # bounded 50-query side
+    assert "WindowGroupLimit" in srch
+    assert "SortMergeJoin" not in srch

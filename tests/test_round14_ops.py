@@ -221,3 +221,64 @@ def test_runlength_tf_equals_filter_scan(spark):
         ).collect()
     )
     assert got == {"a": 1, "b": 2}
+
+
+# --- SQ8 scalar quantization (r14) ------------------------------------
+
+
+def test_sq8_quantize_invariants(spark, sf_dir):
+    """Codes are 8-bit levels and reconstruction error is bounded by
+    half a quantization step per dimension (floor(ratio*255 + 0.5)
+    rounds to the nearest level): |err| <= (mx - mn) / 255 / 2 + eps."""
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        SQ_LEVELS,
+        _embeddings,
+        _sq_params,
+        sq8_quantize,
+    )
+
+    pdf = sq8_quantize(spark, sf_dir).toPandas()
+    assert pdf["code"].between(0, SQ_LEVELS).all()
+    mn, mx = _sq_params(_embeddings(spark, sf_dir))
+    steps = {p: (mx[p] - mn[p]) / SQ_LEVELS for p in range(len(mn))}
+    # +1e-6: recon_err is round(…, 6), which can land up to 5e-7 above
+    bound = pdf["pos"].map(lambda p: steps[p] / 2 + 1e-6)
+    assert (pdf["recon_err"] <= bound).all()
+
+
+def test_sq8_topk_beats_random_and_tracks_exact(spark, sf_dir):
+    """SQ8's 8-bit uniform grid is a fine quantizer at EMBED_DIM=64:
+    its asymmetric top-5 should recover most of the exact L2 top-5
+    (strictly better than PQ's 4x4-bit budget on the same corpus)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        TOPK,
+        _embeddings,
+        sq8_topk,
+    )
+    from pyspark.sql import Window
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
+    exact = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id")
+    )
+    got = sq8_topk(spark, sf_dir).select("qid", "neighbor_id")
+    hits = got.join(exact, ["qid", "neighbor_id"]).count()
+    total = exact.count()
+    assert total > 0
+    recall = hits / total
+    assert recall >= 0.9, recall

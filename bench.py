@@ -186,6 +186,10 @@ HEADLINE = [
     # codebooks into trained ones and proving what it bought
     "pq_train_codebooks",
     "pq_recall_report",
+    # round-14: the SQ8 rung of the compression ladder — int-code
+    # corpus projection + broadcast asymmetric search; its delta vs
+    # pq_adc_topk and cosine_topk prices bytes/vector against recall
+    "sq8_topk",
 ]
 
 

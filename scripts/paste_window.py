@@ -36,8 +36,10 @@ def _new_round() -> int:
 
 
 def _rotation_literal() -> str:
+    # extra CLI args (e.g. --must a,b) pass through to rotation.py
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "rotation.py")],
+        [sys.executable, os.path.join(REPO, "scripts", "rotation.py"),
+         *sys.argv[1:]],
         cwd=REPO, capture_output=True, text=True, check=True,
     ).stdout
     m = re.search(r"DRIVER_WINDOW = \[\n(.*?)\n\]", out, re.S)

@@ -1486,6 +1486,42 @@ SELECT qid, neighbor_id, round(d2, 6) AS sq_d2, rn::BIGINT AS rn FROM (
     )
 
 
+def _sq8_recall_sql() -> str:
+    """Exact replay twin of similarity.sq8_recall_report: the
+    _sq8_topk_sql rank list and the exact squared-L2 rank list (the
+    identical full-vector left fold) composed as nested CTEs — the
+    ann_recall_report composition — then integer hit counting and one
+    exact int/int division."""
+    dim = sim.EMBED_DIM
+    return f"""
+        WITH ap AS ({_sq8_topk_sql()}),
+        e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q2 AS (SELECT vec_id AS qid, v AS qv FROM e2
+               WHERE vec_id < {sim.N_QUERIES}),
+        ex AS (
+          SELECT qid, neighbor_id FROM (
+            SELECT q2.qid, e2.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q2.qid ORDER BY
+                     list_reduce([0.0] || list_transform(range(1, {dim} + 1),
+                         j -> (e2.v[j] - q2.qv[j]) * (e2.v[j] - q2.qv[j])),
+                       (acc, x) -> acc + x), e2.vec_id) AS rn
+            FROM e2, q2 WHERE e2.vec_id <> q2.qid
+          ) WHERE rn <= {sim.TOPK}
+        ),
+        pq AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY 1),
+        h AS (
+          SELECT ex.qid, count(*) AS n_hit
+          FROM ex JOIN ap
+            ON ex.qid = ap.qid AND ex.neighbor_id = ap.neighbor_id
+          GROUP BY 1
+        )
+        SELECT 'sq8' AS index, pq.qid, pq.n_exact,
+               coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+               round(coalesce(h.n_hit, 0)::DOUBLE / pq.n_exact, 6) AS recall
+        FROM pq LEFT JOIN h ON pq.qid = h.qid
+    """
+
+
 def _wav_pay_cte() -> str:
     """Shared CTE fragment rebuilding every synthetic WAV container as
     a hex string with independent string ops (mirrors
@@ -1712,6 +1748,7 @@ DRIVER_WINDOW_R14 = [
     "pq_recall_report",  # never banked
     "pq_train_codebooks",  # never banked
     "sq8_quantize",  # never banked
+    "sq8_recall_report",  # never banked
     "sq8_topk",  # never banked
     "bm25_recall_report",  # never banked
     "kmeans_iterate",  # stale (hash changed since r7 row)
@@ -1756,7 +1793,6 @@ DRIVER_WINDOW_R14 = [
     "streaming_quantile_quality",  # backfill (last banked r7)
     "time_weighted_avg",  # backfill (last banked r7)
     "token_budget_cap",  # backfill (last banked r7)
-    "topk_per_group",  # backfill (last banked r7)
 ]
 
 
@@ -1929,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_report": sim.pq_recall_report,
         "sq8_quantize": sim.sq8_quantize,
         "sq8_topk": sim.sq8_topk,
+        "sq8_recall_report": sim.sq8_recall_report,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -2507,6 +2544,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall_report": _pq_recall_sql(),
         "sq8_quantize": _sq8_quantize_sql(),
         "sq8_topk": _sq8_topk_sql(),
+        "sq8_recall_report": _sq8_recall_sql(),
         "rolling_fingerprint": """
             SELECT doc_id,
                    list_reduce(

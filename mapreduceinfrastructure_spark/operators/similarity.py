@@ -2392,3 +2392,64 @@ def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOPK)
         .select("qid", "neighbor_id", F.round("d2", 6).alias("sq_d2"), "rn")
     )
+
+
+def sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@TOPK of the SQ8 asymmetric search against the
+    exact squared-L2 ranking — (index, qid, n_exact, n_hit, recall),
+    the ann_recall_report pattern applied to the scalar-quantization
+    rung.  With pq_recall_report this completes the per-family audit
+    set (lsh/ivf, pq seed/trained, bm25 pruned/rrf, sq8): every
+    approximate retrieval path in the engine reports its recall as an
+    oracle-verified query, so an operator can tier the compression
+    ladder (1-bit -> 8-bit -> joint codes) on measured recall, not
+    vibes.
+
+    Scale shape: both rank lists are the already-pinned plans (exact
+    brute force + sq8_topk); everything downstream is rank-list-sized
+    with explicit broadcasts (post-agg frames carry no size
+    estimates).  Exactness: counts are integers; recall is one exact
+    int/int IEEE division.
+    """
+    emb = _embeddings(spark, sf_dir)
+    schema = "index string, qid long, n_exact long, n_hit long, recall double"
+    if not emb.head(1):
+        return spark.createDataFrame([], schema=schema)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
+    exact = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id")
+    )
+    per_q = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    hits = (
+        exact.join(
+            F.broadcast(
+                sq8_topk(spark, sf_dir).select("qid", "neighbor_id")
+            ),
+            ["qid", "neighbor_id"],
+        )
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return per_q.join(F.broadcast(hits), "qid", "left").select(
+        F.lit("sq8").alias("index"),
+        "qid",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact"),
+            6,
+        ).alias("recall"),
+    )

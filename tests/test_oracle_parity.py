@@ -31,6 +31,7 @@ DRIVER_WINDOW = [
     "pq_recall_report",  # never banked
     "pq_train_codebooks",  # never banked
     "sq8_quantize",  # never banked
+    "sq8_recall_report",  # never banked
     "sq8_topk",  # never banked
     "bm25_recall_report",  # never banked
     "kmeans_iterate",  # stale (hash changed since r7 row)
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "streaming_quantile_quality",  # backfill (last banked r7)
     "time_weighted_avg",  # backfill (last banked r7)
     "token_budget_cap",  # backfill (last banked r7)
-    "topk_per_group",  # backfill (last banked r7)
 ]
 
 def test_window_round_is_fresh():

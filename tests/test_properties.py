@@ -367,3 +367,89 @@ def test_bm25_matches_python_model(spark, tmp_path_factory, docs):
         for (gd, grn, gs), (_, _, ws) in zip(g, rs):
             # output rounds half-up at 6; the model is unrounded
             assert abs(gs - ws) <= 5.1e-7, (q, gd, gs, ws)
+
+
+# --- SQ8 scalar quantization vs a pure-Python model (r14) ------------
+
+
+def _py_sq8(vecs):
+    """Independent model of similarity.sq8_quantize: per-dim exact
+    min/max, level = floor(ratio * 255 + 0.5), recon error."""
+    import math
+
+    dim = len(vecs[0])
+    mn = [min(v[j] for v in vecs) for j in range(dim)]
+    mx = [max(v[j] for v in vecs) for j in range(dim)]
+    out = {}
+    for i, v in enumerate(vecs):
+        for j in range(dim):
+            if mx[j] == mn[j]:
+                c = 0
+            else:
+                c = int(math.floor((v[j] - mn[j]) / (mx[j] - mn[j]) * 255 + 0.5))
+            recon = mn[j] + c * ((mx[j] - mn[j]) / 255.0)
+            out[(i, j)] = (c, abs(v[j] - recon))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_sq8_matches_python_model(spark, tmp_path_factory, vecs):
+    """sq8_quantize against an independent Python model on arbitrary
+    float32 vectors (incl. constant dimensions and extreme ranges):
+    codes must match EXACTLY (integers — any rounding-mode or
+    expression-tree divergence shows here), errors at round-6."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators import similarity as sim
+
+    dim = sim.EMBED_DIM
+    # widen the 4-float seed rows to EMBED_DIM deterministically
+    full = [[float(v[j % 4]) + j for j in range(dim)] for v in vecs]
+    # float32 storage: model what parquet will return
+    import numpy as np
+
+    arr = np.array(full, dtype=np.float32)
+    full64 = [[float(x) for x in row] for row in arr]
+
+    d = str(tmp_path_factory.mktemp("sq8_prop")) + "/" + uuid.uuid4().hex[:8]
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(full)), type=pa.int64()),
+            "embedding": pa.array(arr.tolist(), type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(full), type=pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+
+    got = {
+        (r["vec_id"], r["pos"]): (r["code"], r["recon_err"])
+        for r in sim.sq8_quantize(spark, d).collect()
+    }
+    want = _py_sq8(full64)
+    assert set(got) == set(want)
+    for k, (gc, ge) in got.items():
+        wc, we = want[k]
+        assert gc == wc, (k, gc, wc)
+        assert abs(ge - we) <= 5.1e-7, (k, ge, we)

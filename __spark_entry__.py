@@ -1739,60 +1739,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # TPC-H queries — 24 slots) + 1 r7 backfill (bloom_decontaminate).
 # Every windowed entry has an exact DuckDB oracle (pinned by
 # test_driver_window_is_oracle_backed).
-WINDOW_ROUND = 14  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
+WINDOW_ROUND = 15  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 # tests/test_oracle_parity.py::test_window_round_is_fresh (VERDICT r11 #1:
 # r11 silently re-ran the r10 window; this makes a stale window a red test).
-DRIVER_WINDOW_R14 = [
+DRIVER_WINDOW_R15 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "pq_recall_report",  # never banked
-    "pq_train_codebooks",  # never banked
-    "sq8_quantize",  # never banked
-    "sq8_recall_report",  # never banked
-    "sq8_topk",  # never banked
-    "bm25_recall_report",  # never banked
-    "kmeans_iterate",  # stale (hash changed since r7 row)
-    "ann_ivf_adc",  # stale (hash changed since r13 row)
-    "ann_lsh",  # stale (hash changed since r13 row)
-    "ann_recall_report",  # stale (hash changed since r13 row)
-    "ivf_pq_residual",  # stale (hash changed since r13 row)
-    "pca_debias",  # stale (hash changed since r13 row)
-    "pca_power_iter",  # stale (hash changed since r13 row)
-    "pq_adc_topk",  # stale (hash changed since r13 row)
-    "pq_quantize",  # stale (hash changed since r13 row)
-    "rrf_fusion",  # stale (hash changed since r13 row)
-    "streaming_index_ingest",  # stale (hash changed since r13 row)
-    "tpch_q20",  # backfill (last banked r6)
-    "tpch_q22",  # backfill (last banked r6)
-    "tpch_q3",  # backfill (last banked r6)
-    "tpch_q4",  # backfill (last banked r6)
-    "tpch_q6",  # backfill (last banked r6)
-    "tpch_q7",  # backfill (last banked r6)
-    "tpch_q8",  # backfill (last banked r6)
-    "weighted_sample",  # backfill (last banked r6)
-    "bloom_decontaminate",  # backfill (last banked r7)
-    "cosine_topk",  # backfill (last banked r7)
-    "countmin_heavy_hitters",  # backfill (last banked r7)
-    "dedup_exact",  # backfill (last banked r7)
-    "join_revenue_by_nation",  # backfill (last banked r7)
-    "key_stats",  # backfill (last banked r7)
-    "kmeans_step",  # backfill (last banked r7)
-    "kmv_intersect_types",  # backfill (last banked r7)
-    "label_prop_iterate",  # backfill (last banked r7)
-    "label_prop_step",  # backfill (last banked r7)
-    "langid_eval",  # backfill (last banked r7)
-    "language_id",  # backfill (last banked r7)
-    "length_ks_by_source",  # backfill (last banked r7)
-    "map_explode",  # backfill (last banked r7)
-    "packing_efficiency",  # backfill (last banked r7)
-    "quality_calibration",  # backfill (last banked r7)
-    "quantile_sketch_quality",  # backfill (last banked r7)
-    "semdedup_prune",  # backfill (last banked r7)
-    "streaming_curated_ingest_watermarked",  # backfill (last banked r7)
-    "streaming_heavy_hitters",  # backfill (last banked r7)
-    "streaming_quantile_quality",  # backfill (last banked r7)
-    "time_weighted_avg",  # backfill (last banked r7)
-    "token_budget_cap",  # backfill (last banked r7)
+    "topk_per_group",  # backfill (last banked r7)
+    "tpch_q1",  # backfill (last banked r7)
+    "tpch_q21",  # backfill (last banked r7)
+    "argmax_order",  # backfill (last banked r8)
+    "asof_join",  # backfill (last banked r8)
+    "bag_except",  # backfill (last banked r8)
+    "cross_join_grid",  # backfill (last banked r8)
+    "cube_pricing",  # backfill (last banked r8)
+    "date_funcs",  # backfill (last banked r8)
+    "deterministic_sample",  # backfill (last banked r8)
+    "ewma_anomaly",  # backfill (last banked r8)
+    "except_op",  # backfill (last banked r8)
+    "grouping_sets_pricing",  # backfill (last banked r8)
+    "join_full_outer",  # backfill (last banked r8)
+    "join_outer",  # backfill (last banked r8)
+    "json_extract_agg",  # backfill (last banked r8)
+    "kl_source_divergence",  # backfill (last banked r8)
+    "merge_upsert",  # backfill (last banked r8)
+    "nested_roundtrip",  # backfill (last banked r8)
+    "not_in_null_aware",  # backfill (last banked r8)
+    "percentile_by_brand",  # backfill (last banked r8)
+    "prior_order",  # backfill (last banked r8)
+    "range_join_events",  # backfill (last banked r8)
+    "range_partition_plan",  # backfill (last banked r8)
+    "runtime_filter_join",  # backfill (last banked r8)
+    "salted_join",  # backfill (last banked r8)
+    "scalar_funcs",  # backfill (last banked r8)
+    "scalar_subquery",  # backfill (last banked r8)
+    "skew_profile",  # backfill (last banked r8)
+    "skew_safe_distinct",  # backfill (last banked r8)
+    "source_signature",  # backfill (last banked r8)
+    "stats_aggregates",  # backfill (last banked r8)
+    "streaming_dedup_ingest",  # backfill (last banked r8)
+    "streaming_funnel_pairs",  # backfill (last banked r8)
+    "time_rollup",  # backfill (last banked r8)
+    "token_positions",  # backfill (last banked r8)
+    "udtf_chunk_text",  # backfill (last banked r8)
+    "union_all_op",  # backfill (last banked r8)
+    "unpivot_measures",  # backfill (last banked r8)
+    "window_frames",  # backfill (last banked r8)
+    "window_funcs_catalog",  # backfill (last banked r8)
+    "array_funcs_catalog",  # backfill (last banked r9)
+    "basket_triples",  # backfill (last banked r9)
+    "benford_digits",  # backfill (last banked r9)
+    "clustering_coeff",  # backfill (last banked r9)
+    "dq_referential_audit",  # backfill (last banked r9)
+    "event_trigrams",  # backfill (last banked r9)
+    "gaps_islands",  # backfill (last banked r9)
 ]
 
 
@@ -1806,7 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PCM replay); bpe_merges in r11 (unrolled merge-recurrence CTE,
     # _bpe_merges_sql).
     reg = {
-        # (registry order is historical; DRIVER_WINDOW_R14 defines the
+        # (registry order is historical; DRIVER_WINDOW_R15 defines the
         #  verified window — see the note above)
         "word_count": ta.word_count,
         "grep": ta.grep,
@@ -2064,7 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_index_ingest": es.streaming_index_ingest,
         "jsonl_roundtrip": pl.jsonl_roundtrip,
     }
-    ordered = {k: reg[k] for k in DRIVER_WINDOW_R14}
+    ordered = {k: reg[k] for k in DRIVER_WINDOW_R15}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
     return ordered
 

@@ -955,16 +955,18 @@ v{i} AS MATERIALIZED (
 
 
 def _pq_adc_sql() -> str:
-    """Hex... no — exact replay twin of similarity.pq_adc_topk (r12):
-    codebook positions via the same argmin-of-left-fold as the
-    pq_quantize oracle (ties ORDER BY (d2, pos) = Spark's
-    first-match-lowest-position), per-query subspace distances
+    """Exact replay twin of similarity.pq_adc_topk on the TRAINED
+    production codebook (r15): the _pq_train_cte unrolled Lloyd chain
+    supplies the codebook (cb{T}, flattened in pos order exactly like
+    the Spark flat literal) and the codes (a{T+1}, the trained
+    assignment pass with (d2, pos) ties = Spark's
+    first-match-lowest-position); per-query subspace distances are
     recomputed with the IDENTICAL _pq_d2 fold, and the ADC total added
     in the same fixed s-order as the Spark element_at chain — no
-    order-unstable float aggregation anywhere.  fb flattens the
-    codebook exactly like the Spark flat literal, so fb[pos*DIM +
-    s*SUBDIM + j] (1-based) is element_at(flat, pos*DIM + s*SUBDIM +
-    j + 1) operand for operand."""
+    order-unstable float aggregation anywhere.  fb[pos*DIM + s*SUBDIM
+    + j] (1-based) is element_at(flat, pos*DIM + s*SUBDIM + j + 1)
+    operand for operand."""
+    T = sim.PQ_TRAIN_ITERS
 
     def dsub(s: int) -> str:
         sub, dim = sim.PQ_SUBDIM, sim.EMBED_DIM
@@ -980,34 +982,12 @@ def _pq_adc_sql() -> str:
         )
 
     adc = "\n               + ".join(dsub(s) for s in range(sim.PQ_SUB))
-    return f"""
-            WITH e AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            ),
-            cb AS (SELECT vec_id AS code,
-                          row_number() OVER (ORDER BY vec_id) - 1 AS pos,
-                          v AS cv
-                   FROM e WHERE vec_id < {sim.PQ_K}),
-            fb AS (SELECT flatten(list(cv ORDER BY pos)) AS f FROM cb),
-            d AS (
-              SELECT e.vec_id, s, cb.pos,
-                     list_reduce([0.0] || list_transform(
-                         range(1, {sim.PQ_SUBDIM + 1}),
-                         j -> (e.v[s * {sim.PQ_SUBDIM} + j]
-                               - cb.cv[s * {sim.PQ_SUBDIM} + j])
-                            * (e.v[s * {sim.PQ_SUBDIM} + j]
-                               - cb.cv[s * {sim.PQ_SUBDIM} + j])),
-                       (acc, x) -> acc + x) AS d2
-              FROM e, unnest(range(0, {sim.PQ_SUB})) AS us(s), cb
-            ),
-            r AS (
-              SELECT vec_id, s, pos,
-                     row_number() OVER (
-                       PARTITION BY vec_id, s ORDER BY d2, pos) AS rn
-              FROM d
-            ),
-            codes AS (SELECT vec_id, list(pos ORDER BY s) AS cs
-                      FROM r WHERE rn = 1 GROUP BY vec_id),
+    return (
+        _pq_train_cte()
+        + f""",
+            fb AS (SELECT flatten(list(cv ORDER BY pos)) AS f FROM cb{T}),
+            codes AS (SELECT vec_id, list(code_pos ORDER BY s) AS cs
+                      FROM a{T + 1} GROUP BY vec_id),
             q AS (SELECT vec_id AS qid, v AS qv FROM e
                   WHERE vec_id < {sim.N_QUERIES}),
             pairs AS (
@@ -1026,18 +1006,21 @@ def _pq_adc_sql() -> str:
                    rn::BIGINT AS rn
             FROM top WHERE rn <= {sim.TOPK}
     """
+    )
 
 
 def _ann_ivf_adc_sql() -> str:
-    """Exact replay twin of similarity.ann_ivf_adc (r13): the
-    _ann_ivf_sql unrolled deterministic-Lloyd recurrence (seed
-    centroids, LLOYD_ITERATIONS argmin/mean refinements, final
-    assignment, NPROBE nearest-centroid probes per query — ties ORDER
-    BY (d2, cid)) COMPOSED with the _pq_adc_sql code/ADC replay (codes
-    by argmin of the identical _pq_d2 left fold, ties (d2, pos); ADC
-    added in the same fixed s-order as the Spark element_at chain).
-    The candidate set is the probed cells' members (a vector lives in
-    exactly one cell, so no dedup), matching the Spark cid join."""
+    """Exact replay twin of similarity.ann_ivf_adc (r13; trained
+    codebook r15): the _ann_ivf_sql unrolled deterministic-Lloyd
+    recurrence (seed centroids, LLOYD_ITERATIONS argmin/mean
+    refinements, final assignment, NPROBE nearest-centroid probes per
+    query — ties ORDER BY (d2, cid)) COMPOSED with the trained-PQ
+    replay (_pq_train_cte_body prefixed "t" so its a{i} names don't
+    collide with the IVF chain's: codes are the trained assignment
+    pass ta{T+1}, the flat codebook is tcb{T}; ADC added in the same
+    fixed s-order as the Spark element_at chain).  The candidate set
+    is the probed cells' members (a vector lives in exactly one cell,
+    so no dedup), matching the Spark cid join."""
     k_mod, iters = sim.N_CLUSTERS_MOD, sim.LLOYD_ITERATIONS
 
     def d2(v: str, c: str) -> str:
@@ -1087,31 +1070,12 @@ def _ann_ivf_adc_sql() -> str:
           ) GROUP BY cid
         )""")
     fin = iters + 1
+    T = sim.PQ_TRAIN_ITERS
+    parts.append(_pq_train_cte_body(src="e", prefix="t"))
     parts.append(f""",
-        cb AS (SELECT vec_id AS code,
-                      row_number() OVER (ORDER BY vec_id) - 1 AS pos,
-                      v AS cv
-               FROM e WHERE vec_id < {sim.PQ_K}),
-        fb AS (SELECT flatten(list(cv ORDER BY pos)) AS f FROM cb),
-        d AS (
-          SELECT e.vec_id, s, cb.pos,
-                 list_reduce([0.0] || list_transform(
-                     range(1, {sim.PQ_SUBDIM + 1}),
-                     j -> (e.v[s * {sim.PQ_SUBDIM} + j]
-                           - cb.cv[s * {sim.PQ_SUBDIM} + j])
-                        * (e.v[s * {sim.PQ_SUBDIM} + j]
-                           - cb.cv[s * {sim.PQ_SUBDIM} + j])),
-                   (acc, x) -> acc + x) AS d2
-          FROM e, unnest(range(0, {sim.PQ_SUB})) AS us(s), cb
-        ),
-        rr AS (
-          SELECT vec_id, s, pos,
-                 row_number() OVER (
-                   PARTITION BY vec_id, s ORDER BY d2, pos) AS rn
-          FROM d
-        ),
-        codes AS (SELECT vec_id, list(pos ORDER BY s) AS cs
-                  FROM rr WHERE rn = 1 GROUP BY vec_id),
+        fb AS (SELECT flatten(list(cv ORDER BY pos)) AS f FROM tcb{T}),
+        codes AS (SELECT vec_id, list(code_pos ORDER BY s) AS cs
+                  FROM ta{T + 1} GROUP BY vec_id),
         q AS (SELECT vec_id AS qid, v AS qv FROM a{fin}
               WHERE vec_id < {sim.N_QUERIES}),
         qp AS (
@@ -1142,14 +1106,16 @@ def _ann_ivf_adc_sql() -> str:
 
 
 def _ivf_pq_residual_sql() -> str:
-    """Exact replay twin of similarity.ivf_pq_residual (r13): the
-    _ann_ivf_sql unrolled deterministic-Lloyd recurrence down to the
-    final assignment, residual r = v - cv elementwise (single IEEE
-    subtraction per component in both engines), the residual seed
-    codebook (vec_id < PQ_K ordered by vec_id — codes are actual seed
-    vec_ids, the pq_quantize convention), and the same
-    row_number-over-(d2, pos) argmin per (vector, subspace) with the
-    identical left-fold distance sums."""
+    """Exact replay twin of similarity.ivf_pq_residual (r13; trained
+    residual codebook r15): the _ann_ivf_sql unrolled
+    deterministic-Lloyd recurrence down to the final assignment,
+    residual r = v - cv elementwise (single IEEE subtraction per
+    component in both engines), then the _pq_train_cte_body training
+    replay over the residuals (prefix "t", source resv — codes are
+    actual seed vec_ids, the pq_quantize convention) whose final
+    assignment pass ta{T+1} is the encode, with the same
+    row_number-over-(d2, pos) argmin and identical left-fold distance
+    sums."""
     k_mod, iters = sim.N_CLUSTERS_MOD, sim.LLOYD_ITERATIONS
 
     def d2(v: str, c: str) -> str:
@@ -1185,37 +1151,25 @@ def _ivf_pq_residual_sql() -> str:
           ) GROUP BY cid
         )""")
     fin = iters + 1
+    T = sim.PQ_TRAIN_ITERS
+    # res is MATERIALIZED: the training body references it 2(T+1)+T
+    # times, and DuckDB's default CTE inlining would re-run the whole
+    # unrolled Lloyd chain per reference (the _bpe_merges_sql lesson).
     parts.append(f""",
-        res AS (
+        res AS MATERIALIZED (
           SELECT a.vec_id, a.cid,
                  list_transform(range(1, len(a.v) + 1),
                                 j -> a.v[j] - c.cv[j]) AS rv
           FROM a{fin} a JOIN c{iters} c USING (cid)
         ),
-        cb AS (SELECT vec_id AS code,
-                      row_number() OVER (ORDER BY vec_id) - 1 AS pos,
-                      rv AS cv
-               FROM res WHERE vec_id < {sim.PQ_K}),
-        d AS (
-          SELECT res.vec_id, res.cid, s, cb.code, cb.pos,
-                 list_reduce([0.0] || list_transform(
-                     range(1, {sim.PQ_SUBDIM + 1}),
-                     j -> (res.rv[s * {sim.PQ_SUBDIM} + j]
-                           - cb.cv[s * {sim.PQ_SUBDIM} + j])
-                        * (res.rv[s * {sim.PQ_SUBDIM} + j]
-                           - cb.cv[s * {sim.PQ_SUBDIM} + j])),
-                   (acc, x) -> acc + x) AS d2
-          FROM res, unnest(range(0, {sim.PQ_SUB})) AS us(s), cb
-        ),
-        rr AS (
-          SELECT vec_id, cid, s, code, d2,
-                 row_number() OVER (
-                   PARTITION BY vec_id, s ORDER BY d2, pos) AS rn
-          FROM d
-        )
-        SELECT vec_id, cid::BIGINT AS cid, s::BIGINT AS subspace,
-               code::BIGINT AS code, round(d2, 6) AS sq_err
-        FROM rr WHERE rn = 1""")
+        resv AS (SELECT vec_id, rv AS v FROM res)""")
+    parts.append(_pq_train_cte_body(src="resv", prefix="t"))
+    parts.append(f"""
+        SELECT a.vec_id, res.cid::BIGINT AS cid, a.s::BIGINT AS subspace,
+               tcb.code::BIGINT AS code, round(a.d2, 6) AS sq_err
+        FROM ta{T + 1} a
+             JOIN tcb ON tcb.pos = a.code_pos
+             JOIN res ON res.vec_id = a.vec_id""")
     return "\n".join(parts)
 
 
@@ -1239,18 +1193,23 @@ def _wav_rd(byte_off: int, nbytes: int) -> str:
     return f"('0x' || {pairs})::BIGINT"
 
 
-def _pq_train_cte() -> str:
-    """Shared CTE chain for the r14 PQ-training twins: the seed
-    codebook as (pos, cv) rows, then PQ_TRAIN_ITERS unrolled Lloyd
-    refinements mirroring similarity._pq_train_flat — assignment by
-    the IDENTICAL _pq_d2 left fold with (d2, pos) tie order, per
-    (code, position) re-centering by each engine's own float avg
-    (contracted by the argmin, the kmeans_iterate precedent), emptied
-    cells carrying the previous value.  Ends with cb{T} (trained
-    codebook rows) alongside cb0, plus aT1 (the assignment pass under
-    the trained codebook) and a1 (under the seed codebook)."""
+def _pq_train_cte_body(src: str = "e", prefix: str = "") -> str:
+    """Parameterized CTE fragment (no leading WITH) for the PQ-training
+    replay: the seed codebook of ``src`` (a CTE exposing (vec_id, v))
+    as (pos, cv) rows, then PQ_TRAIN_ITERS unrolled Lloyd refinements
+    mirroring similarity._pq_train_flat — assignment by the IDENTICAL
+    _pq_d2 left fold with (d2, pos) tie order, per (code, position)
+    re-centering by each engine's own float avg (contracted by the
+    argmin, the kmeans_iterate precedent), emptied cells carrying the
+    previous value.  Every CTE name takes ``prefix`` so the chain
+    composes with the unrolled IVF-Lloyd chain (whose a{{i}} names
+    would otherwise collide — the r15 trained-production twins).  Ends
+    with {{P}}cb{{T}} (trained codebook rows) alongside {{P}}cb0, plus
+    {{P}}a{{T+1}} (the assignment pass under the trained codebook) and
+    {{P}}a1 (under the seed codebook)."""
     iters = sim.PQ_TRAIN_ITERS
     sub, dim, nsub = sim.PQ_SUBDIM, sim.EMBED_DIM, sim.PQ_SUB
+    P = prefix
 
     def dfold(v: str, cv: str) -> str:
         t = f"({v}[s * {sub} + j] - {cv}[s * {sub} + j])"
@@ -1261,47 +1220,74 @@ def _pq_train_cte() -> str:
         )
 
     parts = [
-        f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cb AS (SELECT vec_id AS code,
+        f""",
+{P}cb AS (SELECT vec_id AS code,
               row_number() OVER (ORDER BY vec_id) - 1 AS pos,
               v AS cv
-       FROM e WHERE vec_id < {sim.PQ_K}),
-cb0 AS (SELECT pos, cv FROM cb)"""
+       FROM {src} WHERE vec_id < {sim.PQ_K}),
+{P}cb0 AS (SELECT pos, cv FROM {P}cb)"""
     ]
     for i in range(1, iters + 2):
         p = i - 1
         parts.append(f""",
-d{i} AS (
-  SELECT e.vec_id, s, c.pos AS code_pos,
-         {dfold("e.v", "c.cv")} AS d2
-  FROM e, cb{p} c, unnest(range(0, {nsub})) AS us(s)
+{P}d{i} AS (
+  SELECT {src}.vec_id, s, c.pos AS code_pos,
+         {dfold(f"{src}.v", "c.cv")} AS d2
+  FROM {src}, {P}cb{p} c, unnest(range(0, {nsub})) AS us(s)
 ),
-a{i} AS (
+{P}a{i} AS (
   SELECT vec_id, s, code_pos, d2 FROM (
     SELECT *, row_number() OVER (
       PARTITION BY vec_id, s ORDER BY d2, code_pos) AS rn
-    FROM d{i}
+    FROM {P}d{i}
   ) WHERE rn = 1
 )""")
         if i <= iters:
             parts.append(f""",
-m{i} AS (
+{P}m{i} AS (
   SELECT a.code_pos, a.s * {sub} + j AS vj,
-         avg(e.v[a.s * {sub} + j]) AS mv
-  FROM a{i} a JOIN e USING (vec_id), unnest(range(1, {sub} + 1)) AS uj(j)
+         avg({src}.v[a.s * {sub} + j]) AS mv
+  FROM {P}a{i} a JOIN {src} USING (vec_id),
+       unnest(range(1, {sub} + 1)) AS uj(j)
   GROUP BY a.code_pos, vj
 ),
-cb{i} AS (
+{P}cb{i} AS (
   SELECT pos, array_agg(nv ORDER BY q) AS cv FROM (
-    SELECT px.pos, px.q, coalesce(m{i}.mv, px.old) AS nv
+    SELECT px.pos, px.q, coalesce({P}m{i}.mv, px.old) AS nv
     FROM (SELECT pos, unnest(range(1, {dim} + 1)) AS q,
                  unnest(cv) AS old
-          FROM cb{p}) px
-    LEFT JOIN m{i} ON m{i}.code_pos = px.pos AND m{i}.vj = px.q
+          FROM {P}cb{p}) px
+    LEFT JOIN {P}m{i} ON {P}m{i}.code_pos = px.pos AND {P}m{i}.vj = px.q
   ) GROUP BY pos
 )""")
     return "".join(parts)
+
+
+def _pq_train_cte() -> str:
+    """The raw-embeddings instance of :func:`_pq_train_cte_body` with
+    unprefixed names — the shared head of the PQ-training twins."""
+    return (
+        "\nWITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings)" + _pq_train_cte_body()
+    )
+
+
+def _pq_quantize_sql() -> str:
+    """Exact replay twin of similarity.pq_quantize on the TRAINED
+    production codebook (r15, VERDICT r14 #1): the _pq_train_cte
+    unrolled Lloyd chain, whose final assignment pass a{T+1} is
+    precisely the trained-codebook encode — (vec_id, subspace, code,
+    sq_err), code labels mapped back to actual seed vec_ids (the
+    pq_quantize convention)."""
+    T = sim.PQ_TRAIN_ITERS
+    return (
+        _pq_train_cte()
+        + f"""
+SELECT a.vec_id, a.s::BIGINT AS subspace, cb.code::BIGINT AS code,
+       round(a.d2, 6) AS sq_err
+FROM a{T + 1} a JOIN cb ON cb.pos = a.code_pos
+"""
+    )
 
 
 def _pq_train_sql() -> str:
@@ -1337,7 +1323,9 @@ def _pq_recall_sql() -> str:
     added in the same fixed s-order as the Spark element_at chain,
     per-variant top-TOPK with (adc, neighbor_id) ties, the exact
     squared-L2 top-TOPK with the identical full-vector left fold, and
-    hits = overlap, zero-filled over the (variant x qid) grid."""
+    hits = overlap, zero-filled over the (variant x qid-with-exact-
+    neighbors) grid; recall divides by n_exact (ADVICE r14, matching
+    every other *_recall_report)."""
     T = sim.PQ_TRAIN_ITERS
     sub, dim = sim.PQ_SUBDIM, sim.EMBED_DIM
 
@@ -1392,12 +1380,14 @@ h AS (
   SELECT g.variant, g.qid, count(*) AS hits
   FROM got g JOIN ex ON g.qid = ex.qid AND g.neighbor_id = ex.neighbor_id
   GROUP BY g.variant, g.qid
-)
-SELECT v.variant, q.qid,
+),
+nx AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid)
+SELECT v.variant, nx.qid,
+       nx.n_exact::BIGINT AS n_exact,
        coalesce(h.hits, 0)::BIGINT AS hits,
-       round(coalesce(h.hits, 0) / {float(sim.TOPK)}, 6) AS recall
-FROM q CROSS JOIN (VALUES ('seed'), ('trained')) v(variant)
-LEFT JOIN h ON h.variant = v.variant AND h.qid = q.qid
+       round(coalesce(h.hits, 0)::DOUBLE / nx.n_exact, 6) AS recall
+FROM nx CROSS JOIN (VALUES ('seed'), ('trained')) v(variant)
+LEFT JOIN h ON h.variant = v.variant AND h.qid = nx.qid
 """
     )
 
@@ -1745,6 +1735,12 @@ WINDOW_ROUND = 15  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R15 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "ann_ivf_adc",  # stale (hash changed since r14 row)
+    "ivf_pq_residual",  # stale (hash changed since r14 row)
+    "pq_adc_topk",  # stale (hash changed since r14 row)
+    "pq_quantize",  # stale (hash changed since r14 row)
+    "pq_recall_report",  # stale (hash changed since r14 row)
+    "pq_train_codebooks",  # stale (hash changed since r14 row)
     "topk_per_group",  # backfill (last banked r7)
     "tpch_q1",  # backfill (last banked r7)
     "tpch_q21",  # backfill (last banked r7)
@@ -1787,12 +1783,6 @@ DRIVER_WINDOW_R15 = [
     "window_frames",  # backfill (last banked r8)
     "window_funcs_catalog",  # backfill (last banked r8)
     "array_funcs_catalog",  # backfill (last banked r9)
-    "basket_triples",  # backfill (last banked r9)
-    "benford_digits",  # backfill (last banked r9)
-    "clustering_coeff",  # backfill (last banked r9)
-    "dq_referential_audit",  # backfill (last banked r9)
-    "event_trigrams",  # backfill (last banked r9)
-    "gaps_islands",  # backfill (last banked r9)
 ]
 
 
@@ -2506,37 +2496,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_merges_sql(),
         "wav_header_stats": _wav_stats_sql(),
-        # pq_quantize: same seed codebooks (vec_id < PQ_K), same
-        # left-fold subspace distance sums as the Spark HOF aggregate
-        # (bit-identical — the _ann_lsh_sql discipline), argmin via
-        # row_number over (d2, code) = first-match-lowest-code
-        "pq_quantize": f"""
-            WITH e AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            ),
-            cb AS (SELECT vec_id AS code, v AS cv FROM e
-                   WHERE vec_id < {sim.PQ_K}),
-            d AS (
-              SELECT e.vec_id, s, cb.code,
-                     list_reduce([0.0] || list_transform(
-                         range(1, {sim.PQ_SUBDIM + 1}),
-                         j -> (e.v[s * {sim.PQ_SUBDIM} + j]
-                               - cb.cv[s * {sim.PQ_SUBDIM} + j])
-                            * (e.v[s * {sim.PQ_SUBDIM} + j]
-                               - cb.cv[s * {sim.PQ_SUBDIM} + j])),
-                       (acc, x) -> acc + x) AS d2
-              FROM e, unnest(range(0, {sim.PQ_SUB})) AS us(s), cb
-            ),
-            r AS (
-              SELECT vec_id, s, code, d2,
-                     row_number() OVER (
-                       PARTITION BY vec_id, s ORDER BY d2, code) AS rn
-              FROM d
-            )
-            SELECT vec_id, s::BIGINT AS subspace, code::BIGINT AS code,
-                   round(d2, 6) AS sq_err
-            FROM r WHERE rn = 1
-        """,
+        # pq_quantize (r15): Lloyd-TRAINED codebook on the production
+        # encode path — the _pq_train_cte unrolled training replay,
+        # then the trained assignment pass a{T+1} IS the encode (same
+        # left-fold subspace distance sums as the Spark HOF aggregate,
+        # bit-identical — the _ann_lsh_sql discipline; argmin ties
+        # (d2, pos) = first-match-lowest-code)
+        "pq_quantize": _pq_quantize_sql(),
         "pq_adc_topk": _pq_adc_sql(),
         "ann_ivf_adc": _ann_ivf_adc_sql(),
         "ivf_pq_residual": _ivf_pq_residual_sql(),

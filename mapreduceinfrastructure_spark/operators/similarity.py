@@ -1650,22 +1650,26 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (vector, subspace): the nearest-codebook code and its
     squared quantization error — (vec_id, subspace, code, sq_err).
 
-    Scale shape: the PQ_K seed vectors are a BOUNDED driver collect
-    (16 × 64 doubles — the kmeans_iterate K-centroid precedent), then
-    assignment is a SINGLE map-only projection over the corpus: the
-    flattened codebook rides into the plan as one literal array (or a
-    broadcast 1-row frame past PQ_CODEBOOK_LITERAL_MAX_BYTES — the
-    production-geometry transport, VERDICT r12 #5), each
-    subspace's 16 distances are JVM higher-order folds, and the argmin
-    is array_position of the array_min (first match — ties to the
-    lower code, the kmeans convention).  No join, no shuffle, no
-    Python: the canonical embarrassingly-parallel encode pass.  The
-    DuckDB twin replays the same left-fold distance sums
-    (bit-identical, the _ann_lsh_sql discipline) with a
+    Scale shape: the codebook is the Lloyd-TRAINED one (r15, VERDICT
+    r14 #1 — _pq_production_codebook: PQ_TRAIN_ITERS one-scan training
+    passes, memoized per corpus so every PQ consumer trains ONCE;
+    SPARK_GRAFT_PQ_SEED=1 restores the seed codebook for the A/B),
+    a BOUNDED driver artifact (16 × 64 doubles — the kmeans_iterate
+    K-centroid precedent).  Assignment is then a SINGLE map-only
+    projection over the corpus: the flattened codebook rides into the
+    plan as one literal array (or a broadcast 1-row frame past
+    PQ_CODEBOOK_LITERAL_MAX_BYTES — the production-geometry transport,
+    VERDICT r12 #5), each subspace's 16 distances are JVM higher-order
+    folds, and the argmin is array_position of the array_min (first
+    match — ties to the lower code, the kmeans convention).  No join,
+    no shuffle, no Python: the canonical embarrassingly-parallel
+    encode pass.  The DuckDB twin replays the training recurrence
+    (the unrolled _pq_train_cte Lloyd chain) and the same left-fold
+    distance sums (bit-identical, the _ann_lsh_sql discipline) with a
     row_number-over-(d2, code) argmin.
     """
     emb = _embeddings(spark, sf_dir)
-    cb = _pq_collect_codebook(emb)
+    cb = _pq_production_codebook(emb, sf_dir)
     if cb is None:
         return spark.createDataFrame(
             [], schema="vec_id long, subspace long, code long, sq_err double"
@@ -1743,7 +1747,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final round(…, 6) is presentational.
     """
     emb = _embeddings(spark, sf_dir)
-    cb = _pq_collect_codebook(emb)
+    # trained codebook on the production search path (r15, VERDICT r14
+    # #1) — memoized train-once; SPARK_GRAFT_PQ_SEED=1 for the A/B.
+    cb = _pq_production_codebook(emb, sf_dir)
     if cb is None:
         return spark.createDataFrame(
             [], schema="qid long, neighbor_id long, adc_d2 double, rn long"
@@ -1815,7 +1821,9 @@ def ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     merely close.
     """
     emb = _embeddings(spark, sf_dir)
-    cb = _pq_collect_codebook(emb)
+    # trained codebook on the production search path (r15, VERDICT r14
+    # #1) — memoized train-once; SPARK_GRAFT_PQ_SEED=1 for the A/B.
+    cb = _pq_production_codebook(emb, sf_dir)
     if cb is None:
         return spark.createDataFrame(
             [], schema="qid long, neighbor_id long, adc_d2 double, rn long"
@@ -1872,25 +1880,6 @@ def ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_collect_residual_codebook(res: DataFrame):
-    """Driver-collect the RESIDUAL seed codebook (vec_id < PQ_K over
-    the residual column ``rv`` — the kmeans_iterate seeding convention
-    applied to residuals): returns (codes, flat_vals) like
-    :func:`_pq_collect_codebook`, or None with no seeds.  BOUNDED
-    (<= PQ_K x EMBED_DIM doubles)."""
-    seeds = (
-        res.filter(F.col("vec_id") < PQ_K)
-        .orderBy("vec_id")
-        .select("vec_id", "rv")
-        .collect()
-    )
-    if not seeds:
-        return None
-    codes = [int(r["vec_id"]) for r in seeds]
-    flat_vals = [float(x) for r in seeds for x in r["rv"]]
-    return codes, flat_vals
-
-
 def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESIDUAL IVF-PQ encode — the encode step of Jégou et al. (TPAMI
     2011) as actually published: each vector is assigned to its IVF
@@ -1906,13 +1895,20 @@ def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid, one zip_with subtraction, then pq_quantize's map-only
     encode over the residual — dists built once per subspace
     (struct+explode), codebook transport geometry-driven via
-    _pq_codebook_source.  No shuffle beyond the Lloyd passes.
+    _pq_codebook_source.  The residual codebook is Lloyd-TRAINED on
+    the residuals themselves (r15, VERDICT r14 #1 — kind="residual"
+    memo entry; each training pass re-derives residuals map-only from
+    the checkpointed centroids, so training costs PQ_TRAIN_ITERS
+    corpus scans, not a materialized residual copy).  No shuffle
+    beyond the Lloyd passes.
 
     Exactness: residual components are single IEEE subtractions (bit-
-    identical in both engines); the codebook is the collected residual
-    seeds (actual vec_ids as codes, the pq_quantize convention); the
-    DuckDB twin (__spark_entry__._ivf_pq_residual_sql) composes the
-    unrolled-Lloyd CTE with the same left-fold argmin over residuals.
+    identical in both engines); the codebook is the trained residual
+    seeds' refinement (actual seed vec_ids as code labels, the
+    pq_quantize convention); the DuckDB twin
+    (__spark_entry__._ivf_pq_residual_sql) composes the unrolled-Lloyd
+    CTE with the unrolled residual-training CTE and the same left-fold
+    argmin over residuals.
     """
     emb = _embeddings(spark, sf_dir)
     assign, cents = ivf_assignments(spark, sf_dir)
@@ -1921,7 +1917,19 @@ def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"),
     )
-    cb = _pq_collect_residual_codebook(res)
+    # Materialize the residual index ONCE, re-spread across cores:
+    # assign's hash-agg output AQE-coalesces to 1 partition at test
+    # row counts, which would serialize the fold-heavy encode (and
+    # every training pass) onto one core — measured 71 s/pass vs 14
+    # fanned at sf0.1 (SCALE.md "r15 residual training").  The
+    # checkpoint is the single-process analog of what production
+    # IVF-PQ does anyway: write the residual table once, train and
+    # encode against the materialized copy instead of re-deriving
+    # residuals (a Lloyd assignment pass each) per training scan.
+    res = fan_out(res, spark).localCheckpoint(eager=True)
+    cb = _pq_production_codebook(
+        res.select("vec_id", F.col("rv").alias("v")), sf_dir, kind="residual"
+    )
     if cb is None:
         return spark.createDataFrame(
             [],
@@ -1978,17 +1986,47 @@ def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_TRAIN_ITERS = 3
 
 
-# Train-once memo: pq_train_codebooks AND pq_recall_report both need
-# the trained codebook, and a production pipeline trains once and
-# reuses the artifact — the driver-side analog of the persisted tf
+# Train-once memo: every PQ consumer (pq_quantize, pq_adc_topk,
+# ann_ivf_adc, ivf_pq_residual, pq_train_codebooks, pq_recall_report)
+# needs the trained codebook, and a production pipeline trains once
+# and reuses the artifact — the driver-side analog of the persisted tf
 # index (bench/verify sessions are warm-artifact by construction,
-# SCALE.md "incremental_dedup_banded watch item").  Keyed by sf_dir:
-# different corpora (incl. test tmp dirs) never share an entry, and
-# the payload is <= 2 x n_codes x EMBED_DIM doubles.
-_PQ_TRAIN_CACHE: dict[str, tuple | None] = {}
+# SCALE.md "incremental_dedup_banded watch item").  Keyed by (kind,
+# sf_dir, corpus fingerprint): ``kind`` separates the raw-vector
+# codebook from the residual one, and the fingerprint (mtime_ns +
+# size of every embeddings.parquet part, ADVICE r14) invalidates the
+# memo when the corpus at a path is rewritten within one driver
+# process.  Payload is <= 2 x n_codes x EMBED_DIM doubles per entry.
+_PQ_TRAIN_CACHE: dict[tuple, tuple | None] = {}
 
 
-def _pq_train_flat(emb: DataFrame, sf_dir: str | None = None):
+def _pq_corpus_fingerprint(sf_dir: str):
+    """Cheap content fingerprint of the embeddings table at ``sf_dir``
+    (sorted (name, mtime_ns, size) of the parquet file/dir parts), or
+    None when unstat-able — None disables memoization rather than
+    risking a stale hit (ADVICE r14)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            return tuple(
+                (p, os.stat(os.path.join(path, p)).st_mtime_ns,
+                 os.stat(os.path.join(path, p)).st_size)
+                for p in sorted(os.listdir(path))
+            )
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+def pq_train_cache_reset() -> None:
+    """Documented reset hook for the train-once memo (ADVICE r14)."""
+    _PQ_TRAIN_CACHE.clear()
+
+
+def _pq_train_flat(
+    emb: DataFrame, sf_dir: str | None = None, kind: str = "raw"
+):
     """Run PQ_TRAIN_ITERS Lloyd steps over all subspaces at once;
     returns (codes, seed_flat, trained_flat) or None on empty corpus.
     With ``sf_dir`` the result memoizes per corpus (train once).
@@ -2004,12 +2042,17 @@ def _pq_train_flat(emb: DataFrame, sf_dir: str | None = None):
     broadcast, lineage never grows (each pass plans from the raw
     table plus fresh literals).
     """
-    if sf_dir is not None and sf_dir in _PQ_TRAIN_CACHE:
-        return _PQ_TRAIN_CACHE[sf_dir]
+    key = None
+    if sf_dir is not None:
+        fp = _pq_corpus_fingerprint(sf_dir)
+        if fp is not None:
+            key = (kind, sf_dir, fp)
+    if key is not None and key in _PQ_TRAIN_CACHE:
+        return _PQ_TRAIN_CACHE[key]
     cb = _pq_collect_codebook(emb)
     if cb is None:
-        if sf_dir is not None:
-            _PQ_TRAIN_CACHE[sf_dir] = None
+        if key is not None:
+            _PQ_TRAIN_CACHE[key] = None
         return None
     codes, seed_flat = cb
     n_codes = len(codes)
@@ -2034,9 +2077,38 @@ def _pq_train_flat(emb: DataFrame, sf_dir: str | None = None):
             nxt[int(r["code"]) * EMBED_DIM + int(r["pos"])] = float(r["m"])
         flat = nxt
     out = (codes, list(seed_flat), flat)
-    if sf_dir is not None:
-        _PQ_TRAIN_CACHE[sf_dir] = out
+    if key is not None:
+        _PQ_TRAIN_CACHE[key] = out
     return out
+
+
+# Production codebook switch (VERDICT r14 #1): the encode/search path
+# uses the Lloyd-TRAINED codebook (pq_train_codebooks measured -31%
+# quantization error and pq_recall_report trained >= seed recall at
+# every banked geometry); SPARK_GRAFT_PQ_SEED=1 keeps the seed
+# codebook reachable for the A/B (scratch/pq_trained_ab.py) and for
+# isolating training cost from encode cost in benchmarks.
+PQ_SEED_ENV = "SPARK_GRAFT_PQ_SEED"
+
+
+def _pq_production_codebook(
+    emb: DataFrame, sf_dir: str | None, kind: str = "raw"
+):
+    """The (codes, flat_vals) the production encode/search path uses:
+    the Lloyd-trained codebook from :func:`_pq_train_flat` (memoized
+    per corpus — train once, every consumer reuses), or the seed
+    codebook under SPARK_GRAFT_PQ_SEED=1.  Returns None on an empty
+    corpus, like _pq_collect_codebook."""
+    if os.environ.get(PQ_SEED_ENV) == "1":
+        # A/B path: the raw seed collect, no training passes at all —
+        # the pure-Python reference tests pin THIS path's semantics
+        # (tests/test_round12_ops.py, test_round13_ops.py).
+        return _pq_collect_codebook(emb)
+    t = _pq_train_flat(emb, sf_dir, kind=kind)
+    if t is None:
+        return None
+    codes, _seed_flat, trained_flat = t
+    return codes, trained_flat
 
 
 def _pq_assign_arr(flat, n_codes: int, vcol=None):
@@ -2154,7 +2226,13 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     one, audited against the exact squared-L2 ranking — the
     ann_recall_report pattern applied to PQ training (VERDICT r13 #4's
     "trained >= seed recall" delta, measurable per query instead of
-    asserted): (variant, qid, hits, recall).
+    asserted): (variant, qid, n_exact, hits, recall).  Since r15 the
+    "trained" variant IS the production pq_adc_topk path
+    (_pq_production_codebook) and "seed" is its env-gated A/B twin.
+    Recall divides by n_exact like every other *_recall_report
+    (ADVICE r14 — the fixed-TOPK denominator under-reported perfect
+    retrieval on corpora with < TOPK non-self vectors), so the report
+    grid covers the qids with at least one exact neighbor.
 
     Scale shape: each variant is exactly pq_adc_topk's plan (narrow
     code-column corpus pass, broadcast bounded query ADC tables,
@@ -2166,7 +2244,9 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _embeddings(spark, sf_dir)
     t = _pq_train_flat(emb, sf_dir)
-    schema = "variant string, qid long, hits long, recall double"
+    schema = (
+        "variant string, qid long, n_exact long, hits long, recall double"
+    )
     if t is None:
         return spark.createDataFrame([], schema=schema)
     _codes, seed_flat, trained_flat = t
@@ -2228,7 +2308,10 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("variant", "qid")
         .agg(F.count("*").cast("long").alias("hits"))
     )
-    base = q.select("qid").crossJoin(
+    per_q = exact.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    base = per_q.crossJoin(
         spark.createDataFrame(
             [("seed",), ("trained",)], "variant string"
         )
@@ -2238,9 +2321,12 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "variant",
             "qid",
+            "n_exact",
             F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
             F.round(
-                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(TOPK)), 6
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                6,
             ).alias("recall"),
         )
     )

@@ -28,6 +28,12 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
+    "ann_ivf_adc",  # stale (hash changed since r14 row)
+    "ivf_pq_residual",  # stale (hash changed since r14 row)
+    "pq_adc_topk",  # stale (hash changed since r14 row)
+    "pq_quantize",  # stale (hash changed since r14 row)
+    "pq_recall_report",  # stale (hash changed since r14 row)
+    "pq_train_codebooks",  # stale (hash changed since r14 row)
     "topk_per_group",  # backfill (last banked r7)
     "tpch_q1",  # backfill (last banked r7)
     "tpch_q21",  # backfill (last banked r7)
@@ -70,12 +76,6 @@ DRIVER_WINDOW = [
     "window_frames",  # backfill (last banked r8)
     "window_funcs_catalog",  # backfill (last banked r8)
     "array_funcs_catalog",  # backfill (last banked r9)
-    "basket_triples",  # backfill (last banked r9)
-    "benford_digits",  # backfill (last banked r9)
-    "clustering_coeff",  # backfill (last banked r9)
-    "dq_referential_audit",  # backfill (last banked r9)
-    "event_trigrams",  # backfill (last banked r9)
-    "gaps_islands",  # backfill (last banked r9)
 ]
 
 def test_window_round_is_fresh():

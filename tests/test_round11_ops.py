@@ -172,11 +172,13 @@ def test_wav_header_stats_roundtrip(spark, sf_dir):
         assert r["duration_ms"] == round(r["n_frames"] * 1000.0 / rate, 6)
 
 
-def test_pq_quantize_invariants(spark, sf_dir):
-    """PQ encode sanity: every (vec, subspace) emits exactly one code
-    in [0, PQ_K); each seed vector quantizes to ITSELF in every
-    subspace (distance 0 to its own codebook entry, ties to the lower
-    code can only matter below vec_id); sq_err is non-negative."""
+def test_pq_quantize_invariants(spark, sf_dir, monkeypatch):
+    """PQ encode sanity on BOTH codebook paths (r15): the production
+    Lloyd-trained encode keeps the structural invariants (one code per
+    (vec, subspace), codes in [0, PQ_K), non-negative sq_err); the
+    env-gated seed path additionally self-encodes every seed vector
+    (distance 0 to its own codebook entry — not true after training,
+    which moves centroids off the seeds toward cell means)."""
     from mapreduceinfrastructure_spark.operators.similarity import (
         PQ_K,
         PQ_SUB,
@@ -185,6 +187,11 @@ def test_pq_quantize_invariants(spark, sf_dir):
 
     rows = pq_quantize(spark, sf_dir).collect()
     n_vecs = len({r["vec_id"] for r in rows})
+    assert len(rows) == n_vecs * PQ_SUB
+    assert all(0 <= r["code"] < PQ_K and r["sq_err"] >= 0.0 for r in rows)
+
+    monkeypatch.setenv("SPARK_GRAFT_PQ_SEED", "1")
+    rows = pq_quantize(spark, sf_dir).collect()
     assert len(rows) == n_vecs * PQ_SUB
     assert all(0 <= r["code"] < PQ_K and r["sq_err"] >= 0.0 for r in rows)
     for r in rows:

@@ -128,11 +128,17 @@ def test_ann_lsh_pool_capacity_guard(spark, sf_dir, monkeypatch):
         assert sorted(rns) == list(range(1, len(rns) + 1))
 
 
-def test_pq_adc_topk_matches_python_reference(spark, sf_dir):
+def test_pq_adc_topk_matches_python_reference(spark, sf_dir, monkeypatch):
     """pq_adc_topk vs a pure-Python recomputation from the parquet
     vectors: codes by argmin of the same j-ascending fold, ADC as the
     fixed s-order sum of subspace distances to the coded entries —
-    ground-truth parameters, no Spark or DuckDB machinery shared."""
+    ground-truth parameters, no Spark or DuckDB machinery shared.
+    Runs under SPARK_GRAFT_PQ_SEED=1 (r15): the production path
+    encodes with the Lloyd-TRAINED codebook (verified end-to-end by
+    the oracle's unrolled training replay), while this pure-Python
+    reference pins the env-gated seed A/B path whose codebook is
+    derivable from first principles without replaying Lloyd."""
+    monkeypatch.setenv("SPARK_GRAFT_PQ_SEED", "1")
     import pyarrow.parquet as pq
 
     from mapreduceinfrastructure_spark.operators.similarity import (

@@ -83,13 +83,17 @@ def test_pq_codebook_transports_agree_bitwise(spark, sf_dir, monkeypatch):
     assert "__pq_cb" in plan and "BroadcastExchange" in plan
 
 
-def test_ivf_pq_residual_matches_python_reference(spark, sf_dir):
+def test_ivf_pq_residual_matches_python_reference(spark, sf_dir, monkeypatch):
     """ivf_pq_residual vs a pure-numpy recomputation from the parquet
     vectors: seed centroids (vec_id % 40 == 0), 2 Lloyd iterations of
     argmin/mean (ties to lower cid), final assignment, residual
     subtraction, residual seed codebook (vec_id < PQ_K), and argmin of
     the j-ascending fold per subspace (ties to lower code) — ground
-    truth from first principles, no Spark or DuckDB machinery shared."""
+    truth from first principles, no Spark or DuckDB machinery shared.
+    Runs under SPARK_GRAFT_PQ_SEED=1 (r15): the production path
+    trains the residual codebook (oracle-replayed), this reference
+    pins the env-gated seed A/B path."""
+    monkeypatch.setenv("SPARK_GRAFT_PQ_SEED", "1")
     import numpy as np
     import pyarrow.parquet as pq
 

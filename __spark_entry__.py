@@ -1741,6 +1741,7 @@ DRIVER_WINDOW_R15 = [
     "pq_quantize",  # stale (hash changed since r14 row)
     "pq_recall_report",  # stale (hash changed since r14 row)
     "pq_train_codebooks",  # stale (hash changed since r14 row)
+    "streaming_index_ingest",  # stale (hash changed since r14 row)
     "topk_per_group",  # backfill (last banked r7)
     "tpch_q1",  # backfill (last banked r7)
     "tpch_q21",  # backfill (last banked r7)
@@ -1782,7 +1783,6 @@ DRIVER_WINDOW_R15 = [
     "unpivot_measures",  # backfill (last banked r8)
     "window_frames",  # backfill (last banked r8)
     "window_funcs_catalog",  # backfill (last banked r8)
-    "array_funcs_catalog",  # backfill (last banked r9)
 ]
 
 

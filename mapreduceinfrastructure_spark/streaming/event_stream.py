@@ -1059,10 +1059,16 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(
             F.filter(
                 F.sequence(F.lit(1), F.size("s")),
+                # `|` does not short-circuit, so the i=1 branch must
+                # never evaluate try_element_at at index 0 (NULL on
+                # Spark 4.1 but historically a raise even under try_*
+                # in 3.x — ADVICE r14): clamp the lookback to index 1
+                # and let the i==1 disjunct own that case (s[1] != s[1]
+                # is false, so the clamp never flips a decision).
                 lambda i: (i == F.lit(1))
                 | (
                     F.element_at(F.col("s"), i)
-                    != F.try_element_at(F.col("s"), i - 1)
+                    != F.try_element_at(F.col("s"), F.greatest(i - 1, F.lit(1)))
                 ),
             )
         )

@@ -85,15 +85,29 @@ def test_lit_double_array_accepts_generators_and_ints(spark):
 
 def test_lit_double_array_is_fast(spark):
     """The point of the helper: ONE parse, not one gateway call per
-    element.  1024 elements must build in well under the ~0.65 s the
-    list-form F.lit costs (generous 0.25 s bound for CI noise)."""
+    element.  Asserted RELATIVELY against per-element F.lit on the
+    same machine in the same breath (ADVICE r14: an absolute
+    wall-clock bound flakes on a loaded host even when the code is
+    right): building 1024 elements through the helper must beat
+    building just 32 through the list-comprehension-of-F.lit form —
+    a 32x-per-element margin that host band cannot close (measured
+    ~215x per element, SCALE.md "r14 literal tax")."""
     import time
+
+    from pyspark.sql import functions as F
 
     vals = [0.001 * i for i in range(1024)]
     lit_double_array(vals)  # warm the parser path
+    F.array(*[F.lit(float(v)) for v in vals[:2]])  # warm py4j path
     t0 = time.monotonic()
     lit_double_array(vals)
-    assert time.monotonic() - t0 < 0.25
+    helper = time.monotonic() - t0
+    t0 = time.monotonic()
+    F.array(*[F.lit(float(v)) for v in vals[:32]])
+    per_element_32 = time.monotonic() - t0
+    assert helper < per_element_32, (
+        f"helper {helper:.4f}s vs 32-element F.lit {per_element_32:.4f}s"
+    )
 
 
 # --- PQ codebook training (VERDICT r13 #4) ---------------------------

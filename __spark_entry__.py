@@ -337,6 +337,82 @@ def _ann_ivf_sql() -> str:
     return "\n".join(parts)
 
 
+def _ann_probe_sweep_core_sql() -> str:
+    """Unrolled twin of the rank-list half of similarity.ann_probe_sweep
+    (r15, VERDICT r14 #4): _ann_ivf_sql's deterministic-Lloyd chain,
+    but the probe CTE keeps every cell rank up to max(ANN_PROBE_SET)
+    and the per-cell candidates sweep all operating points via a level
+    join (nprobe >= cr) before one per-(nprobe, qid) top-K — the same
+    one-fetch-many-points shape as the Spark explode.  Emits (nprobe,
+    qid, neighbor_id) rows; the recall report composes on top (the
+    ann_recall_report pattern)."""
+    k_mod, iters = sim.N_CLUSTERS_MOD, sim.LLOYD_ITERATIONS
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, len({v}) + 1), "
+            f"j -> ({v}[j] - {c}[j]) * ({v}[j] - {c}[j])), "
+            "(acc, x) -> acc + x)"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {k_mod} = 0)",
+    ]
+    for i in range(1, iters + 2):
+        parts.append(f""",
+        a{i} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {d2('e.v', 'c.cv')}, c.cid) AS rn
+            FROM e CROSS JOIN c{i - 1} c
+          ) WHERE rn = 1
+        )""")
+        if i <= iters:
+            parts.append(f""",
+        c{i} AS (
+          SELECT cid, array_agg(nv ORDER BY pos) AS cv FROM (
+            SELECT cid, pos, avg(val) AS nv FROM (
+              SELECT cid, unnest(v) AS val,
+                     unnest(range(1, len(v) + 1)) AS pos
+              FROM a{i}
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        )""")
+    fin = iters + 1
+    pmax = max(sim.ANN_PROBE_SET)
+    lv = ", ".join(str(p) for p in sim.ANN_PROBE_SET)
+    parts.append(f""",
+        q AS (SELECT vec_id AS qid, v AS qv FROM a{fin}
+              WHERE vec_id < {sim.N_QUERIES}),
+        qp AS (
+          SELECT qid, qv, cid, rn AS cr FROM (
+            SELECT q.qid, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY {d2('q.qv', 'c.cv')}, c.cid) AS rn
+            FROM q CROSS JOIN c{iters} c
+          ) WHERE rn <= {pmax}
+        ),
+        cand AS (
+          SELECT qp.qid, qp.qv, qp.cr, a.vec_id, a.v
+          FROM qp JOIN a{fin} a USING (cid)
+          WHERE a.vec_id <> qp.qid
+        ),
+        lvls AS (SELECT unnest([{lv}]) AS nprobe),
+        r AS (
+          SELECT lvls.nprobe, c.qid, c.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY lvls.nprobe, c.qid
+                   ORDER BY list_cosine_similarity(c.qv, c.v) DESC,
+                            c.vec_id) AS rn
+          FROM cand c JOIN lvls ON lvls.nprobe >= c.cr
+        )
+        SELECT nprobe::BIGINT AS nprobe, qid, neighbor_id
+        FROM r WHERE rn <= {sim.TOPK}""")
+    return "\n".join(parts)
+
+
 _CM_ORACLE = f"""
             {_SQL_TOKS},
             words AS (SELECT unnest(t) AS w FROM toks),
@@ -1735,13 +1811,14 @@ WINDOW_ROUND = 15  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R15 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "ann_probe_sweep",  # never banked
+    "streaming_index_ingest",  # stale (hash changed since r14 row)
     "ann_ivf_adc",  # stale (hash changed since r14 row)
     "ivf_pq_residual",  # stale (hash changed since r14 row)
     "pq_adc_topk",  # stale (hash changed since r14 row)
     "pq_quantize",  # stale (hash changed since r14 row)
     "pq_recall_report",  # stale (hash changed since r14 row)
     "pq_train_codebooks",  # stale (hash changed since r14 row)
-    "streaming_index_ingest",  # stale (hash changed since r14 row)
     "topk_per_group",  # backfill (last banked r7)
     "tpch_q1",  # backfill (last banked r7)
     "tpch_q21",  # backfill (last banked r7)
@@ -1782,7 +1859,6 @@ DRIVER_WINDOW_R15 = [
     "union_all_op",  # backfill (last banked r8)
     "unpivot_measures",  # backfill (last banked r8)
     "window_frames",  # backfill (last banked r8)
-    "window_funcs_catalog",  # backfill (last banked r8)
 ]
 
 
@@ -1956,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_quantize": sim.sq8_quantize,
         "sq8_topk": sim.sq8_topk,
         "sq8_recall_report": sim.sq8_recall_report,
+        # --- round-15 additions ---
+        "ann_probe_sweep": sim.ann_probe_sweep,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -5982,6 +6060,32 @@ def oracle_sql() -> dict[str, str]:
                coalesce(ih.n_hit, 0)::BIGINT AS n_hit,
                round(coalesce(ih.n_hit, 0)::DOUBLE / pq.n_exact, 6) AS recall
         FROM pq LEFT JOIN ih ON pq.qid = ih.qid
+    """
+    # Composed post-dict (needs the cosine_topk text): the IVF
+    # nprobe↔recall curve (r15, VERDICT r14 #4) — the exact leg is the
+    # banked cosine_topk oracle verbatim, the sweep leg the unrolled
+    # Lloyd chain with a level join; the report is integer set algebra
+    # + one exact int/int division, zero-filled over the (nprobe x
+    # qid-with-exact-neighbors) grid.
+    _lv = ", ".join(str(p) for p in sim.ANN_PROBE_SET)
+    sqls["ann_probe_sweep"] = f"""
+        WITH ex AS ({sqls["cosine_topk"]}),
+        sw AS ({_ann_probe_sweep_core_sql()}),
+        pq AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY 1),
+        hh AS (
+          SELECT sw.nprobe, sw.qid, count(*) AS n_hit
+          FROM sw JOIN ex
+            ON sw.qid = ex.qid AND sw.neighbor_id = ex.neighbor_id
+          GROUP BY 1, 2
+        ),
+        lvls AS (SELECT unnest([{_lv}]) AS nprobe)
+        SELECT lvls.nprobe::BIGINT AS nprobe, pq.qid,
+               pq.n_exact::BIGINT AS n_exact,
+               coalesce(hh.n_hit, 0)::BIGINT AS n_hit,
+               round(coalesce(hh.n_hit, 0)::DOUBLE / pq.n_exact, 6)
+                 AS recall
+        FROM pq CROSS JOIN lvls
+        LEFT JOIN hh ON hh.nprobe = lvls.nprobe AND hh.qid = pq.qid
     """
     # Composed post-dict (needs the three lexical rank-list texts):
     # the ann_recall_report pattern applied to the lexical leg — all

@@ -190,6 +190,11 @@ HEADLINE = [
     # corpus projection + broadcast asymmetric search; its delta vs
     # pq_adc_topk and cosine_topk prices bytes/vector against recall
     "sq8_topk",
+    # round-15: the IVF nprobe↔recall curve — one candidate fetch at
+    # max nprobe (broadcast-hash on cid) + in-row level explode + one
+    # windowed top-k per operating point + the exact cosine leg; the
+    # measured cost of auditing all four operating points at once
+    "ann_probe_sweep",
 ]
 
 

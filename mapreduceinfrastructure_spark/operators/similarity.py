@@ -831,6 +831,109 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF operating points for ann_probe_sweep (VERDICT r14 #4): the
+# probe counts every IVF rollout actually tunes between.  Ascending;
+# the last entry bounds the single candidate fetch.
+ANN_PROBE_SET = (1, 2, 4, 8)
+
+
+def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query IVF recall@TOPK at every nprobe operating point in
+    ANN_PROBE_SET — (nprobe, qid, n_exact, n_hit, recall).  The
+    probe↔recall curve next to bm25_recall_report's CAP↔recall one:
+    nprobe is THE knob a production IVF index tunes (more probed
+    cells = more corpus scanned = higher recall), and this emits the
+    whole curve as one oracle-verified query so a rollout can pick
+    its operating point from measured data instead of folklore.
+
+    Scale shape — the dedup_rate_by_threshold one-pass-many-points
+    pattern: candidates are fetched ONCE at max(ANN_PROBE_SET) probes
+    (the shared Lloyd index's broadcast-centroid argmin + one cid
+    join), each candidate carries its cell's probe rank ``cr``, and
+    the sweep EXPLODES the qualifying levels {p : p >= cr} (≤
+    |ANN_PROBE_SET| small ints per row) so one window pass ranks all
+    operating points — not one corpus pass per nprobe.  The cosine is
+    a named Project column computed before the explode (single eval).
+    Everything past the candidate join is query-set-sized; recall
+    divides by n_exact (the *_recall_report convention).
+
+    Exactness: probe selection and in-cell ranking replay ann_ivf's
+    banked conventions ((d2, cid) and (sim desc, neighbor_id) ties);
+    the exact leg is cosine_topk's banked fold; counts are integers
+    and recall one exact int/int division.
+    """
+    exact = cosine_topk(spark, sf_dir).select("qid", "neighbor_id")
+    per_q = exact.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+
+    assign, cents = ivf_assignments(spark, sf_dir)
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _sq_dist(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
+    probes = (
+        qc.withColumn("cr", F.row_number().over(wq))
+        .filter(F.col("cr") <= max(ANN_PROBE_SET))
+        .select("qid", "qv", "cid", "cr")
+    )
+    # probes is bounded (N_QUERIES x max nprobe rows) but descends
+    # from a window, so Catalyst has no size estimate and picks
+    # SortMergeJoin unhinted (the r14 pin) — broadcast it onto the
+    # corpus-side cid hash join.
+    cand = assign.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    sim = cosine_similarity_expr(F.col("qv"), F.col("v"))
+    levels = F.filter(
+        F.lit(list(ANN_PROBE_SET)), lambda p: p >= F.col("cr")
+    )
+    scored = cand.select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        sim.alias("sim"),
+        F.explode(levels).alias("nprobe"),
+    )
+    w = Window.partitionBy("nprobe", "qid").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    got = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select(F.col("nprobe").cast("long").alias("nprobe"), "qid", "neighbor_id")
+    )
+    # rank-list-sized audit joins: broadcast explicitly (post-agg/
+    # window frames carry no size estimates — the r14 pin)
+    hits = (
+        got.join(F.broadcast(exact), ["qid", "neighbor_id"])
+        .groupBy("nprobe", "qid")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    # per_q is post-agg (no size estimate): hint the 4-row level frame
+    # or the cross lands as an unbroadcast CartesianProduct.
+    base = per_q.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(int(p),) for p in ANN_PROBE_SET], "nprobe long"
+            )
+        )
+    )
+    return base.join(F.broadcast(hits), ["nprobe", "qid"], "left").select(
+        "nprobe",
+        "qid",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact"),
+            6,
+        ).alias("recall"),
+    )
+
+
 # Per-cluster quota for cluster_balanced_sample.
 CLUSTER_SAMPLE_QUOTA = 10
 

@@ -404,3 +404,37 @@ def test_ivf_assignment_mode_switch(spark, sf_dir, monkeypatch):
     assert assign.count() == n
     assert assign.select("vec_id").distinct().count() == n
     assert cents.count() > 0
+
+
+def test_ann_probe_sweep_monotone_and_consistent(spark, sf_dir):
+    """The r15 nprobe sweep's two structural guarantees: per query,
+    recall is monotone non-decreasing in nprobe (more probed cells can
+    only ADD candidates, and the exact top-k is fixed), and the
+    nprobe=NPROBE operating point reproduces ann_recall_report's ivf
+    row exactly (same Lloyd index, same probe selection, same in-cell
+    ranking — the sweep is the curve THROUGH the already-banked
+    point)."""
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        ANN_PROBE_SET,
+        NPROBE,
+    )
+
+    sweep = QUERIES["ann_probe_sweep"](spark, sf_dir).collect()
+    per_q: dict[int, dict[int, int]] = {}
+    for r in sweep:
+        per_q.setdefault(r["qid"], {})[r["nprobe"]] = r["n_hit"]
+    assert per_q, "sweep returned nothing"
+    probes = sorted(ANN_PROBE_SET)
+    for qid, hits in per_q.items():
+        assert sorted(hits) == probes  # full grid per query
+        seq = [hits[p] for p in probes]
+        assert seq == sorted(seq), f"qid {qid}: recall not monotone {seq}"
+
+    assert NPROBE in ANN_PROBE_SET
+    report = {
+        r["qid"]: r["n_hit"]
+        for r in QUERIES["ann_recall_report"](spark, sf_dir).collect()
+        if r["index"] == "ivf"
+    }
+    got = {qid: hits[NPROBE] for qid, hits in per_q.items()}
+    assert got == report

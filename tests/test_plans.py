@@ -600,3 +600,23 @@ def test_sq8_plan_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in srch  # bounded 50-query side
     assert "WindowGroupLimit" in srch
     assert "SortMergeJoin" not in srch
+
+
+def test_ann_probe_sweep_plan_shape(spark, sf_dir):
+    """Scale pins for the r15 nprobe sweep: ONE candidate fetch at
+    max(ANN_PROBE_SET) rides a broadcast-hash join on cid (probes are
+    window output — no size estimate, so unhinted this was a
+    SortMergeJoin of the corpus against 400 rows), the level sweep is
+    an in-row explode (no join per operating point), the 4-row level
+    grid broadcasts onto the post-agg per-query frame (unhinted: a
+    CartesianProduct), and every per-(nprobe, qid) top-k prunes
+    map-side.  The BNLJs left are the bounded corpus x centroid
+    assignment steps and the exact cosine leg (the ann_ivf /
+    cosine_topk banked shapes)."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["ann_probe_sweep"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1812,13 +1812,14 @@ DRIVER_WINDOW_R15 = [
     "word_count",  # anchor
     "grep",  # anchor
     "ann_probe_sweep",  # never banked
-    "streaming_index_ingest",  # stale (hash changed since r14 row)
+    "approx_distinct_users",  # never banked
     "ann_ivf_adc",  # stale (hash changed since r14 row)
     "ivf_pq_residual",  # stale (hash changed since r14 row)
     "pq_adc_topk",  # stale (hash changed since r14 row)
     "pq_quantize",  # stale (hash changed since r14 row)
     "pq_recall_report",  # stale (hash changed since r14 row)
     "pq_train_codebooks",  # stale (hash changed since r14 row)
+    "streaming_index_ingest",  # stale (hash changed since r14 row)
     "topk_per_group",  # backfill (last banked r7)
     "tpch_q1",  # backfill (last banked r7)
     "tpch_q21",  # backfill (last banked r7)
@@ -1858,19 +1859,19 @@ DRIVER_WINDOW_R15 = [
     "udtf_chunk_text",  # backfill (last banked r8)
     "union_all_op",  # backfill (last banked r8)
     "unpivot_measures",  # backfill (last banked r8)
-    "window_frames",  # backfill (last banked r8)
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Rows-only-by-design variants (approx_distinct_users — HLL++
-    # internals, no DuckDB twin by construction; its exact twin
-    # hll_distinct_users is oracle-banked) never enter the window.
-    # simhash / simhash_neardup / minhash_lsh_neardup left this set in
-    # r9 (md5-derived hashing); ann_lsh / ann_ivf / audio_energy in
-    # r10 (plane-literal fold replay, unrolled Lloyd CTE, hex-domain
-    # PCM replay); bpe_merges in r11 (unrolled merge-recurrence CTE,
-    # _bpe_merges_sql).
+    # The rows-only-by-design set is EMPTY since r15:
+    # approx_distinct_users (the last member — HLL++ internals have no
+    # DuckDB twin by construction) was converted to the audited form
+    # whose verified output is the exact leg + in-output bound checks,
+    # VERDICT r14 #5.  History: simhash / simhash_neardup /
+    # minhash_lsh_neardup left the set in r9 (md5-derived hashing);
+    # ann_lsh / ann_ivf / audio_energy in r10 (plane-literal fold
+    # replay, unrolled Lloyd CTE, hex-domain PCM replay); bpe_merges
+    # in r11 (unrolled merge-recurrence CTE, _bpe_merges_sql).
     reg = {
         # (registry order is historical; DRIVER_WINDOW_R15 defines the
         #  verified window — see the note above)
@@ -3806,6 +3807,19 @@ def oracle_sql() -> dict[str, str]:
             FROM pk GROUP BY source
         """,
         "hll_distinct_users": _HLL_ORACLE,
+        # approx_distinct_users (audited since r15, VERDICT r14 #5):
+        # the exact cardinality leg is genuinely verified; the bound
+        # checks are stated as literal TRUE — the oracle PINS the
+        # advertised sketch bounds (HLL++ rsd=0.01 within 5%;
+        # percentile_approx accuracy=1000 inside the exact [p40, p60]
+        # band), so a Spark-side sketch regression reds the driver row.
+        "approx_distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS n_exact,
+                   true AS cardinality_within_5pct,
+                   true AS median_within_p40_p60
+            FROM events GROUP BY event_type
+        """,
         "hll_union_types": _HLL_UNION_ORACLE,
         "kmv_intersect_types": f"""
             WITH ev AS (

@@ -75,14 +75,47 @@ def percentile_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct (HLL++) per event type — the mergeable-sketch
-    path for 100 TB cardinality work.  HLL implementations differ across
-    engines, so this is a rows-only check; the exact twin is
-    ``relational.distinct_count``."""
+    """Native approximate sketches per event type, AUDITED (r15,
+    VERDICT r14 #5 — the last rows-only registry entry retired): the
+    engine's own HLL++ (approx_count_distinct, rsd=0.01) and KLL-style
+    percentile sketch (percentile_approx, accuracy=1000) run for real,
+    and the VERIFIED output carries the exact leg plus in-output bound
+    checks — (event_type, n_exact, cardinality_within_5pct,
+    median_within_p40_p60).  Sketch internals differ across engines,
+    so the raw estimates can't hash-match a DuckDB twin; the booleans
+    can: the oracle states them as literal TRUE, so if Spark's sketch
+    ever drifts past its advertised bound the driver row goes red.
+    Bounds: |approx − exact| ≤ 5% · exact (5× the rsd=0.01 standard
+    error — and small groups sit in HLL++'s exact sparse mode anyway);
+    approx median inside the exact [p40, p60] value band
+    (percentile_approx guarantees rank error ≤ n/accuracy = 0.1%).
+    The oracle-exact sketch twin is sketches.hll_distinct_users (own
+    md5-derived registers, bit-replayable); the exact-only twin is
+    relational.distinct_count.
+
+    Scale shape: one hash-agg with map-side partials for the sketches;
+    the exact countDistinct and percentiles are the audit columns — at
+    a true 100 TB those are the legs you drop, keeping the mergeable
+    sketches (the hll_distinct_users docstring's trade, stated there
+    since r7)."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.round(F.expr("percentile_approx(value, 0.5, 1000)"), 2).alias("approx_median_value"),
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("am"),
+        F.expr("percentile(value, 0.40D)").alias("p40"),
+        F.expr("percentile(value, 0.60D)").alias("p60"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("approx_users") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("cardinality_within_5pct"),
+        (
+            (F.col("am") >= F.col("p40")) & (F.col("am") <= F.col("p60"))
+        ).alias("median_within_p40_p60"),
     )
 
 

@@ -29,13 +29,14 @@ DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
     "ann_probe_sweep",  # never banked
-    "streaming_index_ingest",  # stale (hash changed since r14 row)
+    "approx_distinct_users",  # never banked
     "ann_ivf_adc",  # stale (hash changed since r14 row)
     "ivf_pq_residual",  # stale (hash changed since r14 row)
     "pq_adc_topk",  # stale (hash changed since r14 row)
     "pq_quantize",  # stale (hash changed since r14 row)
     "pq_recall_report",  # stale (hash changed since r14 row)
     "pq_train_codebooks",  # stale (hash changed since r14 row)
+    "streaming_index_ingest",  # stale (hash changed since r14 row)
     "topk_per_group",  # backfill (last banked r7)
     "tpch_q1",  # backfill (last banked r7)
     "tpch_q21",  # backfill (last banked r7)
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "udtf_chunk_text",  # backfill (last banked r8)
     "union_all_op",  # backfill (last banked r8)
     "unpivot_measures",  # backfill (last banked r8)
-    "window_frames",  # backfill (last banked r8)
 ]
 
 def test_window_round_is_fresh():

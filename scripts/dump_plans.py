@@ -132,6 +132,7 @@ NOTES = {
     "bm25_recall_report": "the lexical recall audit: bm25_topk, bm25_pruned_topk, and lexical_semantic_rrf all feed from the ONE persisted tf index (InMemoryTableScan), candidates stay broadcast-hash on the bounded query-terms side, and the hit intersections + grid joins are rank-list-sized; no BNLJ (test-pinned)",
     "pca_debias": "map-only all-but-the-top: mean + direction are plan literals from the bounded _pca_fit driver loop; proj/norm_before are named Project columns computed ONCE and read by the residual fold (the LambdaVariable re-eval trap avoided); zero Exchange, zero joins",
     "cluster_balanced_sample": "checkpointed-Lloyd assignment (BNLJs are the bounded corpus x centroid steps), cid-keyed size join (k-row side — AQE broadcasts at test scale; at production k = n/40 it stays a key join), md5-ordered per-cid quota pruned map-side by WindowGroupLimit",
+    "ann_probe_sweep": "the r15 nprobe sweep: ONE candidate fetch at max(ANN_PROBE_SET) — the bounded probe frame (|q| x 8 rows, cell rank carried) broadcasts onto the corpus-side cid HASH join (unhinted: SMJ of the corpus vs 400 window-output rows; pinned) — then an in-row explode of qualifying levels feeds one per-(nprobe, qid) WindowGroupLimit-pruned top-k; the 4-row level grid is explicitly broadcast onto the post-agg per-query frame (unhinted: CartesianProduct); exact leg = cosine_topk's BNLJ shape; audit joins rank-list-sized",
 }
 
 

@@ -1249,6 +1249,108 @@ def _ivf_pq_residual_sql() -> str:
     return "\n".join(parts)
 
 
+def _ivf_pq_adc_sql() -> str:
+    """Exact replay twin of similarity.ivf_pq_adc_topk (r15): the
+    unrolled Lloyd chain down to the final assignment, the
+    MATERIALIZED residual CTE, the prefixed residual-training replay
+    (_pq_train_cte_body over resv), then the per-probe query residual
+    (qrv = qv − probed centroid, single IEEE subtractions) and the
+    residual-ADC total added in the same fixed s-order as the Spark
+    element_at chain; top-K ties (adc, neighbor_id)."""
+    k_mod, iters = sim.N_CLUSTERS_MOD, sim.LLOYD_ITERATIONS
+    T = sim.PQ_TRAIN_ITERS
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, len({v}) + 1), "
+            f"j -> ({v}[j] - {c}[j]) * ({v}[j] - {c}[j])), "
+            "(acc, x) -> acc + x)"
+        )
+
+    def dsub(s: int) -> str:
+        sub, dim = sim.PQ_SUBDIM, sim.EMBED_DIM
+        term = (
+            f"(qp.qrv[{s * sub} + j] - fb.f[c.cs[{s + 1}] * {dim}"
+            f" + {s * sub} + j])"
+        )
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, {sub + 1}),\n"
+            f"                   j -> {term}\n"
+            f"                        * {term}),\n"
+            f"                 (acc, x) -> acc + x)"
+        )
+
+    adc = "\n               + ".join(dsub(s) for s in range(sim.PQ_SUB))
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {k_mod} = 0)",
+    ]
+    for i in range(1, iters + 2):
+        parts.append(f""",
+        a{i} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {d2('e.v', 'c.cv')}, c.cid) AS rn
+            FROM e CROSS JOIN c{i - 1} c
+          ) WHERE rn = 1
+        )""")
+        if i <= iters:
+            parts.append(f""",
+        c{i} AS (
+          SELECT cid, array_agg(nv ORDER BY pos) AS cv FROM (
+            SELECT cid, pos, avg(val) AS nv FROM (
+              SELECT cid, unnest(v) AS val,
+                     unnest(range(1, len(v) + 1)) AS pos
+              FROM a{i}
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        )""")
+    fin = iters + 1
+    parts.append(f""",
+        res AS MATERIALIZED (
+          SELECT a.vec_id, a.cid,
+                 list_transform(range(1, len(a.v) + 1),
+                                j -> a.v[j] - c.cv[j]) AS rv
+          FROM a{fin} a JOIN c{iters} c USING (cid)
+        ),
+        resv AS (SELECT vec_id, rv AS v FROM res)""")
+    parts.append(_pq_train_cte_body(src="resv", prefix="t"))
+    parts.append(f""",
+        fb AS (SELECT flatten(list(cv ORDER BY pos)) AS f FROM tcb{T}),
+        codes AS (SELECT vec_id, list(code_pos ORDER BY s) AS cs
+                  FROM ta{T + 1} GROUP BY vec_id),
+        q AS (SELECT vec_id AS qid, v AS qv FROM a{fin}
+              WHERE vec_id < {sim.N_QUERIES}),
+        qp AS (
+          SELECT qid, cid, qrv FROM (
+            SELECT q.qid, c.cid,
+                   list_transform(range(1, len(q.qv) + 1),
+                                  j -> q.qv[j] - c.cv[j]) AS qrv,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY {d2('q.qv', 'c.cv')}, c.cid) AS rn
+            FROM q CROSS JOIN c{iters} c
+          ) WHERE rn <= {sim.NPROBE}
+        ),
+        pairs AS (
+          SELECT qp.qid, r.vec_id AS neighbor_id,
+           {adc} AS adc
+          FROM qp JOIN res r USING (cid)
+               JOIN codes c ON c.vec_id = r.vec_id, fb
+          WHERE r.vec_id <> qp.qid
+        ),
+        top AS (
+          SELECT qid, neighbor_id, adc,
+                 row_number() OVER (
+                   PARTITION BY qid ORDER BY adc, neighbor_id) AS rn
+          FROM pairs
+        )
+        SELECT qid, neighbor_id, round(adc, 6) AS adc_d2,
+               rn::BIGINT AS rn
+        FROM top WHERE rn <= {sim.TOPK}""")
+    return "\n".join(parts)
+
+
 def _wav_le(expr: str, nbytes: int) -> str:
     """LE hex of an int expression: big-endian lpad-hex, byte pairs
     reversed (shared by the WAV container oracles)."""
@@ -1811,8 +1913,10 @@ WINDOW_ROUND = 15  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R15 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "ann_probe_sweep",  # never banked
     "approx_distinct_users",  # never banked
+    "ann_probe_sweep",  # never banked
+    "ivf_pq_adc_topk",  # never banked
+    "ivf_pq_recall_report",  # never banked
     "ann_ivf_adc",  # stale (hash changed since r14 row)
     "ivf_pq_residual",  # stale (hash changed since r14 row)
     "pq_adc_topk",  # stale (hash changed since r14 row)
@@ -1857,8 +1961,6 @@ DRIVER_WINDOW_R15 = [
     "time_rollup",  # backfill (last banked r8)
     "token_positions",  # backfill (last banked r8)
     "udtf_chunk_text",  # backfill (last banked r8)
-    "union_all_op",  # backfill (last banked r8)
-    "unpivot_measures",  # backfill (last banked r8)
 ]
 
 
@@ -2035,6 +2137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_recall_report": sim.sq8_recall_report,
         # --- round-15 additions ---
         "ann_probe_sweep": sim.ann_probe_sweep,
+        "ivf_pq_adc_topk": sim.ivf_pq_adc_topk,
+        "ivf_pq_recall_report": sim.ivf_pq_recall_report,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -2585,6 +2689,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": _pq_adc_sql(),
         "ann_ivf_adc": _ann_ivf_adc_sql(),
         "ivf_pq_residual": _ivf_pq_residual_sql(),
+        "ivf_pq_adc_topk": _ivf_pq_adc_sql(),
         "pq_train_codebooks": _pq_train_sql(),
         "pq_recall_report": _pq_recall_sql(),
         "sq8_quantize": _sq8_quantize_sql(),
@@ -6100,6 +6205,46 @@ def oracle_sql() -> dict[str, str]:
                  AS recall
         FROM pq CROSS JOIN lvls
         LEFT JOIN hh ON hh.nprobe = lvls.nprobe AND hh.qid = pq.qid
+    """
+    # Composed post-dict: the r15 raw-vs-residual IVF-PQ audit — both
+    # rank lists are their banked oracles verbatim as nested CTEs, the
+    # exact leg is a self-contained brute-force L2 top-K, and the
+    # report is integer set algebra + one exact int/int division.
+    sqls["ivf_pq_recall_report"] = f"""
+        WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+        qq AS (SELECT vec_id AS qid, v AS qv FROM em
+               WHERE vec_id < {sim.N_QUERIES}),
+        ex AS (
+          SELECT qid, neighbor_id FROM (
+            SELECT qq.qid, em.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY qq.qid ORDER BY
+                     list_reduce([0.0] || list_transform(
+                         range(1, {sim.EMBED_DIM} + 1),
+                         j -> (em.v[j] - qq.qv[j]) * (em.v[j] - qq.qv[j])),
+                       (acc, x) -> acc + x), em.vec_id) AS rn
+            FROM em, qq WHERE em.vec_id <> qq.qid
+          ) WHERE rn <= {sim.TOPK}
+        ),
+        raw AS ({_ann_ivf_adc_sql()}),
+        resid AS ({_ivf_pq_adc_sql()}),
+        got AS (
+          SELECT 'raw' AS variant, qid, neighbor_id FROM raw
+          UNION ALL
+          SELECT 'residual' AS variant, qid, neighbor_id FROM resid
+        ),
+        nx AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid),
+        h AS (
+          SELECT g.variant, g.qid, count(*) AS hits
+          FROM got g JOIN ex
+            ON g.qid = ex.qid AND g.neighbor_id = ex.neighbor_id
+          GROUP BY g.variant, g.qid
+        )
+        SELECT v.variant, nx.qid, nx.n_exact::BIGINT AS n_exact,
+               coalesce(h.hits, 0)::BIGINT AS hits,
+               round(coalesce(h.hits, 0)::DOUBLE / nx.n_exact, 6) AS recall
+        FROM nx CROSS JOIN (VALUES ('raw'), ('residual')) v(variant)
+        LEFT JOIN h ON h.variant = v.variant AND h.qid = nx.qid
     """
     # Composed post-dict (needs the three lexical rank-list texts):
     # the ann_recall_report pattern applied to the lexical leg — all

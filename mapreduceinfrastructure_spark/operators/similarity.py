@@ -1983,6 +1983,28 @@ def ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _residual_frame(spark: SparkSession, sf_dir: str):
+    """The materialized residual index (vec_id, cid, rv = v − cell
+    centroid) plus the checkpointed centroid table — shared by the
+    residual encode (ivf_pq_residual) and the residual search
+    (ivf_pq_adc_topk).  Materialize ONCE, re-spread across cores:
+    assign's hash-agg output AQE-coalesces to 1 partition at test row
+    counts, which would serialize the fold-heavy encode (and every
+    training pass) onto one core — measured 71 s/pass vs 14 fanned at
+    sf0.1 (SCALE.md "r15 residual training").  The checkpoint is the
+    single-process analog of what production IVF-PQ does anyway:
+    write the residual table once, train and encode against the
+    materialized copy instead of re-deriving residuals (a Lloyd
+    assignment pass each) per training scan."""
+    assign, cents = ivf_assignments(spark, sf_dir)
+    res = assign.join(F.broadcast(cents), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"),
+    )
+    return fan_out(res, spark).localCheckpoint(eager=True), cents
+
+
 def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESIDUAL IVF-PQ encode — the encode step of Jégou et al. (TPAMI
     2011) as actually published: each vector is assigned to its IVF
@@ -2013,23 +2035,7 @@ def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE with the unrolled residual-training CTE and the same left-fold
     argmin over residuals.
     """
-    emb = _embeddings(spark, sf_dir)
-    assign, cents = ivf_assignments(spark, sf_dir)
-    res = assign.join(F.broadcast(cents), "cid").select(
-        "vec_id",
-        "cid",
-        F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"),
-    )
-    # Materialize the residual index ONCE, re-spread across cores:
-    # assign's hash-agg output AQE-coalesces to 1 partition at test
-    # row counts, which would serialize the fold-heavy encode (and
-    # every training pass) onto one core — measured 71 s/pass vs 14
-    # fanned at sf0.1 (SCALE.md "r15 residual training").  The
-    # checkpoint is the single-process analog of what production
-    # IVF-PQ does anyway: write the residual table once, train and
-    # encode against the materialized copy instead of re-deriving
-    # residuals (a Lloyd assignment pass each) per training scan.
-    res = fan_out(res, spark).localCheckpoint(eager=True)
+    res, _cents = _residual_frame(spark, sf_dir)
     cb = _pq_production_codebook(
         res.select("vec_id", F.col("rv").alias("v")), sf_dir, kind="residual"
     )
@@ -2075,6 +2081,167 @@ def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("code"),
             F.round(F.array_min("dists"), 6).alias("sq_err"),
         )
+    )
+
+
+def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-ADC top-5 search — the IVFADC query path Jégou et al.
+    (TPAMI 2011, §IV) actually publish, completing ivf_pq_residual's
+    encode: each query picks its NPROBE nearest cells, subtracts THAT
+    cell's centroid from itself (one query residual PER PROBE — the
+    defining difference from raw-codebook ann_ivf_adc, whose one ADC
+    table serves every probe), and ADC-scores the probed cells'
+    residual codes against the residual-trained codebook — (qid,
+    neighbor_id, adc_d2, rn), self excluded, ties to the lower
+    neighbor id (the pq_adc_topk conventions).  ivf_pq_recall_report
+    measures what residual encoding buys over the raw path.
+
+    Scale shape: identical to ann_ivf_adc's pinned plan — ONE map-only
+    index pass over the materialized residual frame (codes from the
+    broadcast codebook transport), the bounded probe frame (N_QUERIES
+    x NPROBE rows, one PQ_SUB x n_codes table each) as the BuildRight
+    of a broadcast HASH join on cid, per-qid top-k pruned map-side by
+    WindowGroupLimit.  The per-probe query residual is a named Project
+    column computed once before the ADC table expression reads it
+    PQ_SUB x n_codes x PQ_SUBDIM times (the pca_debias single-eval
+    discipline).
+
+    Exactness: query/corpus residual components are single IEEE
+    subtractions; codes and ADC totals replay the banked fixed-order
+    folds; the DuckDB twin (__spark_entry__._ivf_pq_adc_sql) composes
+    the unrolled Lloyd chain, the materialized residual CTE, the
+    prefixed residual-training replay, and the per-probe residual ADC.
+    """
+    emb = _embeddings(spark, sf_dir)
+    res, cents = _residual_frame(spark, sf_dir)
+    cb = _pq_production_codebook(
+        res.select("vec_id", F.col("rv").alias("v")), sf_dir, kind="residual"
+    )
+    if cb is None:
+        return spark.createDataFrame(
+            [], schema="qid long, neighbor_id long, adc_d2 double, rn long"
+        )
+    codes, flat_vals = cb
+    n_codes = len(codes)
+
+    # index build: residual PQ codes, one map-only pass over the
+    # materialized residual frame.
+    c_src, c_flat = _pq_codebook_source(res, flat_vals)
+    corpus = c_src.select(
+        "vec_id",
+        "cid",
+        _pq_code_arr(c_flat, n_codes, F.col("rv")).alias("cs"),
+    )
+
+    # query side: NPROBE nearest cells, then the PER-PROBE residual
+    # (qrv = qv − probed centroid) named as a Project column before
+    # the ADC table reads it.
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _sq_dist(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
+    pr = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select(
+            "qid",
+            "cid",
+            F.zip_with("qv", "cv", lambda x, y: x - y).alias("qrv"),
+        )
+    )
+    p_src, p_flat = _pq_codebook_source(pr, flat_vals)
+    probes = p_src.select(
+        "qid", "cid", _pq_adc_table(p_flat, n_codes, F.col("qrv")).alias("t")
+    )
+
+    pairs = corpus.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    adc = _adc_sum(n_codes)
+    w = Window.partitionBy("qid").orderBy(F.col("adc"), F.col("neighbor_id"))
+    return (
+        pairs.select(
+            "qid", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id", F.round("adc", 6).alias("adc_d2"), "rn")
+    )
+
+
+def ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@TOPK of the two complete IVF-PQ pipelines —
+    raw-codebook ann_ivf_adc vs residual-codebook ivf_pq_adc_topk —
+    against exact squared-L2 over the FULL corpus: (variant, qid,
+    n_exact, hits, recall), variants "raw" / "residual".  The audit
+    that prices residual encoding end to end (IVF prefilter loss
+    included, like ann_recall_report): Jégou et al.'s claim is that
+    residuals concentrate near zero so a fixed codebook budget spends
+    its resolution where the data is — this measures that claim on
+    THIS corpus instead of citing it.
+
+    Scale shape: both rank lists are their operators' pinned plans;
+    the exact leg is one brute-force d2 top-k over the broadcast
+    query set; everything past the corpus scans is query-set-sized,
+    audit joins explicitly broadcast (post-agg frames carry no size
+    estimates — the r14 pin).  Recall divides by n_exact (the
+    *_recall_report convention).
+    """
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
+    exact = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id")
+    )
+    per_q = exact.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+
+    got = (
+        ann_ivf_adc(spark, sf_dir)
+        .select(F.lit("raw").alias("variant"), "qid", "neighbor_id")
+        .unionByName(
+            ivf_pq_adc_topk(spark, sf_dir).select(
+                F.lit("residual").alias("variant"), "qid", "neighbor_id"
+            )
+        )
+    )
+    hits = (
+        got.join(F.broadcast(exact), ["qid", "neighbor_id"])
+        .groupBy("variant", "qid")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    base = per_q.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [("raw",), ("residual",)], "variant string"
+            )
+        )
+    )
+    return base.join(F.broadcast(hits), ["variant", "qid"], "left").select(
+        "variant",
+        "qid",
+        "n_exact",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+            / F.col("n_exact"),
+            6,
+        ).alias("recall"),
     )
 
 

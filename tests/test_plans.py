@@ -620,3 +620,19 @@ def test_ann_probe_sweep_plan_shape(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_adc_topk_plan_shape(spark, sf_dir):
+    """Scale pins for the r15 residual-ADC search: same shape as
+    ann_ivf_adc's pinned plan — the bounded per-probe residual table
+    frame broadcasts onto the corpus-side cid HASH join, per-qid top-k
+    prunes map-side, and no sort-merge join or cartesian product
+    appears anywhere (the BNLJs are the bounded corpus x centroid
+    assignment steps)."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["ivf_pq_adc_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -195,6 +195,11 @@ HEADLINE = [
     # windowed top-k per operating point + the exact cosine leg; the
     # measured cost of auditing all four operating points at once
     "ann_probe_sweep",
+    # round-15: the residual IVFADC search — per-probe query residual
+    # tables over the residual-trained codes; its delta vs ann_ivf_adc
+    # is the measured cost of residual encoding on the query path
+    # (first series pays the memoized residual training once)
+    "ivf_pq_adc_topk",
 ]
 
 

@@ -1913,10 +1913,11 @@ WINDOW_ROUND = 15  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R15 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "approx_distinct_users",  # never banked
+    "ann_filtered_topk",  # never banked
     "ann_probe_sweep",  # never banked
     "ivf_pq_adc_topk",  # never banked
     "ivf_pq_recall_report",  # never banked
+    "approx_distinct_users",  # never banked
     "ann_ivf_adc",  # stale (hash changed since r14 row)
     "ivf_pq_residual",  # stale (hash changed since r14 row)
     "pq_adc_topk",  # stale (hash changed since r14 row)
@@ -1960,7 +1961,6 @@ DRIVER_WINDOW_R15 = [
     "streaming_funnel_pairs",  # backfill (last banked r8)
     "time_rollup",  # backfill (last banked r8)
     "token_positions",  # backfill (last banked r8)
-    "udtf_chunk_text",  # backfill (last banked r8)
 ]
 
 
@@ -2139,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_probe_sweep": sim.ann_probe_sweep,
         "ivf_pq_adc_topk": sim.ivf_pq_adc_topk,
         "ivf_pq_recall_report": sim.ivf_pq_recall_report,
+        "ann_filtered_topk": sim.ann_filtered_topk,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -2877,6 +2878,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, neighbor_id, round(sim, 6) AS cosine, rn
             FROM r WHERE rn <= 5
+        """,
+        # ann_filtered_topk (r15): per-query-language filtered search —
+        # the cosine_topk pairing with the lang equality as the join
+        # key; same round-6 cosine and (sim desc, neighbor_id) ties.
+        "ann_filtered_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            d AS (SELECT doc_id AS vec_id, lang FROM documents),
+            c AS (SELECT e.vec_id, e.v, d.lang FROM e JOIN d USING (vec_id)),
+            q AS (SELECT vec_id AS qid, v AS qv, lang AS qlang FROM c
+                  WHERE vec_id < {sim.N_QUERIES}),
+            pairs AS (
+              SELECT q.qid, c.lang, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, c.v) AS sim
+              FROM q JOIN c ON c.lang = q.qlang AND c.vec_id <> q.qid
+            ),
+            r AS (
+              SELECT qid, lang, neighbor_id, sim,
+                     row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY sim DESC, neighbor_id) AS rn
+              FROM pairs
+            )
+            SELECT qid, lang, neighbor_id, round(sim, 6) AS cosine, rn
+            FROM r WHERE rn <= {sim.TOPK}
         """,
         "embedding_neardup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

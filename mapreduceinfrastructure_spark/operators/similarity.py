@@ -934,6 +934,72 @@ def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search: top-TOPK cosine neighbors
+    restricted to documents in the query's OWN language — (qid, lang,
+    neighbor_id, cosine, rn), self excluded, ties to the lower
+    neighbor id (the cosine_topk conventions).  The pattern every
+    production vector store ends up needing (filtered ANN: "nearest
+    neighbors WHERE lang = X / quality > q / source = s"), here with
+    a per-query predicate (the query doc's lang, via the 1:1
+    vec_id = doc_id pairing) rather than a global constant —
+    pre-filter semantics, the ground truth a post-filtered index path
+    is audited against.
+
+    Scale shape — why the filter makes search CHEAPER, not costlier:
+    the language equality becomes an equi-join KEY, so the
+    query-corpus pairing is a broadcast HASH join on lang (each
+    corpus row meets only the ~|q|/|langs| queries of its language)
+    instead of cosine_topk's BroadcastNestedLoopJoin against every
+    query — the filtered pair count drops by the selectivity factor
+    exactly as a partition-pruned scan would.  The lang attach is a
+    vec_id equi-join with the narrow documents projection; per-qid
+    top-k prunes map-side (WindowGroupLimit).  At 100 TB this is the
+    argument for PARTITIONING the vector table by the filter column:
+    the same plan then prunes whole files.
+
+    Exactness: the cosine pairing is cosine_topk's banked convention
+    (Spark HOF fold vs DuckDB list_cosine_similarity, round 6, ties
+    (sim desc, neighbor_id)); lang is an exact string key.
+    """
+    emb = _embeddings(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    corpus = emb.join(langs, "vec_id")
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("lang").alias("qlang"),
+    )
+    pairs = corpus.join(
+        F.broadcast(q),
+        (F.col("lang") == F.col("qlang"))
+        & (F.col("vec_id") != F.col("qid")),
+    )
+    sim = cosine_similarity_expr(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "qid",
+            "lang",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOPK)
+        .select(
+            "qid",
+            "lang",
+            "neighbor_id",
+            F.round("sim", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
 # Per-cluster quota for cluster_balanced_sample.
 CLUSTER_SAMPLE_QUOTA = 10
 

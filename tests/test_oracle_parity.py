@@ -28,10 +28,11 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
-    "approx_distinct_users",  # never banked
+    "ann_filtered_topk",  # never banked
     "ann_probe_sweep",  # never banked
     "ivf_pq_adc_topk",  # never banked
     "ivf_pq_recall_report",  # never banked
+    "approx_distinct_users",  # never banked
     "ann_ivf_adc",  # stale (hash changed since r14 row)
     "ivf_pq_residual",  # stale (hash changed since r14 row)
     "pq_adc_topk",  # stale (hash changed since r14 row)
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "streaming_funnel_pairs",  # backfill (last banked r8)
     "time_rollup",  # backfill (last banked r8)
     "token_positions",  # backfill (last banked r8)
-    "udtf_chunk_text",  # backfill (last banked r8)
 ]
 
 def test_window_round_is_fresh():

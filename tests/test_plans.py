@@ -636,3 +636,19 @@ def test_ivf_pq_adc_topk_plan_shape(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_filtered_topk_plan_shape(spark, sf_dir):
+    """Scale pin for r15 filtered vector search: the language equality
+    is an equi-join KEY, so the query-corpus pairing must be a
+    BroadcastHashJoin on (lang = qlang) — NOT cosine_topk's
+    BroadcastNestedLoopJoin against every query — with the per-qid
+    top-k pruned map-side.  This is the plan-level proof that the
+    metadata filter makes filtered search cheaper, not costlier."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["ann_filtered_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan

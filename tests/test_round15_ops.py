@@ -78,3 +78,61 @@ def test_ivf_pq_recall_report_consistency(spark, sf_dir):
     for qid in qids:
         want = len({p for p in raw & exact if p[0] == qid})
         assert grid[("raw", qid)]["hits"] == want, (qid, want)
+
+
+def test_ann_filtered_topk_language_invariants(spark, sf_dir):
+    """Every neighbor shares the query document's language; rn dense
+    from 1 per qid; self excluded; and the result equals a local
+    recompute of same-lang exact top-k from the parquet (first
+    principles, no Spark or DuckDB machinery shared)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        N_QUERIES,
+        TOPK,
+    )
+
+    rows = QUERIES["ann_filtered_topk"](spark, sf_dir).collect()
+    assert rows
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = {
+        int(i): [float(x) for x in v]
+        for i, v in zip(
+            t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
+        )
+    }
+    d = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    lang = dict(zip(d.column("doc_id").to_pylist(), d.column("lang").to_pylist()))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert r["qid"] != r["neighbor_id"]
+        assert r["lang"] == lang[r["neighbor_id"]] == lang[r["qid"]]
+        per_q.setdefault(r["qid"], []).append((r["rn"], r["neighbor_id"]))
+    for qid, lst in per_q.items():
+        lst.sort()
+        assert [rn for rn, _ in lst] == list(range(1, len(lst) + 1))
+        want = sorted(
+            (i for i in vecs if i != qid and lang[i] == lang[qid]),
+            key=lambda i: (-cos(vecs[qid], vecs[i]), i),
+        )[:TOPK]
+        assert [n for _, n in lst] == want, (qid, lst, want)
+    # every query with at least one same-lang peer appears
+    expected_qids = {
+        i
+        for i in vecs
+        if i < N_QUERIES
+        and any(j != i and lang[j] == lang[i] for j in vecs)
+    }
+    assert set(per_q) == expected_qids

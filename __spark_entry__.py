@@ -413,6 +413,80 @@ def _ann_probe_sweep_core_sql() -> str:
     return "\n".join(parts)
 
 
+def _filtered_ann_postfilter_core_sql() -> str:
+    """Unrolled twin of the post-filtered IVF leg of
+    similarity.filtered_ann_recall_report (r15): _ann_ivf_sql's
+    deterministic-Lloyd chain, the lang attach (doc_id = vec_id), the
+    NPROBE probe selection, candidates filtered to the query's
+    language AFTER the cell prefilter, and the per-qid exact-cosine
+    top-K ((sim desc, neighbor_id) ties).  Emits (qid, neighbor_id)
+    rows; the recall report composes on top."""
+    k_mod, iters = sim.N_CLUSTERS_MOD, sim.LLOYD_ITERATIONS
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, len({v}) + 1), "
+            f"j -> ({v}[j] - {c}[j]) * ({v}[j] - {c}[j])), "
+            "(acc, x) -> acc + x)"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {k_mod} = 0)",
+    ]
+    for i in range(1, iters + 2):
+        parts.append(f""",
+        a{i} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {d2('e.v', 'c.cv')}, c.cid) AS rn
+            FROM e CROSS JOIN c{i - 1} c
+          ) WHERE rn = 1
+        )""")
+        if i <= iters:
+            parts.append(f""",
+        c{i} AS (
+          SELECT cid, array_agg(nv ORDER BY pos) AS cv FROM (
+            SELECT cid, pos, avg(val) AS nv FROM (
+              SELECT cid, unnest(v) AS val,
+                     unnest(range(1, len(v) + 1)) AS pos
+              FROM a{i}
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        )""")
+    fin = iters + 1
+    parts.append(f""",
+        dl AS (SELECT doc_id AS vec_id, lang FROM documents),
+        ca AS (SELECT a.vec_id, a.v, a.cid, dl.lang
+               FROM a{fin} a JOIN dl USING (vec_id)),
+        q AS (SELECT vec_id AS qid, v AS qv, lang AS qlang FROM ca
+              WHERE vec_id < {sim.N_QUERIES}),
+        qp AS (
+          SELECT qid, qv, qlang, cid FROM (
+            SELECT q.qid, q.qv, q.qlang, c.cid,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY {d2('q.qv', 'c.cv')}, c.cid) AS rn
+            FROM q CROSS JOIN c{iters} c
+          ) WHERE rn <= {sim.NPROBE}
+        ),
+        cand AS (
+          SELECT qp.qid, qp.qv, ca.vec_id, ca.v
+          FROM qp JOIN ca USING (cid)
+          WHERE ca.vec_id <> qp.qid AND ca.lang = qp.qlang
+        ),
+        r AS (
+          SELECT qid, vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY list_cosine_similarity(qv, v) DESC,
+                            vec_id) AS rn
+          FROM cand
+        )
+        SELECT qid, neighbor_id FROM r WHERE rn <= {sim.TOPK}""")
+    return "\n".join(parts)
+
+
 _CM_ORACLE = f"""
             {_SQL_TOKS},
             words AS (SELECT unnest(t) AS w FROM toks),
@@ -1915,6 +1989,7 @@ DRIVER_WINDOW_R15 = [
     "grep",  # anchor
     "ann_filtered_topk",  # never banked
     "ann_probe_sweep",  # never banked
+    "filtered_ann_recall_report",  # never banked
     "ivf_pq_adc_topk",  # never banked
     "ivf_pq_recall_report",  # never banked
     "approx_distinct_users",  # never banked
@@ -1960,7 +2035,6 @@ DRIVER_WINDOW_R15 = [
     "streaming_dedup_ingest",  # backfill (last banked r8)
     "streaming_funnel_pairs",  # backfill (last banked r8)
     "time_rollup",  # backfill (last banked r8)
-    "token_positions",  # backfill (last banked r8)
 ]
 
 
@@ -2140,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_adc_topk": sim.ivf_pq_adc_topk,
         "ivf_pq_recall_report": sim.ivf_pq_recall_report,
         "ann_filtered_topk": sim.ann_filtered_topk,
+        "filtered_ann_recall_report": sim.filtered_ann_recall_report,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -6271,6 +6346,25 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(h.hits, 0)::DOUBLE / nx.n_exact, 6) AS recall
         FROM nx CROSS JOIN (VALUES ('raw'), ('residual')) v(variant)
         LEFT JOIN h ON h.variant = v.variant AND h.qid = nx.qid
+    """
+    # Composed post-dict: the r15 filtered-ANN audit — the exact leg
+    # is the banked ann_filtered_topk oracle verbatim, the approx leg
+    # the unrolled post-filtered IVF chain; integer set algebra + one
+    # exact int/int division on top.
+    sqls["filtered_ann_recall_report"] = f"""
+        WITH ex AS ({sqls["ann_filtered_topk"]}),
+        pf AS ({_filtered_ann_postfilter_core_sql()}),
+        nx AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid),
+        h AS (
+          SELECT pf.qid, count(*) AS n_hit
+          FROM pf JOIN ex
+            ON pf.qid = ex.qid AND pf.neighbor_id = ex.neighbor_id
+          GROUP BY pf.qid
+        )
+        SELECT nx.qid, nx.n_exact::BIGINT AS n_exact,
+               coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+               round(coalesce(h.n_hit, 0)::DOUBLE / nx.n_exact, 6) AS recall
+        FROM nx LEFT JOIN h ON h.qid = nx.qid
     """
     # Composed post-dict (needs the three lexical rank-list texts):
     # the ann_recall_report pattern applied to the lexical leg — all

@@ -1000,6 +1000,80 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def filtered_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall of POST-FILTERED IVF search against the
+    pre-filter exact ground truth — (qid, n_exact, n_hit, recall).
+    The filtered-ANN operating question every vector store documents:
+    an index probes cells by geometry alone, the metadata filter is
+    applied to the probed candidates AFTER the index (post-filter),
+    and when the filter is selective the probed cells may hold few
+    matching documents — recall degrades below the unfiltered IVF
+    recall.  This measures that degradation on THIS corpus, against
+    :func:`ann_filtered_topk`'s exact pre-filter rank list (the
+    *_recall_report conventions: n_exact denominator, zero-filled
+    grid over qids with exact neighbors).
+
+    Scale shape: the candidate leg is ann_ivf's pinned plan with one
+    extra broadcast lang attach and the lang equality folded into the
+    candidate filter; everything past the corpus scans is
+    query-set-sized; audit joins explicitly broadcast (post-agg
+    frames carry no size estimates — the r14 pin).
+    """
+    exact = ann_filtered_topk(spark, sf_dir).select("qid", "neighbor_id")
+    per_q = exact.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+
+    assign, cents = ivf_assignments(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    corpus = assign.join(langs, "vec_id")
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("lang").alias("qlang"),
+    )
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _sq_dist(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select("qid", "qv", "qlang", "cid")
+    )
+    cand = corpus.join(F.broadcast(probes), "cid").filter(
+        (F.col("vec_id") != F.col("qid"))
+        & (F.col("lang") == F.col("qlang"))
+    )
+    sim = cosine_similarity_expr(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    got = (
+        cand.select("qid", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id")
+    )
+    hits = (
+        got.join(F.broadcast(exact), ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return per_q.join(F.broadcast(hits), "qid", "left").select(
+        "qid",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact"),
+            6,
+        ).alias("recall"),
+    )
+
+
 # Per-cluster quota for cluster_balanced_sample.
 CLUSTER_SAMPLE_QUOTA = 10
 

@@ -30,6 +30,7 @@ DRIVER_WINDOW = [
     "grep",  # anchor
     "ann_filtered_topk",  # never banked
     "ann_probe_sweep",  # never banked
+    "filtered_ann_recall_report",  # never banked
     "ivf_pq_adc_topk",  # never banked
     "ivf_pq_recall_report",  # never banked
     "approx_distinct_users",  # never banked
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "streaming_dedup_ingest",  # backfill (last banked r8)
     "streaming_funnel_pairs",  # backfill (last banked r8)
     "time_rollup",  # backfill (last banked r8)
-    "token_positions",  # backfill (last banked r8)
 ]
 
 def test_window_round_is_fresh():

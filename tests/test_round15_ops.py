@@ -136,3 +136,19 @@ def test_ann_filtered_topk_language_invariants(spark, sf_dir):
         and any(j != i and lang[j] == lang[i] for j in vecs)
     }
     assert set(per_q) == expected_qids
+
+
+def test_filtered_ann_recall_report_grid(spark, sf_dir):
+    """One row per qid with same-lang exact neighbors; hits bounded by
+    n_exact; and the exact leg's qid set equals ann_filtered_topk's."""
+    rep = QUERIES["filtered_ann_recall_report"](spark, sf_dir).collect()
+    assert rep
+    qids = set()
+    for r in rep:
+        assert r["qid"] not in qids  # one row per qid
+        qids.add(r["qid"])
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+    exact_qids = {
+        r["qid"] for r in QUERIES["ann_filtered_topk"](spark, sf_dir).collect()
+    }
+    assert qids == exact_qids

@@ -1993,6 +1993,7 @@ DRIVER_WINDOW_R15 = [
     "ivf_pq_adc_topk",  # never banked
     "ivf_pq_recall_report",  # never banked
     "approx_distinct_users",  # never banked
+    "streaming_cell_occupancy",  # never banked
     "ann_ivf_adc",  # stale (hash changed since r14 row)
     "ivf_pq_residual",  # stale (hash changed since r14 row)
     "pq_adc_topk",  # stale (hash changed since r14 row)
@@ -2034,7 +2035,6 @@ DRIVER_WINDOW_R15 = [
     "stats_aggregates",  # backfill (last banked r8)
     "streaming_dedup_ingest",  # backfill (last banked r8)
     "streaming_funnel_pairs",  # backfill (last banked r8)
-    "time_rollup",  # backfill (last banked r8)
 ]
 
 
@@ -2215,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_recall_report": sim.ivf_pq_recall_report,
         "ann_filtered_topk": sim.ann_filtered_topk,
         "filtered_ann_recall_report": sim.filtered_ann_recall_report,
+        "streaming_cell_occupancy": es.streaming_cell_occupancy,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -2953,6 +2954,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, neighbor_id, round(sim, 6) AS cosine, rn
             FROM r WHERE rn <= 5
+        """,
+        # streaming_cell_occupancy (r15, 16th streaming signal): one
+        # assignment pass against the SEED centroids (no Lloyd — the
+        # streaming monitor uses the static coarse quantizer) with the
+        # banked j-ascending fold and (d2, cid) ties, then exact
+        # integer GROUP BY — the batch equivalent of the stream's one
+        # stateful agg.
+        "streaming_cell_occupancy": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+                   WHERE vec_id % {sim.N_CLUSTERS_MOD} = 0),
+            a AS (
+              SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_reduce([0.0] || list_transform(
+                             range(1, len(e.v) + 1),
+                             j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])),
+                           (acc, x) -> acc + x), c.cid) AS rn
+                FROM e CROSS JOIN c0 c
+              ) WHERE rn = 1
+            )
+            SELECT cid, count(*)::BIGINT AS n_vectors,
+                   min(vec_id)::BIGINT AS min_vec_id,
+                   max(vec_id)::BIGINT AS max_vec_id
+            FROM a GROUP BY cid
         """,
         # ann_filtered_topk (r15): per-query-language filtered search —
         # the cosine_topk pairing with the lang equality as the join

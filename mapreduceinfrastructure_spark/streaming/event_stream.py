@@ -1106,3 +1106,107 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     return got.select("word", "df", "tf_total", F.round(idf, 6).alias("idf"))
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embeddings`` as an unbounded stream — the shape of a
+    continuous vector-insert feed arriving at an index service."""
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF CELL OCCUPANCY — the sixteenth oracle-backed
+    streaming signal, and the streaming half of the vector arc: each
+    arriving embedding is assigned to its nearest coarse-quantizer
+    cell and ONE stateful groupBy(cid) aggregation maintains the
+    occupancy table — (cid, n_vectors, min_vec_id, max_vec_id).  This
+    is the index-maintenance monitor a production vector store runs
+    on its insert feed: cell counts drive the re-train / cell-split
+    trigger (the Lloyd refresh stays a BATCH job — ivf_assignments —
+    exactly as production separates streaming posting-list appends
+    from periodic coarse-quantizer retraining).
+
+    Determinism + streaming shape: the assignment is computed IN-ROW
+    against the static SEED centroid table embedded as one parsed
+    literal (the ann_lsh plane-pool transport; at production k the
+    codebook would ride a broadcast frame per
+    _pq_codebook_source's geometry switch) — no stream-static join
+    and no second stateful operator, so the plan is source → map →
+    one keyed agg, legal in complete mode and arrival-order-free
+    (integer counts and min/max only — the streaming_dedup_ingest
+    discipline).  State is ONE row per cell (k rows total, corpus-
+    independent): the cheapest possible streaming-state story.
+
+    Exactness: seed centroids are the deterministic vec_id %
+    N_CLUSTERS_MOD convention (no Lloyd averaging anywhere), distances
+    replay the j-ascending left fold, and ties take the lowest cid
+    (the centroid list is collected cid-ascending, so
+    first-minimal-position = lowest cid — the banked (d2, cid)
+    order).  The DuckDB twin is one assignment pass + GROUP BY.
+    """
+    from ..functions.vector import lit_double_array
+    from ..operators.similarity import (
+        EMBED_DIM,
+        N_CLUSTERS_MOD,
+        _embeddings,
+    )
+
+    schema = (
+        "cid long, n_vectors long, min_vec_id long, max_vec_id long"
+    )
+    seeds = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") % N_CLUSTERS_MOD == 0)
+        .orderBy("vec_id")
+        .select("vec_id", "v")
+        .collect()
+    )
+    if not seeds:
+        return spark.createDataFrame([], schema=schema)
+    cids = [int(r["vec_id"]) for r in seeds]
+    flat = lit_double_array([float(x) for r in seeds for x in r["v"]])
+    k = len(cids)
+
+    # per-cell squared distance, dists built ONCE per row as a named
+    # column (the _pq_code_arr single-eval discipline)
+    ds = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda c: F.aggregate(
+            F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + (
+                F.element_at(F.col("v"), j + 1)
+                - F.element_at(flat, c * EMBED_DIM + j + 1)
+            )
+            * (
+                F.element_at(F.col("v"), j + 1)
+                - F.element_at(flat, c * EMBED_DIM + j + 1)
+            ),
+        ),
+    )
+    stream = read_embeddings_stream(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = stream.select("vec_id", ds.alias("ds")).select(
+        "vec_id",
+        F.element_at(
+            F.lit(cids),
+            F.array_position(F.col("ds"), F.array_min("ds")).cast("int"),
+        )
+        .cast("long")
+        .alias("cid"),
+    )
+    occ = assigned.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+        F.max("vec_id").cast("long").alias("max_vec_id"),
+    )
+    return run_stream_to_memory(
+        spark, occ, "cell_occupancy_driver", output_mode="complete"
+    )

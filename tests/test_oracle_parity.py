@@ -34,6 +34,7 @@ DRIVER_WINDOW = [
     "ivf_pq_adc_topk",  # never banked
     "ivf_pq_recall_report",  # never banked
     "approx_distinct_users",  # never banked
+    "streaming_cell_occupancy",  # never banked
     "ann_ivf_adc",  # stale (hash changed since r14 row)
     "ivf_pq_residual",  # stale (hash changed since r14 row)
     "pq_adc_topk",  # stale (hash changed since r14 row)
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "stats_aggregates",  # backfill (last banked r8)
     "streaming_dedup_ingest",  # backfill (last banked r8)
     "streaming_funnel_pairs",  # backfill (last banked r8)
-    "time_rollup",  # backfill (last banked r8)
 ]
 
 def test_window_round_is_fresh():

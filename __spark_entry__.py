@@ -1542,6 +1542,68 @@ FROM a{T + 1} a JOIN cb ON cb.pos = a.code_pos
     )
 
 
+def _adc_rerank_sql() -> str:
+    """Exact replay twin of similarity.adc_rerank_topk (r15): the
+    trained-ADC candidate stage is _pq_adc_sql's replay with
+    RERANK_CAP in place of TOPK, then the exact re-rank recomputes
+    squared L2 with the banked full-vector left fold over the
+    candidates only; both stages tie on neighbor_id."""
+    T = sim.PQ_TRAIN_ITERS
+    sub, dim = sim.PQ_SUBDIM, sim.EMBED_DIM
+
+    def dsub(s: int) -> str:
+        term = (
+            f"(q.qv[{s * sub} + j] - fb.f[c.cs[{s + 1}] * {dim}"
+            f" + {s * sub} + j])"
+        )
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, {sub + 1}),\n"
+            f"                   j -> {term} * {term}),\n"
+            f"                 (acc, x) -> acc + x)"
+        )
+
+    adc = "\n               + ".join(dsub(s) for s in range(sim.PQ_SUB))
+    return (
+        _pq_train_cte()
+        + f""",
+fb AS (SELECT flatten(list(cv ORDER BY pos)) AS f FROM cb{T}),
+codes AS (SELECT vec_id, list(code_pos ORDER BY s) AS cs
+          FROM a{T + 1} GROUP BY vec_id),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {sim.N_QUERIES}),
+pairs AS (
+  SELECT q.qid, c.vec_id AS neighbor_id,
+   {adc} AS adc
+  FROM codes c, q, fb
+  WHERE c.vec_id <> q.qid
+),
+cand AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY adc, neighbor_id) AS crn
+    FROM pairs
+  ) WHERE crn <= {sim.RERANK_CAP}
+),
+rer AS (
+  SELECT cand.qid, cand.neighbor_id,
+         list_reduce([0.0] || list_transform(range(1, {dim} + 1),
+             j -> (e.v[j] - q.qv[j]) * (e.v[j] - q.qv[j])),
+           (acc, x) -> acc + x) AS d2
+  FROM cand JOIN e ON e.vec_id = cand.neighbor_id
+       JOIN q ON q.qid = cand.qid
+),
+top AS (
+  SELECT qid, neighbor_id, d2,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY d2, neighbor_id) AS rn
+  FROM rer
+)
+SELECT qid, neighbor_id, round(d2, 6) AS d2, rn::BIGINT AS rn
+FROM top WHERE rn <= {sim.TOPK}
+"""
+    )
+
+
 def _pq_train_sql() -> str:
     """Exact replay twin of similarity.pq_train_codebooks: the
     _pq_train_cte chain, then per (variant, subspace, code) the count
@@ -1987,20 +2049,21 @@ WINDOW_ROUND = 15  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R15 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "streaming_cell_occupancy",  # never banked
+    "adc_rerank_topk",  # never banked
     "ann_filtered_topk",  # never banked
     "ann_probe_sweep",  # never banked
     "filtered_ann_recall_report",  # never banked
     "ivf_pq_adc_topk",  # never banked
     "ivf_pq_recall_report",  # never banked
     "approx_distinct_users",  # never banked
-    "streaming_cell_occupancy",  # never banked
+    "streaming_index_ingest",  # stale (hash changed since r14 row)
     "ann_ivf_adc",  # stale (hash changed since r14 row)
     "ivf_pq_residual",  # stale (hash changed since r14 row)
     "pq_adc_topk",  # stale (hash changed since r14 row)
     "pq_quantize",  # stale (hash changed since r14 row)
     "pq_recall_report",  # stale (hash changed since r14 row)
     "pq_train_codebooks",  # stale (hash changed since r14 row)
-    "streaming_index_ingest",  # stale (hash changed since r14 row)
     "topk_per_group",  # backfill (last banked r7)
     "tpch_q1",  # backfill (last banked r7)
     "tpch_q21",  # backfill (last banked r7)
@@ -2034,7 +2097,6 @@ DRIVER_WINDOW_R15 = [
     "source_signature",  # backfill (last banked r8)
     "stats_aggregates",  # backfill (last banked r8)
     "streaming_dedup_ingest",  # backfill (last banked r8)
-    "streaming_funnel_pairs",  # backfill (last banked r8)
 ]
 
 
@@ -2216,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_topk": sim.ann_filtered_topk,
         "filtered_ann_recall_report": sim.filtered_ann_recall_report,
         "streaming_cell_occupancy": es.streaming_cell_occupancy,
+        "adc_rerank_topk": sim.adc_rerank_topk,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -2767,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_adc": _ann_ivf_adc_sql(),
         "ivf_pq_residual": _ivf_pq_residual_sql(),
         "ivf_pq_adc_topk": _ivf_pq_adc_sql(),
+        "adc_rerank_topk": _adc_rerank_sql(),
         "pq_train_codebooks": _pq_train_sql(),
         "pq_recall_report": _pq_recall_sql(),
         "sq8_quantize": _sq8_quantize_sql(),

@@ -200,6 +200,11 @@ HEADLINE = [
     # is the measured cost of residual encoding on the query path
     # (first series pays the memoized residual training once)
     "ivf_pq_adc_topk",
+    # round-15: two-stage retrieval — ADC candidates + exact re-rank
+    # of RERANK_CAP rows per query; its delta vs pq_adc_topk prices
+    # the re-rank stage, its recall (0.12 -> 0.23 at sf0.1) is why
+    # production stores keep raw vectors next to the codes
+    "adc_rerank_topk",
 ]
 
 

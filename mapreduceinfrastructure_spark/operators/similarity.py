@@ -2385,6 +2385,89 @@ def ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two-stage retrieval: how many ADC candidates the exact re-rank
+# refines.  CAP/TOPK = 5 here mirrors the usual 10-100x production
+# over-fetch ratio at test scale.
+RERANK_CAP = 25
+
+
+def adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval — compressed-domain candidate generation +
+    exact re-rank, the shape every production IVF-PQ deployment
+    actually serves: stage 1 scores the corpus by ADC over the
+    trained PQ codes and keeps the top RERANK_CAP candidates per
+    query (cheap, approximate); stage 2 re-scores ONLY those
+    candidates against the stored raw vectors with exact squared L2
+    and returns the top TOPK — (qid, neighbor_id, d2, rn), self
+    excluded, ties to the lower neighbor id.  Recall approaches exact
+    search (any true neighbor the CAP retains is ranked correctly)
+    while the exact distance work drops from |corpus| to RERANK_CAP
+    per query — the reason stores keep raw vectors on disk next to
+    the codes (Jégou et al. §V's re-ranking variant).
+
+    Scale shape: stage 1 is pq_adc_topk's pinned plan with the CAP in
+    place of TOPK (narrow code-column corpus pass, broadcast bounded
+    query tables, map-side WindowGroupLimit); stage 2 joins the
+    CAP-bounded candidate list back to the corpus BY KEY (vec_id — a
+    broadcast hash join on the bounded side, never a second corpus
+    pair-scan) and windows |q| x CAP rows.  Everything past the one
+    code-column corpus scan is candidate-set-sized.
+
+    Exactness: stage-1 ranks replay the banked ADC folds; stage-2 d2
+    is the banked full-vector left fold; both tie on neighbor_id.
+    """
+    emb = _embeddings(spark, sf_dir)
+    cb = _pq_production_codebook(emb, sf_dir)
+    if cb is None:
+        return spark.createDataFrame(
+            [], schema="qid long, neighbor_id long, d2 double, rn long"
+        )
+    codes, flat_vals = cb
+    n_codes = len(codes)
+
+    c_src, c_flat = _pq_codebook_source(emb, flat_vals)
+    corpus = c_src.select("vec_id", _pq_code_arr(c_flat, n_codes).alias("cs"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    q_src, q_flat = _pq_codebook_source(q, flat_vals)
+    qt = q_src.select(
+        "qid", _pq_adc_table(q_flat, n_codes, F.col("qv")).alias("t")
+    )
+    pairs = corpus.join(F.broadcast(qt), F.col("vec_id") != F.col("qid"))
+    adc = _adc_sum(n_codes)
+    w1 = Window.partitionBy("qid").orderBy(F.col("adc"), F.col("neighbor_id"))
+    cand = (
+        pairs.select(
+            "qid", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+        )
+        .withColumn("crn", F.row_number().over(w1))
+        .filter(F.col("crn") <= RERANK_CAP)
+        .select("qid", "neighbor_id")
+    )
+
+    # stage 2: exact re-rank of the CAP-bounded candidates — raw
+    # vectors fetched BY KEY for both sides (the candidate list is
+    # |q| x CAP rows, broadcast onto the corpus vec_id hash join).
+    withv = emb.join(
+        F.broadcast(cand),
+        emb["vec_id"] == cand["neighbor_id"],
+    ).select("qid", "neighbor_id", "v")
+    rer = withv.join(F.broadcast(q), "qid")
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
+    return (
+        rer.select("qid", "neighbor_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id", F.round("d2", 6).alias("d2"), "rn")
+    )
+
+
 # PQ codebook training (r14, VERDICT r13 #4): the Lloyd refinement the
 # pq_quantize docstring promised.  PQ_TRAIN_ITERS deterministic Lloyd
 # steps per subspace over the SEED codebook (vec_id < PQ_K), run for

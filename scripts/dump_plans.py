@@ -133,6 +133,10 @@ NOTES = {
     "pca_debias": "map-only all-but-the-top: mean + direction are plan literals from the bounded _pca_fit driver loop; proj/norm_before are named Project columns computed ONCE and read by the residual fold (the LambdaVariable re-eval trap avoided); zero Exchange, zero joins",
     "cluster_balanced_sample": "checkpointed-Lloyd assignment (BNLJs are the bounded corpus x centroid steps), cid-keyed size join (k-row side — AQE broadcasts at test scale; at production k = n/40 it stays a key join), md5-ordered per-cid quota pruned map-side by WindowGroupLimit",
     "ann_probe_sweep": "the r15 nprobe sweep: ONE candidate fetch at max(ANN_PROBE_SET) — the bounded probe frame (|q| x 8 rows, cell rank carried) broadcasts onto the corpus-side cid HASH join (unhinted: SMJ of the corpus vs 400 window-output rows; pinned) — then an in-row explode of qualifying levels feeds one per-(nprobe, qid) WindowGroupLimit-pruned top-k; the 4-row level grid is explicitly broadcast onto the post-agg per-query frame (unhinted: CartesianProduct); exact leg = cosine_topk's BNLJ shape; audit joins rank-list-sized",
+    "ivf_pq_adc_topk": "the r15 residual IVFADC search: ann_ivf_adc's pinned shape over the materialized residual frame (_residual_frame: fan_out + localCheckpoint — AQE had coalesced the post-agg residual to 1 partition, serializing the fold-heavy encode) with one ADC table PER (qid, cid) probe row (the per-probe query residual is a named Project column read once); bounded probe frame broadcast onto the cid hash join, WindowGroupLimit top-k, no SMJ/Cartesian",
+    "ann_filtered_topk": "r15 filtered vector search: the language equality is an equi-join KEY, so the query-corpus pairing is a BroadcastHashJoin on (lang = qlang) with the vec_id<>qid residual as the join condition — NOT cosine_topk's BNLJ against every query; lang attach is a narrow vec_id hash join; per-qid top-k pruned map-side.  The plan-level argument for partitioning a 100 TB vector table by its filter column",
+    "filtered_ann_recall_report": "r15 post-filter audit: ann_ivf's pinned candidate shape + one broadcast lang attach, the lang filter applied AFTER the cell prefilter; exact leg = ann_filtered_topk's BHJ-on-lang shape; audit joins rank-list-sized and explicitly broadcast",
+    "adc_rerank_topk": "r15 two-stage retrieval: stage 1 = pq_adc_topk's pinned plan at CAP=25 (one code-column corpus pass, broadcast query ADC tables, map-side WindowGroupLimit); stage 2 fetches raw vectors BY KEY — the CAP-bounded candidate list broadcasts onto a vec_id hash join (never a second corpus pair-scan) and windows |q| x CAP rows; no SMJ/Cartesian (pinned)",
 }
 
 

@@ -229,3 +229,75 @@ def test_adc_rerank_beats_pure_adc(spark, sf_dir):
         len(rr & exact),
         len(adc & exact),
     )
+
+
+def test_trained_pq_quantize_matches_python_reference(spark, sf_dir):
+    """The r15 trained production encode vs a pure-numpy recomputation
+    from the parquet vectors — seed codebook (vec_id < PQ_K), 3 Lloyd
+    iterations (per-subspace argmin with j-ascending fold and
+    lowest-code ties, per-(code, position) mean re-centering, emptied
+    cells keeping the previous value), final encode.  Ground truth
+    from first principles: the DuckDB oracle REPLAYS the same
+    recurrence, so this is the independent check that both engines
+    aren't sharing a bug in the training algebra (the seed-path
+    pure-Python references in test_round12/13 cover only the env-gated
+    A/B twin since r15)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        PQ_K,
+        PQ_SUB,
+        PQ_SUBDIM,
+        PQ_TRAIN_ITERS,
+        pq_quantize,
+    )
+
+    got = {
+        (r["vec_id"], r["subspace"]): (r["code"], r["sq_err"])
+        for r in pq_quantize(spark, sf_dir).collect()
+    }
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = sorted(int(x) for x in t["vec_id"].to_pylist())
+    vecs = {
+        int(i): np.array(v, dtype=np.float64)
+        for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+    seeds = [i for i in ids if i < PQ_K]
+    dim = len(next(iter(vecs.values())))
+    cb = np.stack([vecs[i] for i in seeds])  # (n_codes, dim)
+    n_codes = len(seeds)
+
+    def assign(codebook):
+        # per (vec, subspace): argmin over codes, ties to lowest pos
+        out = {}
+        for i in ids:
+            for s in range(PQ_SUB):
+                lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
+                d = ((vecs[i][lo:hi] - codebook[:, lo:hi]) ** 2).sum(axis=1)
+                p = int(np.argmin(d))  # first minimal = lowest pos
+                out[(i, s)] = (p, float(d[p]))
+        return out
+
+    for _ in range(PQ_TRAIN_ITERS):
+        a = assign(cb)
+        nxt = cb.copy()
+        for p in range(n_codes):
+            for s in range(PQ_SUB):
+                members = [i for i in ids if a[(i, s)][0] == p]
+                if members:
+                    lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
+                    nxt[p, lo:hi] = np.mean(
+                        [vecs[i][lo:hi] for i in members], axis=0
+                    )
+        cb = nxt
+
+    final = assign(cb)
+    assert set(got) == set(final)
+    for (i, s), (p, d) in final.items():
+        gc, gd = got[(i, s)]
+        assert gc == seeds[p], ((i, s), gc, seeds[p])
+        assert abs(gd - round(d, 6)) <= 2e-6, ((i, s), gd, d)

@@ -28,21 +28,21 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
-    "streaming_cell_occupancy",  # never banked
     "adc_rerank_topk",  # never banked
     "ann_filtered_topk",  # never banked
     "ann_probe_sweep",  # never banked
     "filtered_ann_recall_report",  # never banked
     "ivf_pq_adc_topk",  # never banked
     "ivf_pq_recall_report",  # never banked
+    "streaming_cell_occupancy",  # never banked
     "approx_distinct_users",  # never banked
-    "streaming_index_ingest",  # stale (hash changed since r14 row)
     "ann_ivf_adc",  # stale (hash changed since r14 row)
     "ivf_pq_residual",  # stale (hash changed since r14 row)
     "pq_adc_topk",  # stale (hash changed since r14 row)
     "pq_quantize",  # stale (hash changed since r14 row)
     "pq_recall_report",  # stale (hash changed since r14 row)
     "pq_train_codebooks",  # stale (hash changed since r14 row)
+    "streaming_index_ingest",  # stale (hash changed since r14 row)
     "topk_per_group",  # backfill (last banked r7)
     "tpch_q1",  # backfill (last banked r7)
     "tpch_q21",  # backfill (last banked r7)

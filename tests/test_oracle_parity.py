@@ -28,54 +28,54 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
-    "adc_rerank_topk",  # never banked
-    "ann_filtered_topk",  # never banked
-    "ann_probe_sweep",  # never banked
-    "filtered_ann_recall_report",  # never banked
-    "ivf_pq_adc_topk",  # never banked
-    "ivf_pq_recall_report",  # never banked
-    "streaming_cell_occupancy",  # never banked
-    "approx_distinct_users",  # never banked
-    "ann_ivf_adc",  # stale (hash changed since r14 row)
-    "ivf_pq_residual",  # stale (hash changed since r14 row)
-    "pq_adc_topk",  # stale (hash changed since r14 row)
-    "pq_quantize",  # stale (hash changed since r14 row)
-    "pq_recall_report",  # stale (hash changed since r14 row)
-    "pq_train_codebooks",  # stale (hash changed since r14 row)
-    "streaming_index_ingest",  # stale (hash changed since r14 row)
-    "topk_per_group",  # backfill (last banked r7)
-    "tpch_q1",  # backfill (last banked r7)
-    "tpch_q21",  # backfill (last banked r7)
-    "argmax_order",  # backfill (last banked r8)
-    "asof_join",  # backfill (last banked r8)
-    "bag_except",  # backfill (last banked r8)
-    "cross_join_grid",  # backfill (last banked r8)
-    "cube_pricing",  # backfill (last banked r8)
-    "date_funcs",  # backfill (last banked r8)
-    "deterministic_sample",  # backfill (last banked r8)
-    "ewma_anomaly",  # backfill (last banked r8)
-    "except_op",  # backfill (last banked r8)
-    "grouping_sets_pricing",  # backfill (last banked r8)
-    "join_full_outer",  # backfill (last banked r8)
-    "join_outer",  # backfill (last banked r8)
-    "json_extract_agg",  # backfill (last banked r8)
-    "kl_source_divergence",  # backfill (last banked r8)
-    "merge_upsert",  # backfill (last banked r8)
-    "nested_roundtrip",  # backfill (last banked r8)
-    "not_in_null_aware",  # backfill (last banked r8)
-    "percentile_by_brand",  # backfill (last banked r8)
-    "prior_order",  # backfill (last banked r8)
-    "range_join_events",  # backfill (last banked r8)
-    "range_partition_plan",  # backfill (last banked r8)
-    "runtime_filter_join",  # backfill (last banked r8)
-    "salted_join",  # backfill (last banked r8)
-    "scalar_funcs",  # backfill (last banked r8)
-    "scalar_subquery",  # backfill (last banked r8)
-    "skew_profile",  # backfill (last banked r8)
-    "skew_safe_distinct",  # backfill (last banked r8)
-    "source_signature",  # backfill (last banked r8)
-    "stats_aggregates",  # backfill (last banked r8)
-    "streaming_dedup_ingest",  # backfill (last banked r8)
+    "streaming_funnel_pairs",  # backfill (last banked r8)
+    "time_rollup",  # backfill (last banked r8)
+    "token_positions",  # backfill (last banked r8)
+    "udtf_chunk_text",  # backfill (last banked r8)
+    "union_all_op",  # backfill (last banked r8)
+    "unpivot_measures",  # backfill (last banked r8)
+    "window_frames",  # backfill (last banked r8)
+    "window_funcs_catalog",  # backfill (last banked r8)
+    "array_funcs_catalog",  # backfill (last banked r9)
+    "basket_triples",  # backfill (last banked r9)
+    "benford_digits",  # backfill (last banked r9)
+    "clustering_coeff",  # backfill (last banked r9)
+    "dq_referential_audit",  # backfill (last banked r9)
+    "event_trigrams",  # backfill (last banked r9)
+    "gaps_islands",  # backfill (last banked r9)
+    "interval_concurrency",  # backfill (last banked r9)
+    "inverted_index",  # backfill (last banked r9)
+    "ivm_source_stats",  # backfill (last banked r9)
+    "kaplan_meier",  # backfill (last banked r9)
+    "kcore_peel",  # backfill (last banked r9)
+    "mad_outliers",  # backfill (last banked r9)
+    "market_basket_rules",  # backfill (last banked r9)
+    "null_safe_join",  # backfill (last banked r9)
+    "ohlc_bars",  # backfill (last banked r9)
+    "oov_rate",  # backfill (last banked r9)
+    "pagerank_nations",  # backfill (last banked r9)
+    "pii_scrub",  # backfill (last banked r9)
+    "scd2_intervals",  # backfill (last banked r9)
+    "sentence_stats",  # backfill (last banked r9)
+    "simhash",  # backfill (last banked r9)
+    "simhash_neardup",  # backfill (last banked r9)
+    "sorted_neighborhood_neardup",  # backfill (last banked r9)
+    "sssp_parts",  # backfill (last banked r9)
+    "stratified_sample",  # backfill (last banked r9)
+    "streaming_active_users",  # backfill (last banked r9)
+    "streaming_curated_ingest",  # backfill (last banked r9)
+    "streaming_enriched_revenue",  # backfill (last banked r9)
+    "streaming_hourly_counts",  # backfill (last banked r9)
+    "streaming_ohlc",  # backfill (last banked r9)
+    "streaming_sessions",  # backfill (last banked r9)
+    "tf_idf",  # backfill (last banked r9)
+    "token_stats",  # backfill (last banked r9)
+    "trade_edges",  # backfill (last banked r9)
+    "trade_flows_2hop",  # backfill (last banked r9)
+    "triangle_count",  # backfill (last banked r9)
+    "weighted_median",  # backfill (last banked r9)
+    "zipf_slope",  # backfill (last banked r9)
+    "bigram_count",  # backfill (last banked r11)
 ]
 
 def test_window_round_is_fresh():

@@ -50,3 +50,15 @@ def lit_double_array(vals) -> Column:
     if not all(math.isfinite(x) for x in vals):
         return F.lit(vals)
     return F.expr("array(" + ",".join(repr(x) + "D" for x in vals) + ")")
+
+
+def lit_long_array(vals) -> Column:
+    """The integer analog of :func:`lit_double_array`: a literal
+    array<bigint> built in ONE parser call instead of F.lit(list)'s
+    per-element py4j marshalling (~0.6 ms/element of driver time —
+    SCALE.md "r14 literal tax").  Integers are exact in both paths,
+    so this is a pure driver-time fix with no value-fidelity caveat.
+    """
+    return F.expr(
+        "array(" + ",".join(str(int(x)) + "L" for x in vals) + ")"
+    )

@@ -1149,7 +1149,7 @@ def streaming_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-minimal-position = lowest cid — the banked (d2, cid)
     order).  The DuckDB twin is one assignment pass + GROUP BY.
     """
-    from ..functions.vector import lit_double_array
+    from ..functions.vector import lit_double_array, lit_long_array
     from ..operators.similarity import (
         EMBED_DIM,
         N_CLUSTERS_MOD,
@@ -1193,10 +1193,14 @@ def streaming_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_embeddings_stream(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # cid lookup through ONE parsed expression (lit_long_array) — the
+    # corpus-dependent n/40-element list would otherwise pay F.lit's
+    # per-element py4j tax like the centroid doubles used to (ADVICE
+    # r15; SCALE.md "r14 literal tax").
     assigned = stream.select("vec_id", ds.alias("ds")).select(
         "vec_id",
         F.element_at(
-            F.lit(cids),
+            lit_long_array(cids),
             F.array_position(F.col("ds"), F.array_min("ds")).cast("int"),
         )
         .cast("long")

@@ -1323,14 +1323,16 @@ def _ivf_pq_residual_sql() -> str:
     return "\n".join(parts)
 
 
-def _ivf_pq_adc_sql() -> str:
-    """Exact replay twin of similarity.ivf_pq_adc_topk (r15): the
-    unrolled Lloyd chain down to the final assignment, the
-    MATERIALIZED residual CTE, the prefixed residual-training replay
-    (_pq_train_cte_body over resv), then the per-probe query residual
-    (qrv = qv − probed centroid, single IEEE subtractions) and the
-    residual-ADC total added in the same fixed s-order as the Spark
-    element_at chain; top-K ties (adc, neighbor_id)."""
+def _ivf_pq_pairs_sql() -> str:
+    """The shared IVFADC candidate chain (r16 refactor of the r15
+    _ivf_pq_adc_sql): the unrolled Lloyd chain down to the final
+    assignment, the MATERIALIZED residual CTE, the prefixed
+    residual-training replay (_pq_train_cte_body over resv), the
+    per-probe query residual (qrv = qv − probed centroid, single IEEE
+    subtractions) and the residual-ADC total added in the same fixed
+    s-order as the Spark element_at chain — ends at ``pairs`` (qid,
+    neighbor_id, adc); _ivf_pq_adc_sql, _ivf_pq_rerank_sql and the
+    rerank recall report append their tails."""
     k_mod, iters = sim.N_CLUSTERS_MOD, sim.LLOYD_ITERATIONS
     T = sim.PQ_TRAIN_ITERS
 
@@ -1412,7 +1414,17 @@ def _ivf_pq_adc_sql() -> str:
           FROM qp JOIN res r USING (cid)
                JOIN codes c ON c.vec_id = r.vec_id, fb
           WHERE r.vec_id <> qp.qid
-        ),
+        )""")
+    return "\n".join(parts)
+
+
+def _ivf_pq_adc_sql() -> str:
+    """Exact replay twin of similarity.ivf_pq_adc_topk (r15): the
+    shared _ivf_pq_pairs_sql candidate chain, then the top-K window;
+    ties (adc, neighbor_id)."""
+    return (
+        _ivf_pq_pairs_sql()
+        + f""",
         top AS (
           SELECT qid, neighbor_id, adc,
                  row_number() OVER (
@@ -1421,8 +1433,111 @@ def _ivf_pq_adc_sql() -> str:
         )
         SELECT qid, neighbor_id, round(adc, 6) AS adc_d2,
                rn::BIGINT AS rn
-        FROM top WHERE rn <= {sim.TOPK}""")
-    return "\n".join(parts)
+        FROM top WHERE rn <= {sim.TOPK}"""
+    )
+
+
+def _ivf_pq_rerank_sql() -> str:
+    """Exact replay twin of similarity.ivf_pq_rerank_topk (r16): the
+    shared _ivf_pq_pairs_sql candidate chain capped at RERANK_CAP,
+    then the exact re-rank recomputing squared L2 with the banked
+    full-vector left fold over the candidates only — query and
+    neighbor vectors both fetched BY KEY from ``e`` (never through
+    a{fin}, whose re-inlining would replay the Lloyd cross join);
+    both stages tie on neighbor_id."""
+    dim = sim.EMBED_DIM
+    return (
+        _ivf_pq_pairs_sql()
+        + f""",
+        cand AS (
+          SELECT qid, neighbor_id FROM (
+            SELECT qid, neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY qid ORDER BY adc, neighbor_id) AS crn
+            FROM pairs
+          ) WHERE crn <= {sim.RERANK_CAP}
+        ),
+        rer AS (
+          SELECT cand.qid, cand.neighbor_id,
+                 list_reduce([0.0] || list_transform(range(1, {dim} + 1),
+                     j -> (ne.v[j] - qe.v[j]) * (ne.v[j] - qe.v[j])),
+                   (acc, x) -> acc + x) AS d2
+          FROM cand JOIN e ne ON ne.vec_id = cand.neighbor_id
+               JOIN e qe ON qe.vec_id = cand.qid
+        ),
+        rtop AS (
+          SELECT qid, neighbor_id, d2,
+                 row_number() OVER (
+                   PARTITION BY qid ORDER BY d2, neighbor_id) AS rn
+          FROM rer
+        )
+        SELECT qid, neighbor_id, round(d2, 6) AS d2, rn::BIGINT AS rn
+        FROM rtop WHERE rn <= {sim.TOPK}"""
+    )
+
+
+def _ivf_pq_rerank_recall_sql() -> str:
+    """Exact replay twin of similarity.ivf_pq_rerank_recall_report
+    (r16): ONE shared candidate ranking (rk, MATERIALIZED — read by
+    both variant legs, the DuckDB analog of the Spark localCheckpoint)
+    serves the 'ivfadc' prefix (crn <= TOPK) and the 'rerank' leg
+    (crn <= RERANK_CAP + exact re-rank); the exact ground-truth leg is
+    a self-contained brute-force L2 top-K over ``e``; integer set
+    algebra + one exact int/int division on top."""
+    dim = sim.EMBED_DIM
+    return (
+        _ivf_pq_pairs_sql()
+        + f""",
+        rk AS MATERIALIZED (
+          SELECT qid, neighbor_id, adc,
+                 row_number() OVER (
+                   PARTITION BY qid ORDER BY adc, neighbor_id) AS crn
+          FROM pairs
+        ),
+        ex AS MATERIALIZED (
+          SELECT qid, neighbor_id FROM (
+            SELECT qe.vec_id AS qid, ne.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+                     list_reduce([0.0] || list_transform(
+                         range(1, {dim} + 1),
+                         j -> (ne.v[j] - qe.v[j]) * (ne.v[j] - qe.v[j])),
+                       (acc, x) -> acc + x), ne.vec_id) AS rn
+            FROM e ne, e qe
+            WHERE qe.vec_id < {sim.N_QUERIES} AND ne.vec_id <> qe.vec_id
+          ) WHERE rn <= {sim.TOPK}
+        ),
+        nx AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid),
+        rr AS (
+          SELECT qid, neighbor_id FROM (
+            SELECT rk.qid, rk.neighbor_id,
+                   row_number() OVER (PARTITION BY rk.qid ORDER BY
+                     list_reduce([0.0] || list_transform(
+                         range(1, {dim} + 1),
+                         j -> (ne.v[j] - qe.v[j]) * (ne.v[j] - qe.v[j])),
+                       (acc, x) -> acc + x), rk.neighbor_id) AS rn
+            FROM rk JOIN e ne ON ne.vec_id = rk.neighbor_id
+                 JOIN e qe ON qe.vec_id = rk.qid
+            WHERE rk.crn <= {sim.RERANK_CAP}
+          ) WHERE rn <= {sim.TOPK}
+        ),
+        got AS (
+          SELECT 'ivfadc' AS variant, qid, neighbor_id FROM rk
+          WHERE crn <= {sim.TOPK}
+          UNION ALL
+          SELECT 'rerank' AS variant, qid, neighbor_id FROM rr
+        ),
+        h AS (
+          SELECT g.variant, g.qid, count(*) AS hits
+          FROM got g JOIN ex
+            ON g.qid = ex.qid AND g.neighbor_id = ex.neighbor_id
+          GROUP BY 1, 2
+        )
+        SELECT v.variant, nx.qid, nx.n_exact::BIGINT AS n_exact,
+               coalesce(h.hits, 0)::BIGINT AS hits,
+               round(coalesce(h.hits, 0)::DOUBLE / nx.n_exact, 6) AS recall
+        FROM nx CROSS JOIN (VALUES ('ivfadc'), ('rerank')) v(variant)
+        LEFT JOIN h ON h.variant = v.variant AND h.qid = nx.qid"""
+    )
 
 
 def _wav_le(expr: str, nbytes: int) -> str:
@@ -2049,6 +2164,13 @@ WINDOW_ROUND = 16  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R16 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "ivf_pq_rerank_recall_report",  # never banked
+    "ivf_pq_rerank_topk",  # never banked
+    "adc_rerank_topk",  # stale (hash changed since r15 row)
+    "ivf_pq_adc_topk",  # stale (hash changed since r15 row)
+    "ivf_pq_recall_report",  # stale (hash changed since r15 row)
+    "ivf_pq_residual",  # stale (hash changed since r15 row)
+    "streaming_cell_occupancy",  # stale (hash changed since r15 row)
     "streaming_funnel_pairs",  # backfill (last banked r8)
     "time_rollup",  # backfill (last banked r8)
     "token_positions",  # backfill (last banked r8)
@@ -2090,13 +2212,6 @@ DRIVER_WINDOW_R16 = [
     "streaming_ohlc",  # backfill (last banked r9)
     "streaming_sessions",  # backfill (last banked r9)
     "tf_idf",  # backfill (last banked r9)
-    "token_stats",  # backfill (last banked r9)
-    "trade_edges",  # backfill (last banked r9)
-    "trade_flows_2hop",  # backfill (last banked r9)
-    "triangle_count",  # backfill (last banked r9)
-    "weighted_median",  # backfill (last banked r9)
-    "zipf_slope",  # backfill (last banked r9)
-    "bigram_count",  # backfill (last banked r11)
 ]
 
 
@@ -2279,6 +2394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_ann_recall_report": sim.filtered_ann_recall_report,
         "streaming_cell_occupancy": es.streaming_cell_occupancy,
         "adc_rerank_topk": sim.adc_rerank_topk,
+        # --- round-16 additions ---
+        "ivf_pq_rerank_topk": sim.ivf_pq_rerank_topk,
+        "ivf_pq_rerank_recall_report": sim.ivf_pq_rerank_recall_report,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -2831,6 +2949,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_residual": _ivf_pq_residual_sql(),
         "ivf_pq_adc_topk": _ivf_pq_adc_sql(),
         "adc_rerank_topk": _adc_rerank_sql(),
+        "ivf_pq_rerank_topk": _ivf_pq_rerank_sql(),
+        "ivf_pq_rerank_recall_report": _ivf_pq_rerank_recall_sql(),
         "pq_train_codebooks": _pq_train_sql(),
         "pq_recall_report": _pq_recall_sql(),
         "sq8_quantize": _sq8_quantize_sql(),

@@ -205,6 +205,12 @@ HEADLINE = [
     # the re-rank stage, its recall (0.12 -> 0.23 at sf0.1) is why
     # production stores keep raw vectors next to the codes
     "adc_rerank_topk",
+    # round-16: THE composed production retrieval query — IVF
+    # prefilter -> residual ADC (CAP candidates) -> exact re-rank by
+    # key; its delta vs ivf_pq_adc_topk prices the re-rank stage on
+    # the production path (recall 0.112 -> 0.244 at sf0.1 at equal
+    # candidate budget)
+    "ivf_pq_rerank_topk",
 ]
 
 

@@ -2282,15 +2282,32 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unrolled Lloyd chain, the materialized residual CTE, the
     prefixed residual-training replay, and the per-probe residual ADC.
     """
+    ranked = _ivf_pq_adc_ranked(spark, sf_dir, TOPK)
+    if ranked is None:
+        return spark.createDataFrame(
+            [], schema="qid long, neighbor_id long, adc_d2 double, rn long"
+        )
+    return ranked.select(
+        "qid", "neighbor_id", F.round("adc", 6).alias("adc_d2"), "rn"
+    )
+
+
+def _ivf_pq_adc_ranked(spark: SparkSession, sf_dir: str, cap: int):
+    """The shared IVFADC candidate stage — (qid, neighbor_id, adc, rn)
+    with rn <= ``cap`` under the (adc, neighbor_id) window order, or
+    None on an empty corpus.  ivf_pq_adc_topk serves it at cap=TOPK;
+    ivf_pq_rerank_topk over-fetches at cap=RERANK_CAP and hands the
+    candidates to the exact re-rank (one ranking, two consumers — the
+    rn <= TOPK prefix of the cap ranking IS the ADC top-k, so the
+    composed recall report prices both variants from one corpus
+    pass)."""
     emb = _embeddings(spark, sf_dir)
     res, cents = _residual_frame(spark, sf_dir)
     cb = _pq_production_codebook(
         res.select("vec_id", F.col("rv").alias("v")), sf_dir, kind="residual"
     )
     if cb is None:
-        return spark.createDataFrame(
-            [], schema="qid long, neighbor_id long, adc_d2 double, rn long"
-        )
+        return None
     codes, flat_vals = cb
     n_codes = len(codes)
 
@@ -2337,8 +2354,7 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
         )
         .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= TOPK)
-        .select("qid", "neighbor_id", F.round("adc", 6).alias("adc_d2"), "rn")
+        .filter(F.col("rn") <= cap)
     )
 
 
@@ -2421,6 +2437,40 @@ def ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 RERANK_CAP = 25
 
 
+def _exact_rerank_topk(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Stage 2 of two-stage retrieval, shared by adc_rerank_topk and
+    ivf_pq_rerank_topk (r16): exact squared-L2 re-rank of a bounded
+    (qid, neighbor_id) candidate list against the stored raw vectors
+    — (qid, neighbor_id, d2, rn), top TOPK per query, self already
+    excluded upstream, ties to the lower neighbor id.
+
+    Scale shape: raw vectors are fetched BY KEY for both sides — the
+    |q| x CAP candidate list broadcasts onto the corpus vec_id hash
+    join, the query vectors onto the qid hash join; everything past
+    the two key fetches is candidate-set-sized (never a second corpus
+    pair-scan).  Exactness: d2 is the banked full-vector left fold.
+    """
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    withv = emb.join(
+        F.broadcast(cand), emb["vec_id"] == cand["neighbor_id"]
+    ).select("qid", "neighbor_id", "v")
+    rer = withv.join(F.broadcast(q), "qid")
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
+    return (
+        rer.select("qid", "neighbor_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id", F.round("d2", 6).alias("d2"), "rn")
+    )
+
+
 def adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-STAGE retrieval — compressed-domain candidate generation +
     exact re-rank, the shape every production IVF-PQ deployment
@@ -2476,25 +2526,132 @@ def adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "neighbor_id")
     )
 
-    # stage 2: exact re-rank of the CAP-bounded candidates — raw
-    # vectors fetched BY KEY for both sides (the candidate list is
-    # |q| x CAP rows, broadcast onto the corpus vec_id hash join).
-    withv = emb.join(
-        F.broadcast(cand),
-        emb["vec_id"] == cand["neighbor_id"],
-    ).select("qid", "neighbor_id", "v")
-    rer = withv.join(F.broadcast(q), "qid")
+    # stage 2: exact re-rank of the CAP-bounded candidates (shared
+    # helper — raw vectors fetched BY KEY, candidate-set-sized work).
+    return _exact_rerank_topk(emb, cand)
+
+
+def ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production retrieval query — IVF cell prefilter →
+    residual-ADC candidate generation → exact re-rank (VERDICT r15
+    #1): each query probes its NPROBE nearest cells, residual-ADC
+    scores the probed cells' codes against the trained residual
+    codebook and keeps the top RERANK_CAP candidates (cheap,
+    compressed-domain), and stage 2 re-scores ONLY those candidates
+    against the stored raw vectors with exact squared L2 — (qid,
+    neighbor_id, d2, rn), self excluded, ties to the lower neighbor
+    id.  This is the end-to-end shape every deployed IVF-PQ store
+    serves (Jégou et al. TPAMI 2011: §IV IVFADC + §V's re-ranking
+    variant — adc_rerank_topk without the full-corpus ADC scan,
+    ivf_pq_adc_topk without stopping at compressed-domain ranks).
+
+    Scale shape: stage 1 is ivf_pq_adc_topk's pinned plan with
+    RERANK_CAP in place of TOPK (ONE map-only pass over the memoized
+    residual frame, bounded per-probe residual ADC tables as the
+    BuildRight of a cid hash join, map-side WindowGroupLimit); stage
+    2 is _exact_rerank_topk's BY-KEY fetch (the |q| x CAP candidate
+    list broadcasts onto a vec_id hash join — never a second corpus
+    pair-scan).  Total corpus work: one Lloyd-indexed code scan +
+    |probed cells| ADC rows per query, independent of TOPK accuracy
+    demands — the reason stores keep raw vectors on disk next to the
+    codes.
+
+    Exactness: stage-1 ranks replay ivf_pq_adc_topk's banked
+    fixed-order folds; stage-2 d2 is the banked full-vector left
+    fold; both tie on neighbor_id.  DuckDB twin:
+    __spark_entry__._ivf_pq_rerank_sql (the shared pairs chain + the
+    cand/rerank tail).
+    """
+    emb = _embeddings(spark, sf_dir)
+    ranked = _ivf_pq_adc_ranked(spark, sf_dir, RERANK_CAP)
+    if ranked is None:
+        return spark.createDataFrame(
+            [], schema="qid long, neighbor_id long, d2 double, rn long"
+        )
+    return _exact_rerank_topk(emb, ranked.select("qid", "neighbor_id"))
+
+
+def ivf_pq_rerank_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@TOPK of the composed production pipeline
+    (ivf_pq_rerank_topk) against its own compressed-domain stage
+    (ivf_pq_adc_topk) — (variant, qid, n_exact, hits, recall),
+    variants "ivfadc" / "rerank", recall vs exact full-corpus squared
+    L2.  The audit that prices what the exact re-rank stage buys on
+    THIS corpus at equal candidate budget: both variants rank the
+    SAME RERANK_CAP candidate pool (the rn <= TOPK prefix of the cap
+    ranking IS the ADC top-k), so any recall delta is purely the
+    re-rank reordering quantized distances with exact ones — the §V
+    claim of Jégou et al. measured, not cited.
+
+    Scale shape: ONE IVFADC candidate pass at cap=RERANK_CAP
+    (localCheckpointed — query-set-sized, read by both variant legs;
+    the minhash candidate-checkpoint pattern), the exact leg one
+    brute-force d2 top-k over the broadcast query set (inherent to
+    ground-truth audits, bounded by N_QUERIES), audit joins
+    explicitly broadcast (post-window frames carry no size estimates
+    — the r14 pin).  Recall divides by n_exact (the *_recall_report
+    convention).
+    """
+    emb = _embeddings(spark, sf_dir)
+    schema = (
+        "variant string, qid long, n_exact long, hits long, recall double"
+    )
+    ranked = _ivf_pq_adc_ranked(spark, sf_dir, RERANK_CAP)
+    if ranked is None:
+        return spark.createDataFrame([], schema=schema)
+    ranked = ranked.localCheckpoint(eager=True)
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
     d2 = F.aggregate(
         F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w2 = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
-    return (
-        rer.select("qid", "neighbor_id", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w2).cast("long"))
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
+    exact = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= TOPK)
-        .select("qid", "neighbor_id", F.round("d2", 6).alias("d2"), "rn")
+        .select("qid", "neighbor_id")
+    )
+    per_q = exact.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+
+    got = (
+        ranked.filter(F.col("rn") <= TOPK)
+        .select(F.lit("ivfadc").alias("variant"), "qid", "neighbor_id")
+        .unionByName(
+            _exact_rerank_topk(
+                emb, ranked.select("qid", "neighbor_id")
+            ).select(F.lit("rerank").alias("variant"), "qid", "neighbor_id")
+        )
+    )
+    hits = (
+        got.join(F.broadcast(exact), ["qid", "neighbor_id"])
+        .groupBy("variant", "qid")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    base = per_q.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [("ivfadc",), ("rerank",)], "variant string"
+            )
+        )
+    )
+    return base.join(F.broadcast(hits), ["variant", "qid"], "left").select(
+        "variant",
+        "qid",
+        "n_exact",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+            / F.col("n_exact"),
+            6,
+        ).alias("recall"),
     )
 
 

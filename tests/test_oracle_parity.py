@@ -28,6 +28,13 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
+    "ivf_pq_rerank_recall_report",  # never banked
+    "ivf_pq_rerank_topk",  # never banked
+    "adc_rerank_topk",  # stale (hash changed since r15 row)
+    "ivf_pq_adc_topk",  # stale (hash changed since r15 row)
+    "ivf_pq_recall_report",  # stale (hash changed since r15 row)
+    "ivf_pq_residual",  # stale (hash changed since r15 row)
+    "streaming_cell_occupancy",  # stale (hash changed since r15 row)
     "streaming_funnel_pairs",  # backfill (last banked r8)
     "time_rollup",  # backfill (last banked r8)
     "token_positions",  # backfill (last banked r8)
@@ -69,13 +76,6 @@ DRIVER_WINDOW = [
     "streaming_ohlc",  # backfill (last banked r9)
     "streaming_sessions",  # backfill (last banked r9)
     "tf_idf",  # backfill (last banked r9)
-    "token_stats",  # backfill (last banked r9)
-    "trade_edges",  # backfill (last banked r9)
-    "trade_flows_2hop",  # backfill (last banked r9)
-    "triangle_count",  # backfill (last banked r9)
-    "weighted_median",  # backfill (last banked r9)
-    "zipf_slope",  # backfill (last banked r9)
-    "bigram_count",  # backfill (last banked r11)
 ]
 
 def test_window_round_is_fresh():

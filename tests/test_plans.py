@@ -654,6 +654,24 @@ def test_ann_filtered_topk_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivf_pq_rerank_topk_plan_shape(spark, sf_dir):
+    """Scale pins for the r16 composed production retrieval query
+    (IVF prefilter -> residual ADC -> exact re-rank): stage 1 keeps
+    ivf_pq_adc_topk's pinned shape (bounded per-probe residual tables
+    broadcast onto the corpus-side cid HASH join, candidate window
+    pruned map-side), stage 2 fetches raw vectors BY KEY (the
+    CAP-bounded candidate list broadcasts onto a vec_id hash join —
+    never a second corpus pair-scan); no sort-merge join or cartesian
+    anywhere."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["ivf_pq_rerank_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_adc_rerank_topk_plan_shape(spark, sf_dir):
     """Scale pins for the r15 two-stage retrieval: ONE code-column
     corpus pass feeds the ADC candidate window (map-side pruned), and

@@ -1323,7 +1323,9 @@ def _ivf_pq_residual_sql() -> str:
     return "\n".join(parts)
 
 
-def _ivf_pq_pairs_sql() -> str:
+def _ivf_pq_pairs_sql(
+    max_probe: int | None = None, carry_rank: bool = False
+) -> str:
     """The shared IVFADC candidate chain (r16 refactor of the r15
     _ivf_pq_adc_sql): the unrolled Lloyd chain down to the final
     assignment, the MATERIALIZED residual CTE, the prefixed
@@ -1331,8 +1333,13 @@ def _ivf_pq_pairs_sql() -> str:
     per-probe query residual (qrv = qv − probed centroid, single IEEE
     subtractions) and the residual-ADC total added in the same fixed
     s-order as the Spark element_at chain — ends at ``pairs`` (qid,
-    neighbor_id, adc); _ivf_pq_adc_sql, _ivf_pq_rerank_sql and the
-    rerank recall report append their tails."""
+    neighbor_id, adc[, cr]); _ivf_pq_adc_sql, _ivf_pq_rerank_sql and
+    the recall/sweep reports append their tails.  ``max_probe``
+    defaults to NPROBE; ``carry_rank`` keeps the probed cell's rank
+    ``cr`` on every pair (the probe-sweep replay of
+    _ivf_pq_probe_pairs)."""
+    if max_probe is None:
+        max_probe = sim.NPROBE
     k_mod, iters = sim.N_CLUSTERS_MOD, sim.LLOYD_ITERATIONS
     T = sim.PQ_TRAIN_ITERS
 
@@ -1399,18 +1406,18 @@ def _ivf_pq_pairs_sql() -> str:
         q AS (SELECT vec_id AS qid, v AS qv FROM a{fin}
               WHERE vec_id < {sim.N_QUERIES}),
         qp AS (
-          SELECT qid, cid, qrv FROM (
+          SELECT qid, cid, qrv, rn AS cr FROM (
             SELECT q.qid, c.cid,
                    list_transform(range(1, len(q.qv) + 1),
                                   j -> q.qv[j] - c.cv[j]) AS qrv,
                    row_number() OVER (PARTITION BY q.qid
                      ORDER BY {d2('q.qv', 'c.cv')}, c.cid) AS rn
             FROM q CROSS JOIN c{iters} c
-          ) WHERE rn <= {sim.NPROBE}
+          ) WHERE rn <= {max_probe}
         ),
         pairs AS (
           SELECT qp.qid, r.vec_id AS neighbor_id,
-           {adc} AS adc
+           {adc} AS adc{", qp.cr AS cr" if carry_rank else ""}
           FROM qp JOIN res r USING (cid)
                JOIN codes c ON c.vec_id = r.vec_id, fb
           WHERE r.vec_id <> qp.qid
@@ -1473,6 +1480,61 @@ def _ivf_pq_rerank_sql() -> str:
         )
         SELECT qid, neighbor_id, round(d2, 6) AS d2, rn::BIGINT AS rn
         FROM rtop WHERE rn <= {sim.TOPK}"""
+    )
+
+
+def _ivf_pq_probe_sweep_sql() -> str:
+    """Exact replay twin of similarity.ivf_pq_probe_sweep (r16): the
+    shared _ivf_pq_pairs_sql chain fetched ONCE at max(ANN_PROBE_SET)
+    probes with the cell rank carried, the qualifying operating
+    points joined in (l.nprobe >= cr — the in-row explode's SQL
+    twin), one window pass per (nprobe, qid), and the brute-force L2
+    ground-truth leg; integer set algebra + one exact int/int
+    division on top."""
+    dim = sim.EMBED_DIM
+    lv = ", ".join(str(p) for p in sim.ANN_PROBE_SET)
+    return (
+        _ivf_pq_pairs_sql(
+            max_probe=max(sim.ANN_PROBE_SET), carry_rank=True
+        )
+        + f""",
+        ex AS MATERIALIZED (
+          SELECT qid, neighbor_id FROM (
+            SELECT qe.vec_id AS qid, ne.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+                     list_reduce([0.0] || list_transform(
+                         range(1, {dim} + 1),
+                         j -> (ne.v[j] - qe.v[j]) * (ne.v[j] - qe.v[j])),
+                       (acc, x) -> acc + x), ne.vec_id) AS rn
+            FROM e ne, e qe
+            WHERE qe.vec_id < {sim.N_QUERIES} AND ne.vec_id <> qe.vec_id
+          ) WHERE rn <= {sim.TOPK}
+        ),
+        nx AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid),
+        sw AS (
+          SELECT nprobe, qid, neighbor_id FROM (
+            SELECT l.nprobe, p.qid, p.neighbor_id,
+                   row_number() OVER (PARTITION BY l.nprobe, p.qid
+                     ORDER BY p.adc, p.neighbor_id) AS rn
+            FROM pairs p
+            JOIN (SELECT unnest([{lv}]) AS nprobe) l
+              ON l.nprobe >= p.cr
+          ) WHERE rn <= {sim.TOPK}
+        ),
+        hh AS (
+          SELECT sw.nprobe, sw.qid, count(*) AS n_hit
+          FROM sw JOIN ex
+            ON sw.qid = ex.qid AND sw.neighbor_id = ex.neighbor_id
+          GROUP BY 1, 2
+        ),
+        lvls AS (SELECT unnest([{lv}]) AS nprobe)
+        SELECT lvls.nprobe::BIGINT AS nprobe, nx.qid,
+               nx.n_exact::BIGINT AS n_exact,
+               coalesce(hh.n_hit, 0)::BIGINT AS n_hit,
+               round(coalesce(hh.n_hit, 0)::DOUBLE / nx.n_exact, 6)
+                 AS recall
+        FROM nx CROSS JOIN lvls
+        LEFT JOIN hh ON hh.nprobe = lvls.nprobe AND hh.qid = nx.qid"""
     )
 
 
@@ -2164,6 +2226,7 @@ WINDOW_ROUND = 16  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R16 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "ivf_pq_probe_sweep",  # never banked
     "ivf_pq_rerank_recall_report",  # never banked
     "ivf_pq_rerank_topk",  # never banked
     "adc_rerank_topk",  # stale (hash changed since r15 row)
@@ -2211,7 +2274,6 @@ DRIVER_WINDOW_R16 = [
     "streaming_hourly_counts",  # backfill (last banked r9)
     "streaming_ohlc",  # backfill (last banked r9)
     "streaming_sessions",  # backfill (last banked r9)
-    "tf_idf",  # backfill (last banked r9)
 ]
 
 
@@ -2397,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-16 additions ---
         "ivf_pq_rerank_topk": sim.ivf_pq_rerank_topk,
         "ivf_pq_rerank_recall_report": sim.ivf_pq_rerank_recall_report,
+        "ivf_pq_probe_sweep": sim.ivf_pq_probe_sweep,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -2951,6 +3014,7 @@ def oracle_sql() -> dict[str, str]:
         "adc_rerank_topk": _adc_rerank_sql(),
         "ivf_pq_rerank_topk": _ivf_pq_rerank_sql(),
         "ivf_pq_rerank_recall_report": _ivf_pq_rerank_recall_sql(),
+        "ivf_pq_probe_sweep": _ivf_pq_probe_sweep_sql(),
         "pq_train_codebooks": _pq_train_sql(),
         "pq_recall_report": _pq_recall_sql(),
         "sq8_quantize": _sq8_quantize_sql(),

@@ -211,6 +211,10 @@ HEADLINE = [
     # the production path (recall 0.112 -> 0.244 at sf0.1 at equal
     # candidate budget)
     "ivf_pq_rerank_topk",
+    # round-16: the residual-path nprobe sweep — one candidate fetch
+    # at max nprobe, in-row explode of 4 operating points; the
+    # measured cost of pricing the production path's tuning knob
+    "ivf_pq_probe_sweep",
 ]
 
 

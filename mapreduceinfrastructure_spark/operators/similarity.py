@@ -2301,6 +2301,28 @@ def _ivf_pq_adc_ranked(spark: SparkSession, sf_dir: str, cap: int):
     rn <= TOPK prefix of the cap ranking IS the ADC top-k, so the
     composed recall report prices both variants from one corpus
     pass)."""
+    pairs = _ivf_pq_probe_pairs(spark, sf_dir, NPROBE)
+    if pairs is None:
+        return None
+    w = Window.partitionBy("qid").orderBy(F.col("adc"), F.col("neighbor_id"))
+    return (
+        pairs.select("qid", "neighbor_id", "adc")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= cap)
+    )
+
+
+def _ivf_pq_probe_pairs(spark: SparkSession, sf_dir: str, max_probe: int):
+    """The raw IVFADC candidate pairs — (qid, neighbor_id, adc, cr)
+    for every corpus vector in the query's ``max_probe`` nearest
+    cells, self excluded, ``cr`` the probed cell's rank (1 =
+    nearest), or None on an empty corpus.  The per-probe query
+    residual (qrv = qv − probed centroid) is named as a Project
+    column before the ADC table reads it; a corpus vector is in
+    exactly one cell so no (qid, neighbor) dedup is needed.
+    _ivf_pq_adc_ranked consumes it at max_probe=NPROBE;
+    ivf_pq_probe_sweep over-fetches at max(ANN_PROBE_SET) and
+    explodes the qualifying operating points in-row."""
     emb = _embeddings(spark, sf_dir)
     res, cents = _residual_frame(spark, sf_dir)
     cb = _pq_production_codebook(
@@ -2320,9 +2342,9 @@ def _ivf_pq_adc_ranked(spark: SparkSession, sf_dir: str, cap: int):
         _pq_code_arr(c_flat, n_codes, F.col("rv")).alias("cs"),
     )
 
-    # query side: NPROBE nearest cells, then the PER-PROBE residual
-    # (qrv = qv − probed centroid) named as a Project column before
-    # the ADC table reads it.
+    # query side: the max_probe nearest cells, then the PER-PROBE
+    # residual (qrv = qv − probed centroid) named as a Project column
+    # before the ADC table reads it.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
@@ -2331,30 +2353,32 @@ def _ivf_pq_adc_ranked(spark: SparkSession, sf_dir: str, cap: int):
     )
     wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
     pr = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= NPROBE)
+        qc.withColumn("cr", F.row_number().over(wq))
+        .filter(F.col("cr") <= max_probe)
         .select(
             "qid",
             "cid",
+            "cr",
             F.zip_with("qv", "cv", lambda x, y: x - y).alias("qrv"),
         )
     )
     p_src, p_flat = _pq_codebook_source(pr, flat_vals)
     probes = p_src.select(
-        "qid", "cid", _pq_adc_table(p_flat, n_codes, F.col("qrv")).alias("t")
+        "qid",
+        "cid",
+        "cr",
+        _pq_adc_table(p_flat, n_codes, F.col("qrv")).alias("t"),
     )
 
     pairs = corpus.join(F.broadcast(probes), "cid").filter(
         F.col("vec_id") != F.col("qid")
     )
     adc = _adc_sum(n_codes)
-    w = Window.partitionBy("qid").orderBy(F.col("adc"), F.col("neighbor_id"))
-    return (
-        pairs.select(
-            "qid", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
-        )
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= cap)
+    return pairs.select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        adc.alias("adc"),
+        "cr",
     )
 
 
@@ -2425,6 +2449,111 @@ def ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
         F.round(
             F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+            / F.col("n_exact"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def ivf_pq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@TOPK of the RESIDUAL IVFADC path at every
+    nprobe operating point in ANN_PROBE_SET — (nprobe, qid, n_exact,
+    n_hit, recall), ground truth exact full-corpus squared L2
+    (VERDICT r15 #4: ann_probe_sweep prices nprobe for the raw-vector
+    IVF path; this prices it for the path production actually runs
+    after r15 — trained residual codes, per-probe query residuals).
+    Together with ivf_pq_rerank_recall_report (the CAP axis) this
+    completes the tuning surface of the production index: nprobe
+    buys candidate RECALL, CAP+rerank buys candidate ORDERING.
+
+    Scale shape — the ann_probe_sweep one-pass-many-points pattern:
+    candidates are fetched ONCE at max(ANN_PROBE_SET) probes
+    (_ivf_pq_probe_pairs — each candidate carries its probed cell's
+    rank ``cr`` and ITS probe's residual-ADC score, the per-probe
+    table semantics of ivf_pq_adc_topk), the sweep EXPLODES the
+    qualifying levels {p : p >= cr} in-row, and one window pass ranks
+    all operating points — not one corpus pass per nprobe.  The
+    exact leg is one brute-force d2 top-k over the broadcast query
+    set; audit joins explicitly broadcast (post-window frames carry
+    no size estimates — the r14 pin).
+
+    NOT monotone by construction: unlike ann_probe_sweep's exact
+    in-candidate ranking (where growing the candidate set can only
+    help), ADC ranks by QUANTIZED distance, so a new cell's badly
+    quantized candidate can displace a true neighbor from the ADC
+    top-k — the sweep measures that too (the honest version of the
+    curve).  Exactness: probe selection and ADC folds replay
+    ivf_pq_adc_topk's banked conventions; counts are integers and
+    recall one exact int/int division.
+    """
+    emb = _embeddings(spark, sf_dir)
+    schema = (
+        "nprobe long, qid long, n_exact long, n_hit long, recall double"
+    )
+    pairs = _ivf_pq_probe_pairs(spark, sf_dir, max(ANN_PROBE_SET))
+    if pairs is None:
+        return spark.createDataFrame([], schema=schema)
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
+    exact = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id")
+    )
+    per_q = exact.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+
+    levels = F.filter(
+        F.lit(list(ANN_PROBE_SET)), lambda p: p >= F.col("cr")
+    )
+    scored = pairs.select(
+        "qid",
+        "neighbor_id",
+        "adc",
+        F.explode(levels).alias("nprobe"),
+    )
+    w = Window.partitionBy("nprobe", "qid").orderBy(
+        F.col("adc"), F.col("neighbor_id")
+    )
+    got = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            "qid",
+            "neighbor_id",
+        )
+    )
+    hits = (
+        got.join(F.broadcast(exact), ["qid", "neighbor_id"])
+        .groupBy("nprobe", "qid")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    base = per_q.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(int(p),) for p in ANN_PROBE_SET], "nprobe long"
+            )
+        )
+    )
+    return base.join(F.broadcast(hits), ["nprobe", "qid"], "left").select(
+        "nprobe",
+        "qid",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
             / F.col("n_exact"),
             6,
         ).alias("recall"),

@@ -28,6 +28,7 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
+    "ivf_pq_probe_sweep",  # never banked
     "ivf_pq_rerank_recall_report",  # never banked
     "ivf_pq_rerank_topk",  # never banked
     "adc_rerank_topk",  # stale (hash changed since r15 row)
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "streaming_hourly_counts",  # backfill (last banked r9)
     "streaming_ohlc",  # backfill (last banked r9)
     "streaming_sessions",  # backfill (last banked r9)
-    "tf_idf",  # backfill (last banked r9)
 ]
 
 def test_window_round_is_fresh():

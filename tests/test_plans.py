@@ -672,6 +672,22 @@ def test_ivf_pq_rerank_topk_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_pq_probe_sweep_plan_shape(spark, sf_dir):
+    """Scale pins for the r16 residual-path nprobe sweep: ONE
+    candidate fetch at max(ANN_PROBE_SET) rides the broadcast-hash
+    cid join (ivf_pq_adc_topk's pinned shape), the operating points
+    are an in-row explode (no join per nprobe level), the level grid
+    broadcasts onto the post-agg per-query frame, and every
+    per-(nprobe, qid) top-k prunes map-side."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["ivf_pq_probe_sweep"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_adc_rerank_topk_plan_shape(spark, sf_dir):
     """Scale pins for the r15 two-stage retrieval: ONE code-column
     corpus pass feeds the ADC candidate window (map-side pruned), and

@@ -106,3 +106,34 @@ def test_ivf_pq_rerank_recall_report_consistency(spark, sf_dir):
     if sf_dir.rstrip("/").endswith("sf0.01"):
         assert abs(m_adc - 0.156) < 1e-9, m_adc
         assert abs(m_rer - 0.364) < 1e-9, m_rer
+
+
+def test_ivf_pq_probe_sweep_consistency(spark, sf_dir):
+    """Full (nprobe x qid) grid over ANN_PROBE_SET, n_hit <= n_exact,
+    and the nprobe=NPROBE row must bit-equal ivf_pq_recall_report's
+    'residual' variant (same path, same ground truth — the sweep is
+    that report swept across operating points).  NO monotonicity pin:
+    ADC ranks by quantized distance, so more probed cells can
+    displace a true neighbor (documented in the docstring; the
+    measured curve lives in SCALE.md)."""
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        ANN_PROBE_SET,
+        NPROBE,
+    )
+
+    sweep = QUERIES["ivf_pq_probe_sweep"](spark, sf_dir).collect()
+    assert sweep
+    grid = {(r["nprobe"], r["qid"]): r for r in sweep}
+    qids = {q for _, q in grid}
+    assert {(p, q) for p in ANN_PROBE_SET for q in qids} == set(grid)
+    for r in sweep:
+        assert 0 <= r["n_hit"] <= r["n_exact"], r
+
+    rep = {
+        r["qid"]: (r["hits"], r["recall"])
+        for r in QUERIES["ivf_pq_recall_report"](spark, sf_dir).collect()
+        if r["variant"] == "residual"
+    }
+    for qid, (hits, recall) in rep.items():
+        r = grid[(NPROBE, qid)]
+        assert (r["n_hit"], r["recall"]) == (hits, recall), (qid, r)

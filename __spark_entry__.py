@@ -2229,6 +2229,7 @@ DRIVER_WINDOW_R16 = [
     "ivf_pq_probe_sweep",  # never banked
     "ivf_pq_rerank_recall_report",  # never banked
     "ivf_pq_rerank_topk",  # never banked
+    "streaming_pq_ingest",  # never banked
     "adc_rerank_topk",  # stale (hash changed since r15 row)
     "ivf_pq_adc_topk",  # stale (hash changed since r15 row)
     "ivf_pq_recall_report",  # stale (hash changed since r15 row)
@@ -2273,7 +2274,6 @@ DRIVER_WINDOW_R16 = [
     "streaming_enriched_revenue",  # backfill (last banked r9)
     "streaming_hourly_counts",  # backfill (last banked r9)
     "streaming_ohlc",  # backfill (last banked r9)
-    "streaming_sessions",  # backfill (last banked r9)
 ]
 
 
@@ -2460,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_rerank_topk": sim.ivf_pq_rerank_topk,
         "ivf_pq_rerank_recall_report": sim.ivf_pq_rerank_recall_report,
         "ivf_pq_probe_sweep": sim.ivf_pq_probe_sweep,
+        "streaming_pq_ingest": es.streaming_pq_ingest,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -3015,6 +3016,17 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_rerank_topk": _ivf_pq_rerank_sql(),
         "ivf_pq_rerank_recall_report": _ivf_pq_rerank_recall_sql(),
         "ivf_pq_probe_sweep": _ivf_pq_probe_sweep_sql(),
+        # the streaming IVF-PQ index writer's run-to-completion twin:
+        # the banked batch residual-encode replay aggregated into the
+        # per-(cell, subspace, code) posting histogram
+        "streaming_pq_ingest": f"""
+            WITH enc AS ({_ivf_pq_residual_sql()})
+            SELECT cid, subspace, code,
+                   count(*)::BIGINT AS n_vectors,
+                   min(vec_id)::BIGINT AS min_vec_id,
+                   max(vec_id)::BIGINT AS max_vec_id
+            FROM enc GROUP BY 1, 2, 3
+        """,
         "pq_train_codebooks": _pq_train_sql(),
         "pq_recall_report": _pq_recall_sql(),
         "sq8_quantize": _sq8_quantize_sql(),

@@ -1214,3 +1214,139 @@ def streaming_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark, occ, "cell_occupancy_driver", output_mode="complete"
     )
+
+
+def streaming_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF-PQ INDEX WRITER — the seventeenth oracle-backed
+    streaming signal, completing the production vector-store arc:
+    batch build (ivf_pq_residual), serve (ivf_pq_rerank_topk), tune
+    (ivf_pq_probe_sweep / the recall reports), monitor
+    (streaming_cell_occupancy), and now INGEST.  Each arriving
+    embedding is IVF-assigned to its nearest TRAINED cell, the cell
+    centroid subtracted, the residual PQ-encoded against the trained
+    residual codebook, and ONE stateful aggregation maintains the
+    per-(cid, subspace, code) posting histogram — (cid, subspace,
+    code, n_vectors, min_vec_id, max_vec_id), exactly the structure
+    a streaming index writer appends to posting lists (quantizer and
+    codebook stay BATCH-trained artifacts, as production separates
+    ingest from retraining; the retrain trigger is
+    streaming_cell_occupancy's counts).
+
+    Determinism + streaming shape: the trained centroid table and the
+    trained residual codebook are driver-collected artifacts (both
+    memoized — ivf_assignments' checkpointed centroids, the
+    kind="residual" train memo) embedded as parsed literals, so the
+    plan is source → three named map projections (distance table →
+    cell/residual → codes; each named BEFORE its consumer reads it —
+    the _pq_code_arr single-eval discipline) → one keyed agg.  No
+    stream-static join, no second stateful op, legal in complete
+    mode, arrival-order-free (integer counts and min/max only).
+    State is one row per (cell, subspace, live code) — bounded by
+    k x PQ_SUB x n_codes, corpus-independent.
+
+    Exactness: the encode IS the batch path — identical centroid and
+    codebook doubles (lit_double_array bit-round-trip), identical
+    j-ascending distance folds, identical tie rules (cell: first-
+    minimal-position over the cid-ascending centroid list = the
+    banked (d2, cid) order; code: first-lowest-position = pq_quantize
+    convention, labels mapped to seed vec_ids via the codes list) —
+    so the DuckDB twin is simply the banked batch residual-encode
+    oracle (_ivf_pq_residual_sql) aggregated by (cid, subspace,
+    code).
+    """
+    from ..functions.vector import lit_double_array, lit_long_array
+    from ..operators.similarity import (
+        EMBED_DIM,
+        _pq_code_arr,
+        _pq_production_codebook,
+        _residual_frame,
+        ivf_assignments,
+    )
+
+    schema = (
+        "cid long, subspace long, code long, n_vectors long, "
+        "min_vec_id long, max_vec_id long"
+    )
+    res, cents = _residual_frame(spark, sf_dir)
+    cb = _pq_production_codebook(
+        res.select("vec_id", F.col("rv").alias("v")), sf_dir, kind="residual"
+    )
+    if cb is None:
+        return spark.createDataFrame([], schema=schema)
+    codes, flat_vals = cb
+    n_codes = len(codes)
+    cent_rows = cents.orderBy("cid").collect()
+    cids = [int(r["cid"]) for r in cent_rows]
+    k = len(cids)
+    cflat = lit_double_array(
+        [float(x) for r in cent_rows for x in r["cv"]]
+    )
+    cids_lit = lit_long_array(cids)
+    codes_lit = lit_long_array(codes)
+    cb_flat = lit_double_array(flat_vals)
+
+    # per-cell squared distance, the ds table built ONCE per row
+    ds = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda c: F.aggregate(
+            F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + (
+                F.element_at(F.col("v"), j + 1)
+                - F.element_at(cflat, c * EMBED_DIM + j + 1)
+            )
+            * (
+                F.element_at(F.col("v"), j + 1)
+                - F.element_at(cflat, c * EMBED_DIM + j + 1)
+            ),
+        ),
+    )
+    stream = read_embeddings_stream(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # named stages: ds table → pos (1-based argmin cell) → cid +
+    # residual → codes (each named as a Project column before its
+    # consumer reads it — the single-eval discipline; referencing ds
+    # inside array_position AND array_min unnamed would build the
+    # k x EMBED_DIM distance table twice per row)
+    with_pos = stream.select("vec_id", "v", ds.alias("ds")).select(
+        "vec_id",
+        "v",
+        F.array_position(F.col("ds"), F.array_min("ds"))
+        .cast("int")
+        .alias("pos"),
+    )
+    with_rv = with_pos.select(
+        "vec_id",
+        F.element_at(cids_lit, F.col("pos")).cast("long").alias("cid"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+            lambda j: F.element_at(F.col("v"), j + 1)
+            - F.element_at(
+                cflat, (F.col("pos") - 1) * EMBED_DIM + j + 1
+            ),
+        ).alias("rv"),
+    )
+    coded = with_rv.select(
+        "vec_id",
+        "cid",
+        F.posexplode(_pq_code_arr(cb_flat, n_codes, F.col("rv"))).alias(
+            "subspace", "code_pos"
+        ),
+    ).select(
+        "vec_id",
+        "cid",
+        F.col("subspace").cast("long").alias("subspace"),
+        F.element_at(codes_lit, F.col("code_pos") + 1)
+        .cast("long")
+        .alias("code"),
+    )
+    hist = coded.groupBy("cid", "subspace", "code").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+        F.max("vec_id").cast("long").alias("max_vec_id"),
+    )
+    return run_stream_to_memory(
+        spark, hist, "pq_ingest_driver", output_mode="complete"
+    )

@@ -31,6 +31,7 @@ DRIVER_WINDOW = [
     "ivf_pq_probe_sweep",  # never banked
     "ivf_pq_rerank_recall_report",  # never banked
     "ivf_pq_rerank_topk",  # never banked
+    "streaming_pq_ingest",  # never banked
     "adc_rerank_topk",  # stale (hash changed since r15 row)
     "ivf_pq_adc_topk",  # stale (hash changed since r15 row)
     "ivf_pq_recall_report",  # stale (hash changed since r15 row)
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "streaming_enriched_revenue",  # backfill (last banked r9)
     "streaming_hourly_counts",  # backfill (last banked r9)
     "streaming_ohlc",  # backfill (last banked r9)
-    "streaming_sessions",  # backfill (last banked r9)
 ]
 
 def test_window_round_is_fresh():

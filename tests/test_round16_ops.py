@@ -137,3 +137,29 @@ def test_ivf_pq_probe_sweep_consistency(spark, sf_dir):
     for qid, (hits, recall) in rep.items():
         r = grid[(NPROBE, qid)]
         assert (r["n_hit"], r["recall"]) == (hits, recall), (qid, r)
+
+
+def test_streaming_pq_ingest_matches_batch_encode(spark, sf_dir):
+    """The streaming index writer's in-row encode IS the batch path:
+    the run-to-completion posting histogram must bit-equal
+    ivf_pq_residual's output aggregated by (cid, subspace, code) —
+    same centroid/codebook literals, same folds, same tie rules."""
+    from pyspark.sql import functions as F
+
+    got = {
+        tuple(r)
+        for r in QUERIES["streaming_pq_ingest"](spark, sf_dir).collect()
+    }
+    exp = {
+        tuple(r)
+        for r in QUERIES["ivf_pq_residual"](spark, sf_dir)
+        .groupBy("cid", "subspace", "code")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+            F.max("vec_id").cast("long").alias("max_vec_id"),
+        )
+        .collect()
+    }
+    assert got == exp
+    assert got, "empty histogram on a non-empty corpus"

@@ -2226,15 +2226,16 @@ WINDOW_ROUND = 16  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R16 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "streaming_pq_ingest",  # never banked
     "ivf_pq_probe_sweep",  # never banked
     "ivf_pq_rerank_recall_report",  # never banked
     "ivf_pq_rerank_topk",  # never banked
-    "streaming_pq_ingest",  # never banked
+    "global_shuffle_shards",  # never banked
+    "streaming_cell_occupancy",  # stale (hash changed since r15 row)
     "adc_rerank_topk",  # stale (hash changed since r15 row)
     "ivf_pq_adc_topk",  # stale (hash changed since r15 row)
     "ivf_pq_recall_report",  # stale (hash changed since r15 row)
     "ivf_pq_residual",  # stale (hash changed since r15 row)
-    "streaming_cell_occupancy",  # stale (hash changed since r15 row)
     "streaming_funnel_pairs",  # backfill (last banked r8)
     "time_rollup",  # backfill (last banked r8)
     "token_positions",  # backfill (last banked r8)
@@ -2273,7 +2274,6 @@ DRIVER_WINDOW_R16 = [
     "streaming_curated_ingest",  # backfill (last banked r9)
     "streaming_enriched_revenue",  # backfill (last banked r9)
     "streaming_hourly_counts",  # backfill (last banked r9)
-    "streaming_ohlc",  # backfill (last banked r9)
 ]
 
 
@@ -2461,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_rerank_recall_report": sim.ivf_pq_rerank_recall_report,
         "ivf_pq_probe_sweep": sim.ivf_pq_probe_sweep,
         "streaming_pq_ingest": es.streaming_pq_ingest,
+        "global_shuffle_shards": pl.global_shuffle_shards,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -3015,6 +3016,21 @@ def oracle_sql() -> dict[str, str]:
         "adc_rerank_topk": _adc_rerank_sql(),
         "ivf_pq_rerank_topk": _ivf_pq_rerank_sql(),
         "ivf_pq_rerank_recall_report": _ivf_pq_rerank_recall_sql(),
+        # the deterministic global training shuffle: md5-keyed shard +
+        # within-shard key rank, integer-exact in both engines
+        "global_shuffle_shards": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('r16_' || doc_id::VARCHAR),
+                                     1, 12))::BIGINT AS k
+              FROM documents
+            )
+            SELECT (k % 8)::BIGINT AS shard,
+                   row_number() OVER (
+                     PARTITION BY k % 8 ORDER BY k, doc_id)::BIGINT AS pos,
+                   doc_id
+            FROM keyed
+        """,
         "ivf_pq_probe_sweep": _ivf_pq_probe_sweep_sql(),
         # the streaming IVF-PQ index writer's run-to-completion twin:
         # the banked batch residual-encode replay aggregated into the

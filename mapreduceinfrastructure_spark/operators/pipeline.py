@@ -838,6 +838,69 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Global-shuffle sharding (r16): shard count is the parallelism knob —
+# 8 keeps the test-scale audit readable; a 100 TB run sets it to
+# O(corpus / target-shard-bytes) (tens of thousands), which only grows
+# the hash-partition fan-out, never the per-row work.
+N_SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = "r16"
+
+
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE into training shards — (shard,
+    pos, doc_id): every document gets a content-independent
+    pseudorandom key from md5(seed || doc_id), shard = key mod
+    N_SHUFFLE_SHARDS, pos = its key-order rank within the shard.
+    This is the shuffle every pretraining run needs over its corpus
+    (sequential source/crawl order correlates adjacent batches; the
+    fix is a reproducible global permutation), produced WITHOUT the
+    ORDER BY rand() anti-pattern: a full random sort at 100 TB is one
+    total-order range shuffle with sampled range bounds, straggler-
+    bound and non-resumable, while the hash-shard form is ONE hash
+    partition pass + independent per-shard local sorts —
+    embarrassingly parallel, deterministic under retries (the key is
+    a pure function of doc_id and the pinned seed, no RNG state), and
+    restartable per shard.  Re-running on the same corpus reproduces
+    the identical plan; changing SHUFFLE_SEED is a fresh epoch
+    permutation (the multi-epoch story: one seed per epoch).
+
+    Scale shape: one codegen projection (md5 + conv + mod per row),
+    one hash shuffle on shard, per-shard sort via the row_number
+    window — WindowGroupLimit does not apply (every row is kept) but
+    the sort is per-shard local, never a global total order; shard
+    sizes concentrate at n/N_SHUFFLE_SHARDS (multinomial, CV ~
+    sqrt(N/n)) so no skew by construction.  Exactness: the 48-bit
+    md5-derived key, the mod, and the (key, doc_id) rank are integer
+    arithmetic — bit-exact in both engines (the deterministic_sample
+    md5-conv idiom, advanced.py:1020).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_", F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        k.alias("k"),
+        (k % N_SHUFFLE_SHARDS).cast("long").alias("shard"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("shard").orderBy("k", "doc_id")
+    )
+    return keyed.select(
+        "shard", rn.cast("long").alias("pos"), "doc_id"
+    )
+
+
 def lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source language diversity: the Shannon entropy of each
     source's language distribution (nats) and its exponential — the

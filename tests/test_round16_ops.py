@@ -163,3 +163,25 @@ def test_streaming_pq_ingest_matches_batch_encode(spark, sf_dir):
     }
     assert got == exp
     assert got, "empty histogram on a non-empty corpus"
+
+
+def test_global_shuffle_shards_partition_properties(spark, sf_dir):
+    """The output is a true permutation into shards: every document
+    appears exactly once, positions are dense 1..|shard| within each
+    shard, and the md5-keyed multinomial keeps shards balanced (no
+    shard more than twice the smallest at test scale — the no-skew-
+    by-construction claim)."""
+    from mapreduceinfrastructure_spark.sources.tables import load_table
+
+    rows = QUERIES["global_shuffle_shards"](spark, sf_dir).collect()
+    assert rows
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    per_shard: dict[int, list] = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in per_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    sizes = sorted(len(v) for v in per_shard.values())
+    assert sizes[-1] <= 2 * sizes[0], sizes

@@ -1323,6 +1323,74 @@ def _ivf_pq_residual_sql() -> str:
     return "\n".join(parts)
 
 
+def _ivf_split_plan_sql() -> str:
+    """Exact replay twin of similarity.ivf_split_plan (r16): the
+    unrolled Lloyd chain to the final assignment, per-member d2 to
+    the own-cell centroid (the banked j-ascending fold), per-cell
+    count + farthest member (row_number ORDER BY d2 DESC, vec_id —
+    the integer-tiebroken argmax equivalent of Spark's max_by struct),
+    and the above-average occupancy threshold."""
+    k_mod, iters = sim.N_CLUSTERS_MOD, sim.LLOYD_ITERATIONS
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, len({v}) + 1), "
+            f"j -> ({v}[j] - {c}[j]) * ({v}[j] - {c}[j])), "
+            "(acc, x) -> acc + x)"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {k_mod} = 0)",
+    ]
+    for i in range(1, iters + 2):
+        parts.append(f""",
+        a{i} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {d2('e.v', 'c.cv')}, c.cid) AS rn
+            FROM e CROSS JOIN c{i - 1} c
+          ) WHERE rn = 1
+        )""")
+        if i <= iters:
+            parts.append(f""",
+        c{i} AS (
+          SELECT cid, array_agg(nv ORDER BY pos) AS cv FROM (
+            SELECT cid, pos, avg(val) AS nv FROM (
+              SELECT cid, unnest(v) AS val,
+                     unnest(range(1, len(v) + 1)) AS pos
+              FROM a{i}
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        )""")
+    fin = iters + 1
+    parts.append(f""",
+        m AS (
+          SELECT a.cid, a.vec_id, {d2('a.v', 'c.cv')} AS d2
+          FROM a{fin} a JOIN c{iters} c USING (cid)
+        ),
+        pc AS (
+          SELECT cid, count(*)::BIGINT AS n_vectors,
+                 max(d2) AS mx
+          FROM m GROUP BY cid
+        ),
+        far AS (
+          SELECT cid, vec_id AS split_seed FROM (
+            SELECT cid, vec_id,
+                   row_number() OVER (PARTITION BY cid
+                     ORDER BY d2 DESC, vec_id) AS rn
+            FROM m
+          ) WHERE rn = 1
+        )
+        SELECT pc.cid::BIGINT AS cid, pc.n_vectors,
+               far.split_seed::BIGINT AS split_seed,
+               round(pc.mx, 6) AS max_d2
+        FROM pc JOIN far USING (cid)
+        WHERE pc.n_vectors > (SELECT avg(n_vectors) FROM pc)""")
+    return "\n".join(parts)
+
+
 def _ivf_pq_pairs_sql(
     max_probe: int | None = None, carry_rank: bool = False
 ) -> str:
@@ -2226,11 +2294,12 @@ WINDOW_ROUND = 16  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R16 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "global_shuffle_shards",  # never banked
     "streaming_pq_ingest",  # never banked
     "ivf_pq_probe_sweep",  # never banked
     "ivf_pq_rerank_recall_report",  # never banked
     "ivf_pq_rerank_topk",  # never banked
-    "global_shuffle_shards",  # never banked
+    "ivf_split_plan",  # never banked
     "streaming_cell_occupancy",  # stale (hash changed since r15 row)
     "adc_rerank_topk",  # stale (hash changed since r15 row)
     "ivf_pq_adc_topk",  # stale (hash changed since r15 row)
@@ -2273,7 +2342,6 @@ DRIVER_WINDOW_R16 = [
     "streaming_active_users",  # backfill (last banked r9)
     "streaming_curated_ingest",  # backfill (last banked r9)
     "streaming_enriched_revenue",  # backfill (last banked r9)
-    "streaming_hourly_counts",  # backfill (last banked r9)
 ]
 
 
@@ -2462,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_probe_sweep": sim.ivf_pq_probe_sweep,
         "streaming_pq_ingest": es.streaming_pq_ingest,
         "global_shuffle_shards": pl.global_shuffle_shards,
+        "ivf_split_plan": sim.ivf_split_plan,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -3032,6 +3101,7 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed
         """,
         "ivf_pq_probe_sweep": _ivf_pq_probe_sweep_sql(),
+        "ivf_split_plan": _ivf_split_plan_sql(),
         # the streaming IVF-PQ index writer's run-to-completion twin:
         # the banked batch residual-encode replay aggregated into the
         # per-(cell, subspace, code) posting histogram

@@ -2382,6 +2382,61 @@ def _ivf_pq_probe_pairs(spark: SparkSession, sf_dir: str, max_probe: int):
     )
 
 
+def ivf_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE: the cell-split plan — for every cell
+    whose occupancy exceeds the corpus average, (cid, n_vectors,
+    split_seed, max_d2) where split_seed is the member FARTHEST from
+    the cell centroid (ties to the lowest vec_id) and max_d2 that
+    distance.  This is the action end of the monitoring loop
+    streaming_cell_occupancy feeds: oversized cells degrade IVF
+    search (a probe scans the whole cell), and the standard remedy is
+    splitting them with the farthest member as the second seed —
+    exactly a 2-means init on the cell (the same farthest-point
+    heuristic k-means++ formalizes, Arthur & Vassilvitskii SODA'07).
+    An index rebuild consumes this table directly: one new seed per
+    overfull cell.
+
+    Scale shape: one broadcast join attaches the k-row centroid table
+    to the assignment (both memoized artifacts of ivf_assignments),
+    one map-side algebraic agg per cell — max_by over a (d2,
+    -vec_id) struct is the argmax-with-tiebreak computed as a running
+    winner, no per-cell sort, no window over the corpus (the
+    keep_best_dedup shape) — and the above-average threshold is one
+    unpartitioned window over the k-row aggregate.  Exactness: d2 is
+    the banked j-ascending fold (identical doubles both engines), the
+    argmax ties on the integer vec_id, the threshold compares an
+    integer count against avg(integers) (exact in both engines), and
+    max_d2 rounds at 6dp on output only.
+    """
+    assign, cents = ivf_assignments(spark, sf_dir)
+    memb = assign.join(F.broadcast(cents), "cid").select(
+        "cid",
+        "vec_id",
+        _sq_dist(F.col("v"), F.col("cv")).alias("d2"),
+    )
+    per_cell = memb.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.max_by(
+            "vec_id",
+            F.struct(F.col("d2"), (-F.col("vec_id")).alias("nv")),
+        )
+        .cast("long")
+        .alias("split_seed"),
+        F.round(F.max("d2"), 6).alias("max_d2"),
+    )
+    w = Window.partitionBy()
+    return (
+        per_cell.withColumn("avg_n", F.avg("n_vectors").over(w))
+        .filter(F.col("n_vectors").cast("double") > F.col("avg_n"))
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_vectors",
+            "split_seed",
+            "max_d2",
+        )
+    )
+
+
 def ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@TOPK of the two complete IVF-PQ pipelines —
     raw-codebook ann_ivf_adc vs residual-codebook ivf_pq_adc_topk —

@@ -28,11 +28,12 @@ def test_registry_consistency():
 DRIVER_WINDOW = [
     "word_count",  # anchor
     "grep",  # anchor
+    "global_shuffle_shards",  # never banked
     "streaming_pq_ingest",  # never banked
     "ivf_pq_probe_sweep",  # never banked
     "ivf_pq_rerank_recall_report",  # never banked
     "ivf_pq_rerank_topk",  # never banked
-    "global_shuffle_shards",  # never banked
+    "ivf_split_plan",  # never banked
     "streaming_cell_occupancy",  # stale (hash changed since r15 row)
     "adc_rerank_topk",  # stale (hash changed since r15 row)
     "ivf_pq_adc_topk",  # stale (hash changed since r15 row)
@@ -75,7 +76,6 @@ DRIVER_WINDOW = [
     "streaming_active_users",  # backfill (last banked r9)
     "streaming_curated_ingest",  # backfill (last banked r9)
     "streaming_enriched_revenue",  # backfill (last banked r9)
-    "streaming_hourly_counts",  # backfill (last banked r9)
 ]
 
 def test_window_round_is_fresh():

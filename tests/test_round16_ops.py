@@ -185,3 +185,43 @@ def test_global_shuffle_shards_partition_properties(spark, sf_dir):
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
     sizes = sorted(len(v) for v in per_shard.values())
     assert sizes[-1] <= 2 * sizes[0], sizes
+
+
+def test_ivf_split_plan_invariants(spark, sf_dir):
+    """Every planned split targets a genuinely overfull cell (count
+    above the all-cell average recomputed independently), the split
+    seed is a member of its own cell, and max_d2 is that member's
+    own-centroid distance restated."""
+    from pyspark.sql import functions as F
+    from mapreduceinfrastructure_spark.operators.similarity import (
+        _sq_dist,
+        ivf_assignments,
+    )
+
+    plan = {
+        r["cid"]: r for r in QUERIES["ivf_split_plan"](spark, sf_dir).collect()
+    }
+    assert plan, "no overfull cells at test geometry (unexpected)"
+    assign, cents = ivf_assignments(spark, sf_dir)
+    sizes = {
+        r["cid"]: r["n"]
+        for r in assign.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    avg_n = sum(sizes.values()) / len(sizes)
+    for cid, r in plan.items():
+        assert sizes[cid] == r["n_vectors"]
+        assert r["n_vectors"] > avg_n, (cid, r["n_vectors"], avg_n)
+    overfull = {c for c, n in sizes.items() if n > avg_n}
+    assert overfull == set(plan), "threshold mismatch"
+
+    memb = {
+        (r["cid"], r["vec_id"]): r["d2"]
+        for r in assign.join(F.broadcast(cents), "cid")
+        .select(
+            "cid", "vec_id", F.round(_sq_dist(F.col("v"), F.col("cv")), 6).alias("d2")
+        )
+        .collect()
+    }
+    for cid, r in plan.items():
+        assert (cid, r["split_seed"]) in memb, "seed not a cell member"
+        assert memb[(cid, r["split_seed"])] == r["max_d2"]

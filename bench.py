@@ -452,7 +452,10 @@ def main() -> None:
             json.dump(full, fh, indent=1)
     except OSError:
         pass  # a read-only checkout must not kill the printed signal
-    print(json.dumps(out))
+    # compact separators: with 68 headline queries the default ", "/
+    # ": " padding pushed the line past the 1900-char stdout-window
+    # budget (r16); compact form stays ~1.6k with headroom.
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

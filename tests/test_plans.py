@@ -688,6 +688,19 @@ def test_ivf_pq_probe_sweep_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_global_shuffle_shards_plan_shape(spark, sf_dir):
+    """The structural claim behind the r16 global training shuffle:
+    the permutation is ONE hash exchange on shard + per-shard local
+    sorts — no rangepartitioning exchange anywhere (ORDER BY rand()
+    would plan a total-order range shuffle with a sampling pass,
+    straggler-bound at 100 TB)."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["global_shuffle_shards"](spark, sf_dir))
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
+
+
 def test_adc_rerank_topk_plan_shape(spark, sf_dir):
     """Scale pins for the r15 two-stage retrieval: ONE code-column
     corpus pass feeds the ADC candidate window (map-side pruned), and

@@ -2294,17 +2294,17 @@ WINDOW_ROUND = 16  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R16 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "global_shuffle_shards",  # never banked
-    "streaming_pq_ingest",  # never banked
     "ivf_pq_probe_sweep",  # never banked
     "ivf_pq_rerank_recall_report",  # never banked
     "ivf_pq_rerank_topk",  # never banked
     "ivf_split_plan",  # never banked
-    "streaming_cell_occupancy",  # stale (hash changed since r15 row)
+    "global_shuffle_shards",  # never banked
+    "streaming_pq_ingest",  # never banked
     "adc_rerank_topk",  # stale (hash changed since r15 row)
     "ivf_pq_adc_topk",  # stale (hash changed since r15 row)
     "ivf_pq_recall_report",  # stale (hash changed since r15 row)
     "ivf_pq_residual",  # stale (hash changed since r15 row)
+    "streaming_cell_occupancy",  # stale (hash changed since r15 row)
     "streaming_funnel_pairs",  # backfill (last banked r8)
     "time_rollup",  # backfill (last banked r8)
     "token_positions",  # backfill (last banked r8)

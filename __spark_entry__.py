@@ -2300,7 +2300,13 @@ DRIVER_WINDOW_R16 = [
     "ivf_split_plan",  # never banked
     "global_shuffle_shards",  # never banked
     "streaming_pq_ingest",  # never banked
+    "ann_ivf",  # stale (hash changed since r13 row)
+    "cluster_balanced_sample",  # stale (hash changed since r13 row)
+    "ann_recall_report",  # stale (hash changed since r14 row)
     "adc_rerank_topk",  # stale (hash changed since r15 row)
+    "ann_ivf_adc",  # stale (hash changed since r15 row)
+    "ann_probe_sweep",  # stale (hash changed since r15 row)
+    "filtered_ann_recall_report",  # stale (hash changed since r15 row)
     "ivf_pq_adc_topk",  # stale (hash changed since r15 row)
     "ivf_pq_recall_report",  # stale (hash changed since r15 row)
     "ivf_pq_residual",  # stale (hash changed since r15 row)
@@ -2336,12 +2342,6 @@ DRIVER_WINDOW_R16 = [
     "sentence_stats",  # backfill (last banked r9)
     "simhash",  # backfill (last banked r9)
     "simhash_neardup",  # backfill (last banked r9)
-    "sorted_neighborhood_neardup",  # backfill (last banked r9)
-    "sssp_parts",  # backfill (last banked r9)
-    "stratified_sample",  # backfill (last banked r9)
-    "streaming_active_users",  # backfill (last banked r9)
-    "streaming_curated_ingest",  # backfill (last banked r9)
-    "streaming_enriched_revenue",  # backfill (last banked r9)
 ]
 
 

@@ -737,9 +737,25 @@ def _ivf_assignment_mode(sf_dir: str) -> tuple[bool, int]:
     return k_est >= IVF_TWO_LEVEL_MIN_K, m
 
 
+# Build-once memo for the IVF coarse quantizer (r16, the
+# _RESIDUAL_FRAME_CACHE pattern one level down): every IVF consumer
+# (ann_ivf, ann_ivf_adc, ann_probe_sweep, ivf_split_plan, the whole
+# residual family via _residual_frame) shares one trained quantizer
+# per corpus instead of re-running the Lloyd recurrence per call —
+# production trains the coarse quantizer once and serves it.  Keyed
+# by (Spark application id, sf_dir, corpus fingerprint); the payload
+# is two DataFrame handles (the centroids are already eagerly
+# localCheckpointed inside, so reuse skips the training passes AND
+# their K x EMBED_DIM driver collects).
+_IVF_ASSIGN_CACHE: dict[tuple, tuple] = {}
+
+
 def ivf_assignments(spark: SparkSession, sf_dir: str):
     """IVF index build: deterministic seed centroids (every 40th vector)
     refined by 2 Lloyd iterations, then nearest-centroid assignment.
+    Memoized per (application, sf_dir, corpus fingerprint) — train the
+    coarse quantizer once per corpus (r16; the _pq_train_flat /
+    _residual_frame precedent, measured in scratch/ivf_memo_ab.py).
 
     All DataFrame ops: assignment is a broadcast cross join + min_by
     argmin (one pass over the corpus per iteration); the centroid update
@@ -751,6 +767,13 @@ def ivf_assignments(spark: SparkSession, sf_dir: str):
     instead of n x k, broadcasting only the sqrt(k)-row leader array.
     Returns (assign_df, centroids_df).
     """
+    fp = _pq_corpus_fingerprint(sf_dir)
+    key = None
+    if fp is not None:
+        key = (spark.sparkContext.applicationId, sf_dir, fp)
+        hit = _IVF_ASSIGN_CACHE.get(key)
+        if hit is not None:
+            return hit
     emb = _embeddings(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") % N_CLUSTERS_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
@@ -792,7 +815,10 @@ def ivf_assignments(spark: SparkSession, sf_dir: str):
         # and the recurrence lineage itself nests one corpus pass per
         # iteration inside the next.  One pass per iteration total.
         cents = cents.localCheckpoint(eager=True)
-    return nearest(cents), cents
+    out = nearest(cents), cents
+    if key is not None:
+        _IVF_ASSIGN_CACHE[key] = out
+    return out
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2288,60 +2288,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # TPC-H queries — 24 slots) + 1 r7 backfill (bloom_decontaminate).
 # Every windowed entry has an exact DuckDB oracle (pinned by
 # test_driver_window_is_oracle_backed).
-WINDOW_ROUND = 16  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
+WINDOW_ROUND = 17  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 # tests/test_oracle_parity.py::test_window_round_is_fresh (VERDICT r11 #1:
 # r11 silently re-ran the r10 window; this makes a stale window a red test).
-DRIVER_WINDOW_R16 = [
+DRIVER_WINDOW_R17 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "ivf_pq_probe_sweep",  # never banked
-    "ivf_pq_rerank_recall_report",  # never banked
-    "ivf_pq_rerank_topk",  # never banked
-    "ivf_split_plan",  # never banked
-    "global_shuffle_shards",  # never banked
-    "streaming_pq_ingest",  # never banked
-    "ann_ivf",  # stale (hash changed since r13 row)
-    "cluster_balanced_sample",  # stale (hash changed since r13 row)
-    "ann_recall_report",  # stale (hash changed since r14 row)
-    "adc_rerank_topk",  # stale (hash changed since r15 row)
-    "ann_ivf_adc",  # stale (hash changed since r15 row)
-    "ann_probe_sweep",  # stale (hash changed since r15 row)
-    "filtered_ann_recall_report",  # stale (hash changed since r15 row)
-    "ivf_pq_adc_topk",  # stale (hash changed since r15 row)
-    "ivf_pq_recall_report",  # stale (hash changed since r15 row)
-    "ivf_pq_residual",  # stale (hash changed since r15 row)
-    "streaming_cell_occupancy",  # stale (hash changed since r15 row)
-    "streaming_funnel_pairs",  # backfill (last banked r8)
-    "time_rollup",  # backfill (last banked r8)
-    "token_positions",  # backfill (last banked r8)
-    "udtf_chunk_text",  # backfill (last banked r8)
-    "union_all_op",  # backfill (last banked r8)
-    "unpivot_measures",  # backfill (last banked r8)
-    "window_frames",  # backfill (last banked r8)
-    "window_funcs_catalog",  # backfill (last banked r8)
-    "array_funcs_catalog",  # backfill (last banked r9)
-    "basket_triples",  # backfill (last banked r9)
-    "benford_digits",  # backfill (last banked r9)
-    "clustering_coeff",  # backfill (last banked r9)
-    "dq_referential_audit",  # backfill (last banked r9)
-    "event_trigrams",  # backfill (last banked r9)
-    "gaps_islands",  # backfill (last banked r9)
-    "interval_concurrency",  # backfill (last banked r9)
-    "inverted_index",  # backfill (last banked r9)
-    "ivm_source_stats",  # backfill (last banked r9)
-    "kaplan_meier",  # backfill (last banked r9)
-    "kcore_peel",  # backfill (last banked r9)
-    "mad_outliers",  # backfill (last banked r9)
-    "market_basket_rules",  # backfill (last banked r9)
-    "null_safe_join",  # backfill (last banked r9)
-    "ohlc_bars",  # backfill (last banked r9)
-    "oov_rate",  # backfill (last banked r9)
-    "pagerank_nations",  # backfill (last banked r9)
-    "pii_scrub",  # backfill (last banked r9)
-    "scd2_intervals",  # backfill (last banked r9)
-    "sentence_stats",  # backfill (last banked r9)
-    "simhash",  # backfill (last banked r9)
-    "simhash_neardup",  # backfill (last banked r9)
+    "sorted_neighborhood_neardup",  # backfill (last banked r9)
+    "sssp_parts",  # backfill (last banked r9)
+    "stratified_sample",  # backfill (last banked r9)
+    "streaming_active_users",  # backfill (last banked r9)
+    "streaming_curated_ingest",  # backfill (last banked r9)
+    "streaming_enriched_revenue",  # backfill (last banked r9)
+    "streaming_hourly_counts",  # backfill (last banked r9)
+    "streaming_ohlc",  # backfill (last banked r9)
+    "streaming_sessions",  # backfill (last banked r9)
+    "tf_idf",  # backfill (last banked r9)
+    "token_stats",  # backfill (last banked r9)
+    "trade_edges",  # backfill (last banked r9)
+    "trade_flows_2hop",  # backfill (last banked r9)
+    "triangle_count",  # backfill (last banked r9)
+    "weighted_median",  # backfill (last banked r9)
+    "zipf_slope",  # backfill (last banked r9)
+    "bigram_count",  # backfill (last banked r11)
+    "bpe_token_count",  # backfill (last banked r11)
+    "curation_pipeline",  # backfill (last banked r11)
+    "cusum_drift",  # backfill (last banked r11)
+    "data_mixture",  # backfill (last banked r11)
+    "decontamination",  # backfill (last banked r11)
+    "degree_assortativity",  # backfill (last banked r11)
+    "distinct_count",  # backfill (last banked r11)
+    "distributed_sort",  # backfill (last banked r11)
+    "dup_spans",  # backfill (last banked r11)
+    "event_transitions",  # backfill (last banked r11)
+    "fingerprint",  # backfill (last banked r11)
+    "frame_offsets",  # backfill (last banked r11)
+    "funnel_conversion",  # backfill (last banked r11)
+    "fuzzy_blocked_join",  # backfill (last banked r11)
+    "gap_fill",  # backfill (last banked r11)
+    "global_rank",  # backfill (last banked r11)
+    "join_anti",  # backfill (last banked r11)
+    "join_semi",  # backfill (last banked r11)
+    "keep_best_dedup",  # backfill (last banked r11)
+    "mixture_weights",  # backfill (last banked r11)
+    "neyman_allocation",  # backfill (last banked r11)
+    "pack_sequences",  # backfill (last banked r11)
+    "pivot_status",  # backfill (last banked r11)
+    "quality_score",  # backfill (last banked r11)
+    "readability",  # backfill (last banked r11)
+    "repetition_filter",  # backfill (last banked r11)
+    "retention_cohorts",  # backfill (last banked r11)
+    "rolling_fingerprint",  # backfill (last banked r11)
+    "rolling_time_window",  # backfill (last banked r11)
+    "set_ops",  # backfill (last banked r11)
+    "split_assign",  # backfill (last banked r11)
 ]
 
 
@@ -2356,7 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # replay, unrolled Lloyd CTE, hex-domain PCM replay); bpe_merges
     # in r11 (unrolled merge-recurrence CTE, _bpe_merges_sql).
     reg = {
-        # (registry order is historical; DRIVER_WINDOW_R16 defines the
+        # (registry order is historical; DRIVER_WINDOW_R17 defines the
         #  verified window — see the note above)
         "word_count": ta.word_count,
         "grep": ta.grep,
@@ -2629,7 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_index_ingest": es.streaming_index_ingest,
         "jsonl_roundtrip": pl.jsonl_roundtrip,
     }
-    ordered = {k: reg[k] for k in DRIVER_WINDOW_R16}
+    ordered = {k: reg[k] for k in DRIVER_WINDOW_R17}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
     return ordered
 

@@ -1159,6 +1159,93 @@ def _pq_adc_sql() -> str:
     )
 
 
+def _pq_bits_recall_sql() -> str:
+    """Exact replay twin of similarity.pq_bits_recall_report (r17):
+    TWO _pq_train_cte_body replays over the same corpus — the
+    production 4-bit seed count (unprefixed) and the 8-bit
+    PQ_BITS_WIDE_K=256 one (prefix "w") — each followed by
+    _pq_adc_sql's search tail (flat codebook in pos order, trained
+    assignment codes, fixed s-order ADC, (adc, neighbor_id) ties),
+    then the brute-force L2 ground-truth leg and integer set algebra
+    + one exact int/int division."""
+    T = sim.PQ_TRAIN_ITERS
+    dim, sub = sim.EMBED_DIM, sim.PQ_SUBDIM
+
+    def dsub(s: int) -> str:
+        term = (
+            f"(q.qv[{s * sub} + j] - fb.f[c.cs[{s + 1}] * {dim}"
+            f" + {s * sub} + j])"
+        )
+        return (
+            f"list_reduce([0.0] || list_transform(range(1, {sub + 1}),\n"
+            f"                   j -> {term}\n"
+            f"                        * {term}),\n"
+            f"                 (acc, x) -> acc + x)"
+        )
+
+    adc = "\n               + ".join(dsub(s) for s in range(sim.PQ_SUB))
+
+    def leg(P: str) -> str:
+        return f""",
+        {P}fb AS (SELECT flatten(list(cv ORDER BY pos)) AS f
+                  FROM {P}cb{T}),
+        {P}codes AS (SELECT vec_id, list(code_pos ORDER BY s) AS cs
+                     FROM {P}a{T + 1} GROUP BY vec_id),
+        {P}top AS (
+          SELECT qid, neighbor_id FROM (
+            SELECT q.qid, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY {adc}, c.vec_id) AS rn
+            FROM {P}codes c, q, {P}fb fb
+            WHERE c.vec_id <> q.qid
+          ) WHERE rn <= {sim.TOPK}
+        )"""
+
+    return (
+        "\nWITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings)"
+        + _pq_train_cte_body()
+        + _pq_train_cte_body(prefix="w", k=sim.PQ_BITS_WIDE_K)
+        + f""",
+        q AS (SELECT vec_id AS qid, v AS qv FROM e
+              WHERE vec_id < {sim.N_QUERIES})"""
+        + leg("")
+        + leg("w")
+        + f""",
+        ex AS MATERIALIZED (
+          SELECT qid, neighbor_id FROM (
+            SELECT qe.vec_id AS qid, ne.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+                     list_reduce([0.0] || list_transform(
+                         range(1, {dim} + 1),
+                         j -> (ne.v[j] - qe.v[j]) * (ne.v[j] - qe.v[j])),
+                       (acc, x) -> acc + x), ne.vec_id) AS rn
+            FROM e ne, e qe
+            WHERE qe.vec_id < {sim.N_QUERIES} AND ne.vec_id <> qe.vec_id
+          ) WHERE rn <= {sim.TOPK}
+        ),
+        nx AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid),
+        got AS (
+          SELECT 4 AS bits, qid, neighbor_id FROM top
+          UNION ALL
+          SELECT 8 AS bits, qid, neighbor_id FROM wtop
+        ),
+        h AS (
+          SELECT got.bits, got.qid, count(*) AS n_hit
+          FROM got JOIN ex
+            ON got.qid = ex.qid AND got.neighbor_id = ex.neighbor_id
+          GROUP BY 1, 2
+        )
+        SELECT b.bits::BIGINT AS bits, nx.qid,
+               nx.n_exact::BIGINT AS n_exact,
+               coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+               round(coalesce(h.n_hit, 0)::DOUBLE / nx.n_exact, 6)
+                 AS recall
+        FROM nx CROSS JOIN (VALUES (4), (8)) b(bits)
+        LEFT JOIN h ON h.bits = b.bits AND h.qid = nx.qid"""
+    )
+
+
 def _ann_ivf_adc_sql() -> str:
     """Exact replay twin of similarity.ann_ivf_adc (r13; trained
     codebook r15): the _ann_ivf_sql unrolled deterministic-Lloyd
@@ -1323,13 +1410,17 @@ def _ivf_pq_residual_sql() -> str:
     return "\n".join(parts)
 
 
-def _ivf_split_plan_sql() -> str:
-    """Exact replay twin of similarity.ivf_split_plan (r16): the
-    unrolled Lloyd chain to the final assignment, per-member d2 to
-    the own-cell centroid (the banked j-ascending fold), per-cell
-    count + farthest member (row_number ORDER BY d2 DESC, vec_id —
-    the integer-tiebroken argmax equivalent of Spark's max_by struct),
-    and the above-average occupancy threshold."""
+def _ivf_split_chain_sql() -> str:
+    """The shared IVF split-maintenance chain (r17 refactor of the r16
+    _ivf_split_plan_sql): the unrolled Lloyd chain to the final
+    assignment, per-member d2 to the own-cell centroid (the banked
+    j-ascending fold; ``m`` MATERIALIZED and carrying the member/
+    centroid vectors so the apply tail re-reads rows, not the
+    re-inlined Lloyd cross join), per-cell count + farthest member
+    (row_number ORDER BY d2 DESC, vec_id — the integer-tiebroken
+    argmax equivalent of Spark's max_by struct), and the
+    above-average occupancy threshold — ends at ``plan`` (cid,
+    n_vectors, split_seed, mx)."""
     k_mod, iters = sim.N_CLUSTERS_MOD, sim.LLOYD_ITERATIONS
 
     def d2(v: str, c: str) -> str:
@@ -1366,8 +1457,8 @@ def _ivf_split_plan_sql() -> str:
         )""")
     fin = iters + 1
     parts.append(f""",
-        m AS (
-          SELECT a.cid, a.vec_id, {d2('a.v', 'c.cv')} AS d2
+        m AS MATERIALIZED (
+          SELECT a.cid, a.vec_id, a.v, c.cv, {d2('a.v', 'c.cv')} AS d2
           FROM a{fin} a JOIN c{iters} c USING (cid)
         ),
         pc AS (
@@ -1382,13 +1473,56 @@ def _ivf_split_plan_sql() -> str:
                      ORDER BY d2 DESC, vec_id) AS rn
             FROM m
           ) WHERE rn = 1
-        )
-        SELECT pc.cid::BIGINT AS cid, pc.n_vectors,
-               far.split_seed::BIGINT AS split_seed,
-               round(pc.mx, 6) AS max_d2
-        FROM pc JOIN far USING (cid)
-        WHERE pc.n_vectors > (SELECT avg(n_vectors) FROM pc)""")
+        ),
+        plan AS (
+          SELECT pc.cid, pc.n_vectors, far.split_seed, pc.mx
+          FROM pc JOIN far USING (cid)
+          WHERE pc.n_vectors > (SELECT avg(n_vectors) FROM pc)
+        )""")
     return "\n".join(parts)
+
+
+def _ivf_split_plan_sql() -> str:
+    """Exact replay twin of similarity.ivf_split_plan (r16): the
+    shared _ivf_split_chain_sql, projected."""
+    return (
+        _ivf_split_chain_sql()
+        + """
+        SELECT cid::BIGINT AS cid, n_vectors,
+               split_seed::BIGINT AS split_seed,
+               round(mx, 6) AS max_d2
+        FROM plan"""
+    )
+
+
+def _ivf_split_apply_sql() -> str:
+    """Exact replay twin of similarity.ivf_split_apply (r17): the
+    shared _ivf_split_chain_sql, then the 2-means reassignment of each
+    planned cell's members between the old centroid (m.d2, already the
+    banked fold) and the split-seed vector fetched BY KEY from ``e``;
+    a member moves on a strict <, ties stay; integer counts out."""
+    d2sv = (
+        "list_reduce([0.0] || list_transform(range(1, len(m.v) + 1), "
+        "j -> (m.v[j] - s.sv[j]) * (m.v[j] - s.sv[j])), "
+        "(acc, x) -> acc + x)"
+    )
+    return (
+        _ivf_split_chain_sql()
+        + f""",
+        sv AS (
+          SELECT p.cid, e.v AS sv FROM plan p
+          JOIN e ON e.vec_id = p.split_seed
+        ),
+        mv AS (
+          SELECT m.cid, ({d2sv}) < m.d2 AS moves
+          FROM m JOIN sv s USING (cid)
+        )
+        SELECT cid::BIGINT AS cid,
+               count(*)::BIGINT AS n_before,
+               count(*) FILTER (WHERE NOT moves)::BIGINT AS n_keep,
+               count(*) FILTER (WHERE moves)::BIGINT AS n_split
+        FROM mv GROUP BY cid"""
+    )
 
 
 def _ivf_pq_pairs_sql(
@@ -1670,6 +1804,73 @@ def _ivf_pq_rerank_recall_sql() -> str:
     )
 
 
+def _rerank_cap_sweep_sql() -> str:
+    """Exact replay twin of similarity.rerank_cap_sweep (r17): the
+    shared _ivf_pq_pairs_sql chain ranked once, exact re-rank d2
+    computed once per candidate within max(RERANK_CAP_SET) (both
+    vectors fetched BY KEY from ``e``), the qualifying caps joined in
+    (l.cap >= crn — the in-row explode's SQL twin), one window pass
+    per (cap, qid), and the brute-force L2 ground-truth leg; integer
+    set algebra + one exact int/int division on top."""
+    dim = sim.EMBED_DIM
+    caps = ", ".join(str(c) for c in sim.RERANK_CAP_SET)
+    return (
+        _ivf_pq_pairs_sql()
+        + f""",
+        rk AS MATERIALIZED (
+          SELECT qid, neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY qid ORDER BY adc, neighbor_id) AS crn
+          FROM pairs
+        ),
+        cd AS MATERIALIZED (
+          SELECT rk.qid, rk.neighbor_id, rk.crn,
+                 list_reduce([0.0] || list_transform(range(1, {dim} + 1),
+                     j -> (ne.v[j] - qe.v[j]) * (ne.v[j] - qe.v[j])),
+                   (acc, x) -> acc + x) AS d2
+          FROM rk JOIN e ne ON ne.vec_id = rk.neighbor_id
+               JOIN e qe ON qe.vec_id = rk.qid
+          WHERE rk.crn <= {max(sim.RERANK_CAP_SET)}
+        ),
+        ex AS MATERIALIZED (
+          SELECT qid, neighbor_id FROM (
+            SELECT qe.vec_id AS qid, ne.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+                     list_reduce([0.0] || list_transform(
+                         range(1, {dim} + 1),
+                         j -> (ne.v[j] - qe.v[j]) * (ne.v[j] - qe.v[j])),
+                       (acc, x) -> acc + x), ne.vec_id) AS rn
+            FROM e ne, e qe
+            WHERE qe.vec_id < {sim.N_QUERIES} AND ne.vec_id <> qe.vec_id
+          ) WHERE rn <= {sim.TOPK}
+        ),
+        nx AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid),
+        sw AS (
+          SELECT cap, qid, neighbor_id FROM (
+            SELECT l.cap, cd.qid, cd.neighbor_id,
+                   row_number() OVER (PARTITION BY l.cap, cd.qid
+                     ORDER BY cd.d2, cd.neighbor_id) AS rn
+            FROM cd JOIN (SELECT unnest([{caps}]) AS cap) l
+              ON l.cap >= cd.crn
+          ) WHERE rn <= {sim.TOPK}
+        ),
+        hh AS (
+          SELECT sw.cap, sw.qid, count(*) AS n_hit
+          FROM sw JOIN ex
+            ON sw.qid = ex.qid AND sw.neighbor_id = ex.neighbor_id
+          GROUP BY 1, 2
+        ),
+        lvls AS (SELECT unnest([{caps}]) AS cap)
+        SELECT lvls.cap::BIGINT AS cap, nx.qid,
+               nx.n_exact::BIGINT AS n_exact,
+               coalesce(hh.n_hit, 0)::BIGINT AS n_hit,
+               round(coalesce(hh.n_hit, 0)::DOUBLE / nx.n_exact, 6)
+                 AS recall
+        FROM nx CROSS JOIN lvls
+        LEFT JOIN hh ON hh.cap = lvls.cap AND hh.qid = nx.qid"""
+    )
+
+
 def _wav_le(expr: str, nbytes: int) -> str:
     """LE hex of an int expression: big-endian lpad-hex, byte pairs
     reversed (shared by the WAV container oracles)."""
@@ -1690,7 +1891,9 @@ def _wav_rd(byte_off: int, nbytes: int) -> str:
     return f"('0x' || {pairs})::BIGINT"
 
 
-def _pq_train_cte_body(src: str = "e", prefix: str = "") -> str:
+def _pq_train_cte_body(
+    src: str = "e", prefix: str = "", k: int | None = None
+) -> str:
     """Parameterized CTE fragment (no leading WITH) for the PQ-training
     replay: the seed codebook of ``src`` (a CTE exposing (vec_id, v))
     as (pos, cv) rows, then PQ_TRAIN_ITERS unrolled Lloyd refinements
@@ -1703,10 +1906,13 @@ def _pq_train_cte_body(src: str = "e", prefix: str = "") -> str:
     would otherwise collide — the r15 trained-production twins).  Ends
     with {{P}}cb{{T}} (trained codebook rows) alongside {{P}}cb0, plus
     {{P}}a{{T+1}} (the assignment pass under the trained codebook) and
-    {{P}}a1 (under the seed codebook)."""
+    {{P}}a1 (under the seed codebook).  ``k`` overrides the seed
+    count (default PQ_K — r17: the 8-bit codebook rung seeds 256)."""
     iters = sim.PQ_TRAIN_ITERS
     sub, dim, nsub = sim.PQ_SUBDIM, sim.EMBED_DIM, sim.PQ_SUB
     P = prefix
+    if k is None:
+        k = sim.PQ_K
 
     def dfold(v: str, cv: str) -> str:
         t = f"({v}[s * {sub} + j] - {cv}[s * {sub} + j])"
@@ -1721,7 +1927,7 @@ def _pq_train_cte_body(src: str = "e", prefix: str = "") -> str:
 {P}cb AS (SELECT vec_id AS code,
               row_number() OVER (ORDER BY vec_id) - 1 AS pos,
               v AS cv
-       FROM {src} WHERE vec_id < {sim.PQ_K}),
+       FROM {src} WHERE vec_id < {k}),
 {P}cb0 AS (SELECT pos, cv FROM {P}cb)"""
     ]
     for i in range(1, iters + 2):
@@ -2531,6 +2737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_pq_ingest": es.streaming_pq_ingest,
         "global_shuffle_shards": pl.global_shuffle_shards,
         "ivf_split_plan": sim.ivf_split_plan,
+        # --- round-17 additions ---
+        "rerank_cap_sweep": sim.rerank_cap_sweep,
+        "pq_bits_recall_report": sim.pq_bits_recall_report,
+        "ivf_split_apply": sim.ivf_split_apply,
         "ann_lsh": sim.ann_lsh,
         "ann_ivf": sim.ann_ivf,
         "word_count_mr": mr.word_count_mr,
@@ -3087,21 +3297,28 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_rerank_recall_report": _ivf_pq_rerank_recall_sql(),
         # the deterministic global training shuffle: md5-keyed shard +
         # within-shard key rank, integer-exact in both engines
-        "global_shuffle_shards": """
+        "global_shuffle_shards": f"""
             WITH keyed AS (
               SELECT doc_id,
-                     ('0x' || substr(md5('r16_' || doc_id::VARCHAR),
+                     ('0x' || substr(md5('{pl.SHUFFLE_SEED}_'
+                                         || doc_id::VARCHAR),
                                      1, 12))::BIGINT AS k
               FROM documents
             )
-            SELECT (k % 8)::BIGINT AS shard,
+            SELECT (k % {pl.N_SHUFFLE_SHARDS})::BIGINT AS shard,
                    row_number() OVER (
-                     PARTITION BY k % 8 ORDER BY k, doc_id)::BIGINT AS pos,
+                     PARTITION BY k % {pl.N_SHUFFLE_SHARDS}
+                     ORDER BY k, doc_id)::BIGINT AS pos,
                    doc_id
             FROM keyed
         """,
         "ivf_pq_probe_sweep": _ivf_pq_probe_sweep_sql(),
         "ivf_split_plan": _ivf_split_plan_sql(),
+        # r17: the CAP sweep (the top-ranked recall lever priced),
+        # the codebook-bits rung, and the split-apply maintenance step
+        "rerank_cap_sweep": _rerank_cap_sweep_sql(),
+        "pq_bits_recall_report": _pq_bits_recall_sql(),
+        "ivf_split_apply": _ivf_split_apply_sql(),
         # the streaming IVF-PQ index writer's run-to-completion twin:
         # the banked batch residual-encode replay aggregated into the
         # per-(cell, subspace, code) posting histogram

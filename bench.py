@@ -215,6 +215,13 @@ HEADLINE = [
     # at max nprobe, in-row explode of 4 operating points; the
     # measured cost of pricing the production path's tuning knob
     "ivf_pq_probe_sweep",
+    # round-17: the rerank-CAP sweep — the TOP-ranked recall lever
+    # priced at 5 operating points from ONE candidate fetch at
+    # max(CAP); exact re-rank d2 computed once per candidate
+    "rerank_cap_sweep",
+    # round-17: the codebook-bits rung — 4-bit vs 8-bit trained
+    # codebooks at equal scan cost (the second-ranked lever)
+    "pq_bits_recall_report",
 ]
 
 
@@ -421,9 +428,13 @@ def main() -> None:
         "calib_trivial_sec": calib_trivial,
     }
     # host-band-normalized total in pinned-reference (r10 VM) seconds;
-    # per-query adjusted values land in the BENCH_FULL side file
+    # per-query adjusted values land in the BENCH_FULL side file.
+    # adj divides the PUBLISHED (rounded) calib_sec, not the raw
+    # probe, so value_calib_adj is reproducible from the artifact's
+    # own fields (r17: the unrounded form drifted past the self-
+    # consistency gate once the headline total grew).
     if calib:
-        adj = CALIB_REF / calib[0]
+        adj = CALIB_REF / out["calib_sec"]
         out["value_calib_adj"] = round(sum(measured) * adj, 3)
         out["calib_ref"] = CALIB_REF
     if errors:
@@ -437,7 +448,7 @@ def main() -> None:
     full = dict(out)
     full["queries_median"] = timings_median
     if calib:
-        adj = CALIB_REF / calib[0]
+        adj = CALIB_REF / out["calib_sec"]
         full["queries_calib_adj"] = {
             k: round(v * adj, 3) if v is not None else None
             for k, v in timings.items()

@@ -47,6 +47,11 @@ def lit_double_array(vals) -> Column:
     literal — fall back to F.lit for those rare frames.
     """
     vals = [float(x) for x in vals]
+    if not vals:
+        # `array()` parses as array<string> — cast so an empty frame
+        # still yields the typed column every caller expects (ADVICE
+        # r16).
+        return F.expr("cast(array() as array<double>)")
     if not all(math.isfinite(x) for x in vals):
         return F.lit(vals)
     return F.expr("array(" + ",".join(repr(x) + "D" for x in vals) + ")")
@@ -59,6 +64,7 @@ def lit_long_array(vals) -> Column:
     SCALE.md "r14 literal tax").  Integers are exact in both paths,
     so this is a pure driver-time fix with no value-fidelity caveat.
     """
-    return F.expr(
-        "array(" + ",".join(str(int(x)) + "L" for x in vals) + ")"
-    )
+    vals = [int(x) for x in vals]
+    if not vals:
+        return F.expr("cast(array() as array<bigint>)")
+    return F.expr("array(" + ",".join(str(x) + "L" for x in vals) + ")")

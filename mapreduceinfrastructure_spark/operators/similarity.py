@@ -743,7 +743,10 @@ def _ivf_assignment_mode(sf_dir: str) -> tuple[bool, int]:
 # residual family via _residual_frame) shares one trained quantizer
 # per corpus instead of re-running the Lloyd recurrence per call —
 # production trains the coarse quantizer once and serves it.  Keyed
-# by (Spark application id, sf_dir, corpus fingerprint); the payload
+# by (Spark application id, sf_dir, corpus fingerprint, resolved
+# (two_level, m) assignment mode — ADVICE r16: flat and two-level
+# assignments differ by design, so an env-forced two-level session
+# must not serve its handle to a flat-mode caller); the payload
 # is two DataFrame handles (the centroids are already eagerly
 # localCheckpointed inside, so reuse skips the training passes AND
 # their K x EMBED_DIM driver collects).
@@ -768,9 +771,10 @@ def ivf_assignments(spark: SparkSession, sf_dir: str):
     Returns (assign_df, centroids_df).
     """
     fp = _pq_corpus_fingerprint(sf_dir)
+    two_level, m = _ivf_assignment_mode(sf_dir)
     key = None
     if fp is not None:
-        key = (spark.sparkContext.applicationId, sf_dir, fp)
+        key = (spark.sparkContext.applicationId, sf_dir, fp, two_level, m)
         hit = _IVF_ASSIGN_CACHE.get(key)
         if hit is not None:
             return hit
@@ -778,8 +782,6 @@ def ivf_assignments(spark: SparkSession, sf_dir: str):
     cents = emb.filter(F.col("vec_id") % N_CLUSTERS_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-
-    two_level, m = _ivf_assignment_mode(sf_dir)
 
     def nearest(centroids: DataFrame) -> DataFrame:
         if two_level:
@@ -1791,17 +1793,21 @@ PQ_K = 16
 PQ_SUBDIM = EMBED_DIM // PQ_SUB
 
 
-def _pq_collect_codebook(emb: DataFrame):
-    """Driver-collect the seed codebook (vec_id < PQ_K, the
-    kmeans_iterate seeding convention): returns (codes, flat_vals)
-    where ``codes`` is the ascending list of actual seed vec_ids and
-    ``flat_vals`` the flattened codebook as a plain Python list, or
-    None when the corpus has no seeds.  BOUNDED by construction
-    (<= PQ_K x EMBED_DIM doubles).  Attach to a frame with
+def _pq_collect_codebook(emb: DataFrame, k: int | None = None):
+    """Driver-collect the seed codebook (vec_id < ``k``, default PQ_K
+    — the kmeans_iterate seeding convention): returns (codes,
+    flat_vals) where ``codes`` is the ascending list of actual seed
+    vec_ids and ``flat_vals`` the flattened codebook as a plain
+    Python list, or None when the corpus has no seeds.  BOUNDED by
+    construction (<= k x EMBED_DIM doubles).  Attach to a frame with
     :func:`_pq_codebook_source` — NOT F.lit directly — so production
-    geometries pick the broadcast transport."""
+    geometries pick the broadcast transport.  ``k`` parameterizes the
+    codebook-bits rung (r17: pq_bits_recall_report's 8-bit variant
+    seeds 256 codes)."""
+    if k is None:
+        k = PQ_K
     seeds = (
-        emb.filter(F.col("vec_id") < PQ_K)
+        emb.filter(F.col("vec_id") < k)
         .orderBy("vec_id")
         .select("vec_id", "v")
         .collect()
@@ -2183,7 +2189,12 @@ def _residual_frame(spark: SparkSession, sf_dir: str):
     fp = _pq_corpus_fingerprint(sf_dir)
     key = None
     if fp is not None:
-        key = (spark.sparkContext.applicationId, sf_dir, fp)
+        # The residual frame derives from ivf_assignments, so its memo
+        # inherits the resolved assignment-mode key term (ADVICE r16):
+        # a mode switch within one session must rebuild, not reuse.
+        key = (
+            spark.sparkContext.applicationId, sf_dir, fp,
+        ) + _ivf_assignment_mode(sf_dir)
         hit = _RESIDUAL_FRAME_CACHE.get(key)
         if hit is not None:
             return hit
@@ -2463,6 +2474,68 @@ def ivf_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_split_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance, the APPLY step (VERDICT r16 #5 — closes
+    the monitor → plan → apply loop that streaming_cell_occupancy and
+    :func:`ivf_split_plan` open): for every overfull cell in the split
+    plan, reassign its members between the two split seeds — the OLD
+    cell centroid and the plan's farthest-member split-seed vector
+    (the k-means++-style 2-means init, Arthur & Vassilvitskii
+    SODA'07) — and report the occupancy before/after: (cid, n_before,
+    n_keep, n_split), where n_keep stays with the old centroid,
+    n_split moves to the new seed's cell, and n_keep + n_split =
+    n_before (the membership partition preserved by construction).
+    The split seed itself always moves (its distance to itself is 0 <
+    its max_d2 to the centroid), so every planned cell's occupancy
+    strictly decreases on any cell with a nonzero-radius member set —
+    the occupancy-reduction invariant pinned in pytest.
+
+    Scale shape: the plan and seed-vector tables are k-row bounded —
+    the seed vectors are fetched BY KEY (the plan broadcasts onto a
+    vec_id hash join against the corpus, never a scan), and the one
+    corpus-sized pass is the members-of-overfull-cells hash join
+    (assign ⋈ broadcast(plan)) followed by a map-side algebraic
+    count_if agg.  Every post-agg frame in the join tree is
+    explicitly broadcast (no size estimates — the r14 pin).
+
+    Exactness: both member-to-seed distances are the banked
+    j-ascending _sq_dist fold (bit-identical in both engines), the
+    move rule is a strict < on those exactly-computed doubles (ties
+    stay with the old centroid in both engines), and the outputs are
+    integer counts.  DuckDB twin: __spark_entry__._ivf_split_apply_sql
+    (the shared split chain + the reassignment tail).
+    """
+    assign, cents = ivf_assignments(spark, sf_dir)
+    plan = ivf_split_plan(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    # split-seed vectors BY KEY: the k-row plan broadcasts onto the
+    # corpus vec_id hash join — never a second corpus pair-scan.
+    seeds = emb.join(
+        F.broadcast(plan.select("cid", "split_seed")),
+        emb["vec_id"] == F.col("split_seed"),
+    ).select("cid", F.col("v").alias("sv"))
+    two = cents.join(F.broadcast(seeds), "cid")
+    memb = assign.join(F.broadcast(two), "cid")
+    moves = _sq_dist(F.col("v"), F.col("sv")) < _sq_dist(
+        F.col("v"), F.col("cv")
+    )
+    return (
+        memb.select("cid", moves.alias("moves"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_before"),
+            F.count_if(~F.col("moves")).cast("long").alias("n_keep"),
+            F.count_if(F.col("moves")).cast("long").alias("n_split"),
+        )
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_before",
+            "n_keep",
+            "n_split",
+        )
+    )
+
+
 def ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@TOPK of the two complete IVF-PQ pipelines —
     raw-codebook ann_ivf_adc vs residual-codebook ivf_pq_adc_topk —
@@ -2645,6 +2718,12 @@ def ivf_pq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # refines.  CAP/TOPK = 5 here mirrors the usual 10-100x production
 # over-fetch ratio at test scale.
 RERANK_CAP = 25
+
+# The CAP operating points rerank_cap_sweep prices (VERDICT r16 #1):
+# the r16 sweeps ranked the recall levers rerank/CAP > codebook bits
+# > nprobe, but only this — the TOP lever — had a single measured
+# point (RERANK_CAP).  The sweep spans 1x..20x TOPK around it.
+RERANK_CAP_SET = (5, 10, 25, 50, 100)
 
 
 def _exact_rerank_topk(emb: DataFrame, cand: DataFrame) -> DataFrame:
@@ -2865,6 +2944,114 @@ def ivf_pq_rerank_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rerank_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@TOPK of the composed production pipeline
+    (IVF prefilter → residual ADC → exact re-rank) at every rerank-CAP
+    operating point in RERANK_CAP_SET — (cap, qid, n_exact, n_hit,
+    recall), ground truth exact full-corpus squared L2.  VERDICT r16
+    #1: the r16 nprobe sweep measured a FLAT curve (ADC ordering
+    error, not candidate recall, binds at this codebook geometry) and
+    the rerank report priced ONE cap (25) at +0.21 recall@5 — this
+    sweep prices the whole axis production would actually turn,
+    showing where recall saturates vs CAP (bounded above by what the
+    NPROBE-cell candidate pool contains at all).
+
+    Scale shape — the probe-sweep one-fetch-many-points pattern
+    turned 90°: candidates are fetched ONCE at max(RERANK_CAP_SET)
+    (the prefix property pinned in tests/test_round16_ops.py — the
+    rn <= cap prefix of the cap ranking IS the cap ranking, so every
+    operating point re-ranks a PREFIX of one fetched list), the exact
+    re-rank distance is computed ONCE per fetched candidate via
+    _exact_rerank_topk's BY-KEY raw-vector fetch (|q| x maxCAP
+    bounded — never a second corpus pair-scan), the qualifying caps
+    {c : c >= rn} explode in-row, and one window pass ranks all
+    operating points.  The exact ground-truth leg is one brute-force
+    d2 top-k over the broadcast query set (inherent to ground-truth
+    audits, bounded by N_QUERIES); audit joins explicitly broadcast
+    (post-window frames carry no size estimates — the r14 pin).
+
+    Exactness: stage-1 ranks replay ivf_pq_adc_topk's banked folds;
+    the re-rank d2 is the banked full-vector left fold; all ranks tie
+    on the integer neighbor_id; counts are integers and recall one
+    int/int division rounded at 6dp.  DuckDB twin:
+    __spark_entry__._rerank_cap_sweep_sql.
+    """
+    emb = _embeddings(spark, sf_dir)
+    schema = "cap long, qid long, n_exact long, n_hit long, recall double"
+    ranked = _ivf_pq_adc_ranked(spark, sf_dir, max(RERANK_CAP_SET))
+    if ranked is None:
+        return spark.createDataFrame([], schema=schema)
+    ranked = ranked.localCheckpoint(eager=True)
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # exact re-rank distance for EVERY fetched candidate, computed
+    # once (the _exact_rerank_topk keyed-fetch shape without its
+    # final top-k — the sweep's windows consume all maxCAP rows).
+    withv = emb.join(
+        F.broadcast(ranked.select("qid", "neighbor_id", "rn")),
+        emb["vec_id"] == F.col("neighbor_id"),
+    ).select("qid", "neighbor_id", "rn", "v")
+    cand = withv.join(F.broadcast(q), "qid").select(
+        "qid", "neighbor_id", "rn", d2.alias("d2")
+    )
+    levels = F.filter(
+        F.lit(list(RERANK_CAP_SET)), lambda c: c >= F.col("rn")
+    )
+    scored = cand.select(
+        "qid", "neighbor_id", "d2", F.explode(levels).alias("cap")
+    )
+    w = Window.partitionBy("cap", "qid").orderBy(
+        F.col("d2"), F.col("neighbor_id")
+    )
+    got = (
+        scored.withColumn("rn2", F.row_number().over(w))
+        .filter(F.col("rn2") <= TOPK)
+        .select(F.col("cap").cast("long").alias("cap"), "qid", "neighbor_id")
+    )
+
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
+    exact = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id")
+    )
+    per_q = exact.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    hits = (
+        got.join(F.broadcast(exact), ["qid", "neighbor_id"])
+        .groupBy("cap", "qid")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    base = per_q.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(int(c),) for c in RERANK_CAP_SET], "cap long"
+            )
+        )
+    )
+    return base.join(F.broadcast(hits), ["cap", "qid"], "left").select(
+        "cap",
+        "qid",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact"),
+            6,
+        ).alias("recall"),
+    )
+
+
 # PQ codebook training (r14, VERDICT r13 #4): the Lloyd refinement the
 # pq_quantize docstring promised.  PQ_TRAIN_ITERS deterministic Lloyd
 # steps per subspace over the SEED codebook (vec_id < PQ_K), run for
@@ -2915,7 +3102,10 @@ def pq_train_cache_reset() -> None:
 
 
 def _pq_train_flat(
-    emb: DataFrame, sf_dir: str | None = None, kind: str = "raw"
+    emb: DataFrame,
+    sf_dir: str | None = None,
+    kind: str = "raw",
+    k: int | None = None,
 ):
     """Run PQ_TRAIN_ITERS Lloyd steps over all subspaces at once;
     returns (codes, seed_flat, trained_flat) or None on empty corpus.
@@ -2936,10 +3126,14 @@ def _pq_train_flat(
     if sf_dir is not None:
         fp = _pq_corpus_fingerprint(sf_dir)
         if fp is not None:
-            key = (kind, sf_dir, fp)
+            key = (kind, k or PQ_K, sf_dir, fp)
+            if kind == "residual":
+                # Residuals depend on the IVF assignment, which depends
+                # on the resolved assignment mode (ADVICE r16) — key it.
+                key = key + _ivf_assignment_mode(sf_dir)
     if key is not None and key in _PQ_TRAIN_CACHE:
         return _PQ_TRAIN_CACHE[key]
-    cb = _pq_collect_codebook(emb)
+    cb = _pq_collect_codebook(emb, k)
     if cb is None:
         if key is not None:
             _PQ_TRAIN_CACHE[key] = None
@@ -3219,6 +3413,121 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("recall"),
         )
+    )
+
+
+# The codebook-bits rung (VERDICT r16 #3): n_codes per subspace for
+# the 8-bit variant pq_bits_recall_report prices against the
+# production 4-bit (PQ_K=16) geometry.  256 codes x 4 subspaces is
+# faiss's default nbits=8 — the second-ranked recall lever of the r16
+# sweep finding (rerank/CAP > codebook bits > nprobe).
+PQ_BITS_WIDE_K = 256
+
+
+def pq_bits_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ADC recall@TOPK of the production 4-bit codebook
+    (PQ_K=16 codes/subspace) vs an 8-bit one (PQ_BITS_WIDE_K=256
+    codes/subspace) at the SAME PQ_SUB, audited against exact
+    squared-L2 — (bits, qid, n_exact, n_hit, recall), bits ∈ {4, 8}.
+    VERDICT r16 #3: the nprobe sweep proved ADC ordering error binds
+    at the 4-bit geometry, predicting codebook bits (finer quantized
+    distances) buy more than nprobe ever will — this measures that
+    prediction on THIS corpus at EQUAL SCAN COST: both variants read
+    the same PQ_SUB code columns per corpus vector and do PQ_SUB
+    table lookups per pair; only the per-query ADC table (PQ_SUB x
+    n_codes, query-set-bounded) and the stored code width (4 vs 8
+    bits per subspace — 2x index bytes) grow.
+
+    Scale shape: each variant is exactly pq_adc_topk's plan (narrow
+    code-column corpus pass, broadcast bounded query ADC tables,
+    map-side WindowGroupLimit top-k); the 8-bit codebook trains with
+    the same PQ_TRAIN_ITERS one-scan Lloyd passes (train-once memo
+    keyed by (kind, k, sf_dir, fingerprint)) and its 256 x EMBED_DIM
+    flat codebook rides the geometry-driven _pq_codebook_source
+    transport (128 KiB — still the literal path; past 1 MiB it
+    switches to the broadcast frame).  The exact leg is one
+    brute-force d2 top-k over the broadcast query set.
+
+    Exactness: both variants' codes and ADC totals replay the banked
+    fixed-order folds (the 8-bit leg is the same machinery at k=256);
+    ranks tie on the integer neighbor_id; recall is one int/int
+    division rounded at 6dp.  DuckDB twin:
+    __spark_entry__._pq_bits_recall_sql (two prefixed
+    _pq_train_cte_body replays, k=16 and k=256).
+    """
+    emb = _embeddings(spark, sf_dir)
+    schema = "bits long, qid long, n_exact long, n_hit long, recall double"
+    t4 = _pq_train_flat(emb, sf_dir)
+    t8 = _pq_train_flat(emb, sf_dir, k=PQ_BITS_WIDE_K)
+    if t4 is None or t8 is None:
+        return spark.createDataFrame([], schema=schema)
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
+    exact = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "neighbor_id")
+    )
+    per_q = exact.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+
+    def adc_top(t, bits):
+        codes, _seed, trained_flat = t
+        n_codes = len(codes)
+        c_src, c_flat = _pq_codebook_source(emb, trained_flat)
+        corpus = c_src.select(
+            "vec_id", _pq_code_arr(c_flat, n_codes).alias("cs")
+        )
+        q_src, q_flat = _pq_codebook_source(q, trained_flat)
+        qt = q_src.select(
+            "qid", _pq_adc_table(q_flat, n_codes, F.col("qv")).alias("t")
+        )
+        pairs = corpus.join(F.broadcast(qt), F.col("vec_id") != F.col("qid"))
+        adc = _adc_sum(n_codes)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("adc"), F.col("neighbor_id")
+        )
+        return (
+            pairs.select(
+                "qid", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOPK)
+            .select(
+                F.lit(bits).cast("long").alias("bits"), "qid", "neighbor_id"
+            )
+        )
+
+    got = adc_top(t4, 4).unionByName(adc_top(t8, 8))
+    hits = (
+        got.join(F.broadcast(exact), ["qid", "neighbor_id"])
+        .groupBy("bits", "qid")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    base = per_q.crossJoin(
+        F.broadcast(spark.createDataFrame([(4,), (8,)], "bits long"))
+    )
+    return base.join(F.broadcast(hits), ["bits", "qid"], "left").select(
+        "bits",
+        "qid",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact"),
+            6,
+        ).alias("recall"),
     )
 
 

@@ -1244,6 +1244,17 @@ def streaming_pq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is one row per (cell, subspace, live code) — bounded by
     k x PQ_SUB x n_codes, corpus-independent.
 
+    100 TB contract (VERDICT r16): the in-row cell assignment here is
+    the FLAT quantizer over a k x EMBED_DIM centroid literal — correct
+    and O(k) per row at the pinned-k production contract (a deployed
+    store's coarse quantizer is a fixed batch-trained artifact), but
+    it has NO analog of the batch side's size-based two-level escape
+    (`similarity._ivf_assignment_mode`): if k grows past
+    IVF_TWO_LEVEL_MIN_K in a streaming deployment, swap the literal
+    for the two-level leader/member form (the _two_level_nearest
+    in-row composition) or the per-row fold becomes the ingest
+    bottleneck.
+
     Exactness: the encode IS the batch path — identical centroid and
     codebook doubles (lit_double_array bit-round-trip), identical
     j-ascending distance folds, identical tie rules (cell: first-

@@ -714,3 +714,51 @@ def test_adc_rerank_topk_plan_shape(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rerank_cap_sweep_plan_shape(spark, sf_dir):
+    """Scale pins for the r17 CAP sweep: ONE candidate fetch at
+    max(RERANK_CAP_SET) (ivf_pq_adc_topk's pinned broadcast-hash cid
+    shape, checkpointed), the exact re-rank d2 computed once per
+    candidate via the BY-KEY raw-vector fetch (the bounded candidate
+    list broadcasts onto a vec_id hash join — never a second corpus
+    pair-scan), the cap operating points an in-row explode (no join
+    per level), the 5-row cap grid broadcast onto the post-agg
+    per-query frame, and every per-(cap, qid) top-k pruned map-side."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["rerank_cap_sweep"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_split_apply_plan_shape(spark, sf_dir):
+    """Scale pins for the r17 split-apply step: the k-row plan and
+    seed-vector tables ride broadcast HASH joins (seed vectors fetched
+    BY KEY — the plan broadcasts onto a vec_id equi-join, never a
+    corpus scan per seed), the one corpus-sized pass is the
+    members-of-overfull-cells cid hash join, and the occupancy
+    deltas are a hash aggregate — no sort-merge join, no cartesian,
+    no per-cell window over the corpus."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["ivf_split_apply"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_bits_recall_report_plan_shape(spark, sf_dir):
+    """Scale pins for the r17 codebook-bits rung: both variants keep
+    pq_adc_topk's pinned shape — narrow code-column corpus passes
+    against broadcast bounded query ADC tables, per-qid top-k pruned
+    map-side; audit joins broadcast (no SMJ of post-window frames),
+    no cartesian."""
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["pq_bits_recall_report"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -2500,6 +2500,38 @@ WINDOW_ROUND = 17  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 DRIVER_WINDOW_R17 = [
     "word_count",  # anchor
     "grep",  # anchor
+    "ivf_split_apply",  # never banked
+    "pq_bits_recall_report",  # never banked
+    "rerank_cap_sweep",  # never banked
+    "ann_lsh",  # stale (hash changed since r14 row)
+    "kmeans_iterate",  # stale (hash changed since r14 row)
+    "pca_debias",  # stale (hash changed since r14 row)
+    "pca_power_iter",  # stale (hash changed since r14 row)
+    "rrf_fusion",  # stale (hash changed since r14 row)
+    "sq8_quantize",  # stale (hash changed since r14 row)
+    "sq8_recall_report",  # stale (hash changed since r14 row)
+    "sq8_topk",  # stale (hash changed since r14 row)
+    "pq_adc_topk",  # stale (hash changed since r15 row)
+    "pq_quantize",  # stale (hash changed since r15 row)
+    "pq_recall_report",  # stale (hash changed since r15 row)
+    "pq_train_codebooks",  # stale (hash changed since r15 row)
+    "adc_rerank_topk",  # stale (hash changed since r16 row)
+    "ann_ivf",  # stale (hash changed since r16 row)
+    "ann_ivf_adc",  # stale (hash changed since r16 row)
+    "ann_probe_sweep",  # stale (hash changed since r16 row)
+    "ann_recall_report",  # stale (hash changed since r16 row)
+    "cluster_balanced_sample",  # stale (hash changed since r16 row)
+    "filtered_ann_recall_report",  # stale (hash changed since r16 row)
+    "ivf_pq_adc_topk",  # stale (hash changed since r16 row)
+    "ivf_pq_probe_sweep",  # stale (hash changed since r16 row)
+    "ivf_pq_recall_report",  # stale (hash changed since r16 row)
+    "ivf_pq_rerank_recall_report",  # stale (hash changed since r16 row)
+    "ivf_pq_rerank_topk",  # stale (hash changed since r16 row)
+    "ivf_pq_residual",  # stale (hash changed since r16 row)
+    "ivf_split_plan",  # stale (hash changed since r16 row)
+    "streaming_cell_occupancy",  # stale (hash changed since r16 row)
+    "streaming_pq_ingest",  # stale (hash changed since r16 row)
+    "global_shuffle_shards",  # stale (hash changed since r16 row)
     "sorted_neighborhood_neardup",  # backfill (last banked r9)
     "sssp_parts",  # backfill (last banked r9)
     "stratified_sample",  # backfill (last banked r9)
@@ -2516,38 +2548,6 @@ DRIVER_WINDOW_R17 = [
     "triangle_count",  # backfill (last banked r9)
     "weighted_median",  # backfill (last banked r9)
     "zipf_slope",  # backfill (last banked r9)
-    "bigram_count",  # backfill (last banked r11)
-    "bpe_token_count",  # backfill (last banked r11)
-    "curation_pipeline",  # backfill (last banked r11)
-    "cusum_drift",  # backfill (last banked r11)
-    "data_mixture",  # backfill (last banked r11)
-    "decontamination",  # backfill (last banked r11)
-    "degree_assortativity",  # backfill (last banked r11)
-    "distinct_count",  # backfill (last banked r11)
-    "distributed_sort",  # backfill (last banked r11)
-    "dup_spans",  # backfill (last banked r11)
-    "event_transitions",  # backfill (last banked r11)
-    "fingerprint",  # backfill (last banked r11)
-    "frame_offsets",  # backfill (last banked r11)
-    "funnel_conversion",  # backfill (last banked r11)
-    "fuzzy_blocked_join",  # backfill (last banked r11)
-    "gap_fill",  # backfill (last banked r11)
-    "global_rank",  # backfill (last banked r11)
-    "join_anti",  # backfill (last banked r11)
-    "join_semi",  # backfill (last banked r11)
-    "keep_best_dedup",  # backfill (last banked r11)
-    "mixture_weights",  # backfill (last banked r11)
-    "neyman_allocation",  # backfill (last banked r11)
-    "pack_sequences",  # backfill (last banked r11)
-    "pivot_status",  # backfill (last banked r11)
-    "quality_score",  # backfill (last banked r11)
-    "readability",  # backfill (last banked r11)
-    "repetition_filter",  # backfill (last banked r11)
-    "retention_cohorts",  # backfill (last banked r11)
-    "rolling_fingerprint",  # backfill (last banked r11)
-    "rolling_time_window",  # backfill (last banked r11)
-    "set_ops",  # backfill (last banked r11)
-    "split_assign",  # backfill (last banked r11)
 ]
 
 

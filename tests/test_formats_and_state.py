@@ -92,7 +92,18 @@ def test_robustness_parity_conf(spark):
     """The reference's straggler/failure machinery (master.h:217-256) as
     Spark conf — assert the session actually carries it."""
     assert spark.conf.get("spark.task.maxFailures") == "4"
-    assert spark.conf.get("spark.speculation") == "true"
+    # r17: speculation is master-resolved — OFF under local[*] (a
+    # speculative copy on the same host only duplicates the straggler's
+    # compute on the CPUs the tail is contending for; measured
+    # kcore_peel 4.14 -> 2.71 s at sf0.1), ON for any non-local master
+    # (the reference's 10 s straggler-deadline parity, master.h:19),
+    # SPARK_GRAFT_SPECULATION forcing either way.  The session under
+    # test is local, so the resolved value must be the local default
+    # (or the env override when a test environment pins it).
+    import os as _os
+
+    expected_spec = _os.environ.get("SPARK_GRAFT_SPECULATION", "false")
+    assert spark.conf.get("spark.speculation") == expected_spec
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
 

@@ -611,7 +611,12 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             # per-round cost) compounds ~3x per round — measured
             # runaway on a 200-node chain.  localCheckpoint bounds
             # every jumping round to the same constant-size plan.
-            new_labels = propagated.localCheckpoint(eager=True)
+            # LAZY since r17 (guide job-cadence): the checkpoint
+            # rebases the plan on an RDD immediately either way; the
+            # convergence agg below is the round's materializing
+            # action, so the eager form's dedicated checkpoint job was
+            # a second per-round driver job for the same blocks.
+            new_labels = propagated.localCheckpoint(eager=False)
         else:
             # pre-jump rounds have a linear plan: persist (materialized
             # by the convergence agg below) is cheaper than an eager
@@ -1637,7 +1642,13 @@ def _capped_pair_distances(und: DataFrame, cap: int) -> DataFrame:
             .join(dist.select("a", "b"), ["a", "b"], "left_anti")
             .withColumn("d", F.lit(k).cast("long"))
             .coalesce(1)
-            .localCheckpoint(eager=True)
+            # LAZY (r17 job-cadence): the drain probe below is the
+            # round's materializing action — coalesce(1) means the
+            # probe's single-partition job computes and caches the
+            # WHOLE delta (limit cannot short-circuit a 1-partition
+            # RDD), so the eager form's dedicated checkpoint job per
+            # round was a duplicate barrier.
+            .localCheckpoint(eager=False)
         )
         if new.limit(1).count() == 0:
             break  # frontier drained: every reachable pair is known

@@ -282,7 +282,10 @@ def label_prop_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     nodes = und.select(F.col("dst").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    # LAZY (r17 job-cadence): the emptiness probe below materializes it.
+    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
+        eager=False
+    )
     schema = (
         "iteration long, n_changed long, n_communities long, "
         "largest_community long"
@@ -302,24 +305,33 @@ def label_prop_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.groupBy("node")
             .agg(best.alias("b"))
             .select("node", (-F.col("b.nl")).alias("lbl"))
-            .localCheckpoint()
+            # LAZY (r17 job-cadence): the fused curve probe below is
+            # the round's materializing action; next round reads the
+            # blocks it stores.
+            .localCheckpoint(eager=False)
         )
-        stats = (
-            new_labels.join(
-                labels.withColumnRenamed("lbl", "prev"), "node"
-            )
+        # ONE probe per round (r17): the former shape ran THREE driver
+        # jobs per round (eager checkpoint + changed/communities agg +
+        # a separate largest-community agg).  All three curve scalars
+        # derive from one per-label rollup of the same joined frame:
+        # n_changed = Σ per-label changed counts, n_communities = the
+        # rollup's row count (every new_labels row joins — the label
+        # table covers every node of the symmetric edge set), largest
+        # = max per-label size.  Integers, same values, one collect.
+        per_lbl = (
+            new_labels.join(labels.withColumnRenamed("lbl", "prev"), "node")
+            .groupBy("lbl")
             .agg(
+                F.count("*").alias("sz"),
                 F.sum((F.col("lbl") != F.col("prev")).cast("long")).alias("ch"),
-                F.countDistinct("lbl").alias("nc"),
             )
-            .collect()[0]
         )
-        largest = (
-            new_labels.groupBy("lbl").count().agg(F.max("count").alias("m"))
-        ).collect()[0]["m"]
-        curve.append(
-            (it, int(stats["ch"]), int(stats["nc"]), int(largest))
-        )
+        row = per_lbl.agg(
+            F.sum("ch").alias("ch"),
+            F.count("*").alias("nc"),
+            F.max("sz").alias("m"),
+        ).collect()[0]
+        curve.append((it, int(row["ch"]), int(row["nc"]), int(row["m"])))
         labels = new_labels
     und.unpersist()
     if not curve:  # pragma: no cover - LPA_ITERS is a positive constant
@@ -413,7 +425,14 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # past that (measured: ~0.4 s off the 5-round trajectory at
         # sf0.1 with identical output).
         if it % 2 == 0:
-            ranks = ranks.coalesce(1).localCheckpoint(eager=True)
+            # LAZY since r17 (job-cadence): the checkpoint still
+            # rebases the plan on an RDD (bounding the per-round plan
+            # exactly as before), but the blocks now materialize inside
+            # the round's own broadcast build / the final action
+            # instead of a dedicated driver job per checkpointed round
+            # — the rank vector has exactly one downstream consumer
+            # per round, so nothing reads it twice.
+            ranks = ranks.coalesce(1).localCheckpoint(eager=False)
         # No dangling-mass term AND no per-round nodes join: the graph
         # is undirected, so every node in `nodes` has at least one
         # in-edge and the dst-keyed inflow agg already covers the full
@@ -533,7 +552,11 @@ def star_contraction(edges: DataFrame, max_rounds: int = STAR_MAX_ROUNDS) -> Dat
             .union(small.select(F.col("v").alias("a"), F.col("u").alias("b")))
             .distinct()
             .coalesce(n_parts)
-            .localCheckpoint(eager=True)
+            # LAZY (r17 job-cadence): the Σ-signature probe right below
+            # scans every partition and is the round's materializing
+            # action; the eager form ran a dedicated checkpoint job per
+            # round for blocks the probe was about to store anyway.
+            .localCheckpoint(eager=False)
         )
         sig = cur.agg(
             F.count("*"), F.sum(F.least("a", "b")), F.sum(F.greatest("a", "b"))
@@ -700,7 +723,10 @@ def sssp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         e.select(F.col("pa").alias("u"), F.col("pb").alias("v"), cost)
         .union(e.select(F.col("pb").alias("u"), F.col("pa").alias("v"), cost))
-        .localCheckpoint(eager=True)
+        # LAZY (r17 job-cadence): the source-pick agg right below is
+        # the materializing action; the relaxation rounds then read
+        # the stored blocks.
+        .localCheckpoint(eager=False)
     )
     # scalar composite key d·10^12 − u == lexicographic (d, −u) for
     # node ids < 10^12 — DuckDB's arg_max takes no struct keys, so
@@ -724,7 +750,13 @@ def sssp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .coalesce(1)
-            .localCheckpoint(eager=True)
+            # LAZY (r17 job-cadence): no per-round probe exists here —
+            # the chain of 1-partition checkpoint RDDs materializes
+            # inside the consumer's single action, caching each round's
+            # blocks as it goes, instead of paying SSSP_ROUNDS
+            # dedicated driver jobs.  The plan stays round-bounded
+            # (localCheckpoint rebases on an RDD immediately).
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -785,11 +817,20 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((it, 0, rows[-1][2], rows[-1][3]))
             continue
         keep = deg.filter(F.col("d") >= KCORE_K).select("n")
+        # LAZY checkpoint (r17, guide §2.6/§7 job-cadence): the stats
+        # collect right below is the round's materializing action — an
+        # eager checkpoint here ran a SECOND driver job per round for
+        # the same blocks (two cluster barriers where one suffices;
+        # measured at sf0.1: 2.46 -> 1.9 s min, same-window interleaved
+        # A/B).  The plan is truncated either way (localCheckpoint
+        # rebases the frame on an RDD immediately; eager only changes
+        # WHEN the blocks materialize), and the next round's two
+        # semi-joins read the blocks the collect stored.
         edges = (
             edges.join(keep.withColumnRenamed("n", "pa"), "pa", "left_semi")
             .join(keep.withColumnRenamed("n", "pb"), "pb", "left_semi")
             .select("pa", "pb")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         deg_new = _degree(edges).persist()
         n_nodes, n_edges = _stats(deg_new)

@@ -1087,6 +1087,27 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, and a gram is positive iff its matched-position count equals
     BLOOM_K — one algebraic agg, no gram-string shuffle at all (the
     positions are ints; the exact twin ships the gram strings).
+
+    r17 (guide §2.4/§3.3 — remove repeated passes): the corpus
+    tokenize+ngram pipeline used to execute FOUR times — once per
+    branch (bloom build, exact broadcast build, bloom probes, exact
+    probes), because Catalyst never dedups common subtrees across
+    broadcast builds.  Now the benchmark gram set materializes ONCE
+    (localCheckpoint — it is broadcast-small by this operator's own
+    contract, both consumers already shipped it whole into executors)
+    and the exact flag attaches to the EXISTING per-(doc, gram) bloom
+    frame with one broadcast join, replacing the second full train-side
+    tokenize pass plus its per-doc agg and doc-keyed join.  Corpus
+    passes: 4 -> 2 (one benchmark-split pass, one training-split
+    pass); result rows identical (the exact flag is the same
+    max-over-grams, computed in the same agg that reduces the bloom
+    flags — the interleaved A/B collected both variants and matched
+    row-for-row).  Local wall is parity (2.67 vs 2.64 s min, same host
+    window, scratch/bloom note in OPTIMIZATION_r17.md): at 17 MB the
+    duplicated pass pipelined into the probe shuffle's shadow — the
+    win is the removed full-corpus tokenize pass and the removed
+    doc-keyed exact-side shuffle, both of which price at corpus scale
+    (guide §1.2: fix the algorithm before the constants).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "source", tokens_expr("text").alias("t"))
@@ -1108,7 +1129,12 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    bench_grams = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
+    bench_grams = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     bloom = bench_grams.select(
         F.explode(positions(F.col("g"))).alias("bit")
     ).distinct()
@@ -1122,17 +1148,19 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source", "g")
         .agg((F.count("hit") == BLOOM_K).cast("int").alias("bloom_pos"))
     )
-    exact_hit = (
-        train.join(
+    # exact twin attached at the GRAM level: gram_hits already holds one
+    # row per (doc, source, gram), so the exact flag is one broadcast
+    # join on the checkpointed benchmark set — no second tokenize pass,
+    # no separate per-doc agg, no doc-keyed join (r17, see docstring).
+    per_doc = (
+        gram_hits.join(
             F.broadcast(bench_grams.withColumn("ex", F.lit(1))), "g", "left"
         )
-        .groupBy("doc_id")
-        .agg(F.max(F.coalesce("ex", F.lit(0))).alias("exact_pos"))
-    )
-    per_doc = (
-        gram_hits.groupBy("doc_id", "source")
-        .agg(F.max("bloom_pos").alias("bloom_flag"))
-        .join(exact_hit, "doc_id")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.max("bloom_pos").alias("bloom_flag"),
+            F.max(F.coalesce("ex", F.lit(0))).alias("exact_pos"),
+        )
     )
     return per_doc.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),

@@ -178,37 +178,70 @@ def _exact_pairs(
     optionally drops hot shingles before pairing (oracle mirrors per
     operator).  Cost is O(Σ min(df, cap)²) — fine below
     NEARDUP_EXACT_MAX_BYTES, super-linear past it (use the LSH path).
+
+    r17 rework (guide §2.3/§2.4 — one pass, exchanges not re-runs):
+    the former shape re-executed the tokenize + explode + distinct
+    pipeline once per consumer (df-cap build, the cap join back, the
+    per-doc counts, and BOTH self-join sides — 4-5 corpus passes) and
+    shipped the per-doc sizes back in via two pair-keyed joins.  Now
+    ONE repartition on the shingle clusters the stream; the (doc,
+    shingle) distinct and the df count-over-window run in place (no df
+    agg exchange, no vocab-keyed cap join); one doc-keyed agg builds
+    the capped per-doc shingle lists; and that one-row-per-doc frame
+    is CHECKPOINTED once — both self-join sides explode it, carrying
+    their doc's size through the pair agg as group keys, so the two
+    size joins are gone.  Same shingle sets, same int/int division —
+    pair-for-pair identical output (interleaved A/B + the oracle gate
+    at both SFs); the shingle stream now crosses the wire exactly
+    twice (shingle clustering, then the pair self-join), plus the
+    doc-keyed list agg.
     """
-    sh = _shingles(spark, sf_dir)
+    width = _prefix_width(sf_dir, spark)
+    shd = (
+        _shingles(spark, sf_dir, distinct=False)
+        .repartition(width, "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
+    )
     if df_cap is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= df_cap)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle")
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        shd = shd.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("df") <= df_cap)
+    by_doc = (
+        shd.groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("s"))
+        .select("doc_id", F.size("s").cast("long").alias("n"), "s")
+        .localCheckpoint(eager=True)
+    )
+    a = by_doc.select(
+        F.col("doc_id").alias("da"),
+        F.col("n").alias("na"),
+        F.explode("s").alias("shingle"),
+    ).alias("a")
+    b = by_doc.select(
+        F.col("doc_id").alias("db"),
+        F.col("n").alias("nb"),
+        F.explode("s").alias("shingle"),
+    ).alias("b")
     # shuffle-hash, not sort-merge: the shingle key has no ordering
     # value and per-key occupancy is bounded (df cap / small input), so
     # SMJ's two-sided sort of the corpus-linear shingle table is pure
     # waste (measured 3.2 -> 2.0 s at sf0.1); the hint also keeps the
-    # corpus-linear table off the broadcast path.
+    # corpus-linear table off the broadcast path (the checkpointed
+    # by_doc frame has no size stats — unhinted, Catalyst would
+    # broadcast a corpus-linear explode, the vcl_candidates lesson).
     inter = (
         a.hint("shuffle_hash")
-        .join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.da") < F.col("b.db")),
+        )
+        .groupBy("da", "na", "db", "nb")
         .agg(F.count("*").alias("i"))
     )
-    ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
     return (
-        inter.join(ca, "da")
-        .join(cb, "db")
-        .select("da", "db", jac.alias("jaccard"))
+        inter.select("da", "db", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -783,35 +816,50 @@ def _incremental_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the one-sided EXACT shingle join (batch shingles × corpus
     shingles — never corpus × corpus).  Structurally mirrors the DuckDB
     oracle (uncapped), so driver parity is refresh-proof.  Used below
-    NEARDUP_EXACT_MAX_BYTES, where the Σ df·df_batch cost is trivial."""
+    NEARDUP_EXACT_MAX_BYTES, where the Σ df·df_batch cost is trivial.
+
+    r17: the _exact_pairs one-pass rework applied to the one-sided
+    form — one shingle-clustered repartition + in-place distinct, one
+    doc-keyed list agg, checkpoint; both join sides explode the
+    checkpointed lists with their doc's size carried through the pair
+    agg as group keys (the former shape re-ran the tokenize+distinct
+    pipeline for counts AND both sides, then joined sizes back per
+    pair — 3 corpus passes and 2 pair-keyed joins, now 1 pass and 0)."""
     is_batch = (F.col("doc_id") % BATCH_MOD) >= BATCH_THRESHOLD
-    sh = _shingles(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.filter(is_batch).select(
-        F.col("doc_id").alias("bd"), F.col("shingle").alias("s")
+    width = _prefix_width(sf_dir, spark)
+    by_doc = (
+        _shingles(spark, sf_dir, distinct=False)
+        .repartition(width, "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("sl"))
+        .select("doc_id", F.size("sl").cast("long").alias("n"), "sl")
+        .localCheckpoint(eager=True)
     )
-    sb = sh.filter(~is_batch).select(
-        F.col("doc_id").alias("cd"), F.col("shingle").alias("s")
+    sa = by_doc.filter(is_batch).select(
+        F.col("doc_id").alias("bd"),
+        F.col("n").alias("na"),
+        F.explode("sl").alias("s"),
+    )
+    sb = by_doc.filter(~is_batch).select(
+        F.col("doc_id").alias("cd"),
+        F.col("n").alias("nb"),
+        F.explode("sl").alias("s"),
     )
     # shuffle-hash: both sides are corpus-linear shingle streams — no
-    # ordering value in the key, nothing safely broadcastable.
+    # ordering value in the key, nothing safely broadcastable (and the
+    # checkpointed by_doc explode has no size stats for Catalyst).
     inter = (
         sa.hint("shuffle_hash")
         .join(sb, "s")
-        .groupBy("bd", "cd")
+        .groupBy("bd", "na", "cd", "nb")
         .agg(F.count("*").alias("i"))
     )
     jac = F.col("i").cast("double") / (
         F.col("na") + F.col("nb") - F.col("i")
     ).cast("double")
     return (
-        inter.join(
-            counts.select(F.col("doc_id").alias("bd"), F.col("n").alias("na")), "bd"
-        )
-        .join(
-            counts.select(F.col("doc_id").alias("cd"), F.col("n").alias("nb")), "cd"
-        )
-        .filter(jac >= 0.5)
+        inter.filter(jac >= 0.5)
         .select(F.col("bd").alias("doc_id"))
         .distinct()
         .withColumn("near", F.lit(1))

@@ -875,41 +875,68 @@ def lexical_semantic_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact divisions (commutative — order-free), and all rank ties
     break on doc_id.
 
-    Scale shape: the shingle frame feeds three consumers (doc sizes,
-    the broadcast query side, the candidate join) behind the size-aware
-    persist switch; candidate volume is bounded by the df cap exactly
-    as in ngram_jaccard_neardup, and both per-query rankings prune
-    map-side via WindowGroupLimit before their single qid exchange.
+    Scale shape (r17 rework — guide §2.3/§2.4: one pass, fewer
+    exchanges): the former shape re-executed the shingle pipeline
+    (tokenize + explode + a (doc, shingle) distinct SHUFFLE + a df agg
+    SHUFFLE + a vocab-keyed hot-cap join) once per consumer — doc
+    sizes, the broadcast query side, and the candidate join; at local
+    SFs that was ~3x a 40 MB shingle shuffle, at 100 TB 3x a
+    corpus-scale one.  Now ONE repartition on the shingle clusters the
+    stream so the per-doc distinct AND the df count-over-window both
+    run in place (the _prefix_frames 2-exchange discipline; the hot
+    cap becomes a row-local filter on the windowed df — the former
+    vocab-sized df JOIN is gone), one doc-keyed agg builds the capped
+    per-doc shingle LISTS, and that one-row-per-doc frame is
+    checkpointed for all three consumers: sizes are ``size(s)``
+    projections carried THROUGH the candidate join as group keys (the
+    two former size joins are gone), the query side explodes the
+    <BM25_N_QUERIES slice (broadcast-bounded as before), and the
+    candidate join explodes the checkpointed lists instead of
+    re-tokenizing the corpus.  Candidate volume is bounded by the df
+    cap exactly as in ngram_jaccard_neardup, and both per-query
+    rankings prune map-side via WindowGroupLimit before their single
+    qid exchange.  Same capped shingle sets -> same exact rationals ->
+    the oracle gate is unchanged (verified at sf0.01 and sf0.1).  At
+    100 TB the checkpointed per-doc frame is the same materialization
+    every shingle consumer already makes; swap for a scratch-parquet
+    write if executor storage is contended (the by_doc caveat).
     """
-    from .dedup import _shingles
+    from .dedup import _prefix_width, _shingles
     from .similarity import RRF_K
 
     bm = bm25_topk(spark, sf_dir).select("qid", "doc_id", F.col("rn").alias("rb"))
-    sh = _shingles(spark, sf_dir, n=3, distinct=True)
-    hot = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(
-        hot.filter(F.col("df") <= HOT_SHINGLE_DF_CAP).select("shingle"), "shingle"
+    width = _prefix_width(sf_dir, spark)
+    shd = (
+        _shingles(spark, sf_dir, n=3, distinct=False)
+        .repartition(width, "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
     )
-    if _input_bytes(sf_dir, "documents", spark) >= SHINGLE_PERSIST_MIN_BYTES:
-        sh = _persist_tracked(sh, spark, sf_dir, "lsr_shingles")
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    qsh = sh.filter(F.col("doc_id") < BM25_N_QUERIES).select(
-        F.col("doc_id").alias("qid"), "shingle"
+    by_doc = (
+        shd.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df") <= HOT_SHINGLE_DF_CAP)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("s"))
+        .select("doc_id", F.size("s").cast("long").alias("n"), "s")
+        .localCheckpoint(eager=True)
+    )
+    qsh = by_doc.filter(F.col("doc_id") < BM25_N_QUERIES).select(
+        F.col("doc_id").alias("qid"),
+        F.col("n").alias("nq"),
+        F.explode("s").alias("shingle"),
     )
     inter = (
-        sh.join(F.broadcast(qsh), "shingle")
+        by_doc.select("doc_id", "n", F.explode("s").alias("shingle"))
+        .join(F.broadcast(qsh), "shingle")
         .filter(F.col("doc_id") != F.col("qid"))
-        .groupBy("qid", "doc_id")
+        .groupBy("qid", "nq", "doc_id", "n")
         .agg(F.count("*").alias("i"))
     )
-    jac = (
-        inter.join(cnt.select(F.col("doc_id").alias("qid"), F.col("n").alias("nq")), "qid")
-        .join(cnt.select("doc_id", F.col("n").alias("nd")), "doc_id")
-        .select(
-            "qid",
-            "doc_id",
-            (F.col("i").cast("double") / (F.col("nq") + F.col("nd") - F.col("i"))).alias("j"),
-        )
+    jac = inter.select(
+        "qid",
+        "doc_id",
+        (F.col("i").cast("double") / (F.col("nq") + F.col("n") - F.col("i"))).alias("j"),
     )
     wj = Window.partitionBy("qid").orderBy(F.desc("j"), F.col("doc_id"))
     jtop = (

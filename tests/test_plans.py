@@ -267,14 +267,15 @@ def test_ngram_jaccard_exact_branch_plan(spark, sf_dir):
     df = QUERIES["ngram_jaccard_neardup"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "bucket#" not in plan  # no LSH banding below the threshold
-    # the pair SELF-join carries the doc_id< condition; the df-cap
-    # keep-list joins (also shingle-keyed) may broadcast — the exact
-    # branch only ever runs below NEARDUP_EXACT_MAX_BYTES where that
-    # list is small by construction
+    # the pair SELF-join carries the da< condition (r17: both sides
+    # explode the checkpointed per-doc lists with doc ids pre-renamed
+    # to da/db and sizes carried as group keys — the former shape
+    # joined raw doc_id streams and shipped sizes back per pair)
     pair_joins = [
         l
         for l in plan.splitlines()
-        if re.search(r"Join.*\bshingle#", l) and "doc_id#" in l
+        if re.search(r"Join.*\bshingle#", l)
+        and ("da#" in l or "doc_id#" in l)
     ]
     assert pair_joins, plan
     assert all("Broadcast" not in l for l in pair_joins), pair_joins

@@ -640,28 +640,64 @@ KCORE_K = 3
 KCORE_ROUNDS = 6
 
 
+def _order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ok, parts): per-order SORTED distinct part array — the shared
+    basket frame of the co-purchase family (r17, guide §2.3 "aggregate
+    before you shuffle" / §3.3 "explode after the join, not before").
+
+    The former shape built a distinct (order, part) projection and
+    SELF-JOINED it on the order key: the distinct shuffle executed
+    once per consumer (Catalyst does not reuse exchanges across
+    renamed projections — both join sides plus the per-part agg each
+    re-scanned lineitem), and the pair stream crossed the wire to meet
+    itself.  One ok-keyed collect_set agg replaces all of it: baskets
+    are lines-per-order bounded (<= 7 parts in TPC-H-shaped data, the
+    documented mega-basket skew caveat unchanged), so pairs enumerate
+    IN-ROW from the sorted array (<= 21 structs per order) — no
+    self-join, no second corpus exchange, identical pair multiset
+    (sorted array + i<j enumeration == the pk < pb filter).
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("parts"))
+    )
+
+
+def _basket_pairs(baskets: DataFrame) -> DataFrame:
+    """(pa, pb) with pa < pb, one row per (order, in-basket pair) —
+    the in-row i<j enumeration over the sorted part array."""
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    return baskets.select(F.explode(pair_structs).alias("p")).select(
+        "p.pa", "p.pb"
+    )
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pa, pb) with pa < pb: undirected co-purchase edges — part pairs
     that share an order in >= COPURCHASE_MIN_W distinct orders.  The
     classic market-basket projection of the order-part bipartite graph.
 
-    Scale shape: distinct (order, part) projection, one order-keyed
-    self-join (fan-out bounded by lines-per-order squared — TPC-H-like
-    baskets are <= 7 lines, so <= 21 pairs per order), one pair-keyed
-    count agg with the min-weight HAVING cut.  A pathological mega-
-    basket would amplify the self-join quadratically; basket size is
-    the skew knob to audit (skew_profile's regime) before running
-    this at corpus scale.
+    Scale shape (r17): ONE order-keyed basket agg (collect_set with
+    map-side partials), in-row pair enumeration (<= 21 pairs per
+    TPC-H-shaped basket — see :func:`_order_baskets` for the
+    mega-basket caveat), one pair-keyed count agg with the min-weight
+    HAVING cut.  The former distinct + order-keyed self-join re-ran
+    the distinct shuffle per side; pair multiset and output are
+    identical.
     """
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
     return (
-        op.join(op.select("ok", F.col("pk").alias("pb")), "ok")
-        .filter(F.col("pk") < F.col("pb"))
-        .groupBy(F.col("pk").alias("pa"), "pb")
+        _basket_pairs(_order_baskets(spark, sf_dir))
+        .groupBy("pa", "pb")
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= COPURCHASE_MIN_W)
         .select("pa", "pb")
@@ -671,15 +707,9 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def copurchase_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`copurchase_edges` with the co-purchase count kept:
     (pa, pb, w) — the weighted form SSSP consumes."""
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
     return (
-        op.join(op.select("ok", F.col("pk").alias("pb")), "ok")
-        .filter(F.col("pk") < F.col("pb"))
-        .groupBy(F.col("pk").alias("pa"), "pb")
+        _basket_pairs(_order_baskets(spark, sf_dir))
+        .groupBy("pa", "pb")
         .agg(F.count("*").cast("long").alias("w"))
         .filter(F.col("w") >= COPURCHASE_MIN_W)
     )
@@ -861,26 +891,43 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence; the driver hash rounds both sides with one
     implementation, so bit-identical raw doubles always match).
 
-    Scale shape: the distinct (order, part) projection feeds the
-    order-keyed pair self-join (basket-bounded fan-out, the
-    copurchase_edges shape), a per-part order-count agg, and two
-    broadcast-joinable lookups — the per-part table is catalog-sized
-    next to the pair stream; the 1-row order total rides a broadcast.
+    Scale shape (r17 — the _order_baskets rework): ONE order-keyed
+    basket agg feeds everything.  Pairs enumerate in-row from the
+    sorted part array (basket-bounded fan-out, no self-join), the
+    pair agg counts each UNDIRECTED pair once and emits both
+    orientations afterward (n_both is symmetric — half the agg
+    volume, identical directed rows); the per-part order counts and
+    the 1-row order total are an explode agg and a row count over the
+    same CHECKPOINTED basket frame, so lineitem is scanned once where
+    the former distinct-projection shape re-scanned it for both join
+    sides, the per-part agg, and the total (4 scans + 2 join
+    exchanges).  The per-part table stays catalog-sized next to the
+    pair stream; the 1-row order total rides a broadcast.
     """
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    pairs = (
-        op.join(op.select("ok", F.col("pk").alias("pb")), "ok")
-        .filter(F.col("pk") != F.col("pb"))
-        .groupBy(F.col("pk").alias("antecedent"), F.col("pb").alias("consequent"))
+    baskets = _order_baskets(spark, sf_dir).localCheckpoint(eager=True)
+    und = (
+        _basket_pairs(baskets)
+        .groupBy("pa", "pb")
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= COPURCHASE_MIN_W)
     )
-    per_part = op.groupBy(F.col("pk")).agg(F.count("*").alias("n_part"))
-    total = op.agg(F.countDistinct("ok").cast("double").alias("n_orders"))
+    pairs = und.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "n_both",
+    ).union(
+        und.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "n_both",
+        )
+    )
+    per_part = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("n_part"))
+    )
+    total = baskets.agg(F.count("*").cast("double").alias("n_orders"))
     return (
         pairs.join(
             per_part.select(F.col("pk").alias("antecedent"), F.col("n_part").alias("n_a")),
@@ -978,27 +1025,40 @@ def basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; the triples are where bundle recommendations live).
     Ordered pa < pb < pc so each set is emitted once.
 
-    Scale shape: the distinct (order, part) projection self-joins
-    TWICE on the order key — fan-out is C(basket, 3), cubic in basket
-    size but bounded by the basket cap (TPC-H-like baskets <= 7 →
+    Scale shape (r17 — the _order_baskets rework): ONE order-keyed
+    basket agg, then the i<j<k triples enumerate IN-ROW from the
+    sorted part array — fan-out is C(basket, 3), cubic in basket size
+    but bounded by the basket cap (TPC-H-like baskets <= 7 →
     <= 35 triples/order); the triple-keyed count agg has map-side
-    partials.  A production run prunes first by the Apriori property
-    (only parts in frequent PAIRS can join frequent triples) — here
-    baskets are small enough that the direct join is the cheaper
-    plan, and the basket-size audit (skew_profile's regime) is the
-    pre-flight gate.
+    partials.  The former shape self-joined the distinct (order,
+    part) projection TWICE on the order key — three distinct-shuffle
+    executions and two join exchanges for the same triple multiset.
+    A production run prunes first by the Apriori property (only parts
+    in frequent PAIRS can join frequent triples) — here baskets are
+    small enough that the direct enumeration is the cheaper plan, and
+    the basket-size audit (skew_profile's regime) is the pre-flight
+    gate.
     """
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+    baskets = _order_baskets(spark, sf_dir)
+    triple_structs = F.flatten(
+        F.flatten(
+            F.transform(
+                F.col("parts"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("parts"), i + 2, F.size("parts")),
+                    lambda y, j: F.transform(
+                        F.slice(F.col("parts"), i + j + 3, F.size("parts")),
+                        lambda z: F.struct(
+                            x.alias("pa"), y.alias("pb"), z.alias("pc")
+                        ),
+                    ),
+                ),
+            )
+        )
     )
     return (
-        op.join(op.select("ok", F.col("pk").alias("pb")), "ok")
-        .filter(F.col("pk") < F.col("pb"))
-        .join(op.select("ok", F.col("pk").alias("pc")), "ok")
-        .filter(F.col("pb") < F.col("pc"))
-        .groupBy(F.col("pk").alias("pa"), "pb", "pc")
+        baskets.select(F.explode(triple_structs).alias("t"))
+        .groupBy("t.pa", "t.pb", "t.pc")
         .agg(F.count("*").cast("long").alias("n_orders"))
         .filter(F.col("n_orders") >= COPURCHASE_MIN_W)
     )

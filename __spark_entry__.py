@@ -2503,6 +2503,21 @@ DRIVER_WINDOW_R17 = [
     "ivf_split_apply",  # never banked
     "pq_bits_recall_report",  # never banked
     "rerank_cap_sweep",  # never banked
+    "sssp_parts",  # stale (hash changed since r9 row)
+    "degree_assortativity",  # stale (hash changed since r11 row)
+    "cc_star",  # stale (hash changed since r13 row)
+    "pagerank_docs",  # stale (hash changed since r13 row)
+    "cluster_diameter",  # stale (hash changed since r13 row)
+    "dedup_clusters",  # stale (hash changed since r13 row)
+    "dedup_rate_by_threshold",  # stale (hash changed since r13 row)
+    "incremental_dedup",  # stale (hash changed since r13 row)
+    "lexical_semantic_rrf",  # stale (hash changed since r13 row)
+    "neardup_audit",  # stale (hash changed since r13 row)
+    "ngram_jaccard_neardup",  # stale (hash changed since r13 row)
+    "source_overlap",  # stale (hash changed since r13 row)
+    "label_prop_iterate",  # stale (hash changed since r14 row)
+    "bm25_recall_report",  # stale (hash changed since r14 row)
+    "bloom_decontaminate",  # stale (hash changed since r14 row)
     "ann_lsh",  # stale (hash changed since r14 row)
     "kmeans_iterate",  # stale (hash changed since r14 row)
     "pca_debias",  # stale (hash changed since r14 row)
@@ -2515,6 +2530,11 @@ DRIVER_WINDOW_R17 = [
     "pq_quantize",  # stale (hash changed since r15 row)
     "pq_recall_report",  # stale (hash changed since r15 row)
     "pq_train_codebooks",  # stale (hash changed since r15 row)
+    "basket_triples",  # stale (hash changed since r16 row)
+    "clustering_coeff",  # stale (hash changed since r16 row)
+    "kcore_peel",  # stale (hash changed since r16 row)
+    "market_basket_rules",  # stale (hash changed since r16 row)
+    "global_shuffle_shards",  # stale (hash changed since r16 row)
     "adc_rerank_topk",  # stale (hash changed since r16 row)
     "ann_ivf",  # stale (hash changed since r16 row)
     "ann_ivf_adc",  # stale (hash changed since r16 row)
@@ -2528,26 +2548,6 @@ DRIVER_WINDOW_R17 = [
     "ivf_pq_rerank_recall_report",  # stale (hash changed since r16 row)
     "ivf_pq_rerank_topk",  # stale (hash changed since r16 row)
     "ivf_pq_residual",  # stale (hash changed since r16 row)
-    "ivf_split_plan",  # stale (hash changed since r16 row)
-    "streaming_cell_occupancy",  # stale (hash changed since r16 row)
-    "streaming_pq_ingest",  # stale (hash changed since r16 row)
-    "global_shuffle_shards",  # stale (hash changed since r16 row)
-    "sorted_neighborhood_neardup",  # backfill (last banked r9)
-    "sssp_parts",  # backfill (last banked r9)
-    "stratified_sample",  # backfill (last banked r9)
-    "streaming_active_users",  # backfill (last banked r9)
-    "streaming_curated_ingest",  # backfill (last banked r9)
-    "streaming_enriched_revenue",  # backfill (last banked r9)
-    "streaming_hourly_counts",  # backfill (last banked r9)
-    "streaming_ohlc",  # backfill (last banked r9)
-    "streaming_sessions",  # backfill (last banked r9)
-    "tf_idf",  # backfill (last banked r9)
-    "token_stats",  # backfill (last banked r9)
-    "trade_edges",  # backfill (last banked r9)
-    "trade_flows_2hop",  # backfill (last banked r9)
-    "triangle_count",  # backfill (last banked r9)
-    "weighted_median",  # backfill (last banked r9)
-    "zipf_slope",  # backfill (last banked r9)
 ]
 
 

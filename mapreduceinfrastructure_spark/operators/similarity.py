@@ -760,15 +760,30 @@ def ivf_assignments(spark: SparkSession, sf_dir: str):
     coarse quantizer once per corpus (r16; the _pq_train_flat /
     _residual_frame precedent, measured in scratch/ivf_memo_ab.py).
 
-    All DataFrame ops: assignment is a broadcast cross join + min_by
-    argmin (one pass over the corpus per iteration); the centroid update
-    is posexplode → per-(cluster, dim) mean → re-collect, i.e. two
-    shuffles of (k × dim) rows — independent of corpus size.  Past
-    IVF_TWO_LEVEL_MIN_K estimated centroids every assignment pass (each
-    Lloyd iteration and the final one) switches to
-    :func:`_two_level_nearest` — n x ~(1+p)*sqrt(k) distance folds
-    instead of n x k, broadcasting only the sqrt(k)-row leader array.
-    Returns (assign_df, centroids_df).
+    Flat regime (k below IVF_TWO_LEVEL_MIN_K — every test SF) since
+    r18 (guide §4.2): each Lloyd pass is ONE mapInPandas corpus scan —
+    per Arrow batch, numpy computes the bit-identical `_sq_dist`
+    argmin (batchmath.full_d2, sequential over dims; first-min ==
+    min_by's (d2, cid) tie-break over the ascending-cid centroid
+    array) and scatter-adds per-(cid, pos) partial sums + counts;
+    Spark sum-merges the bounded partials and the driver re-centers.
+    The former JVM pass crossJoined the corpus with the broadcast
+    centroid table (n x k interpreted 64-term folds) and posexploded
+    the corpus 64-wide into the mean hash-agg — measured 4.8 -> 1.3 s
+    cold at sf0.1.  The driver holds only k x dim doubles — bounded
+    by the flat regime itself (the k >= IVF_TWO_LEVEL_MIN_K corpora
+    that would outgrow it switch paths).  Empty clusters drop out of
+    the centroid table exactly as the old groupBy did.  Means
+    re-associate per batch (each engine's own float avg — the DuckDB
+    twin already computes its own; contracted by the argmin + round-6
+    outputs; full-family oracle sweep at both SFs gates).
+
+    Past IVF_TWO_LEVEL_MIN_K estimated centroids every assignment
+    pass switches to :func:`_two_level_nearest` — n x ~(1+p)*sqrt(k)
+    distance folds instead of n x k, broadcasting only the
+    sqrt(k)-row leader array; that path keeps the r13 DataFrame Lloyd
+    loop (its centroid table is corpus-scale and must never drop to a
+    driver array).  Returns (assign_df, centroids_df).
     """
     fp = _pq_corpus_fingerprint(sf_dir)
     two_level, m = _ivf_assignment_mode(sf_dir)
@@ -779,25 +794,78 @@ def ivf_assignments(spark: SparkSession, sf_dir: str):
         if hit is not None:
             return hit
     emb = _embeddings(spark, sf_dir)
+    if two_level:
+        out = _ivf_lloyd_two_level(spark, emb, m)
+    else:
+        out = _ivf_lloyd_flat_batched(spark, emb)
+    if key is not None:
+        _IVF_ASSIGN_CACHE[key] = out
+    return out
+
+
+def _ivf_lloyd_flat_batched(spark: SparkSession, emb: DataFrame):
+    """Flat-regime Lloyd via batched numpy kernels (see
+    ivf_assignments docstring for the shape and exactness notes)."""
+    import numpy as np
+
+    from ..functions import batchmath as bm
+    from ..session import ensure_package_on_executors
+
+    assign_schema = "vec_id long, v array<double>, cid long"
+    cents_schema = "cid long, cv array<double>"
+    seeds = (
+        emb.filter(F.col("vec_id") % N_CLUSTERS_MOD == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .orderBy("cid")
+        .collect()
+    )
+    if not seeds:
+        return (
+            spark.createDataFrame([], assign_schema),
+            spark.createDataFrame([], cents_schema),
+        )
+    ensure_package_on_executors(spark)
+    ids = np.array([r["cid"] for r in seeds], dtype=np.int64)
+    C = np.array([r["cv"] for r in seeds], dtype=np.float64)
+    vproj = emb.select("vec_id", "v")
+    for _ in range(LLOYD_ITERATIONS):
+        cells = (
+            vproj.mapInPandas(
+                bm.centroid_partials_fn(ids, C),
+                schema="cid long, pos int, s double, c long",
+            )
+            .groupBy("cid", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .toPandas()
+        )
+        # re-center: mean = merged sum / merged count (one IEEE divide,
+        # exactly the avg's final op); empty clusters emit no rows and
+        # disappear, matching the old groupBy-over-assigned update
+        means = cells["s"].to_numpy() / cells["c"].to_numpy()
+        cid_arr = cells["cid"].to_numpy()
+        ids = np.unique(cid_arr)
+        C = np.zeros((len(ids), EMBED_DIM), dtype=np.float64)
+        C[np.searchsorted(ids, cid_arr), cells["pos"].to_numpy()] = means
+    assign = vproj.mapInPandas(
+        bm.nearest_centroid_fn(ids, C), schema=assign_schema
+    )
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in C[i]]) for i, cid in enumerate(ids)],
+        cents_schema,
+    )
+    return assign, cents
+
+
+def _ivf_lloyd_two_level(spark: SparkSession, emb: DataFrame, m: int):
+    """Large-k Lloyd (the r13 DataFrame recurrence, unchanged): every
+    assignment pass through :func:`_two_level_nearest`, centroid table
+    kept distributed and localCheckpointed per iteration."""
     cents = emb.filter(F.col("vec_id") % N_CLUSTERS_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
 
     def nearest(centroids: DataFrame) -> DataFrame:
-        if two_level:
-            return _two_level_nearest(emb, centroids, m, IVF_COARSE_PROBES)
-        # argmin via min_by hash-agg: map-side partial aggregation, no
-        # sort-shuffle of the corpus × k pair table (the window-argmin
-        # formulation sorts every pair group; min_by only keeps one
-        # running winner per vector).  Tie-break (d2, cid) matches the
-        # lexicographic orderBy it replaces.
-        pairs = emb.crossJoin(F.broadcast(centroids)).withColumn(
-            "d2", _sq_dist(F.col("v"), F.col("cv"))
-        )
-        return pairs.groupBy("vec_id").agg(
-            F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
-            F.first("v").alias("v"),  # identical across the group
-        ).select("vec_id", "v", "cid")
+        return _two_level_nearest(emb, centroids, m, IVF_COARSE_PROBES)
 
     for _ in range(LLOYD_ITERATIONS):
         assign = nearest(cents)
@@ -811,16 +879,11 @@ def ivf_assignments(spark: SparkSession, sf_dir: str):
         )
         # materialize the tiny (k x dim) centroid table each iteration
         # (the pagerank rank-vector pattern): without this, every
-        # consumer branch of assign/cents — ann_ivf reads assign twice,
-        # ann_ivf_adc reads assign + cents — re-runs the ENTIRE Lloyd
-        # recurrence (corpus x k argmin per iteration) from parquet,
-        # and the recurrence lineage itself nests one corpus pass per
-        # iteration inside the next.  One pass per iteration total.
+        # consumer branch of assign/cents re-runs the ENTIRE Lloyd
+        # recurrence from parquet, and the recurrence lineage itself
+        # nests one corpus pass per iteration inside the next.
         cents = cents.localCheckpoint(eager=True)
-    out = nearest(cents), cents
-    if key is not None:
-        _IVF_ASSIGN_CACHE[key] = out
-    return out
+    return nearest(cents), cents
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3111,16 +3174,27 @@ def _pq_train_flat(
     returns (codes, seed_flat, trained_flat) or None on empty corpus.
     With ``sf_dir`` the result memoizes per corpus (train once).
 
-    Scale shape per iteration: ONE corpus scan — codes via
-    _pq_code_arr (map-only, dists built once per subspace), posexplode
-    to (code-of-this-position's-subspace, pos, x), then the algebraic
-    per-(code, pos) mean hash-agg.  The driver transfer per iteration
-    is the <= n_codes x EMBED_DIM re-centered cells (1024 doubles at
-    test geometry — the kmeans_iterate K-centroid precedent), and the
-    refreshed codebook re-enters the next pass through
-    lit_double_array's one-parse literal.  No join, no corpus-linear
-    broadcast, lineage never grows (each pass plans from the raw
-    table plus fresh literals).
+    Scale shape per iteration (r18, guide §4.2): ONE corpus scan
+    through a mapInPandas partial-sum pass — each Arrow batch is
+    PQ-assigned in numpy (bit-identical argmin: the `_pq_d2` folds
+    replayed order-exactly, see functions.batchmath) and scatter-added
+    into <= n_codes x EMBED_DIM per-batch (code, pos) partial sums +
+    counts; Spark sum-merges the partials (map-side aggregation of a
+    bounded row set) and the driver divides.  The former JVM pass
+    interpreted PQ_SUB x n_codes x PQ_SUBDIM HOF fold steps per row
+    and posexploded the corpus 64-wide into the mean hash-agg —
+    measured 4.7 s/pass at sf0.1 vs ~0.15 s batched (raw+residual
+    train cold path 24.8 -> ~2 s, OPTIMIZATION_r18.md).  The driver
+    transfer per iteration stays the <= n_codes x EMBED_DIM cells.
+
+    Exactness: assignments are bit-identical to the JVM fold; the
+    re-centering mean re-associates the per-cell sum (batch partials
+    then merge, vs the former row-order F.avg) — each engine's own
+    float avg was already the contract (the DuckDB twin computes its
+    own), contracted by the argmin and the round-6 output rule; the
+    full PQ-family oracle sweep at sf0.01 AND sf0.1 gates the change.
+    No join, no corpus-linear broadcast, lineage never grows (each
+    pass plans from the raw table plus a fresh closure codebook).
     """
     key = None
     if sf_dir is not None:
@@ -3138,27 +3212,29 @@ def _pq_train_flat(
         if key is not None:
             _PQ_TRAIN_CACHE[key] = None
         return None
+    from ..functions import batchmath as bm
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(emb.sparkSession)
     codes, seed_flat = cb
     n_codes = len(codes)
     flat = list(seed_flat)
+    vproj = emb.select("v")
     for _ in range(PQ_TRAIN_ITERS):
-        cs = _pq_code_arr(lit_double_array(flat), n_codes)
         cells = (
-            emb.select(cs.alias("cs"), F.posexplode("v").alias("pos", "x"))
-            .select(
-                F.element_at(
-                    "cs", (F.col("pos") / PQ_SUBDIM).cast("int") + 1
-                ).alias("code"),
-                "pos",
-                "x",
+            vproj.mapInPandas(
+                bm.pq_train_partials_fn(flat, n_codes, PQ_SUB, PQ_SUBDIM),
+                schema="code int, pos int, s double, c long",
             )
             .groupBy("code", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
             .collect()
         )
         nxt = list(flat)
         for r in cells:
-            nxt[int(r["code"]) * EMBED_DIM + int(r["pos"])] = float(r["m"])
+            nxt[int(r["code"]) * EMBED_DIM + int(r["pos"])] = float(
+                r["s"]
+            ) / float(r["c"])
         flat = nxt
     out = (codes, list(seed_flat), flat)
     if key is not None:

@@ -290,6 +290,101 @@ def adc_topk_partials_fn(flat, n_codes: int, n_sub: int, subdim: int, qids, qvec
     return fn
 
 
+def cosine_topk_partials_fn(qids, qvecs, topk: int):
+    """mapInPandas closure for the brute-force cosine legs: corpus
+    (vec_id, v) -> per-batch top-``topk`` candidates per query under
+    (sim DESC, neighbor_id), self excluded — ``qid long, neighbor_id
+    long, sim double``.  sim replays cosine_similarity_expr
+    order-exactly: dot and both norms are sequential-over-dims folds,
+    then sqrt / multiply / divide in the same operand order."""
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    Q = np.asarray(qvecs, dtype=np.float64)
+    nq, dim = Q.shape
+    q_norm_sq = np.zeros(nq, dtype=np.float64)
+    for j in range(dim):
+        q_norm_sq += Q[:, j] * Q[:, j]
+    q_norm = np.sqrt(q_norm_sq)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy()
+            V = _stack(pdf["v"])
+            n = V.shape[0]
+            dot = np.zeros((n, nq), dtype=np.float64)
+            v_norm_sq = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                dot += Q[:, j][None, :] * V[:, j][:, None]
+                v_norm_sq += V[:, j] * V[:, j]
+            # cosine_similarity_expr: dot / (norm_a * norm_b) with
+            # norm_a the QUERY-side norm — same operand order here
+            sim = dot / (q_norm[None, :] * np.sqrt(v_norm_sq)[:, None])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                col = sim[:, qi]
+                mask = vid != qid_arr[qi]
+                cand_v, cand_s = vid[mask], col[mask]
+                if len(cand_v) > topk:
+                    sel = np.lexsort((cand_v, -cand_s))[:topk]
+                    cand_v, cand_s = cand_v[sel], cand_s[sel]
+                out_q.append(np.full(len(cand_v), qid_arr[qi]))
+                out_n.append(cand_v)
+                out_s.append(cand_s)
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    return fn
+
+
+def pq_train_report_partials_fn(seed_flat, trained_flat, n_codes: int, n_sub: int, subdim: int):
+    """mapInPandas closure for pq_train_codebooks' dual-codebook report
+    scan: per batch, assign every row under BOTH codebooks
+    (bit-identical argmins + min distances) and emit per
+    (variant, subspace, code-position) partial counts and d2 sums —
+    ``variant string, s int, code_pos int, n long, sq double``.  The
+    per-cell d2 sum re-associates (batch partials then merge) under
+    the round-6 output contract, like the training means."""
+    S = np.asarray(seed_flat, dtype=np.float64).copy()
+    T = np.asarray(trained_flat, dtype=np.float64).copy()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _stack(pdf["v"])
+            frames = []
+            for name, C in (("seed", S), ("trained", T)):
+                d = subspace_d2(V, C, n_codes, n_sub, subdim)
+                codes = np.argmin(d, axis=2)
+                dmin = np.min(d, axis=2)
+                cnts = np.zeros((n_sub, n_codes), dtype=np.int64)
+                sums = np.zeros((n_sub, n_codes), dtype=np.float64)
+                for s in range(n_sub):
+                    np.add.at(cnts[s], codes[:, s], 1)
+                    np.add.at(sums[s], codes[:, s], dmin[:, s])
+                si, ci = np.nonzero(cnts)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "variant": name,
+                            "s": si.astype(np.int32),
+                            "code_pos": ci.astype(np.int32),
+                            "n": cnts[si, ci],
+                            "sq": sums[si, ci],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return fn
+
+
 def pair_dot_fn(dim: int, acol: str = "va", bcol: str = "vb", passthrough: tuple[str, ...] = ("da", "db")):
     """mapInPandas closure for candidate-pair verify stages:
     (passthrough..., va, vb, ...) -> (passthrough..., dot double) —

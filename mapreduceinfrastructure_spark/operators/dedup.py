@@ -69,6 +69,21 @@ SHINGLE_PERSIST_MIN_BYTES = 256 * 1024 * 1024
 # shift the S-curve left).  tests/test_scale_fixes.py pins both the
 # subset property (banded ⊆ exact — the verify is exact either way)
 # and full recall at jaccard ≥ 0.9 on the test corpus.
+#
+# VERDICT r17 #3 — this switch is ALSO the mega-doc guard for the
+# r17 one-pass per-doc shingle LISTS (_exact_pairs /
+# _incremental_near_exact / lexical's by_doc): a pathological giant
+# document makes its collect_list row as long as the doc, and the df
+# cap bounds candidate PAIRS, not list length.  The dedup-side
+# corpus-wide list frames exist ONLY on this exact branch, i.e. only
+# while the documents table is under 256 MiB — which caps any single
+# doc's list at the same 256 MiB worst case (one doc owning the whole
+# input).  Past the threshold the LSH branch builds lists for
+# CANDIDATE docs only.  lexical_semantic_rrf's by_doc frame is NOT
+# behind this switch (retrieval has no LSH fallback) — its docstring
+# carries the scratch-parquet escape hatch — and a deployment with
+# individual multi-GiB docs should bound doc length upstream (the
+# curation length screen) before shingling anywhere.
 NEARDUP_EXACT_MAX_BYTES = 256 * 1024 * 1024
 
 # One persisted DataFrame per (session, sf_dir, tag): re-invoking the
@@ -465,23 +480,51 @@ def _lsh_verified_pairs(
             .join(cand_docs, "doc_id", "left_semi")
             .distinct()
         )
-    sh = sh.localCheckpoint(eager=True)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("s"))
-    sb = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("s"))
-    cand_sh = sa.join(cand, "da")  # shingles of left candidates
-    inter = (
-        sb.join(cand_sh, ["db", "s"])
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("i"))
+    # r18 (the change-4 size-carry applied to the LSH verify, VERDICT
+    # r17 #2): checkpoint candidate docs' shingle SETS as per-doc lists
+    # carrying their size, attach both lists to each candidate pair by
+    # doc key, and intersect IN-ROW — |array_intersect| of two distinct
+    # sets is the exact shared-shingle count the shingle-keyed join +
+    # group-by computed, and the sizes ride the same rows, so the two
+    # pair-keyed count joins are gone.  The explicit i >= 1 filter
+    # reproduces the old inner-join semantics for any threshold.
+    # Candidate-doc lists are doc-length-bounded (the change-4 mega-doc
+    # note applies: NEARDUP_EXACT_MAX_BYTES is the switch that bounds
+    # when corpus-wide exact lists exist; here lists cover candidate
+    # docs only).
+    lists = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.collect_list("shingle").alias("shs"),
+            F.count("*").alias("n"),
+        )
+        .localCheckpoint(eager=True)
     )
-    ca = counts.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    la = lists.select(
+        F.col("doc_id").alias("da"),
+        F.col("shs").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    lb = lists.select(
+        F.col("doc_id").alias("db"),
+        F.col("shs").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    inter = (
+        cand.join(la, "da")
+        .join(lb, "db")
+        .select(
+            "da",
+            "db",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sa", "sb")).alias("i"),
+        )
+        .filter(F.col("i") >= 1)
+    )
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
     return (
-        inter.join(ca, "da")
-        .join(cb, "db")
-        .select("da", "db", jac.alias("jaccard"))
+        inter.select("da", "db", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -651,10 +694,16 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             # a second per-round driver job for the same blocks.
             new_labels = propagated.localCheckpoint(eager=False)
         else:
-            # pre-jump rounds have a linear plan: persist (materialized
-            # by the convergence agg below) is cheaper than an eager
-            # checkpoint — one action per round instead of two.
-            new_labels = propagated.persist()
+            # pre-jump rounds: LAZY localCheckpoint too (r18, VERDICT
+            # r17 #6).  The r8 comment chose persist because the only
+            # checkpoint then available was EAGER (two actions/round);
+            # the lazy form has the same one-action-per-round cadence
+            # — the convergence agg materializes it — and additionally
+            # truncates lineage, so the persisted pre-jump rounds no
+            # longer compound into the final plan (dedup_clusters'
+            # analyzed plan: 149k -> 38k chars at sf0.01, catalyst
+            # time measured in scratch/r18_cc_plan_ab.py).
+            new_labels = propagated.localCheckpoint(eager=False)
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
@@ -897,31 +946,47 @@ def _incremental_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("cd").alias("doc_id")))
         .distinct()
     )
-    sh = (
+    # r18: the same in-row size-carry verify as _lsh_verified_pairs —
+    # per-doc shingle lists with sizes, doc-keyed joins, exact
+    # |array_intersect| in place of the shingle-keyed join + two count
+    # joins (semantics identical; i >= 1 reproduces the inner joins).
+    lists = (
         _shingles(spark, sf_dir, distinct=False)
         .join(cand_docs, "doc_id", "left_semi")
         .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list("shingle").alias("shs"),
+            F.count("*").alias("n"),
+        )
         .localCheckpoint(eager=True)
     )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("bd"), F.col("shingle").alias("s"))
-    sb = sh.select(F.col("doc_id").alias("cd"), F.col("shingle").alias("s"))
+    la = lists.select(
+        F.col("doc_id").alias("bd"),
+        F.col("shs").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    lb = lists.select(
+        F.col("doc_id").alias("cd"),
+        F.col("shs").alias("sb"),
+        F.col("n").alias("nb"),
+    )
     inter = (
-        sb.join(sa.join(cand, "bd"), ["cd", "s"])
-        .groupBy("bd", "cd")
-        .agg(F.count("*").alias("i"))
+        cand.join(la, "bd")
+        .join(lb, "cd")
+        .select(
+            "bd",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sa", "sb")).alias("i"),
+        )
+        .filter(F.col("i") >= 1)
     )
     jac = F.col("i").cast("double") / (
         F.col("na") + F.col("nb") - F.col("i")
     ).cast("double")
     return (
-        inter.join(
-            counts.select(F.col("doc_id").alias("bd"), F.col("n").alias("na")), "bd"
-        )
-        .join(
-            counts.select(F.col("doc_id").alias("cd"), F.col("n").alias("nb")), "cd"
-        )
-        .filter(jac >= 0.5)
+        inter.filter(jac >= 0.5)
         .select(F.col("bd").alias("doc_id"))
         .distinct()
         .withColumn("near", F.lit(1))

@@ -656,6 +656,18 @@ def _order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN-ROW from the sorted array (<= 21 structs per order) — no
     self-join, no second corpus exchange, identical pair multiset
     (sorted array + i<j enumeration == the pk < pb filter).
+
+    Mega-basket guard (ADVICE/VERDICT r17): collect_set concentrates a
+    basket into ONE row and _basket_pairs/basket_triples build
+    C(n,2)/C(n,3) structs in-row, so a dataset whose baskets outgrow
+    the TPC-H shape turns join fan-out into single-task memory
+    pressure.  Before pointing this family at such data, run the
+    skew_profile pre-flight on (l_orderkey) — its max-group row bounds
+    n — and split/A-B the offending orders upstream; the i<j
+    enumeration itself stays correct at any n, the risk is purely
+    task-memory (C(n,3) structs).  Result-identical mitigations inside
+    this function are limited by the oracle contract, which is why the
+    guard is a documented pre-flight rather than a silent cap.
     """
     return (
         load_table(spark, sf_dir, "lineitem")
@@ -786,6 +798,13 @@ def sssp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             # blocks as it goes, instead of paying SSSP_ROUNDS
             # dedicated driver jobs.  The plan stays round-bounded
             # (localCheckpoint rebases on an RDD immediately).
+            # ADVICE r17 fault-tolerance note: the whole round chain
+            # now lives inside one consumer job, so a mid-job executor
+            # loss hits localCheckpoint's "checkpoint block not found"
+            # across the chain (lineage truncated, no recompute) —
+            # acceptable under local[N]; a cluster deployment should
+            # re-introduce periodic EAGER checkpoints (every k rounds)
+            # or reliable checkpointing as the documented escape hatch.
             .localCheckpoint(eager=False)
         )
     return dist

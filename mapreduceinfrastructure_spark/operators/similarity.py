@@ -88,19 +88,33 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the first 50 query vectors.
 
-    Query side is broadcast; corpus is scanned once.  Ties broken by
-    neighbor id for determinism.
+    r18 (guide §4.2): one mapInPandas corpus pass — numpy replays the
+    cosine_similarity_expr folds order-exactly (sequential over dims;
+    bit-identical sims) and emits per-batch top-TOPK candidates per
+    query under (sim DESC, neighbor_id), which is exact for the global
+    top-k; the final window ranks the bounded survivors.  The former
+    plan evaluated three interpreted 64-term folds per
+    |corpus| x |q| pair under a broadcast NLJ before an equally wide
+    window.  Ties broken by neighbor id for determinism.
     """
+    from ..functions import batchmath as bm
+    from ..session import ensure_package_on_executors
+
     emb = _embeddings(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    cq = _collect_queries(emb, sf_dir)
+    if cq is None:
+        return spark.createDataFrame(
+            [], schema="qid long, neighbor_id long, cosine double, rn long"
+        )
+    qids, qvecs = cq
+    ensure_package_on_executors(spark)
+    part = emb.select("vec_id", "v").mapInPandas(
+        bm.cosine_topk_partials_fn(qids, qvecs, TOPK),
+        schema="qid long, neighbor_id long, sim double",
     )
-    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    sim = cosine_similarity_expr(F.col("qv"), F.col("v"))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        pairs.select("qid", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
+        part.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOPK)
         .select("qid", "neighbor_id", F.round("sim", 6).alias("cosine"), "rn")
     )
@@ -490,6 +504,13 @@ def embedding_neardup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         l2_norm_expr(F.col("v")).alias("norm_b"),
     )
+    # r18 negative result (banked; the VERDICT r17 item-4 experiment):
+    # routing the per-pair dot through an Arrow batch kernel
+    # (batchmath.pair_dot_fn) LOSES here — the candidate-pair frame
+    # carries both 64-double vectors per row, so the Python boundary
+    # ships ~150 MB of pair rows at sf0.1 and the round trip costs
+    # more than the interpreted fold it saves (measured 3.26 -> 3.82 s
+    # warm min, interleaved).  The fold verify stays the JVM floor.
     sim = dot_expr(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         cand.join(va, "da")
@@ -846,9 +867,14 @@ def _ivf_lloyd_flat_batched(spark: SparkSession, emb: DataFrame):
         ids = np.unique(cid_arr)
         C = np.zeros((len(ids), EMBED_DIM), dtype=np.float64)
         C[np.searchsorted(ids, cid_arr), cells["pos"].to_numpy()] = means
+    # the final assignment is read by EVERY IVF consumer (often more
+    # than once per query) — checkpoint it non-eagerly so the batch
+    # kernel runs once per session and later consumers read the
+    # (vec_id, v, cid) blocks instead of re-crossing the Python
+    # boundary (plan-only consumers still print without a job).
     assign = vproj.mapInPandas(
         bm.nearest_centroid_fn(ids, C), schema=assign_schema
-    )
+    ).localCheckpoint(eager=False)
     cents = spark.createDataFrame(
         [(int(cid), [float(x) for x in C[i]]) for i, cid in enumerate(ids)],
         cents_schema,
@@ -1984,6 +2010,200 @@ def _adc_sum(n_codes: int):
     return adc
 
 
+def _batched_codes(
+    src: DataFrame,
+    flat_vals: list,
+    n_codes: int,
+    passthrough: tuple[str, ...] = ("vec_id",),
+    vcol: str = "v",
+) -> DataFrame:
+    """(passthrough..., cs: array<int>) PQ corpus encode as ONE Arrow
+    batch kernel (r18, guide §4.2) — numpy replays the `_pq_d2` folds
+    order-exactly so codes are bit-identical to the `_pq_code_arr`
+    projection it replaces (pinned in tests/test_batchmath.py); the
+    JVM form interpreted PQ_SUB x n_codes x PQ_SUBDIM fold steps per
+    row.  The codebook rides the closure into the per-stage task
+    binary — one broadcast per stage, the same transport class as the
+    `_pq_codebook_source` literal/broadcast-frame switch it subsumes
+    on this path (2 MiB at production IVF-PQ geometry)."""
+    from pyspark.sql import types as T
+
+    from ..functions import batchmath as bm
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(src.sparkSession)
+    out_schema = T.StructType(
+        [src.schema[name] for name in passthrough]
+        + [T.StructField("cs", T.ArrayType(T.IntegerType()))]
+    )
+    return src.select(*passthrough, vcol).mapInPandas(
+        bm.pq_codes_fn(
+            flat_vals, n_codes, PQ_SUB, PQ_SUBDIM, passthrough, vcol
+        ),
+        schema=out_schema,
+    )
+
+
+# Bounded query-set memo for the batched search kernels: every search
+# audit reads the SAME vec_id < N_QUERIES rows, and without the memo
+# each kernel invocation pays one collect job (~0.65 s of driver wall
+# at sf0.1 — measured in scratch/r18_mip_overhead.py).  Keyed like
+# _PQ_TRAIN_CACHE: (application id, sf_dir, corpus fingerprint) — a
+# bounded input artifact (N_QUERIES x EMBED_DIM doubles), the same
+# transport class as the collected codebook seeds.
+_QUERY_SET_CACHE: dict[tuple, tuple | None] = {}
+
+
+# Encode-once memo for the PQ code columns (r18): the IVF-filtered
+# search family re-derived the corpus code projection on EVERY
+# consumer invocation — at sf0.1 that is one extra Arrow stage per
+# query run; production builds the code index ONCE and serves it (the
+# codes ARE the index).  Keyed like _RESIDUAL_FRAME_CACHE plus the
+# codebook content hash (covers seed-vs-trained, codebook bits, and
+# the assignment mode the residual codebook already depends on).
+# Payload is a non-eagerly checkpointed DataFrame handle — plan-only
+# consumers print without materializing, the first action pays the
+# encode, every later consumer reads the blocks.
+_PQ_CODES_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _codes_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    src: DataFrame,
+    flat_vals: list,
+    n_codes: int,
+    passthrough: tuple[str, ...],
+    vcol: str,
+    kind: str,
+) -> DataFrame:
+    key = None
+    fp = _pq_corpus_fingerprint(sf_dir)
+    if fp is not None:
+        key = (
+            spark.sparkContext.applicationId,
+            sf_dir,
+            fp,
+            kind,
+            n_codes,
+            hash(tuple(flat_vals)),
+        )
+        hit = _PQ_CODES_CACHE.get(key)
+        if hit is not None:
+            return hit
+    out = _batched_codes(src, flat_vals, n_codes, passthrough, vcol)
+    out = out.localCheckpoint(eager=False)
+    if key is not None:
+        _PQ_CODES_CACHE[key] = out
+    return out
+
+
+def _collect_queries(emb: DataFrame, sf_dir: str | None = None):
+    """Driver-collect the bounded query set (vec_id < N_QUERIES) for
+    the batched search kernels — (qids, qvecs) plain Python lists, or
+    None when empty.  The same N_QUERIES x EMBED_DIM transport the
+    broadcast query frame already paid, just landed in the closure.
+    Memoized per (application, sf_dir, corpus fingerprint) when
+    ``sf_dir`` is given."""
+    key = None
+    if sf_dir is not None:
+        fp = _pq_corpus_fingerprint(sf_dir)
+        if fp is not None:
+            key = (emb.sparkSession.sparkContext.applicationId, sf_dir, fp)
+            if key in _QUERY_SET_CACHE:
+                return _QUERY_SET_CACHE[key]
+    rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .collect()
+    )
+    out = (
+        ([int(r["vec_id"]) for r in rows], [list(r["v"]) for r in rows])
+        if rows
+        else None
+    )
+    if key is not None:
+        _QUERY_SET_CACHE[key] = out
+    return out
+
+
+def _exact_topk_frame(
+    emb: DataFrame, topk: int = TOPK, sf_dir: str | None = None
+) -> DataFrame:
+    """The brute-force exact squared-L2 leg every *_recall_report
+    audits against, batched (r18, guide §4.2): one mapInPandas corpus
+    pass emits per-batch top-``topk`` candidates per query (d2 via the
+    bit-identical exact-leg fold replay, per-batch selection under the
+    (d2, neighbor_id) total order is exact for global top-k), then the
+    final window ranks the ~|q| x topk x n_batches survivors —
+    (qid, neighbor_id, d2, rn), self excluded.  The JVM form built the
+    full |corpus| x |q| pair table (broadcast NLJ) and evaluated the
+    64-term fold per pair before an equally wide window."""
+    from ..functions import batchmath as bm
+    from ..session import ensure_package_on_executors
+
+    spark = emb.sparkSession
+    cq = _collect_queries(emb, sf_dir)
+    if cq is None:
+        return spark.createDataFrame(
+            [], schema="qid long, neighbor_id long, d2 double, rn long"
+        )
+    qids, qvecs = cq
+    ensure_package_on_executors(spark)
+    part = emb.select("vec_id", "v").mapInPandas(
+        bm.exact_topk_partials_fn(qids, qvecs, topk),
+        schema="qid long, neighbor_id long, d2 double",
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
+    return (
+        part.withColumn("rn", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rn") <= topk)
+    )
+
+
+def _adc_topk_frame(
+    emb: DataFrame,
+    flat_vals: list,
+    n_codes: int,
+    topk: int,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """Full-scan compressed-domain search, fused into one Arrow batch
+    kernel (r18, guide §4.2): encode the batch, build the per-query
+    ADC tables once per task from the same codebook, score by the
+    fixed s-order `_adc_sum` chain, emit per-batch top-``topk``
+    candidates per query — (qid, neighbor_id, adc, rn) after the
+    final window over the bounded survivors.  Codes, table entries
+    and adc totals are bit-identical to the JVM path (see
+    tests/test_batchmath.py); per-batch selection under
+    (adc, neighbor_id) is exact for global top-k.  Replaces the
+    corpus-encode projection + broadcast query-table join + full-width
+    window of the former plan."""
+    from ..functions import batchmath as bm
+    from ..session import ensure_package_on_executors
+
+    spark = emb.sparkSession
+    cq = _collect_queries(emb, sf_dir)
+    if cq is None:
+        return spark.createDataFrame(
+            [], schema="qid long, neighbor_id long, adc double, rn long"
+        )
+    qids, qvecs = cq
+    ensure_package_on_executors(spark)
+    part = emb.select("vec_id", "v").mapInPandas(
+        bm.adc_topk_partials_fn(
+            flat_vals, n_codes, PQ_SUB, PQ_SUBDIM, qids, qvecs, topk
+        ),
+        schema="qid long, neighbor_id long, adc double",
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc"), F.col("neighbor_id"))
+    return (
+        part.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= topk)
+    )
+
+
 def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (vector, subspace): the nearest-codebook code and its
     squared quantization error — (vec_id, subspace, code, sq_err).
@@ -2095,35 +2315,14 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, flat_vals = cb
     n_codes = len(codes)
 
-    # corpus side: PQ codes as ONE positional-int array per vector
-    # (s-major) — map-only, and the raw vector is dropped right after.
-    c_src, c_flat = _pq_codebook_source(emb, flat_vals)
-    corpus = c_src.select("vec_id", _pq_code_arr(c_flat, n_codes).alias("cs"))
-
-    # query side: the ADC lookup table, s-major flat — one bounded
-    # 50-row frame carrying PQ_SUB * n_codes doubles each.
-    q_src, q_flat = _pq_codebook_source(
-        emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-        ),
-        flat_vals,
-    )
-    q = q_src.select(
-        "qid", _pq_adc_table(q_flat, n_codes, F.col("qv")).alias("t")
-    )
-
-    pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    # fixed s-order chain of table lookups — bit-identical to the
-    # oracle's fixed-order sum of the same folds
-    adc = _adc_sum(n_codes)
-    w = Window.partitionBy("qid").orderBy(F.col("adc"), F.col("neighbor_id"))
-    return (
-        pairs.select(
-            "qid", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
-        )
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= TOPK)
-        .select("qid", "neighbor_id", F.round("adc", 6).alias("adc_d2"), "rn")
+    # r18: the whole full-scan ADC search — corpus encode, per-query
+    # lookup tables, fixed s-order scoring, per-batch top-k — fused
+    # into one Arrow batch kernel (guide §4.2; bit-identical values,
+    # see _adc_topk_frame).  The former plan built the corpus-encode
+    # projection, broadcast the 50-row table frame, and windowed the
+    # full |corpus| x |q| pair table.
+    return _adc_topk_frame(emb, flat_vals, n_codes, TOPK, sf_dir).select(
+        "qid", "neighbor_id", F.round("adc", 6).alias("adc_d2"), "rn"
     )
 
 
@@ -2170,11 +2369,11 @@ def ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_codes = len(codes)
 
     assign, cents = ivf_assignments(spark, sf_dir)
-    # index build: cell id + PQ codes, one map-only pass; the raw
-    # vector is dropped right after.
-    a_src, a_flat = _pq_codebook_source(assign, flat_vals)
-    corpus = a_src.select(
-        "vec_id", "cid", _pq_code_arr(a_flat, n_codes).alias("cs")
+    # index build: cell id + PQ codes — r18, encoded ONCE per session
+    # by the Arrow batch kernel and checkpointed (bit-identical codes;
+    # the codes ARE the index a production store serves from).
+    corpus = _codes_frame(
+        spark, sf_dir, assign, flat_vals, n_codes, ("vec_id", "cid"), "v", "raw"
     )
 
     # query side: NPROBE nearest cells (ann_ivf's probe selection,
@@ -2433,13 +2632,12 @@ def _ivf_pq_probe_pairs(spark: SparkSession, sf_dir: str, max_probe: int):
     codes, flat_vals = cb
     n_codes = len(codes)
 
-    # index build: residual PQ codes, one map-only pass over the
-    # materialized residual frame.
-    c_src, c_flat = _pq_codebook_source(res, flat_vals)
-    corpus = c_src.select(
-        "vec_id",
-        "cid",
-        _pq_code_arr(c_flat, n_codes, F.col("rv")).alias("cs"),
+    # index build: residual PQ codes — r18, encoded ONCE per session
+    # by the Arrow batch kernel over the materialized residual frame
+    # and checkpointed (bit-identical codes; the production index
+    # artifact).
+    corpus = _codes_frame(
+        spark, sf_dir, res, flat_vals, n_codes, ("vec_id", "cid"), "rv", "residual"
     )
 
     # query side: the max_probe nearest cells, then the PER-PROBE
@@ -2618,22 +2816,8 @@ def ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     *_recall_report convention).
     """
     emb = _embeddings(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    d2 = F.aggregate(
-        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
-    exact = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= TOPK)
-        .select("qid", "neighbor_id")
-    )
+    # exact ground-truth leg, batched (r18 — see _exact_topk_frame)
+    exact = _exact_topk_frame(emb, sf_dir=sf_dir).select("qid", "neighbor_id")
     per_q = exact.groupBy("qid").agg(
         F.count("*").cast("long").alias("n_exact")
     )
@@ -2857,25 +3041,11 @@ def adc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, flat_vals = cb
     n_codes = len(codes)
 
-    c_src, c_flat = _pq_codebook_source(emb, flat_vals)
-    corpus = c_src.select("vec_id", _pq_code_arr(c_flat, n_codes).alias("cs"))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    q_src, q_flat = _pq_codebook_source(q, flat_vals)
-    qt = q_src.select(
-        "qid", _pq_adc_table(q_flat, n_codes, F.col("qv")).alias("t")
-    )
-    pairs = corpus.join(F.broadcast(qt), F.col("vec_id") != F.col("qid"))
-    adc = _adc_sum(n_codes)
-    w1 = Window.partitionBy("qid").orderBy(F.col("adc"), F.col("neighbor_id"))
-    cand = (
-        pairs.select(
-            "qid", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
-        )
-        .withColumn("crn", F.row_number().over(w1))
-        .filter(F.col("crn") <= RERANK_CAP)
-        .select("qid", "neighbor_id")
+    # stage 1: fused full-scan ADC kernel at cap=RERANK_CAP (r18,
+    # _adc_topk_frame — pq_adc_topk's plan with the CAP in place of
+    # TOPK).
+    cand = _adc_topk_frame(emb, flat_vals, n_codes, RERANK_CAP, sf_dir).select(
+        "qid", "neighbor_id"
     )
 
     # stage 2: exact re-rank of the CAP-bounded candidates (shared
@@ -2953,22 +3123,8 @@ def ivf_pq_rerank_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], schema=schema)
     ranked = ranked.localCheckpoint(eager=True)
 
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    d2 = F.aggregate(
-        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
-    exact = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= TOPK)
-        .select("qid", "neighbor_id")
-    )
+    # exact ground-truth leg, batched (r18 — see _exact_topk_frame)
+    exact = _exact_topk_frame(emb, sf_dir=sf_dir).select("qid", "neighbor_id")
     per_q = exact.groupBy("qid").agg(
         F.count("*").cast("long").alias("n_exact")
     )
@@ -3079,14 +3235,8 @@ def rerank_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cap").cast("long").alias("cap"), "qid", "neighbor_id")
     )
 
-    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
-    exact = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= TOPK)
-        .select("qid", "neighbor_id")
-    )
+    # exact ground-truth leg, batched (r18 — see _exact_topk_frame)
+    exact = _exact_topk_frame(emb, sf_dir=sf_dir).select("qid", "neighbor_id")
     per_q = exact.groupBy("qid").agg(
         F.count("*").cast("long").alias("n_exact")
     )
@@ -3329,50 +3479,34 @@ def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_codes = len(codes)
     codes_lit = F.lit(codes)
 
-    seed_a = _pq_assign_arr(lit_double_array(seed_flat), n_codes)
-    tr_a = _pq_assign_arr(lit_double_array(trained_flat), n_codes)
-    both = F.zip_with(
-        seed_a,
-        tr_a,
-        lambda a, b: F.struct(
-            a["code"].alias("sc"),
-            a["d2"].alias("sd"),
-            b["code"].alias("tc"),
-            b["d2"].alias("td"),
+    # r18: the dual-codebook report scan runs as ONE Arrow batch
+    # kernel (guide §4.2) — per batch, both assignments (bit-identical
+    # argmins and min-d2s) scatter-add into per-(variant, subspace,
+    # code) partial counts + error sums that Spark merges; the former
+    # JVM pass evaluated 2 x PQ_SUB x n_codes fold steps per row and
+    # exploded the corpus 8-wide into the hash agg.  The per-cell d2
+    # sum re-associates under the round-6 output contract (the DuckDB
+    # twin already sums in its own order).
+    from ..functions import batchmath as bm
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    part = emb.select("v").mapInPandas(
+        bm.pq_train_report_partials_fn(
+            seed_flat, trained_flat, n_codes, PQ_SUB, PQ_SUBDIM
         ),
-    )
-    rows = (
-        emb.select(F.posexplode(both).alias("s", "r"))
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("seed").alias("variant"),
-                        F.col("s").cast("long").alias("subspace"),
-                        F.col("r.sc").alias("codep"),
-                        F.col("r.sd").alias("d2"),
-                    ),
-                    F.struct(
-                        F.lit("trained").alias("variant"),
-                        F.col("s").cast("long").alias("subspace"),
-                        F.col("r.tc").alias("codep"),
-                        F.col("r.td").alias("d2"),
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.variant", "e.subspace", "e.codep", "e.d2")
+        schema="variant string, s int, code_pos int, n long, sq double",
     )
     return (
-        rows.groupBy("variant", "subspace", "codep")
+        part.groupBy("variant", "s", "code_pos")
         .agg(
-            F.count("*").cast("long").alias("n_assigned"),
-            F.round(F.sum("d2"), 6).alias("sq_err"),
+            F.sum("n").cast("long").alias("n_assigned"),
+            F.round(F.sum("sq"), 6).alias("sq_err"),
         )
         .select(
             "variant",
-            "subspace",
-            F.element_at(codes_lit, F.col("codep") + 1)
+            F.col("s").cast("long").alias("subspace"),
+            F.element_at(codes_lit, F.col("code_pos") + 1)
             .cast("long")
             .alias("code"),
             "n_assigned",
@@ -3412,48 +3546,15 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     _codes, seed_flat, trained_flat = t
     n_codes = len(_codes)
 
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-
     # exact leg: brute-force squared-L2 top-k (the metric ADC
-    # approximates — cosine_topk's shape with d2 in place of cosine)
-    d2 = F.aggregate(
-        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
-    exact = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= TOPK)
-        .select("qid", "neighbor_id")
-    )
+    # approximates), batched — r18, see _exact_topk_frame
+    exact = _exact_topk_frame(emb, sf_dir=sf_dir).select("qid", "neighbor_id")
 
     def adc_top(flat_vals, variant):
-        flat = lit_double_array(flat_vals)
-        corpus = emb.select(
-            "vec_id", _pq_code_arr(flat, n_codes).alias("cs")
-        )
-        qt = q.select("qid", _pq_adc_table(flat, n_codes, F.col("qv")).alias("t"))
-        pairs = corpus.join(F.broadcast(qt), F.col("vec_id") != F.col("qid"))
-        adc = _adc_sum(n_codes)
-        w = Window.partitionBy("qid").orderBy(
-            F.col("adc"), F.col("neighbor_id")
-        )
-        return (
-            pairs.select(
-                "qid", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= TOPK)
-            .select(
-                F.lit(variant).alias("variant"), "qid", "neighbor_id"
-            )
+        # each variant is the fused full-scan ADC kernel over its own
+        # codebook (r18, _adc_topk_frame — pq_adc_topk's plan)
+        return _adc_topk_frame(emb, flat_vals, n_codes, TOPK, sf_dir).select(
+            F.lit(variant).alias("variant"), "qid", "neighbor_id"
         )
 
     got = adc_top(seed_flat, "seed").unionByName(
@@ -3538,51 +3639,20 @@ def pq_bits_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     if t4 is None or t8 is None:
         return spark.createDataFrame([], schema=schema)
 
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    d2 = F.aggregate(
-        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("neighbor_id"))
-    exact = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= TOPK)
-        .select("qid", "neighbor_id")
-    )
+    # exact ground-truth leg, batched (r18 — see _exact_topk_frame)
+    exact = _exact_topk_frame(emb, sf_dir=sf_dir).select("qid", "neighbor_id")
     per_q = exact.groupBy("qid").agg(
         F.count("*").cast("long").alias("n_exact")
     )
 
     def adc_top(t, bits):
+        # fused full-scan ADC kernel per codebook width (r18 — the
+        # k=256 leg's corpus encode was 16x the 4-bit compute as an
+        # interpreted fold: ~280 s at sf0.1, now one numpy pass)
         codes, _seed, trained_flat = t
         n_codes = len(codes)
-        c_src, c_flat = _pq_codebook_source(emb, trained_flat)
-        corpus = c_src.select(
-            "vec_id", _pq_code_arr(c_flat, n_codes).alias("cs")
-        )
-        q_src, q_flat = _pq_codebook_source(q, trained_flat)
-        qt = q_src.select(
-            "qid", _pq_adc_table(q_flat, n_codes, F.col("qv")).alias("t")
-        )
-        pairs = corpus.join(F.broadcast(qt), F.col("vec_id") != F.col("qid"))
-        adc = _adc_sum(n_codes)
-        w = Window.partitionBy("qid").orderBy(
-            F.col("adc"), F.col("neighbor_id")
-        )
-        return (
-            pairs.select(
-                "qid", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= TOPK)
-            .select(
-                F.lit(bits).cast("long").alias("bits"), "qid", "neighbor_id"
-            )
+        return _adc_topk_frame(emb, trained_flat, n_codes, TOPK, sf_dir).select(
+            F.lit(bits).cast("long").alias("bits"), "qid", "neighbor_id"
         )
 
     got = adc_top(t4, 4).unionByName(adc_top(t8, 8))

@@ -919,7 +919,13 @@ def lexical_semantic_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_list("shingle").alias("s"))
         .select("doc_id", F.size("s").cast("long").alias("n"), "s")
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint (ADVICE r17): both consumers sit inside the
+        # one final fused query, whose first execution materializes the
+        # blocks once — the eager form paid a separate corpus-sized
+        # materialization job before any consumer ran, unconditionally
+        # pinning state even for tiny inputs.  Lineage is still
+        # truncated either way (the plan-size point of the checkpoint).
+        .localCheckpoint(eager=False)
     )
     qsh = by_doc.filter(F.col("doc_id") < BM25_N_QUERIES).select(
         F.col("doc_id").alias("qid"),

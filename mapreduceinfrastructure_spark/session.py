@@ -35,7 +35,12 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
-    master = f"local[{cpus}]"
+    # SPARK_GRAFT_MASTER lets a cluster deployment point this same
+    # factory at its real master (ADVICE r17: with the master
+    # hardcoded to local[N], the non-local speculation branch below
+    # was unreachable).  Default unchanged: local[$SPARK_GRAFT_CPUS],
+    # the driver contract.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     # see the speculation comment below: local masters default off,
     # a cluster deployment (non-local master) defaults on.
     spec_default = "false" if master.startswith("local") else "true"

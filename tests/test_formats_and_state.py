@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import glob
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreduceinfrastructure_spark.sinks.formats import (
@@ -97,13 +98,14 @@ def test_robustness_parity_conf(spark):
     # compute on the CPUs the tail is contending for; measured
     # kcore_peel 4.14 -> 2.71 s at sf0.1), ON for any non-local master
     # (the reference's 10 s straggler-deadline parity, master.h:19),
-    # SPARK_GRAFT_SPECULATION forcing either way.  The session under
-    # test is local, so the resolved value must be the local default
-    # (or the env override when a test environment pins it).
+    # SPARK_GRAFT_SPECULATION forcing either way.  ADVICE r17: assert
+    # the HARD local default — mirroring the env override made the
+    # test tautological — and skip when an environment pins the force.
     import os as _os
 
-    expected_spec = _os.environ.get("SPARK_GRAFT_SPECULATION", "false")
-    assert spark.conf.get("spark.speculation") == expected_spec
+    if _os.environ.get("SPARK_GRAFT_SPECULATION") is not None:
+        pytest.skip("SPARK_GRAFT_SPECULATION pinned by the environment")
+    assert spark.conf.get("spark.speculation") == "false"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
 

@@ -74,9 +74,17 @@ def test_global_topk_no_shuffle(spark, sf_dir):
 
 
 def test_similarity_broadcasts_queries(spark, sf_dir):
-    for name in ("cosine_topk", "ann_lsh"):
-        df = QUERIES[name](spark, sf_dir)
-        assert has_broadcast_join(df), name
+    # ann_lsh keeps the broadcast-query shape; cosine_topk moved to
+    # the r18 batched partial-top-k kernel (queries ride the closure,
+    # the corpus is scanned once through MapInPandas, and no pair
+    # table — broadcast or otherwise — exists at all).
+    assert has_broadcast_join(QUERIES["ann_lsh"](spark, sf_dir))
+    from mapreduceinfrastructure_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(QUERIES["cosine_topk"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_embedding_neardup_no_nested_loop_join(spark, sf_dir):
@@ -412,19 +420,20 @@ def test_round5_window_newcomer_plan_shapes(spark, sf_dir):
 
 
 def test_pq_adc_topk_plan_shape(spark, sf_dir):
-    """Scale pins for the ADC search pass (r12): the 50-row query-table
-    frame must be the BROADCAST side (a corpus-side broadcast would be
-    the ann-family scale-killer), the per-qid top-k must prune
-    map-side via WindowGroupLimit before its exchange, and ADC scoring
-    must stay join+projection-only — no hash agg anywhere (a groupBy
-    SUM of the subspace terms would also be order-unstable float
-    aggregation)."""
+    """Scale pins for the ADC search pass (r18 batched form): the
+    whole compressed-domain scan — encode, per-query ADC tables,
+    scoring, per-batch top-k — runs inside ONE MapInPandas corpus pass
+    (no pair table, broadcast or otherwise, exists at all), the final
+    window ranks only the bounded per-batch survivors, and scoring
+    stays aggregation-free — no hash agg anywhere (a groupBy SUM of
+    the subspace terms would be order-unstable float aggregation)."""
     from mapreduceinfrastructure_spark.plans.explain import formatted_plan
 
     df = QUERIES["pq_adc_topk"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
-    assert "WindowGroupLimit" in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
     assert "HashAggregate" not in plan
     # exchanges: the qid top-k plus at most the two fan_out
     # round-robins (tiny-file artifacts, no-ops at scale)

@@ -2494,60 +2494,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # TPC-H queries — 24 slots) + 1 r7 backfill (bloom_decontaminate).
 # Every windowed entry has an exact DuckDB oracle (pinned by
 # test_driver_window_is_oracle_backed).
-WINDOW_ROUND = 17  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
+WINDOW_ROUND = 18  # must equal max(CORRECTNESS_r*.json) + 1 — pinned by
 # tests/test_oracle_parity.py::test_window_round_is_fresh (VERDICT r11 #1:
 # r11 silently re-ran the r10 window; this makes a stale window a red test).
-DRIVER_WINDOW_R17 = [
+DRIVER_WINDOW_R18 = [
     "word_count",  # anchor
     "grep",  # anchor
-    "ivf_split_apply",  # never banked
-    "pq_bits_recall_report",  # never banked
-    "rerank_cap_sweep",  # never banked
-    "sssp_parts",  # stale (hash changed since r9 row)
-    "degree_assortativity",  # stale (hash changed since r11 row)
-    "cc_star",  # stale (hash changed since r13 row)
-    "pagerank_docs",  # stale (hash changed since r13 row)
-    "cluster_diameter",  # stale (hash changed since r13 row)
-    "dedup_clusters",  # stale (hash changed since r13 row)
-    "dedup_rate_by_threshold",  # stale (hash changed since r13 row)
-    "incremental_dedup",  # stale (hash changed since r13 row)
-    "lexical_semantic_rrf",  # stale (hash changed since r13 row)
-    "neardup_audit",  # stale (hash changed since r13 row)
-    "ngram_jaccard_neardup",  # stale (hash changed since r13 row)
-    "source_overlap",  # stale (hash changed since r13 row)
-    "label_prop_iterate",  # stale (hash changed since r14 row)
-    "bm25_recall_report",  # stale (hash changed since r14 row)
-    "bloom_decontaminate",  # stale (hash changed since r14 row)
-    "ann_lsh",  # stale (hash changed since r14 row)
-    "kmeans_iterate",  # stale (hash changed since r14 row)
-    "pca_debias",  # stale (hash changed since r14 row)
-    "pca_power_iter",  # stale (hash changed since r14 row)
-    "rrf_fusion",  # stale (hash changed since r14 row)
-    "sq8_quantize",  # stale (hash changed since r14 row)
-    "sq8_recall_report",  # stale (hash changed since r14 row)
-    "sq8_topk",  # stale (hash changed since r14 row)
-    "pq_adc_topk",  # stale (hash changed since r15 row)
-    "pq_quantize",  # stale (hash changed since r15 row)
-    "pq_recall_report",  # stale (hash changed since r15 row)
-    "pq_train_codebooks",  # stale (hash changed since r15 row)
-    "basket_triples",  # stale (hash changed since r16 row)
-    "clustering_coeff",  # stale (hash changed since r16 row)
-    "kcore_peel",  # stale (hash changed since r16 row)
-    "market_basket_rules",  # stale (hash changed since r16 row)
-    "global_shuffle_shards",  # stale (hash changed since r16 row)
-    "adc_rerank_topk",  # stale (hash changed since r16 row)
-    "ann_ivf",  # stale (hash changed since r16 row)
-    "ann_ivf_adc",  # stale (hash changed since r16 row)
-    "ann_probe_sweep",  # stale (hash changed since r16 row)
-    "ann_recall_report",  # stale (hash changed since r16 row)
-    "cluster_balanced_sample",  # stale (hash changed since r16 row)
-    "filtered_ann_recall_report",  # stale (hash changed since r16 row)
-    "ivf_pq_adc_topk",  # stale (hash changed since r16 row)
-    "ivf_pq_probe_sweep",  # stale (hash changed since r16 row)
-    "ivf_pq_recall_report",  # stale (hash changed since r16 row)
-    "ivf_pq_rerank_recall_report",  # stale (hash changed since r16 row)
-    "ivf_pq_rerank_topk",  # stale (hash changed since r16 row)
-    "ivf_pq_residual",  # stale (hash changed since r16 row)
+    "minhash_lsh_neardup",  # stale (hash changed since r13 row)
+    "cosine_topk",  # stale (hash changed since r14 row)
+    "ivf_split_plan",  # stale (hash changed since r16 row)
+    "streaming_cell_occupancy",  # stale (hash changed since r16 row)
+    "streaming_pq_ingest",  # stale (hash changed since r16 row)
+    "adc_rerank_topk",  # stale (hash changed since r17 row)
+    "ann_ivf",  # stale (hash changed since r17 row)
+    "ann_ivf_adc",  # stale (hash changed since r17 row)
+    "ann_probe_sweep",  # stale (hash changed since r17 row)
+    "ann_recall_report",  # stale (hash changed since r17 row)
+    "bm25_recall_report",  # stale (hash changed since r17 row)
+    "cc_star",  # stale (hash changed since r17 row)
+    "cluster_balanced_sample",  # stale (hash changed since r17 row)
+    "cluster_diameter",  # stale (hash changed since r17 row)
+    "dedup_clusters",  # stale (hash changed since r17 row)
+    "dedup_rate_by_threshold",  # stale (hash changed since r17 row)
+    "filtered_ann_recall_report",  # stale (hash changed since r17 row)
+    "incremental_dedup",  # stale (hash changed since r17 row)
+    "ivf_pq_adc_topk",  # stale (hash changed since r17 row)
+    "ivf_pq_probe_sweep",  # stale (hash changed since r17 row)
+    "ivf_pq_recall_report",  # stale (hash changed since r17 row)
+    "ivf_pq_rerank_recall_report",  # stale (hash changed since r17 row)
+    "ivf_pq_rerank_topk",  # stale (hash changed since r17 row)
+    "ivf_pq_residual",  # stale (hash changed since r17 row)
+    "ivf_split_apply",  # stale (hash changed since r17 row)
+    "lexical_semantic_rrf",  # stale (hash changed since r17 row)
+    "neardup_audit",  # stale (hash changed since r17 row)
+    "ngram_jaccard_neardup",  # stale (hash changed since r17 row)
+    "pq_adc_topk",  # stale (hash changed since r17 row)
+    "pq_bits_recall_report",  # stale (hash changed since r17 row)
+    "pq_quantize",  # stale (hash changed since r17 row)
+    "pq_recall_report",  # stale (hash changed since r17 row)
+    "pq_train_codebooks",  # stale (hash changed since r17 row)
+    "rerank_cap_sweep",  # stale (hash changed since r17 row)
+    "rrf_fusion",  # stale (hash changed since r17 row)
+    "source_overlap",  # stale (hash changed since r17 row)
+    "sorted_neighborhood_neardup",  # backfill (last banked r9)
+    "stratified_sample",  # backfill (last banked r9)
+    "streaming_active_users",  # backfill (last banked r9)
+    "streaming_curated_ingest",  # backfill (last banked r9)
+    "streaming_enriched_revenue",  # backfill (last banked r9)
+    "streaming_hourly_counts",  # backfill (last banked r9)
+    "streaming_ohlc",  # backfill (last banked r9)
+    "streaming_sessions",  # backfill (last banked r9)
+    "tf_idf",  # backfill (last banked r9)
+    "token_stats",  # backfill (last banked r9)
+    "trade_edges",  # backfill (last banked r9)
+    "trade_flows_2hop",  # backfill (last banked r9)
 ]
 
 
@@ -2562,7 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # replay, unrolled Lloyd CTE, hex-domain PCM replay); bpe_merges
     # in r11 (unrolled merge-recurrence CTE, _bpe_merges_sql).
     reg = {
-        # (registry order is historical; DRIVER_WINDOW_R17 defines the
+        # (registry order is historical; DRIVER_WINDOW_R18 defines the
         #  verified window — see the note above)
         "word_count": ta.word_count,
         "grep": ta.grep,
@@ -2839,7 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_index_ingest": es.streaming_index_ingest,
         "jsonl_roundtrip": pl.jsonl_roundtrip,
     }
-    ordered = {k: reg[k] for k in DRIVER_WINDOW_R17}
+    ordered = {k: reg[k] for k in DRIVER_WINDOW_R18}
     ordered.update((k, v) for k, v in reg.items() if k not in ordered)
     return ordered
 

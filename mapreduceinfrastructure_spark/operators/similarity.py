@@ -3421,28 +3421,6 @@ def _pq_production_codebook(
     return codes, trained_flat
 
 
-def _pq_assign_arr(flat, n_codes: int, vcol=None):
-    """Per subspace the (code, d2) of the nearest codebook entry —
-    array<struct<code:int, d2:double>>, dists built ONCE per subspace
-    (the _pq_code_arr single-eval discipline, ADVICE r12)."""
-    vcol = F.col("v") if vcol is None else vcol
-    return F.transform(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(PQ_SUB - 1)),
-            lambda s: F.transform(
-                F.sequence(F.lit(0), F.lit(n_codes - 1)),
-                lambda c: _pq_d2(vcol, flat, s, c),
-            ),
-        ),
-        lambda ds: F.struct(
-            (F.array_position(ds, F.array_min(ds)) - 1)
-            .cast("int")
-            .alias("code"),
-            F.array_min(ds).alias("d2"),
-        ),
-    )
-
-
 def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd-trained PQ subspace codebooks — the training step that
     completes the IVF-PQ trainer (Jégou et al., TPAMI 2011 §III):
